@@ -1,0 +1,121 @@
+"""Configuration + query-dict normalization.
+
+Reference parity: ``/root/reference/dbcut/configuration.py:16-58`` merges
+``DEFAULT_CONFIG`` into the YAML config; per-query defaults
+(``default_limit``, ``default_backref_limit``, ``default_join_depth``,
+``default_backref_depth``, ``global_exclude``) are folded into each query
+dict by ``/root/reference/dbcut/parser.py:117-139``. ``limit: no`` disables
+the limit. ``${VAR}`` env expansion mirrors
+``/root/reference/dbcut/utils.py:269-274``.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "default_limit": 10,
+    "default_backref_limit": 50,
+    "default_backref_depth": 5,
+    "default_join_depth": 5,
+    "global_exclude": [],
+    "cache": "~/.cache/dbcut_spark",
+    "queries": [],
+}
+
+
+def expand_env_variables(value: Any) -> Any:
+    """Recursively expand ``${VAR}`` in strings (safe_substitute)."""
+    if isinstance(value, str):
+        return string.Template(value).safe_substitute(os.environ)
+    if isinstance(value, dict):
+        return {k: expand_env_variables(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [expand_env_variables(v) for v in value]
+    return value
+
+
+@dataclass
+class QuerySpec:
+    """Normalized extraction query (the reference's per-query YAML dict
+    after defaults merging)."""
+
+    from_table: str
+    where: dict | None = None
+    order_by: list[str] | str | None = None
+    offset: int | None = None
+    limit: int | None = 10
+    backref_limit: int | None = 50
+    join_depth: int = 5
+    backref_depth: int = 5
+    exclude: list[str] = field(default_factory=list)
+    include: list[str] = field(default_factory=list)
+
+    def cache_dict(self) -> dict:
+        """Canonical dict for content-addressed cache keying (D4)."""
+        return {
+            "from": self.from_table,
+            "where": self.where,
+            "order_by": self.order_by,
+            "offset": self.offset,
+            "limit": self.limit,
+            "backref_limit": self.backref_limit,
+            "join_depth": self.join_depth,
+            "backref_depth": self.backref_depth,
+            "exclude": sorted(self.exclude),
+            "include": sorted(self.include),
+        }
+
+
+def _parse_limit(value: Any, default: int | None) -> int | None:
+    if value is None:
+        return default
+    if value in ("no", "none", False):
+        return None
+    return int(value)
+
+
+def normalize_query(raw: dict, config: dict | None = None) -> QuerySpec:
+    """Merge config defaults into a raw query dict → QuerySpec.
+
+    Mirrors ``/root/reference/dbcut/parser.py:117-139``: per-query values
+    win; ``exclude`` is the union of query-level and ``global_exclude``.
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    cfg.update(config or {})
+    raw = expand_env_variables(dict(raw))
+    if "from" not in raw:
+        raise ValueError("query needs a 'from:' table")
+    limit = _parse_limit(raw.get("limit"), cfg["default_limit"])
+    backref_limit = _parse_limit(raw.get("backref_limit"), cfg["default_backref_limit"])
+    include = list(raw.get("include") or [])
+    spec = QuerySpec(
+        from_table=raw["from"],
+        where=raw.get("where"),
+        order_by=raw.get("order-by", raw.get("order_by")),
+        offset=raw.get("offset"),
+        limit=limit,
+        backref_limit=backref_limit,
+        join_depth=int(raw.get("join_depth", cfg["default_join_depth"])),
+        backref_depth=int(raw.get("backref_depth", cfg["default_backref_depth"])),
+        exclude=sorted(set(raw.get("exclude") or []) | set(cfg["global_exclude"] or [])),
+        include=include,
+    )
+    if include:
+        # reference: include sets both depths unlimited
+        # (/root/reference/dbcut/parser.py:165-166)
+        spec.join_depth = 10**6
+        spec.backref_depth = 10**6
+    return spec
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        cfg = dict(DEFAULT_CONFIG)
+        cfg.update(yaml.safe_load(f) or {})
+    return expand_env_variables(cfg)

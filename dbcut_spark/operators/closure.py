@@ -1,0 +1,150 @@
+"""Semi-join closure executor — *the* core operator (SURVEY.md §2.4 J5).
+
+Reference behavior being matched: dbcut restricts every table in the
+extraction graph to rows reachable from the selected roots, via eager
+loaders fired per relationship (``/root/reference/dbcut/query.py:231-238``,
+traversal ``:352-445``). Spark-first re-expression:
+
+- root: scan → (cross-table predicate joins) → filter → top-k
+  (``orderBy().limit()`` compiles to TakeOrderedAndProject);
+- per tree edge: frontier expansion ``child ⋉ parent_keys`` as a
+  LEFT SEMI join. The frontier key set is usually tiny (bounded by
+  ``limit`` × backref fan-out), so it is broadcast — at 100 TB the big
+  child table is never shuffled: each scan task filters against the
+  broadcast hash set, and parquet/JDBC sources additionally get DPP-style
+  pruning when the key column is a partition column;
+- per-parent ``backref_limit`` via a window ``row_number() <= n``
+  (deterministic variant of the reference's batch-global LIMIT,
+  divergence documented in SURVEY.md §7.3.3);
+- per-table accumulation: ``unionByName`` of every tree node reaching
+  that table + ``dropDuplicates(pk)``.
+
+The only sequential part is the per-level loop (≤ max depth iterations);
+each iteration is fully parallel DataFrame work.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbcut_spark.dsl import compile_where
+from dbcut_spark.graph import Direction, TreeNode
+from dbcut_spark.plans.extraction import ExtractionPlan
+
+TableLoader = Callable[[str], DataFrame]
+
+
+def parquet_loader(spark: SparkSession, sf_dir: str) -> TableLoader:
+    def load(table: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+    return load
+
+
+def _prefixed(df: DataFrame, table: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{table}__{c}") for c in df.columns])
+
+
+class ClosureExecutor:
+    def __init__(self, spark: SparkSession, loader: TableLoader):
+        self.spark = spark
+        self.load = loader
+
+    # -- root ---------------------------------------------------------------
+    def root_frame(self, plan: ExtractionPlan) -> DataFrame:
+        spec = plan.spec
+        root = self.load(plan.root_table)
+        root_cols = root.columns
+        cw = compile_where(spec.where, plan.root_table)
+        df = root
+        if cw.foreign_tables:
+            # cross-table predicate (F4): join the referenced tables along
+            # their tree path, filter, keep distinct root rows
+            # (semi-join semantics, /root/reference/README.rst:297-311)
+            joined_tables = {plan.root_table}
+            for ft in sorted(cw.foreign_tables):
+                for node in plan.find_path(ft):
+                    rel = node.relationship
+                    assert rel is not None
+                    if node.table in joined_tables:
+                        continue
+                    joined_tables.add(node.table)
+                    tgt = _prefixed(self.load(node.table), node.table)
+                    cond = None
+                    for s, t in zip(rel.source_cols, rel.target_cols):
+                        left = (
+                            F.col(s)
+                            if rel.source == plan.root_table
+                            else F.col(f"{rel.source}__{s}")
+                        )
+                        c = left == F.col(f"{node.table}__{t}")
+                        cond = c if cond is None else (cond & c)
+                    df = df.join(tgt, cond, "left_outer")
+        if cw.predicate is not None:
+            df = df.filter(cw.predicate)
+        if cw.foreign_tables:
+            df = df.select(*root_cols).dropDuplicates(list(plan.root_pk()))
+        order_cols = [k.to_column() for k in plan.order_keys()]
+        df = df.orderBy(*order_cols)
+        if spec.offset:
+            df = df.offset(spec.offset)
+        if spec.limit is not None:
+            df = df.limit(spec.limit)
+        return df
+
+    # -- closure ------------------------------------------------------------
+    def execute(self, plan: ExtractionPlan) -> dict[str, DataFrame]:
+        """Run the frontier loop; returns {table: closure DataFrame}."""
+        root_df = self.root_frame(plan)
+        # bounded root (limit set) ⇒ every frontier key set is small ⇒
+        # broadcast it so child scans never shuffle
+        bounded = plan.spec.limit is not None
+        frontiers: dict[int, DataFrame] = {id(plan.tree.root): root_df}
+        per_table: dict[str, list[DataFrame]] = {plan.root_table: [root_df]}
+
+        for node in plan.tree.root.walk():
+            for child in node.children:
+                rel = child.relationship
+                assert rel is not None
+                parent_df = frontiers[id(node)]
+                keys = parent_df.select(
+                    [F.col(s).alias(t) for s, t in zip(rel.source_cols, rel.target_cols)]
+                ).dropna().distinct()
+                if bounded:
+                    keys = F.broadcast(keys)
+                child_df = self.load(rel.target).join(
+                    keys, on=list(rel.target_cols), how="left_semi"
+                )
+                if (
+                    rel.direction is Direction.ONETOMANY
+                    and plan.spec.backref_limit is not None
+                ):
+                    pk = plan.catalog.table(rel.target).pk
+                    w = Window.partitionBy(*rel.target_cols).orderBy(
+                        *[F.col(c).desc() for c in pk]
+                    )
+                    child_df = (
+                        child_df.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") <= plan.spec.backref_limit)
+                        .drop("__rn")
+                    )
+                frontiers[id(child)] = child_df
+                per_table.setdefault(rel.target, []).append(child_df)
+
+        out: dict[str, DataFrame] = {}
+        for table, frames in per_table.items():
+            df = frames[0]
+            for extra in frames[1:]:
+                df = df.unionByName(extra)
+            pk = plan.catalog.table(table).pk
+            out[table] = df.dropDuplicates(list(pk)) if len(frames) > 1 else df
+        return out
+
+    def closure_table(self, plan: ExtractionPlan, table: str) -> DataFrame:
+        """Closure restricted to one table (canonically PK-sorted)."""
+        df = self.execute(plan)[table]
+        pk = plan.catalog.table(table).pk
+        return df.orderBy(*[F.col(c).asc() for c in pk])

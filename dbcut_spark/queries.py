@@ -1,0 +1,353 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables.
+
+This module backs ``__spark_entry__.py`` (driver contract). Column names
+are aliased identically on both sides; float aggregations go through
+DECIMAL so sums are exact and order-insensitive (hash-stable under
+Spark's nondeterministic partition ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbcut_spark.catalog import TPCH_CATALOG
+from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.plans.extraction import build_plan
+from dbcut_spark.plans.oracle import plan_oracle_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, alias: str, scale: int = 6):
+    """Exact, order-insensitive sum of a double column: cast to DECIMAL,
+    sum, cast back to DOUBLE (identical arithmetic in DuckDB oracle)."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+    )
+
+
+def dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (adapted to the harness schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           {dsum_sql('CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)', 'sum_disc_price', 8)},
+           {dsum_sql('CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)', 'sum_charge', 8)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape). Single scan + partial agg;
+    the filter and 7-column projection push down to parquet."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("double")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(25,8)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(25,8)")).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3",
+    sql="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                         AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): filtered customer dim is small →
+    broadcast to the orders/lineitem join; top-10 is TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast("decimal(25,8)")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    sql="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                         AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation (TPC-H Q5 shape). All dims
+    broadcast; only orders⋈lineitem shuffles — and AQE can turn even that
+    into a broadcast join after the region filter cuts the build side."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(25,8)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "topk_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k without a full sort: orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "window_rank_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders via window rank — one shuffle on the
+    partition key, no join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", F.rank().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "rollup_orders",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (beyond-reference; Catalyst expands grouping sets
+    in a single shuffle)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction-closure fixtures (the reference's core operator, J5)
+# ---------------------------------------------------------------------------
+
+FIXTURES: dict[str, dict] = {
+    # deep traversal + full filter stack (mirrors FIXTURES.md corpus:
+    # customer root, where + order-by + offset + limit)
+    "closure_main": {
+        "from": "customer",
+        "where": {"c_mktsegment": "BUILDING"},
+        "order-by": "-c_custkey",
+        "offset": 2,
+        "limit": 20,
+        "backref_limit": None,
+        "join_depth": 3,
+        "backref_depth": 2,
+        "exclude": ["events", "part", "supplier"],
+    },
+    # no-traversal root with range predicate + multi-key order + paging
+    "orders_page": {
+        "from": "orders",
+        "where": {
+            "o_orderdate": {"$gte": "1995-01-01 00:00:00", "$lt": "1996-01-01 00:00:00"},
+            "o_orderstatus": "O",
+        },
+        "order-by": ["-o_totalprice", "o_orderkey"],
+        "offset": 5,
+        "limit": 25,
+        "join_depth": 0,
+        "backref_depth": 0,
+    },
+    # per-parent backref_limit (deterministic variant of reference O5)
+    "backref_cap": {
+        "from": "customer",
+        "where": {"c_nationkey": {"$lte": 5}},
+        "limit": 30,
+        "backref_limit": 3,
+        "join_depth": 0,
+        "backref_depth": 1,
+        "exclude": ["events"],
+    },
+    # include-pruning + cross-table $or/$in/$like predicate
+    # (mirrors the reference corpus customer_playlist include query)
+    "include_path": {
+        "from": "region",
+        "include": ["customer"],
+        "where": {
+            "$or": {
+                "nation.n_name": {"$like": "%IA%"},
+                "$in": {"customer.c_mktsegment": ["BUILDING", "MACHINERY"]},
+            }
+        },
+        "limit": None,
+        "backref_limit": None,
+        "exclude": ["events", "supplier"],
+    },
+}
+
+FIXTURE_TABLES: dict[str, list[str]] = {
+    "closure_main": ["customer", "nation", "region", "orders", "lineitem"],
+    "orders_page": ["orders"],
+    "backref_cap": ["customer", "orders"],
+    "include_path": ["region", "nation", "customer"],
+}
+
+
+def _closure_fn(fixture: str, table: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        plan = build_plan(TPCH_CATALOG, FIXTURES[fixture])
+        ex = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
+        return ex.closure_table(plan, table)
+
+    run.__name__ = f"{fixture}__{table}"
+    run.__doc__ = (
+        f"Extraction closure of {table!r} for fixture {fixture!r} "
+        "(frontier semi-joins; see dbcut_spark.operators.closure)."
+    )
+    return run
+
+
+for _fixture, _tables in FIXTURE_TABLES.items():
+    _plan = build_plan(TPCH_CATALOG, FIXTURES[_fixture])
+    for _table in _tables:
+        _name = f"{_fixture}__{_table}"
+        QUERIES[_name] = _closure_fn(_fixture, _table)
+        ORACLES[_name] = plan_oracle_sql(_plan, _table)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q1(spark, sf_dir)
