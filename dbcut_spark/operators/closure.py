@@ -38,8 +38,10 @@ TableLoader = Callable[[str], DataFrame]
 
 
 def parquet_loader(spark: SparkSession, sf_dir: str) -> TableLoader:
+    from dbcut_spark.sources.parquet import read_table
+
     def load(table: str) -> DataFrame:
-        return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return read_table(spark, sf_dir, table)
 
     return load
 
@@ -98,6 +100,14 @@ class ClosureExecutor:
     # -- closure ------------------------------------------------------------
     def execute(self, plan: ExtractionPlan) -> dict[str, DataFrame]:
         """Run the frontier loop; returns {table: closure DataFrame}."""
+        return self.execute_nodes(plan)[0]
+
+    def execute_nodes(
+        self, plan: ExtractionPlan
+    ) -> tuple[dict[str, DataFrame], dict[int, DataFrame]]:
+        """Frontier loop returning both the per-table closure and the
+        per-tree-node frontier frames (the latter feed the nested-JSON
+        sink, which nests along the tree, not per table)."""
         root_df = self.root_frame(plan)
         # bounded root (limit set) ⇒ every frontier key set is small ⇒
         # broadcast it so child scans never shuffle
@@ -141,7 +151,7 @@ class ClosureExecutor:
                 df = df.unionByName(extra)
             pk = plan.catalog.table(table).pk
             out[table] = df.dropDuplicates(list(pk)) if len(frames) > 1 else df
-        return out
+        return out, frontiers
 
     def closure_table(self, plan: ExtractionPlan, table: str) -> DataFrame:
         """Closure restricted to one table (canonically PK-sorted)."""

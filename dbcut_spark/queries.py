@@ -35,7 +35,9 @@ def register(name: str, sql: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from dbcut_spark.sources.parquet import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def dsum(col, alias: str, scale: int = 6):

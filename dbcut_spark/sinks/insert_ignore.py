@@ -1,0 +1,82 @@
+"""Idempotent writes (reference K1): INSERT-IGNORE semantics as a
+left-anti join against existing target PKs.
+
+The reference compiles INSERT with per-dialect IGNORE clauses
+(``/root/reference/dbcut/compiler.py:66-78``: PG ``ON CONFLICT DO
+NOTHING``, MySQL ``INSERT IGNORE``, SQLite ``INSERT OR IGNORE``). Spark's
+JDBC/parquet writers have no conflict clause, so new rows are filtered
+first: ``new ⟕̸ existing`` on the PK (LEFT ANTI), then appended.
+
+Scale note: the anti-join shuffles on the PK unless the *existing-keys*
+side is small enough to broadcast. For append-mostly pipelines the
+existing-key set per write batch is the whole target — at 100 TB prefer
+bucketed targets on the PK (`bucketBy`) so the anti-join is shuffle-free,
+or partition-pruned targets where only overlapping partitions are read.
+Not atomic under concurrent writers (documented divergence,
+SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def anti_new_rows(new: DataFrame, existing: DataFrame, pk: list[str]) -> DataFrame:
+    """Rows of ``new`` whose PK is absent from ``existing``."""
+    keys = existing.select(*pk).dropDuplicates(pk)
+    return new.join(keys, on=pk, how="left_anti")
+
+
+def insert_ignore_parquet(
+    spark: SparkSession, df: DataFrame, path: str, pk: list[str]
+) -> int:
+    """Append ``df`` rows to the parquet table at ``path``, skipping rows
+    whose PK already exists. Returns the number of rows written."""
+    df = df.dropDuplicates(pk)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        df = anti_new_rows(df, existing, pk)
+    df = df.cache()
+    try:
+        n = df.count()
+        if n:
+            df.write.mode("append").parquet(path)
+    finally:
+        df.unpersist()
+    return n
+
+
+def insert_ignore_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    pk: list[str],
+    properties: dict[str, str] | None = None,
+    batchsize: int = 5000,
+) -> None:
+    """JDBC variant: anti-join against the target's current PKs (pushed
+    as a key-only JDBC read), then batched append. ``batchsize`` mirrors
+    the reference's PG executemany page size of 5000
+    (``/root/reference/dbcut/database.py:479-484``)."""
+    props = dict(properties or {})
+    existing = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", f"SELECT {', '.join(pk)} FROM {table}")
+        .options(**props)
+        .load()
+    )
+    out = df.dropDuplicates(pk).join(F.broadcast(existing), on=pk, how="left_anti")
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**props)
+        .mode("append")
+        .save()
+    )

@@ -1,0 +1,1 @@
+from dbcut_spark.sources.parquet import read_table  # noqa: F401

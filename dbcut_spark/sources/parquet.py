@@ -1,0 +1,48 @@
+"""Parquet source (reference S1/S6 analogue for the test harness).
+
+Handles one impedance mismatch: parquet files with TIMESTAMP(NANOS)
+columns (written by pyarrow with default ns precision) are illegal for
+Spark's vectorized reader. With ``spark.sql.legacy.parquet.nanosAsLong``
+those columns arrive as bigint nanos; :func:`read_table` detects them
+from the parquet footer and converts to proper timestamps
+(``timestamp_micros(ns div 1000)`` — truncation, same as DuckDB's
+ns→µs conversion, so oracle comparisons agree).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(_one_file(path))
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t) in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def _one_file(path: str) -> str:
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return os.path.join(path, f)
+    return path
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df

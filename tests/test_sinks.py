@@ -1,0 +1,135 @@
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dbcut_spark.cache import ResultCache, cache_key
+from dbcut_spark.catalog import TPCH_CATALOG
+from dbcut_spark.config import normalize_query
+from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.plans.extraction import build_plan
+from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+from dbcut_spark.sinks.json_export import nested_documents
+from dbcut_spark.sinks.sqldump import create_table_sql, dump_sql, render_value
+
+PLAN_RAW = {
+    "from": "customer",
+    "where": {"c_mktsegment": "BUILDING"},
+    "limit": 5,
+    "join_depth": 2,
+    "backref_depth": 1,
+    "backref_limit": 3,
+    "exclude": ["events", "part", "supplier"],
+}
+
+
+def test_insert_ignore_idempotent(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation.parquet")
+    n1 = insert_ignore_parquet(spark, df, path, ["n_nationkey"])
+    assert n1 == 25
+    n2 = insert_ignore_parquet(spark, df, path, ["n_nationkey"])
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == 25
+    extra = df.withColumn("n_nationkey", F.col("n_nationkey") + 100)
+    n3 = insert_ignore_parquet(spark, extra, path, ["n_nationkey"])
+    assert n3 == 25
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_nested_documents(spark, sf_dir):
+    plan = build_plan(TPCH_CATALOG, PLAN_RAW)
+    ex = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
+    _, frontiers = ex.execute_nodes(plan)
+    docs = nested_documents(plan, frontiers)
+    rows = docs.collect()
+    assert len(rows) == 5
+    d = rows[0].asDict(recursive=True)
+    # scalar relation: nested dict; collection: list capped by backref_limit
+    assert isinstance(d["nation"], dict)
+    assert isinstance(d["nation"]["region"], dict)
+    assert isinstance(d["orders_collection"], list)
+    assert len(d["orders_collection"]) <= 3
+    if d["orders_collection"]:
+        # collection sorted by PK ascending (sort_array on pk-first struct)
+        keys = [o["o_orderkey"] for o in d["orders_collection"]]
+        assert keys == sorted(keys)
+        assert d["orders_collection"][0]["o_custkey"] == d["c_custkey"]
+
+
+def test_dump_sql_stream(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    stmts = list(dump_sql({"region": df}, {"region": ["r_regionkey"]}, "mysql"))
+    assert stmts[0] == "BEGIN;"
+    assert stmts[-1] == "COMMIT;"
+    assert "CREATE TABLE IF NOT EXISTS `region`" in stmts[1]
+    assert sum(s.startswith("INSERT IGNORE INTO `region`") for s in stmts) == 5
+    pg = list(dump_sql({"region": df}, {}, "postgresql"))
+    assert any(s.endswith("ON CONFLICT DO NOTHING;") for s in pg)
+
+
+def test_render_value_quoting():
+    assert render_value(None) == "NULL"
+    assert render_value("o'hara") == "'o''hara'"
+    assert render_value(b"\x01\xff") == "X'01ff'"
+    assert render_value(True) == "TRUE"
+
+
+def test_cache_roundtrip(spark, sf_dir, tmp_path):
+    spec = normalize_query(PLAN_RAW)
+    key = cache_key(sf_dir, spec)
+    assert key == cache_key(sf_dir, normalize_query(dict(PLAN_RAW)))  # stable
+    other = dict(PLAN_RAW, limit=6)
+    assert key != cache_key(sf_dir, normalize_query(other))
+
+    cache = ResultCache(str(tmp_path / "cache"))
+    assert not cache.exists(key)
+    plan = build_plan(TPCH_CATALOG, PLAN_RAW)
+    frames = ClosureExecutor(spark, parquet_loader(spark, sf_dir)).execute(plan)
+    counts = cache.save(key, frames)
+    assert cache.exists(key)
+    loaded = cache.load(spark, key)
+    assert set(loaded) == set(frames)
+    assert loaded["customer"].count() == counts["customer"] == 5
+    cache.purge(key)
+    assert not cache.exists(key)
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    dest = str(tmp_path / "target")
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": dest},
+        "cache": str(tmp_path / "cache"),
+        "queries": [PLAN_RAW],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    res = runner.invoke(cli, ["-c", cfg_path, "load", "inspect"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "tables loaded" in res.output
+    assert os.path.exists(os.path.join(dest, "customer.parquet"))
+    assert spark.read.parquet(os.path.join(dest, "customer.parquet")).count() == 5
+
+    # cache hit on second run; chained clear+load still works
+    res2 = runner.invoke(
+        cli, ["-c", cfg_path, "clear", "load"], catch_exceptions=False
+    )
+    assert res2.exit_code == 0, res2.output
+    assert "using cache" in res2.output
+
+    res3 = runner.invoke(cli, ["-c", cfg_path, "dumpsql"], catch_exceptions=False)
+    assert res3.exit_code == 0
+    assert "INSERT OR IGNORE" in res3.output
+
+    res4 = runner.invoke(
+        cli, ["-c", cfg_path, "dumpjson", "flush", "purgecache"], catch_exceptions=False
+    )
+    assert res4.exit_code == 0, res4.output
