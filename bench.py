@@ -21,6 +21,16 @@ HEADLINE = [
     "rollup_orders",
     "closure_main__lineitem",
     "include_path__customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "text_quality",
+    "lang_id",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "events_hourly",
+    "events_sessionize",
 ]
 
 

@@ -1,0 +1,205 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+All hashing is md5-based so every stage is reproducible and
+DuckDB-oracle-checkable. Everything stays in JVM Column algebra
+(explode/groupBy/join) — no Python in the hot path.
+
+Scale design (100 TB):
+- exact dedup is one hash-aggregate: map-side partial min/count, one
+  shuffle on the 128-bit digest;
+- MinHash/LSH: signatures are one explode + one grouped aggregation per
+  doc (map-side combine shrinks the shuffle to n_docs × k hashes);
+  candidate generation joins on (band_idx, band_hash) — i.e. only
+  near-colliding docs ever meet, never the O(n²) cross join;
+- SimHash: linear in tokens × bits, one aggregation; pairing joins on
+  rotated band keys if brute-force is too big (here: bit_count on the
+  self-join of a filtered subset);
+- n-gram Jaccard (exact) is quadratic in shingle collisions — kept as
+  the small-subset verifier for the MinHash estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbcut_spark.functions.text import norm_text, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical normalized texts: one row per distinct content,
+    keeping the smallest id (reference-style canonical survivor)."""
+    return (
+        df.select(F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text_hash")
+    )
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) rows, distinct per doc (set semantics)."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n: int = 5
+) -> DataFrame:
+    """One row per doc with columns h0..h{k-1}: min over shingles of
+    md5('<j>:' || shingle). Single explode + single grouped agg."""
+    sh = shingle_rows(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Docs sharing at least one LSH band → candidate pairs (id_a < id_b)
+    with the signature-agreement estimate ``est_sim``."""
+    n_bands = num_hashes // band_rows
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    bands = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+    left = bands.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = signatures.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / num_hashes).alias("est_sim"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash over distinct word tokens: bit i of md5's leading
+    hex (little-endian nibble order) votes ±1; sign of the vote sum sets
+    the output bit. Pure integer arithmetic → exact oracle parity."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(norm_text(text_col), " "))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h8 = F.substring(F.md5(F.col("tok")), 1, bits // 4)
+    b = toks.select(
+        F.col(id_col),
+        h8.alias("h8"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+    )
+    bit = F.expr(
+        "((instr('0123456789abcdef', substr(h8, (i div 4) + 1, 1)) - 1) "
+        "div CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) % 2"
+    )
+    votes = b.groupBy(id_col, "i").agg(
+        (2 * F.sum(bit) - F.count(F.lit(1))).alias("s")
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .select(F.col(id_col), F.col("simhash"))
+    )
+
+
+def simhash_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the simhash (brute self-join;
+    the scale path buckets on bit-chunks first — same LSH shape as
+    :func:`lsh_candidate_pairs`)."""
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (shingle-set intersection
+    over union). Quadratic in shingle collisions — the ground-truth
+    verifier for MinHash estimates, meant for subsets/samples."""
+    sh = shingle_rows(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )

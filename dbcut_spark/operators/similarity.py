@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness
+  baseline. The dot product is a JVM-side ``zip_with`` + ``aggregate``
+  fold (no Python), cosines rounded to 6 decimals so results are stable
+  across FP summation orders (and match the DuckDB oracle).
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH. Each
+  vector gets a ``n_planes``-bit sign signature (hyperplane components
+  derived from md5, so fully deterministic); vectors are bucketed by
+  signature bands and only same-bucket pairs are scored. At 100 TB this
+  turns the O(Q×N) scan into a bucket join whose cost tracks collision
+  counts; recall is tunable via (n_planes, n_bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force). The query
+    side is broadcast — candidates stream through one scan, so cost is
+    O(N×Q) flops with zero shuffle of the candidate table; the top-k per
+    query is a windowed rank over Q×N scored rows."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def signatures(
+    df: DataFrame, vec_col: str, n_planes: int = 16
+) -> DataFrame:
+    """Append a sign-bit signature column ``sig_bits`` (array<int> of
+    0/1): bit p is 1 iff vec · hyperplane_p > 0, with hyperplane_p[i]
+    derived from md5(p:i) — deterministic, no stored model."""
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+
+    def plane_dot(p: Column) -> Column:
+        # component_i = (md5int(p:i) / 2^32) - 0.5 over vector indices
+        idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+        comp = F.transform(
+            idx,
+            lambda i: (
+                F.conv(
+                    F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), i.cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+                - 0.5
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(comp, _as_double(F.col(vec_col)), lambda c, v: c * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.transform(
+        planes,
+        lambda p: F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return df.withColumn("sig_bits", sig)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing at least one
+    signature band with the query. Bands are ``band_bits``-bit slices of
+    the sign signature."""
+    from pyspark.sql import Window
+
+    n_bands = n_planes // band_bits
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = signatures(df, vec_col, n_planes)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "",
+                        F.slice(F.col("sig_bits"), b * band_bits + 1, band_bits),
+                    ).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(bands).alias("band"),
+        ).select(f"{role}_id", f"{role}_vec", "band.band_idx", "band.band_val")
+
+    qb = banded(queries, "query")
+    cb = banded(candidates, "cand")
+    pairs = (
+        cb.join(F.broadcast(qb), ["band_idx", "band_val"])
+        .select("query_id", "query_vec", "cand_id", "cand_vec")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine ≥ threshold), brute
+    self-join — exact verifier; the LSH variant is the scale path."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

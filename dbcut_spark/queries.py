@@ -353,3 +353,7 @@ for _fixture, _tables in FIXTURE_TABLES.items():
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch_q1(spark, sf_dir)
+
+
+# pipeline operators register themselves into QUERIES/ORACLES
+import dbcut_spark.queries_pipeline  # noqa: E402,F401  isort:skip

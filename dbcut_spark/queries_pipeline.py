@@ -1,0 +1,516 @@
+"""Training-data pipeline queries (beyond-reference operators): text
+analysis, dedup family, similarity search, event streams. Each entry has
+a Spark implementation and (where SQL-expressible) a DuckDB oracle that
+recomputes the identical algorithm — md5-based hashing and
+decimal-routed float math keep both sides bit-identical.
+
+Registered into dbcut_spark.queries.{QUERIES,ORACLES}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbcut_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_PROFILES,
+    bpe_token_count,
+    norm_text,
+    quality_score,
+    stopword_hits,
+    ws_token_count,
+)
+from dbcut_spark.operators import dedup as dd
+from dbcut_spark.operators import similarity as sim
+from dbcut_spark.queries import ORACLES, QUERIES, register, t
+
+# shared DuckDB shingle CTE (matches functions.text.shingles: distinct
+# lowercase-trimmed 5-grams)
+SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS sh FROM (
+    SELECT doc_id, lower(trim(text)) AS t,
+           unnest(range(1, greatest(length(trim(text)) - 4, 1) + 1)) AS i
+    FROM {src})
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    sql=f"""
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE length(string_split_regex(trim(text), ' +')) END AS ws_tokens,
+      length(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
+      length(text) AS n_chars_obs
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens — one
+    projection over the scan, all codegen."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_obs"),
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    words = LANG_PROFILES["en"]
+    stop_terms = " + ".join(
+        f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in words
+    )
+    return f"""
+    SELECT doc_id, word_count, n_chars_obs, stop_hits, upper_count,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(CASE WHEN word_count > 0 THEN stop_hits * 1.0 / word_count ELSE 0.0 END
+                 + least(word_count, 100) / 100.0
+                 - CASE WHEN n_chars_obs > 0 THEN upper_count * 1.0 / n_chars_obs ELSE 0.0 END,
+                 6) AS quality_score
+    FROM (
+      SELECT doc_id,
+        CASE WHEN length(trim(t)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(t), ' +')) END AS word_count,
+        length(text) AS n_chars_obs,
+        {stop_terms} AS stop_hits,
+        length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_count,
+        CASE WHEN length(trim(t)) = 0 THEN 0.0
+             ELSE (length(t) - (length(string_split_regex(trim(t), ' +')) - 1)) * 1.0
+                  / length(string_split_regex(trim(t), ' +')) END AS mean_word_len
+      FROM (SELECT doc_id, text, lower(trim(text)) AS t FROM documents)
+    ) ORDER BY doc_id
+    """
+
+
+@register("text_quality", sql=_quality_sql())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / uppercase features with a
+    combined deterministic score."""
+    d = t(spark, sf_dir, "documents")
+    cols = quality_score("text")
+    return d.select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
+    ).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    score_cases = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        terms = " + ".join(
+            f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
+            for w in words
+        )
+        score_cases.append(f"WHEN '{lang}' THEN {terms}")
+    cases = "CASE cand " + " ".join(score_cases) + " ELSE 0 END"
+    langs = ", ".join(f"('{lang}')" for lang in sorted(LANG_PROFILES))
+    return f"""
+    WITH base AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+    scored AS (
+      SELECT doc_id, lang, cand, {cases} AS score
+      FROM base, (VALUES {langs}) langs(cand))
+    SELECT doc_id, cand AS pred_lang, lang AS claimed_lang,
+           (cand = lang) AS is_match
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) = 1
+    ORDER BY doc_id
+    """
+
+
+@register("lang_id", sql=_lang_id_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile scoring; argmax with
+    deterministic (score desc, lang asc) tie-break."""
+    d = t(spark, sf_dir, "documents")
+    tcol = norm_text(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("cand"),
+                        stopword_hits(tcol, words).alias("score"),
+                    )
+                    for lang, words in sorted(LANG_PROFILES.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "claimed_lang", "s.cand", "s.score")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("pred_lang"),
+            "claimed_lang",
+            (F.col("cand") == F.col("claimed_lang")).alias("is_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql="WITH "
+    + SH_CTE.format(src="documents")
+    + """
+    , sel AS (
+      SELECT DISTINCT doc_id, md5(sh) AS h FROM sh WHERE md5(sh) LIKE '00%'),
+    agg AS (
+      SELECT doc_id, string_agg(h, '' ORDER BY h) AS cat, count(*) AS n_anchors
+      FROM sel GROUP BY doc_id)
+    SELECT d.doc_id, md5(coalesce(a.cat, '')) AS fingerprint,
+           coalesce(a.n_anchors, 0) AS n_anchors
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowing-style mod-sampled shingle
+    hashes (md5 prefix '00' ⇒ ~1/256 sample), sorted+concatenated+md5'd
+    into one stable content fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    sh = dd.shingle_rows(d, "text", "doc_id")
+    h = F.md5(F.col("sh"))
+    agg = (
+        sh.select("doc_id", F.when(h.like("00%"), h).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_set("h")))).alias("fingerprint"),
+            F.count("h").alias("n_anchors"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("fingerprint"), F.lit("d41d8cd98f00b204e9800998ecf8427e")).alias("fingerprint"),
+            F.coalesce(F.col("n_anchors"), F.lit(0)).cast("long").alias("n_anchors"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           md5(lower(trim(text))) AS text_hash
+    FROM documents GROUP BY 3 ORDER BY keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, min-id survivor."""
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id").orderBy(
+        "keep_id"
+    )
+
+
+def _minhash_sig_sql(k: int = 8) -> str:
+    mins = ", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql="WITH "
+    + SH_CTE.format(src="documents")
+    + ", "
+    + _minhash_sig_sql()
+    + """
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+          + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+          + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+          + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END
+          ) AS DOUBLE) / 8 AS est_sim
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH (4 bands × 2 rows) near-dup candidates with
+    the signature-agreement similarity estimate."""
+    d = t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=8)
+    return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_rows=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_simhash",
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+      WHERE length(tok) > 0),
+    bits AS (
+      SELECT doc_id, substr(md5(tok), 1, 8) AS h8, unnest(range(0, 32)) AS i
+      FROM toks),
+    votes AS (
+      SELECT doc_id, i,
+        2 * SUM(((strpos('0123456789abcdef', substr(h8, (i // 4) + 1, 1)) - 1)
+                 >> (i % 4)) & 1) - COUNT(*) AS s
+      FROM bits GROUP BY doc_id, i)
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (distinct-token votes, exact integer
+    arithmetic — oracle matches bit-for-bit)."""
+    return dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc_id")
+
+
+_SIMHASH_CTE = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0),
+bits AS (
+  SELECT doc_id, substr(md5(tok), 1, 8) AS h8, unnest(range(0, 32)) AS i
+  FROM toks),
+votes AS (
+  SELECT doc_id, i,
+    2 * SUM(((strpos('0123456789abcdef', substr(h8, (i // 4) + 1, 1)) - 1)
+             >> (i % 4)) & 1) - COUNT(*) AS s
+  FROM bits GROUP BY doc_id, i),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    sql="WITH " + _SIMHASH_CTE + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 1). Brute verifier — the scale
+    path buckets on bit-chunks first (LSH shape)."""
+    s = dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return dd.simhash_pairs(s, "doc_id", max_hamming=1).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql="WITH d AS (SELECT * FROM documents WHERE source = 'src0'), "
+    + SH_CTE.format(src="d")
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.15
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs on the src0 subset (ground truth for
+    the MinHash estimates; quadratic — subset/sample use only)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return dd.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.15).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+nrm AS (
+  SELECT vec_id, sqrt(SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dot
+  FROM q, c, generate_series(1, 64) g(i)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, cand_id,
+         round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN nrm nq ON nq.vec_id = query_id
+  JOIN nrm nc ON nc.vec_id = cand_id)
+SELECT query_id, cand_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+@register("ann_cosine_topk", sql=_ANN_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 (queries: vec_id<10, candidates:
+    the rest). Baseline for the LSH variant."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+@register(
+    "embedding_neardup",
+    sql="""
+    WITH nrm AS (
+      SELECT vec_id, sqrt(SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+      FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot
+      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots JOIN nrm na ON na.vec_id = doc_a JOIN nrm nb ON nb.vec_id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
+    ORDER BY doc_a, doc_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 on this
+    synthetic corpus), exact brute verifier for the LSH path."""
+    return sim.embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@register("ann_lsh_topk")  # no oracle: approximate op, rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (16 planes, 4-bit bands): scale path —
+    only same-bucket pairs are scored."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_topk(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event streams (batch forms; streaming variants in dbcut_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregate over the event stream (batch form of
+    the streaming windowed agg)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           max(us) - min(us) AS duration_us
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session starts, then per-session aggregates. Batch twin of the
+    streaming session_window operator."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    m = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -1,0 +1,90 @@
+"""Structured Streaming operators over the ``events`` stream
+(beyond-reference; SURVEY.md §2.9 notes the reference has no streaming).
+
+Batch twins of these live in ``queries_pipeline`` (``events_hourly``,
+``events_sessionize``) and are oracle-checked; the streaming forms here
+use the same expressions, so batch parity transfers. Watermarks bound
+state: at 100 TB/day of events the hourly aggregate keeps ≤
+(watermark / slide) windows of state per key, and AQE-less streaming
+shuffles are sized by ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with late-data watermark —
+    the streaming twin of the oracle-checked ``events_hourly``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the
+    batch ``events_sessionize`` (which uses lag+cumsum for exact oracle
+    parity)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, timeout_s: int = 60
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into an in-memory sink
+    (test/dev helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

@@ -1,0 +1,163 @@
+"""Semantics tests for the training-data pipeline operators (the parity
+suite covers oracle equivalence; these pin intended behavior)."""
+
+from pyspark.sql import functions as F
+
+from dbcut_spark.operators import dedup as dd
+from dbcut_spark.operators import similarity as sim
+from dbcut_spark.operators.multimodal import (
+    decode_image_batch,
+    frame_sample_plan,
+    synth_media,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content with other words entirely"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    out = dd.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2          # docs 1+2 identical
+    assert by_keep[3] == 1
+    assert len(out) == 4            # 4 distinct contents (incl. empty)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = dd.minhash_signatures(_docs(spark), "text", "doc_id")
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id").collect()
+    sims = {(r["doc_a"], r["doc_b"]): r["est_sim"] for r in pairs}
+    assert sims[(1, 2)] == 1.0                  # identical → full agreement
+    assert (1, 3) in sims and sims[(1, 3)] >= 0.5  # near dup caught
+    assert (1, 4) not in sims                   # unrelated not candidate
+
+
+def test_simhash_properties(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[2]                     # identical text → same hash
+    h13 = bin(out[1] ^ out[3]).count("1")
+    h14 = bin(out[1] ^ out[4]).count("1")
+    assert h13 < h14                            # near dup closer than unrelated
+    pairs = dd.simhash_pairs(
+        dd.simhash(_docs(spark), "text", "doc_id"), "doc_id", max_hamming=0
+    ).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = dd.ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 3)] < 1.0
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (10, [1.0, 0.05, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),
+        (12, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_cosine_topk_exact(spark):
+    v = _vecs(spark)
+    out = sim.cosine_topk(
+        v.filter(F.col("vec_id") < 10), v.filter(F.col("vec_id") >= 10), k=2
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rnk"], r["cand_id"], r["cos_sim"]))
+    assert per_q[0][0][1] == 10          # closest to e1 is (1, .05, ...)
+    assert per_q[0][-1][1] == 11         # then orthogonal beats opposite
+    assert all(abs(r["cos_sim"]) <= 1.0 for r in out)
+
+
+def test_embedding_neardup_threshold(spark):
+    v = _vecs(spark)
+    pairs = sim.embedding_neardup_pairs(v, threshold=0.99).collect()
+    # cos(0,1)=.9939, cos(0,10)=.9988, cos(1,10)=.9982; rest < .99
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 1), (0, 10), (1, 10)}
+
+
+def test_lsh_ann_subset_of_brute(spark, sf_dir):
+    from dbcut_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    approx = sim.lsh_ann_topk(q, c, k=3)
+    rows = approx.collect()
+    assert len(rows) <= 5 * 3
+    assert all(r["cos_sim"] <= 1.0 for r in rows)
+    # approximate results must come from the true candidate set
+    brute = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk(q, c, k=1000).collect()
+    }
+    assert all((r["query_id"], r["cand_id"]) in brute for r in rows)
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    media = synth_media(spark, 32)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(media)  # real decode is stubbed by design
+    feats = decode_image_batch(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 32
+    r0 = next(r for r in rows if r["media_id"] == 0)
+    assert 64 <= r0["width"] < 256 and 64 <= r0["height"] < 256
+    assert len(r0["feature"]) == 8
+    # deterministic: same payload → same hash across runs
+    again = {r["media_id"]: r["content_hash"] for r in decode_image_batch(media, fake=True).collect()}
+    assert again[0] == r0["content_hash"]
+
+    frames = frame_sample_plan(media.filter(F.col("kind") == "video"), every_n=30)
+    fr = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 3 for r in fr)  # 90+ frames / 30 step
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
+    import shutil
+
+    from dbcut_spark.queries_pipeline import events_hourly
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        hourly_counts,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    # stage the events as a stream-source directory (micro-batched files)
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    read_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        str(src)
+    )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    assert stream.isStreaming
+    got = run_stream_to_memory(spark, hourly_counts(stream), "hourly_test")
+    batch = events_hourly(spark, sf_dir)
+    g = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in got.collect()
+    }
+    b = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert g == b
