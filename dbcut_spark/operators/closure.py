@@ -108,7 +108,10 @@ class ClosureExecutor:
         """Frontier loop returning both the per-table closure and the
         per-tree-node frontier frames (the latter feed the nested-JSON
         sink, which nests along the tree, not per table)."""
-        root_df = self.root_frame(plan)
+        # each frontier feeds every child edge plus the per-table output;
+        # persist so lazy evaluation doesn't recompute the whole upstream
+        # chain per consumer (frontiers are small by construction)
+        root_df = self.root_frame(plan).persist()
         # bounded root (limit set) ⇒ every frontier key set is small ⇒
         # broadcast it so child scans never shuffle
         bounded = plan.spec.limit is not None
@@ -141,6 +144,7 @@ class ClosureExecutor:
                         .filter(F.col("__rn") <= plan.spec.backref_limit)
                         .drop("__rn")
                     )
+                child_df = child_df.persist() if child.children else child_df
                 frontiers[id(child)] = child_df
                 per_table.setdefault(rel.target, []).append(child_df)
 

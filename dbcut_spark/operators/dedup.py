@@ -68,7 +68,12 @@ def lsh_candidate_pairs(
     band_rows: int = 2,
 ) -> DataFrame:
     """Docs sharing at least one LSH band → candidate pairs (id_a < id_b)
-    with the signature-agreement estimate ``est_sim``."""
+    with the signature-agreement estimate ``est_sim``.
+
+    The signature frame is persisted: it feeds the band explode AND both
+    sides of the pair join — without caching, lazy evaluation would
+    recompute the shingle explode + minhash aggregation three times."""
+    signatures = signatures.persist()
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):
@@ -153,7 +158,8 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on the simhash (brute self-join;
     the scale path buckets on bit-chunks first — same LSH shape as
-    :func:`lsh_candidate_pairs`)."""
+    :func:`lsh_candidate_pairs`). Input persisted: both join sides."""
+    sim = sim.persist()
     a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
@@ -177,7 +183,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs (shingle-set intersection
     over union). Quadratic in shingle collisions — the ground-truth
     verifier for MinHash estimates, meant for subsets/samples."""
-    sh = shingle_rows(df, text_col, id_col, n)
+    sh = shingle_rows(df, text_col, id_col, n).persist()  # feeds 3 plans
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

@@ -75,38 +75,44 @@ def cosine_topk(
     )
 
 
+def hyperplane_components(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5):
+    component[p][i] = md5int(p:i)/2^32 - 0.5. Computed once on the
+    driver (pure constants — no stored model, reproducible anywhere)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def signatures(
-    df: DataFrame, vec_col: str, n_planes: int = 16
+    df: DataFrame, vec_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:
     """Append a sign-bit signature column ``sig_bits`` (array<int> of
-    0/1): bit p is 1 iff vec · hyperplane_p > 0, with hyperplane_p[i]
-    derived from md5(p:i) — deterministic, no stored model."""
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    0/1): bit p is 1 iff vec · hyperplane_p > 0. Hyperplanes are
+    embedded as literal arrays, so the per-row cost is just the dot
+    products (dim × n_planes fused multiply-adds, all codegen)."""
+    comps = hyperplane_components(n_planes, dim)
 
-    def plane_dot(p: Column) -> Column:
-        # component_i = (md5int(p:i) / 2^32) - 0.5 over vector indices
-        idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-        comp = F.transform(
-            idx,
-            lambda i: (
-                F.conv(
-                    F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), i.cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("double")
-                / F.lit(4294967296.0)
-                - 0.5
-            ),
-        )
+    def plane_dot(p: int) -> Column:
+        plane = F.array(*[F.lit(c) for c in comps[p]])
         return F.aggregate(
-            F.zip_with(comp, _as_double(F.col(vec_col)), lambda c, v: c * v),
+            F.zip_with(plane, _as_double(F.col(vec_col)), lambda c, v: c * v),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    sig = F.transform(
-        planes,
-        lambda p: F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    sig = F.array(
+        *[
+            F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
     )
     return df.withColumn("sig_bits", sig)
 
@@ -119,6 +125,7 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 16,
     band_bits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing at least one
     signature band with the query. Bands are ``band_bits``-bit slices of
@@ -128,7 +135,7 @@ def lsh_ann_topk(
     n_bands = n_planes // band_bits
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = signatures(df, vec_col, n_planes)
+        sig = signatures(df, vec_col, n_planes, dim)
         bands = F.array(
             *[
                 F.struct(

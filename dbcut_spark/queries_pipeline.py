@@ -25,6 +25,16 @@ from dbcut_spark.operators import dedup as dd
 from dbcut_spark.operators import similarity as sim
 from dbcut_spark.queries import ORACLES, QUERIES, register, t
 
+
+def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan repartitioned to the session's parallelism — the
+    harness tables are single parquet files (1 input split), which would
+    serialize per-row-heavy operators (md5 shingling, dot products) onto
+    one core. On a real multi-file/100 TB table the scan parallelism is
+    natural and this repartition is a no-op to omit."""
+    df = t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 # shared DuckDB shingle CTE (matches functions.text.shingles: distinct
 # lowercase-trimmed 5-grams)
 SH_CTE = """
@@ -56,7 +66,7 @@ sh AS (
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens — one
     projection over the scan, all codegen."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         ws_token_count("text").alias("ws_tokens"),
@@ -97,7 +107,7 @@ def _quality_sql() -> str:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword / uppercase features with a
     combined deterministic score."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     cols = quality_score("text")
     return d.select(
         "doc_id", *[expr.alias(name) for name, expr in cols.items()]
@@ -131,7 +141,7 @@ def _lang_id_sql() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-profile scoring; argmax with
     deterministic (score desc, lang asc) tie-break."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     tcol = norm_text(F.col("text"))
     scored = d.select(
         "doc_id",
@@ -181,7 +191,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing-style mod-sampled shingle
     hashes (md5 prefix '00' ⇒ ~1/256 sample), sorted+concatenated+md5'd
     into one stable content fingerprint."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     sh = dd.shingle_rows(d, "text", "doc_id")
     h = F.md5(F.col("sh"))
     agg = (
@@ -219,7 +229,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text, min-id survivor."""
-    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id").orderBy(
+    return dd.exact_dedup(tp(spark, sf_dir, "documents"), "text", "doc_id").orderBy(
         "keep_id"
     )
 
@@ -261,7 +271,7 @@ def _minhash_sig_sql(k: int = 8) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=8) + LSH (4 bands × 2 rows) near-dup candidates with
     the signature-agreement similarity estimate."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=8)
     return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_rows=2).orderBy(
         "doc_a", "doc_b"
@@ -292,7 +302,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (distinct-token votes, exact integer
     arithmetic — oracle matches bit-for-bit)."""
-    return dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc_id")
+    return dd.simhash(tp(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc_id")
 
 
 _SIMHASH_CTE = """
@@ -329,7 +339,7 @@ sh AS (
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 1). Brute verifier — the scale
     path buckets on bit-chunks first (LSH shape)."""
-    s = dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+    s = dd.simhash(tp(spark, sf_dir, "documents"), "text", "doc_id")
     return dd.simhash_pairs(s, "doc_id", max_hamming=1).orderBy("doc_a", "doc_b")
 
 
@@ -355,7 +365,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard pairs on the src0 subset (ground truth for
     the MinHash estimates; quadratic — subset/sample use only)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    d = tp(spark, sf_dir, "documents").filter(F.col("source") == "src0")
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.15).orderBy(
         "doc_a", "doc_b"
     )
@@ -394,7 +404,7 @@ ORDER BY query_id, rnk
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 (queries: vec_id<10, candidates:
     the rest). Baseline for the LSH variant."""
-    e = t(spark, sf_dir, "embeddings")
+    e = tp(spark, sf_dir, "embeddings")
     return sim.cosine_topk(
         e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=5
     )
@@ -422,7 +432,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 on this
     synthetic corpus), exact brute verifier for the LSH path."""
     return sim.embedding_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.35
+        tp(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 
@@ -430,7 +440,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 planes, 4-bit bands): scale path —
     only same-bucket pairs are scored."""
-    e = t(spark, sf_dir, "embeddings")
+    e = tp(spark, sf_dir, "embeddings")
     return sim.lsh_ann_topk(
         e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=5
     )
