@@ -351,6 +351,174 @@ for _fixture, _tables in FIXTURE_TABLES.items():
         ORACLES[_name] = plan_oracle_sql(_plan, _table)
 
 
+# ---------------------------------------------------------------------------
+# Semi/anti joins and set operations — the closure operator (J5) and the
+# insert-ignore sink (K1) are built on these (SURVEY.md §2.4/§2.7: "both
+# must be first-class in the Spark engine"); exposed here as standalone
+# oracle-checked queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_orders",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (TPC-H Q4 shape): orders with at least one
+    high-quantity line. left_semi never duplicates or widens rows, and
+    only the join key of the probe side is read from lineitem."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "anti_join_customers",
+    sql="""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join (TPC-H Q22 shape): customers with no urgent
+    order. Identical shape to the insert-ignore sink's "new rows only"
+    pre-filter (sinks/insert_ignore.py)."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "union_dedup_orders",
+    sql="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_totalprice > 400000
+    UNION
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+    ORDER BY o_orderkey
+    """,
+)
+def union_dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-with-dedup-by-PK — the semantics of running multiple
+    extraction queries into one target with INSERT..IGNORE
+    (SURVEY.md §2.7): unionByName + dropDuplicates on the key."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    a = o.filter(F.col("o_totalprice") > 400000)
+    b = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
+    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy("o_orderkey")
+
+
+@register(
+    "distinct_agg_parts",
+    sql="""
+    SELECT p.p_brand,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def distinct_agg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (TPC-H Q16 shape): distinct suppliers per
+    brand. The part dim broadcasts; count(distinct) expands then
+    re-aggregates in two shuffle-free-after-AQE passes."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "scalar_export_orders",
+    sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS orderdate_iso,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice_str,
+           upper(o_orderstatus) AS status_upper,
+           substr(o_orderpriority, 1, 1) AS priority_code
+    FROM orders
+    WHERE o_orderpriority LIKE '%URGENT'
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+)
+def scalar_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface of the JSON serializer (SURVEY.md §2.8):
+    ISO-8601 'Z' datetimes, fixed-scale decimal rendering, string funcs,
+    and a $like predicate — all JVM-side Column expressions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").like("%URGENT"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "orderdate_iso"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
+                "totalprice_str"
+            ),
+            F.upper("o_orderstatus").alias("status_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch_q1(spark, sf_dir)
 

@@ -524,3 +524,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload → Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    sql="""
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS payload, md5(text) AS h
+      FROM documents
+    )
+    SELECT media_id,
+           64 + CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS INT) % 192
+             AS width,
+           64 + CAST((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS INT) % 192
+             AS height,
+           octet_length(payload) AS n_bytes,
+           h AS content_hash
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on the correctness gate: documents.text is
+    cast to an opaque binary payload column (stand-in for image bytes —
+    the container has no imaging libs) and pushed through the real
+    mapInPandas Arrow-batched decode stage with the deterministic stub
+    decoder. Schema, batch shape, and partitioning are exactly what a
+    real decoder would use; only the pixel math is faked (md5-seeded
+    dimensions, verifiable in SQL)."""
+    from dbcut_spark.operators.multimodal import decode_image_batch
+
+    media = tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+    )
+    return (
+        decode_image_batch(media, fake=True)
+        .select("media_id", "width", "height", "n_bytes", "content_hash")
+        .orderBy("media_id")
+    )
