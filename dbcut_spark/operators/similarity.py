@@ -54,15 +54,25 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
+    # norms are computed once per VECTOR (n + q rows), not once per pair
+    # (n × q) — same arithmetic, ~3× fewer flops in the pair stage
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -117,6 +127,33 @@ def signatures(
     return df.withColumn("sig_bits", sig)
 
 
+def signatures_vectorized(
+    df: DataFrame, vec_col: str, n_planes: int = 16, dim: int = 64
+) -> DataFrame:
+    """Same sign-bit signature as :func:`signatures`, computed as one
+    Arrow-batched numpy matmul per batch instead of n_planes fold
+    expressions. Dense (n, dim) @ (dim, n_planes) is exactly the case
+    where a vectorized Pandas UDF beats codegen folds — and it collapses
+    the 1000-node literal expression tree, so Catalyst planning time
+    drops too. Signs are deterministic (same hyperplanes, fixed numpy
+    reduction order)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    planes = np.array(hyperplane_components(n_planes, dim)).T  # (dim, n_planes)
+
+    def _sig(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes > 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, so type-hint inference can't be used here
+    sig_udf = pandas_udf(_sig, "array<int>", PandasUDFType.SCALAR)
+    return df.withColumn("sig_bits", sig_udf(F.col(vec_col)))
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -135,7 +172,7 @@ def lsh_ann_topk(
     n_bands = n_planes // band_bits
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = signatures(df, vec_col, n_planes, dim)
+        sig = signatures_vectorized(df, vec_col, n_planes, dim)
         bands = F.array(
             *[
                 F.struct(
@@ -151,20 +188,32 @@ def lsh_ann_topk(
         return sig.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_norm"),
             F.explode(bands).alias("band"),
-        ).select(f"{role}_id", f"{role}_vec", "band.band_idx", "band.band_val")
+        ).select(
+            f"{role}_id",
+            f"{role}_vec",
+            f"{role}_norm",
+            "band.band_idx",
+            "band.band_val",
+        )
 
     qb = banded(queries, "query")
     cb = banded(candidates, "cand")
     pairs = (
         cb.join(F.broadcast(qb), ["band_idx", "band_val"])
-        .select("query_id", "query_vec", "cand_id", "cand_vec")
+        .select("query_id", "query_vec", "query_norm", "cand_id", "cand_vec", "cand_norm")
         .dropDuplicates(["query_id", "cand_id"])
     )
+    # norms precomputed per vector before banding (see cosine_topk)
     scored = pairs.select(
         "query_id",
         "cand_id",
-        cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -185,12 +234,27 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine ≥ threshold), brute
     self-join — exact verifier; the LSH variant is the scale path."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    # norms once per vector, not per pair (O(n) folds instead of O(n²))
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
