@@ -1,0 +1,120 @@
+"""Physical-plan assertions: the *shape* of the plan is the scale
+contract. Correctness tests prove the small-SF answer; these prove the
+properties that keep the same query fast at 100 TB — filters reaching
+the parquet scan, small dimensions broadcast instead of shuffled,
+top-k compiled to TakeOrderedAndProject instead of a full sort, and
+hot paths staying inside whole-stage codegen (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbcut_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """orders_page root predicates must appear as PushedFilters in the
+    parquet scan, not as a post-scan Filter only."""
+    plan = formatted(spark, sf_dir, "orders_page__orders")
+    assert "PushedFilters" in plan
+    # the o_orderstatus equality is pushable and must be pushed
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """topk_orders projects 4 of 6 order columns — the scan must read
+    only those (ReadSchema pruned)."""
+    plan = formatted(spark, sf_dir, "topk_orders")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "o_orderpriority" not in read[0]
+    assert "o_orderstatus" not in read[0]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """orderBy().limit() must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort."""
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """tpch_q5's nation/region/customer/supplier joins must be
+    broadcast — only orders⋈lineitem may shuffle."""
+    plan = plan_of(spark, sf_dir, "tpch_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    """Closure/insert-ignore primitives: semi and anti joins must stay
+    semi/anti at the physical level (no row-widening inner join +
+    dedup)."""
+    assert "LeftSemi" in plan_of(spark, sf_dir, "semi_join_orders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_customers")
+
+
+def test_no_python_udf_in_relational_paths(spark, sf_dir):
+    """Everything except the explicitly-vectorized paths (LSH signature
+    matmul, multimodal decode) must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages in the hot relational queries."""
+    for name in [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5_region_revenue",
+        "closure_main__lineitem",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "lang_id",
+        "text_quality",
+        "ann_cosine_topk",
+        "events_sessionize",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_wholestage_codegen_covers_agg(spark, sf_dir):
+    """tpch_q1's scan→filter→partial-agg pipeline must be inside
+    WholeStageCodegen."""
+    df = QUERIES["tpch_q1"](spark, sf_dir)
+    df.collect()  # AQE: codegen spans appear in the final executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans; scan→filter→partial
+    # agg must share span *(1)
+    assert "*(1) HashAggregate" in plan
+    assert "*(1) Filter" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_closure_frontier_broadcast_when_bounded(spark, sf_dir):
+    """A bounded extraction root (limit set) makes every frontier key
+    set small; child semi-joins must broadcast the frontier rather than
+    shuffling the full child table."""
+    plan = plan_of(spark, sf_dir, "closure_main__lineitem")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "semi_join_orders"])
+def test_partial_aggregation_present(spark, sf_dir, name):
+    """groupBy aggregates must do map-side partial aggregation (two
+    HashAggregate levels) so the shuffle carries one row per
+    (partition, key), not per input row."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("HashAggregate") >= 2
