@@ -1,0 +1,92 @@
+"""Unit tests for the JDBC planning layer (pure functions — no live
+database in the harness; the I/O wrappers are thin pass-throughs to
+spark.read/write.jdbc)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbcut_spark.sources.jdbc import (
+    PartitionedRead,
+    catalog_from_rows,
+    plan_partitioned_read,
+    reflection_sql,
+    spark_cast_for,
+)
+
+
+def test_reflection_sql_dialects():
+    for dialect in ("mysql", "postgresql"):
+        for kind in ("pk", "fk", "tables", "estimate"):
+            sql = reflection_sql(kind, dialect, "mydb")
+            assert "mydb" in sql
+            assert "information_schema" in sql or "pg_class" in sql
+    assert "sqlite_master" in reflection_sql("tables", "sqlite", "")
+    with pytest.raises(ValueError):
+        reflection_sql("pk", "sqlite", "")  # sqlite PKs come from PRAGMA
+
+
+def test_catalog_from_rows_declared_and_synthetic_pk():
+    cat = catalog_from_rows(
+        table_names=["album", "track", "log"],
+        columns_by_table={
+            "album": ["album_id", "title"],
+            "track": ["track_id", "album_id", "name"],
+            "log": ["entry_id", "msg"],  # no declared PK → synthetic
+        },
+        pk_rows=[("album", "album_id", 1), ("track", "track_id", 1)],
+        fk_rows=[("track", "album_id", "album", "album_id", "fk_track_album", 1)],
+    )
+    assert cat.table("album").pk == ("album_id",)
+    assert not cat.table("album").synthetic_pk
+    assert cat.table("log").pk == ("entry_id",)
+    assert cat.table("log").synthetic_pk
+    [fk] = cat.fks
+    assert (fk.child, fk.parent) == ("track", "album")
+    assert fk.child_cols == ("album_id",)
+
+
+def test_catalog_from_rows_composite_fk_ordering():
+    cat = catalog_from_rows(
+        table_names=["child", "parent"],
+        columns_by_table={"child": ["a", "b"], "parent": ["x", "y"]},
+        pk_rows=[("parent", "x", 1), ("parent", "y", 2)],
+        # positions intentionally out of order in the input rows
+        fk_rows=[
+            ("child", "b", "parent", "y", "fk_c", 2),
+            ("child", "a", "parent", "x", "fk_c", 1),
+        ],
+    )
+    [fk] = cat.fks
+    assert fk.child_cols == ("a", "b")
+    assert fk.parent_cols == ("x", "y")
+
+
+def test_plan_partitioned_read_sizing():
+    plan = plan_partitioned_read(("id",), 1, 10_000_000, row_estimate=10_000_000)
+    assert plan.partition_column == "id"
+    assert plan.num_partitions == 20  # 10M rows / 500k per partition
+    opts = plan.options()
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "10000000"
+
+    # partition count is capped
+    plan = plan_partitioned_read(("id",), 1, 10**9, row_estimate=10**9)
+    assert plan.num_partitions == 256
+
+    # missing bounds or composite PK → single partition, no range opts
+    for args in [((), None, None), (("a", "b"), 1, 100), (("id",), None, 5)]:
+        plan = plan_partitioned_read(args[0], args[1], args[2], row_estimate=None)
+        assert plan.num_partitions == 1
+        assert "partitionColumn" not in plan.options()
+
+
+def test_plan_uses_key_span_when_no_estimate():
+    plan = plan_partitioned_read(("id",), 0, 2_000_000, row_estimate=None)
+    assert plan.num_partitions == 5  # span ~2M keys / 500k
+
+
+def test_dialect_type_map():
+    assert spark_cast_for("mysql", "tinyint") == "smallint"
+    assert spark_cast_for("mysql", "LONGBLOB") == "binary"
+    assert spark_cast_for("postgresql", "bytea") == "binary"
+    assert spark_cast_for("mysql", "VARCHAR") is None
