@@ -88,3 +88,96 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    stream: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: per-user session tracking with
+    ``applyInPandasWithState`` (the escape hatch for semantics the
+    built-in ``session_window`` can't express — e.g. emitting a session
+    row the moment its gap closes, with arbitrary per-session state).
+
+    State per user = (session_start, last_ts, n_events); a batch of
+    events extends the open session or closes it (gap exceeded) and
+    opens the next; processing-time timeout flushes sessions for users
+    that stop sending events entirely.
+
+    Scale: state lives in the state store, partitioned by user_id —
+    size is O(active users), not O(events); the watermark bounds
+    replays. One shuffle on user_id, Arrow-batched Python per group.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start_us": [start],
+                        "session_end_us": [last],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        ts_list = []
+        for pdf in pdf_iter:
+            # ns→us: event timestamps arrive as datetime64
+            ts_list.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        ts_list.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = {"user_id": [], "session_start_us": [], "session_end_us": [], "n_events": []}
+        for us in ts_list:
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                closed["user_id"].append(user_id)
+                closed["session_start_us"].append(start)
+                closed["session_end_us"].append(last)
+                closed["n_events"].append(n)
+                start, last, n = us, us, 1
+            else:
+                last, n = us, n + 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_s * 1000)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
