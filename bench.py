@@ -19,8 +19,13 @@ HEADLINE = [
     "topk_orders",
     "window_rank_orders",
     "rollup_orders",
+    "semi_join_orders",
+    "anti_join_customers",
+    "outer_join_custdist",
+    "distinct_agg_parts",
     "closure_main__lineitem",
     "include_path__customer",
+    "multimodal_features",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

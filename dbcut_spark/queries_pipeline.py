@@ -570,3 +570,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "n_bytes", "content_hash")
         .orderBy("media_id")
     )
+
+
+@register("ann_ivf_topk")  # KMeans quantizer — not SQL-expressible, rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 KMeans centroids, nprobe=4): candidates bucketed by
+    nearest centroid, queries probe their 4 nearest buckets — per-query
+    work is ~1/4 of the corpus instead of all of it."""
+    e = tp(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )

@@ -232,3 +232,34 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     expected = {(u, int(s), int(e), n) for u, s, e, n in expected}
     assert got == expected
     assert len(got) > 0
+
+
+def test_ivf_exact_when_probing_all(spark, sf_dir):
+    """IVF with nprobe == n_centroids probes every bucket — results
+    must equal the brute-force top-k exactly."""
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    brute = sim.cosine_topk(q, c, k=3).collect()
+    ivf = sim.ivf_topk(q, c, k=3, n_centroids=8, nprobe=8).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in brute]
+
+
+def test_ivf_recall_with_partial_probe(spark, sf_dir):
+    """nprobe=4/16 must still recover most true neighbors (recall@5)
+    and never return a pair the brute-force scorer would score
+    differently."""
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q, c = e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10)
+    brute = {(r["query_id"], r["cand_id"]) for r in sim.cosine_topk(q, c, k=5).collect()}
+    ivf_rows = sim.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect()
+    ivf = {(r["query_id"], r["cand_id"]) for r in ivf_rows}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"recall@5 too low: {recall}"
