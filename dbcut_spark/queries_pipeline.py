@@ -143,30 +143,32 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (score desc, lang asc) tie-break."""
     d = tp(spark, sf_dir, "documents")
     tcol = norm_text(F.col("text"))
-    scored = d.select(
-        "doc_id",
-        F.col("lang").alias("claimed_lang"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lang).alias("cand"),
-                        stopword_hits(tcol, words).alias("score"),
-                    )
-                    for lang, words in sorted(LANG_PROFILES.items())
-                ]
+    langs = sorted(LANG_PROFILES.items())
+    # argmax in one projection: array_max over struct(score, anti_rank,
+    # lang) — struct comparison is field-by-field, so ties on score fall
+    # to the largest anti_rank = lexicographically smallest lang. No
+    # explode (5× rows), no shuffle, no window.
+    arr = F.array(
+        *[
+            F.struct(
+                stopword_hits(tcol, words).alias("score"),
+                F.lit(len(langs) - 1 - i).alias("anti_rank"),
+                F.lit(lang).alias("lang"),
             )
-        ).alias("s"),
-    ).select("doc_id", "claimed_lang", "s.cand", "s.score")
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+            for i, (lang, words) in enumerate(langs)
+        ]
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.select(
+            "doc_id",
+            F.col("lang").alias("claimed_lang"),
+            F.array_max(arr).getField("lang").alias("pred_lang"),
+        )
         .select(
             "doc_id",
-            F.col("cand").alias("pred_lang"),
+            "pred_lang",
             "claimed_lang",
-            (F.col("cand") == F.col("claimed_lang")).alias("is_match"),
+            (F.col("pred_lang") == F.col("claimed_lang")).alias("is_match"),
         )
         .orderBy("doc_id")
     )
