@@ -63,7 +63,9 @@ class ResultCache:
         for table, df in frames.items():
             path = os.path.join(d, f"{table}.parquet")
             df.write.mode("overwrite").parquet(path)
-            counts[table] = df.count()
+            # count from the written files (parquet footer metadata) —
+            # df.count() would re-execute the whole upstream plan
+            counts[table] = df.sparkSession.read.parquet(path).count()
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump({"counts": counts}, f, indent=1, sort_keys=True)
         return counts

@@ -33,3 +33,12 @@ def duck():
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+@pytest.fixture(scope="session")
+def orders_df(spark):
+    """Cached orders table for the DSL property tests (one load, many
+    filters)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").persist()
+    df.count()
+    return df
