@@ -146,12 +146,21 @@ def build_relation_tree(
     excluded = set(exclude or [])
     root = TreeNode(root_table, None, 0, 1)
     visited_edges: set[str] = set()
+    browsed: set[str] = set()  # reference `already_browse_models`
     queue: list[tuple[TreeNode, int, int]] = [(root, join_depth, backref_depth)]
     while queue:
         node, jd, bd = queue.pop(0)
+        # each table's relationships are expanded at most once tree-wide
+        # (reference /root/reference/dbcut/query.py:367,399 — a table
+        # reached twice, e.g. through a diamond, does not re-expand)
+        if node.table in browsed:
+            continue
+        browsed.add(node.table)
         for rel in relationships_of(catalog, node.table):
             if rel.target in excluded:
                 continue
+            # an FK traversed in either direction blocks the reverse hop
+            # (reference get_relationships_path includes reverse paths)
             if rel.fk_name in visited_edges:
                 continue
             if rel.direction is Direction.MANYTOONE:
@@ -160,7 +169,9 @@ def build_relation_tree(
                 budget = (jd - 1, bd)
                 weight = node.weight
             else:
-                if bd <= 0:
+                # collections never re-enter an already-expanded table
+                # (reference: `target.name not in already_browse_models`)
+                if bd <= 0 or rel.target in browsed:
                     continue
                 budget = (jd, bd - 1)
                 weight = node.weight * 2  # ⁿ edges double the weight

@@ -13,6 +13,15 @@ import pytest
 from dbcut_spark.queries import QUERIES
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _uncached(spark):
+    """Cached tables (e.g. the DSL property suite's persisted orders)
+    replace parquet scans with InMemoryTableScan, hiding PushedFilters —
+    plan-shape assertions need the real scan."""
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, sf_dir, name: str) -> str:
     df = QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
