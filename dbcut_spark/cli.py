@@ -22,13 +22,21 @@ from dbcut_spark.plans.extraction import build_plan
 
 
 class Ctx:
-    def __init__(self, config_path: str, no_cache: bool, force_refresh: bool, only: tuple):
+    def __init__(
+        self,
+        config_path: str,
+        no_cache: bool,
+        force_refresh: bool,
+        only: tuple,
+        last_only: bool = False,
+    ):
         self.config = load_config(config_path)
         self.source = self.config["databases"]["source_uri"]
         self.dest = self.config["databases"]["destination_uri"]
         self.no_cache = no_cache
         self.force_refresh = force_refresh
         self.only = set(only)
+        self.last_only = last_only
         self._spark = None
         self.cache = ResultCache(self.config.get("cache", "~/.cache/dbcut_spark"))
         self.catalog = self._load_catalog()
@@ -56,17 +64,22 @@ class Ctx:
             self._spark = get_spark("dbcut-spark-cli")
         return self._spark
 
-    def iter_queries(self):
-        queries = self.config.get("queries", [])
-        for i, raw in enumerate(queries):
+    def _selected(self):
+        queries = list(enumerate(self.config.get("queries", [])))
+        if self.last_only:
+            # reference `--last-only`: run only the final query
+            # (/root/reference/dbcut/cli/commands/cmd_load.py:11-44)
+            queries = queries[-1:]
+        for i, raw in queries:
             if self.only and raw.get("from") not in self.only and str(i) not in self.only:
                 continue
             yield i, raw
 
+    def iter_queries(self):
+        yield from self._selected()
+
     def plans(self):
-        for i, raw in enumerate(self.config.get("queries", [])):
-            if self.only and raw.get("from") not in self.only and str(i) not in self.only:
-                continue
+        for i, raw in self._selected():
             yield i, build_plan(self.catalog, raw, self.config)
 
     def executor(self) -> ClosureExecutor:
@@ -92,10 +105,11 @@ class Ctx:
 @click.option("--no-cache", is_flag=True, help="bypass the result cache")
 @click.option("--force-refresh", is_flag=True, help="recompute and overwrite cache")
 @click.option("--only", multiple=True, help="restrict to query root table or index")
+@click.option("--last-only", is_flag=True, help="run only the last query of the config")
 @click.option("-y", "--yes", is_flag=True, help="assume yes (parity flag)")
 @click.pass_context
-def cli(ctx, config, no_cache, force_refresh, only, yes):
-    ctx.obj = Ctx(config, no_cache, force_refresh, only)
+def cli(ctx, config, no_cache, force_refresh, only, last_only, yes):
+    ctx.obj = Ctx(config, no_cache, force_refresh, only, last_only)
 
 
 @cli.command()

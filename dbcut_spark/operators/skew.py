@@ -1,0 +1,76 @@
+"""Skew mitigation: salted joins and two-phase salted aggregation.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+`dbcut_spark.session`) handles most skew at runtime by splitting
+oversized shuffle partitions. These explicit forms cover the cases AQE
+can't:
+
+- a *broadcast-ineligible* dimension joined on a key where a handful of
+  values dominate (the classic null-key / celebrity-key problem):
+  :func:`salted_join` fans the hot left rows across ``n_salts``
+  sub-keys and replicates the right side once per salt, so no single
+  reducer owns a hot key;
+- a high-cardinality aggregation with hot groups:
+  :func:`salted_agg_count` splits each group into ``n_salts`` partial
+  groups and re-aggregates — two small shuffles instead of one skewed
+  one.
+
+Both are pure Column algebra (rand-free: the salt is a deterministic
+hash of the row, so results are reproducible and retry-safe — a Spark
+task retry recomputes identical salts, which `F.rand()` would not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_salt(df: DataFrame, cols: list[str], n_salts: int):
+    """Deterministic per-row salt in [0, n_salts): hash of all non-key
+    columns (falls back to the key itself for key-only frames)."""
+    basis = [c for c in df.columns if c not in cols] or list(cols)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(n_salts))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is skewed on ``on``: left rows get a
+    deterministic salt, right rows are replicated across all salts, and
+    the join key becomes (key..., salt). Output equals
+    ``left.join(right, on, how)`` row-for-row.
+
+    Cost model: right side is shuffled ``n_salts``× (use only when
+    right is too big to broadcast but far smaller than the skewed
+    shuffle spill it prevents)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_left = left.withColumn("__salt", _row_salt(left, on, n_salts))
+    exploded_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(exploded_right, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_agg_count(
+    df: DataFrame, keys: list[str], n_salts: int = 16
+) -> DataFrame:
+    """groupBy(keys).count() resistant to hot keys: partial counts per
+    (keys, salt), then re-aggregate per keys. Identical results to the
+    plain aggregation; the first shuffle spreads each hot group over
+    ``n_salts`` reducers.
+
+    (For avg/sum-style aggregates the same shape applies to any
+    algebraic aggregate: carry partial (sum, count) pairs.)"""
+    partial = (
+        df.withColumn("__salt", _row_salt(df, keys, n_salts))
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias("count"))
