@@ -181,3 +181,16 @@ def stateful_sessionize(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-style streaming dedup: drop events whose key was
+    already seen within the watermark horizon. State = one entry per
+    distinct key inside the watermark — ``dropDuplicates`` without the
+    watermark would grow state unboundedly; with it, Spark evicts keys
+    older than the horizon. This is the streaming twin of the batch
+    exact-dedup operator (operators/dedup.py)."""
+    keys = key_cols or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)

@@ -263,3 +263,28 @@ def test_ivf_recall_with_partial_probe(spark, sf_dir):
     ivf = {(r["query_id"], r["cand_id"]) for r in ivf_rows}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"recall@5 too low: {recall}"
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """A re-delivered (duplicated) batch of events must collapse to the
+    distinct set within the watermark horizon."""
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import dedup_stream, read_event_stream
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    base = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    # simulate at-least-once delivery: every event written twice
+    base.unionByName(base).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    q = (
+        dedup_stream(read_event_stream(spark, str(src), max_files_per_trigger=4))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_test").count()
+    assert got == base.count()
