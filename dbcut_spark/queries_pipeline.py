@@ -438,7 +438,47 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # no oracle: approximate op, rows-only check
+def _lsh_ann_sql(n_planes: int = 16, band_bits: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Full oracle for the LSH ANN path: the md5-derived hyperplanes are
+    deterministic constants, so the whole pipeline — sign signatures,
+    banding, bucket join, cosine re-rank — is expressible in SQL with
+    the planes embedded as literals. Sign decisions agree between the
+    numpy matmul and DuckDB's list_dot_product because |dot| is O(1)
+    while their FP-summation difference is ~1e-16."""
+    comps = sim.hyperplane_components(n_planes, dim)
+    planes_rows = ", ".join(
+        f"({p}, {comps[p]!r})".replace("'", "") for p in range(n_planes)
+    )
+    return f"""
+    WITH planes(p, comp) AS (VALUES {planes_rows}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, p.p,
+             CASE WHEN list_dot_product(v.e, p.comp) > 0 THEN 1 ELSE 0 END AS bit
+      FROM v, planes p),
+    bands AS (
+      SELECT vec_id, p // {band_bits} AS band_idx,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_val
+      FROM bits GROUP BY vec_id, p // {band_bits}),
+    qb AS (SELECT * FROM bands WHERE vec_id < 10),
+    cb AS (SELECT * FROM bands WHERE vec_id >= 10),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM qb q JOIN cb c ON q.band_idx = c.band_idx AND q.band_val = c.band_val),
+    scored AS (
+      SELECT p.query_id, p.cand_id,
+             round(list_dot_product(qv.e, cv.e) /
+                   (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))),
+                   6) AS cos_sim
+      FROM pairs p JOIN v qv ON qv.vec_id = p.query_id JOIN v cv ON cv.vec_id = p.cand_id)
+    SELECT query_id, cand_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register("ann_lsh_topk", sql=_lsh_ann_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 planes, 4-bit bands): scale path —
     only same-bucket pairs are scored."""
