@@ -53,6 +53,9 @@ class QuerySpec:
     backref_depth: int = 5
     exclude: list[str] = field(default_factory=list)
     include: list[str] = field(default_factory=list)
+    # "per_parent" (deterministic, default) or "global" (strict parity
+    # with the reference's per-batch-statement LIMIT — SURVEY.md §7.3.3)
+    backref_limit_mode: str = "per_parent"
 
     def cache_dict(self) -> dict:
         """Canonical dict for content-addressed cache keying (D4)."""
@@ -67,6 +70,7 @@ class QuerySpec:
             "backref_depth": self.backref_depth,
             "exclude": sorted(self.exclude),
             "include": sorted(self.include),
+            "backref_limit_mode": self.backref_limit_mode,
         }
 
 
@@ -103,7 +107,10 @@ def normalize_query(raw: dict, config: dict | None = None) -> QuerySpec:
         backref_depth=int(raw.get("backref_depth", cfg["default_backref_depth"])),
         exclude=sorted(set(raw.get("exclude") or []) | set(cfg["global_exclude"] or [])),
         include=include,
+        backref_limit_mode=str(raw.get("backref_limit_mode", "per_parent")),
     )
+    if spec.backref_limit_mode not in ("per_parent", "global"):
+        raise ValueError(f"backref_limit_mode must be per_parent|global, got {spec.backref_limit_mode!r}")
     if include:
         # reference: include sets both depths unlimited
         # (/root/reference/dbcut/parser.py:165-166)

@@ -136,14 +136,24 @@ class ClosureExecutor:
                     and plan.spec.backref_limit is not None
                 ):
                     pk = plan.catalog.table(rel.target).pk
-                    w = Window.partitionBy(*rel.target_cols).orderBy(
-                        *[F.col(c).desc() for c in pk]
-                    )
-                    child_df = (
-                        child_df.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") <= plan.spec.backref_limit)
-                        .drop("__rn")
-                    )
+                    if plan.spec.backref_limit_mode == "global":
+                        # strict reference parity: one LIMIT over the whole
+                        # child fetch (the reference caps each selectin
+                        # batch statement globally, not per parent —
+                        # /root/reference/dbcut/query.py:457-467). Ordered
+                        # by PK desc so the cap is deterministic.
+                        child_df = child_df.orderBy(
+                            *[F.col(c).desc() for c in pk]
+                        ).limit(plan.spec.backref_limit)
+                    else:
+                        w = Window.partitionBy(*rel.target_cols).orderBy(
+                            *[F.col(c).desc() for c in pk]
+                        )
+                        child_df = (
+                            child_df.withColumn("__rn", F.row_number().over(w))
+                            .filter(F.col("__rn") <= plan.spec.backref_limit)
+                            .drop("__rn")
+                        )
                 child_df = child_df.persist() if child.children else child_df
                 frontiers[id(child)] = child_df
                 per_table.setdefault(rel.target, []).append(child_df)

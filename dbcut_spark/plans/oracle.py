@@ -145,14 +145,17 @@ def plan_oracle_sql(plan: ExtractionPlan, table: str) -> str:
             if rel.direction is Direction.ONETOMANY and plan.spec.backref_limit is not None:
                 pk = plan.catalog.table(rel.target).pk
                 order = ", ".join(f"{c} DESC" for c in pk)
-                part = ", ".join(rel.target_cols)
-                base = (
-                    "SELECT * EXCLUDE (__rn) FROM ("
-                    f"SELECT c.*, row_number() OVER (PARTITION BY {part} ORDER BY {order})"
-                    f" AS __rn FROM {rel.target} c "
-                    f"WHERE {key} IN (SELECT DISTINCT {sel} FROM {pcte})"
-                    f") WHERE __rn <= {plan.spec.backref_limit}"
-                )
+                if plan.spec.backref_limit_mode == "global":
+                    base += f" ORDER BY {order} LIMIT {plan.spec.backref_limit}"
+                else:
+                    part = ", ".join(rel.target_cols)
+                    base = (
+                        "SELECT * EXCLUDE (__rn) FROM ("
+                        f"SELECT c.*, row_number() OVER (PARTITION BY {part} ORDER BY {order})"
+                        f" AS __rn FROM {rel.target} c "
+                        f"WHERE {key} IN (SELECT DISTINCT {sel} FROM {pcte})"
+                        f") WHERE __rn <= {plan.spec.backref_limit}"
+                    )
             ctes.append(f"{name} AS ({base})")
         per_table.setdefault(node.table, []).append(name)
 

@@ -304,6 +304,18 @@ FIXTURES: dict[str, dict] = {
         "backref_depth": 1,
         "exclude": ["events"],
     },
+    # strict-parity GLOBAL backref cap (reference's per-batch LIMIT,
+    # SURVEY.md §7.3.3) — one deterministic PK-desc LIMIT per child fetch
+    "backref_global": {
+        "from": "customer",
+        "where": {"c_nationkey": {"$lte": 3}},
+        "limit": 15,
+        "backref_limit": 40,
+        "backref_limit_mode": "global",
+        "join_depth": 0,
+        "backref_depth": 1,
+        "exclude": ["events"],
+    },
     # include-pruning + cross-table $or/$in/$like predicate
     # (mirrors the reference corpus customer_playlist include query)
     "include_path": {
@@ -325,6 +337,7 @@ FIXTURE_TABLES: dict[str, list[str]] = {
     "closure_main": ["customer", "nation", "region", "orders", "lineitem"],
     "orders_page": ["orders"],
     "backref_cap": ["customer", "orders"],
+    "backref_global": ["customer", "orders"],
     "include_path": ["region", "nation", "customer"],
 }
 

@@ -133,3 +133,33 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
         cli, ["-c", cfg_path, "dumpjson", "flush", "purgecache"], catch_exceptions=False
     )
     assert res4.exit_code == 0, res4.output
+
+
+def test_record_replay_cassette(spark, sf_dir, tmp_path):
+    """A closure recorded through RecordingLoader must replay
+    identically from the cassette alone (no source access)."""
+    from dbcut_spark.catalog import TPCH_CATALOG
+    from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+    from dbcut_spark.plans.extraction import build_plan
+    from dbcut_spark.sources.record import RecordingLoader, ReplayLoader
+
+    plan = build_plan(
+        TPCH_CATALOG,
+        {"from": "customer", "limit": 5, "join_depth": 1, "backref_depth": 1,
+         "exclude": ["events", "part", "supplier"]},
+    )
+    cassette = str(tmp_path / "cassette")
+    rec = RecordingLoader(parquet_loader(spark, sf_dir), spark, cassette, sf_dir)
+    recorded = ClosureExecutor(spark, rec).execute(plan)
+    recorded_counts = {t: df.count() for t, df in recorded.items()}
+
+    def refuse(table):
+        raise AssertionError("replay must not touch the source")
+
+    replayed = ClosureExecutor(spark, ReplayLoader(spark, cassette)).execute(plan)
+    assert {t: df.count() for t, df in replayed.items()} == recorded_counts
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ReplayLoader(spark, cassette)("embeddings")
