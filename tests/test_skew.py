@@ -51,3 +51,33 @@ def test_salt_is_deterministic(skewed):
     a = sorted(map(tuple, salted_join(left, right, ["k"]).collect()))
     b = sorted(map(tuple, salted_join(left, right, ["k"]).collect()))
     assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Same-bucketed tables must join without any Exchange (the
+    co-location contract that amortizes repeated closure runs)."""
+    from dbcut_spark.sinks.bucketed import bucketed_join, write_bucketed
+    from dbcut_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8)
+    # at test scale the planner would rather broadcast the small side
+    # (also fine, but it hides the bucket mechanics); force the
+    # big-table path a 100 TB join would take
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        n = joined.count()
+        assert n == lineitem.count()  # FK join: every line matches an order
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # buckets align — zero shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
