@@ -166,12 +166,20 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing at least one
     signature band with the query. Bands are ``band_bits``-bit slices of
-    the sign signature."""
+    the sign signature.
+
+    Plan shape (scale-critical): the band join and the pair-dedup move
+    only ``(id, band)`` / ``(query_id, cand_id)`` rows — never the
+    vectors. Carrying the embeddings through the exploded band join
+    would shuffle every vector up to ``n_bands`` times and again through
+    the dedup; instead the deduped id-pairs are joined back to the
+    candidate vectors exactly once (co-partitioned equi-join on
+    cand_id), and the tiny query side is broadcast."""
     from pyspark.sql import Window
 
     n_bands = n_planes // band_bits
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
+    def banded_ids(df: DataFrame, role: str) -> DataFrame:
         sig = signatures_vectorized(df, vec_col, n_planes, dim)
         bands = F.array(
             *[
@@ -186,32 +194,35 @@ def lsh_ann_topk(
             ]
         )
         return sig.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_norm"),
-            F.explode(bands).alias("band"),
-        ).select(
-            f"{role}_id",
-            f"{role}_vec",
-            f"{role}_norm",
-            "band.band_idx",
-            "band.band_val",
-        )
+            F.col(id_col).alias(f"{role}_id"), F.explode(bands).alias("band")
+        ).select(f"{role}_id", "band.band_idx", "band.band_val")
 
-    qb = banded(queries, "query")
-    cb = banded(candidates, "cand")
     pairs = (
-        cb.join(F.broadcast(qb), ["band_idx", "band_val"])
-        .select("query_id", "query_vec", "query_norm", "cand_id", "cand_vec", "cand_norm")
-        .dropDuplicates(["query_id", "cand_id"])
+        banded_ids(candidates, "cand")
+        .join(F.broadcast(banded_ids(queries, "query")), ["band_idx", "band_val"])
+        .select("query_id", "cand_id")
+        .distinct()
     )
-    # norms precomputed per vector before banding (see cosine_topk)
-    scored = pairs.select(
+    # vectors + norms enter the plan once, after the dedup (candidates
+    # are scanned twice — ids for banding, vectors for scoring — which a
+    # columnar store serves cheaply; the alternative shuffles vectors
+    # n_bands x through the join and dedup)
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = pairs.join(c, "cand_id").join(F.broadcast(q), "query_id").select(
         "query_id",
         "cand_id",
         F.round(
-            dot(F.col("query_vec"), F.col("cand_vec"))
-            / (F.col("query_norm") * F.col("cand_norm")),
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
             6,
         ).alias("cos_sim"),
     )
