@@ -127,3 +127,25 @@ def test_partial_aggregation_present(spark, sf_dir, name):
     (partition, key), not per input row."""
     plan = plan_of(spark, sf_dir, name)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_ann_shuffles_ids_only(spark, sf_dir):
+    """The LSH ANN plan must never shuffle embedding vectors: the band
+    join builds/broadcasts (id, band) rows only, and the pair dedup
+    shuffles bare (query_id, cand_id) with map-side partial dedup.
+    Vectors re-enter via joins after the dedup (ReusedExchange serves
+    the second candidate read)."""
+    df = QUERIES["ann_lsh_topk"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # band join is broadcast — no shuffle keyed on band columns
+    assert "hashpartitioning(band" not in plan
+    # pair dedup shuffles id-only rows, with a partial dedup before the
+    # exchange (two HashAggregate levels whose output is just the ids)
+    assert plan.count("HashAggregate(keys=[query_id") >= 2
+    import re
+
+    dedup_outputs = re.findall(r"HashAggregate\(keys=\[query_id[^\n]*output=\[([^\]]*)\]", plan)
+    assert dedup_outputs and all("vec" not in out for out in dedup_outputs)
+    # top-k is a group-limit (per-partition heaps), not a full sort+filter
+    assert "WindowGroupLimit" in plan
