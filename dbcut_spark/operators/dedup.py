@@ -173,6 +173,58 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_banded(
+    sim: DataFrame, id_col: str, max_hamming: int = 6, bits: int = 32
+) -> DataFrame:
+    """Exact Hamming ≤ ``max_hamming`` pairs WITHOUT the O(n²) cross
+    join: split the hash into ``max_hamming + 1`` bit-chunks — by
+    pigeonhole, any pair within the radius agrees exactly on at least
+    one chunk — so an equi-join on (chunk_idx, chunk_val) yields a
+    candidate superset, and the exact bit_count filter prunes it.
+    Result-identical to :func:`simhash_pairs` (verified in tests), but
+    the join touches only chunk-colliding docs, and the shuffles carry
+    (doc_id, chunk) / bare id-pairs — the scale path at 100 TB."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    chunk_cols, off = [], 0
+    for ci in range(n_chunks):
+        width = base + (1 if ci < rem else 0)
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(ci).alias("chunk_idx"),
+                F.expr(f"shiftright(simhash, {off}) & {mask}").alias("chunk_val"),
+            )
+        )
+        off += width
+
+    sim = sim.persist()
+    chunks = sim.select(
+        F.col(id_col), F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.chunk_val")
+    pairs = (
+        chunks.select(F.col(id_col).alias("doc_a"), "chunk_idx", "chunk_val")
+        .join(
+            chunks.select(F.col(id_col).alias("doc_b"), "chunk_idx", "chunk_val"),
+            ["chunk_idx", "chunk_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

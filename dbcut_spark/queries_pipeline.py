@@ -350,10 +350,13 @@ sh AS (
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 1). Brute verifier — the scale
-    path buckets on bit-chunks first (LSH shape)."""
+    """SimHash near-dup pairs (Hamming ≤ 1) via the pigeonhole-banded
+    search — exact results (the oracle is the plain quadratic SQL) with
+    a chunk-collision join instead of the O(n²) cross join."""
     s = dd.simhash(tp(spark, sf_dir, "documents"), "text", "doc_id")
-    return dd.simhash_pairs(s, "doc_id", max_hamming=1).orderBy("doc_a", "doc_b")
+    return dd.simhash_pairs_banded(s, "doc_id", max_hamming=1).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(

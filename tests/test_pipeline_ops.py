@@ -52,6 +52,23 @@ def test_simhash_properties(spark):
     assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(1, 2)}
 
 
+def test_simhash_banded_equals_brute(spark, sf_dir):
+    """The pigeonhole-banded pair search must return exactly the brute
+    cross-join's pairs at every radius (it is exact, not approximate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = dd.simhash(docs, "text", "doc_id").persist()
+    for k in (0, 1, 3):
+        brute = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_pairs(s, "doc_id", max_hamming=k).collect()
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_pairs_banded(s, "doc_id", max_hamming=k).collect()
+        }
+        assert banded == brute, f"radius {k}: banded != brute"
+
+
 def test_ngram_jaccard_exact(spark):
     pairs = dd.ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.3)
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
