@@ -271,6 +271,72 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs restricted to LSH band collisions — the scale
+    path for :func:`embedding_neardup_pairs`. High-cosine pairs have
+    near-identical sign signatures, so they collide in some band with
+    high probability; only colliding pairs are scored. Same id-pairs
+    shuffle discipline as :func:`lsh_ann_topk`: bands and the pair
+    dedup move ids only, vectors join back once."""
+    n_bands = n_planes // band_bits
+    sig = signatures_vectorized(df, vec_col, n_planes, dim)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "", F.slice(F.col("sig_bits"), b * band_bits + 1, band_bits)
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+    pairs = (
+        banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_val")
+        .join(
+            banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path besides LSH
 # ---------------------------------------------------------------------------

@@ -452,6 +452,56 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_values_sql(n_planes: int, dim: int) -> str:
+    comps = sim.hyperplane_components(n_planes, dim)
+    return ", ".join(f"({p}, {comps[p]!r})".replace("'", "") for p in range(n_planes))
+
+
+def _neardup_lsh_sql(
+    threshold: float = 0.35, n_planes: int = 16, band_bits: int = 4, dim: int = 64
+) -> str:
+    """Oracle for the LSH near-dup scale path: identical hyperplanes,
+    banding, and cosine threshold, self-join form."""
+    return f"""
+    WITH planes(p, comp) AS (VALUES {_planes_values_sql(n_planes, dim)}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, p.p,
+             CASE WHEN list_dot_product(v.e, p.comp) > 0 THEN 1 ELSE 0 END AS bit
+      FROM v, planes p),
+    bands AS (
+      SELECT vec_id, p // {band_bits} AS band_idx,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_val
+      FROM bits GROUP BY vec_id, p // {band_bits}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id)
+    SELECT doc_a, doc_b,
+           round(list_dot_product(va.e, vb.e) /
+                 (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+                 6) AS cos_sim
+    FROM pairs JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b
+    WHERE round(list_dot_product(va.e, vb.e) /
+                (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+                6) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("embedding_neardup_lsh", sql=_neardup_lsh_sql())
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (scale path for embedding_neardup):
+    only band-colliding pairs are scored, so the candidate set tracks
+    collision counts instead of n². Approximate by design — the oracle
+    recomputes the identical algorithm; the subset-of-brute property is
+    pinned in tests."""
+    return sim.embedding_neardup_pairs_lsh(
+        tp(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 def _lsh_ann_sql(n_planes: int = 16, band_bits: int = 4, dim: int = 64, k: int = 5) -> str:
     """Full oracle for the LSH ANN path: the md5-derived hyperplanes are
     deterministic constants, so the whole pipeline — sign signatures,

@@ -305,3 +305,23 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.table("dedup_test").count()
     assert got == base.count()
+
+
+def test_neardup_lsh_subset_of_brute(spark, sf_dir):
+    """The LSH near-dup scale path may miss pairs (approximate recall)
+    but must never invent one: its pairs are a subset of the brute
+    cross-join's at the same threshold, with identical cosines."""
+    from dbcut_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in sim.embedding_neardup_pairs(e, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in sim.embedding_neardup_pairs_lsh(e, threshold=0.35).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert all(brute[k] == v for k, v in lsh.items())
+    assert lsh  # catches something on this corpus
