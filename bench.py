@@ -29,11 +29,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "doc_fingerprint",
+    "text_token_stats",
     "text_quality",
     "lang_id",
+    "union_dedup_orders",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_lsh",
     "events_hourly",
     "events_sessionize",
 ]
