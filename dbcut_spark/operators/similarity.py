@@ -387,6 +387,102 @@ def fit_centroids(
     return [c.tolist() for c in model.clusterCenters()]
 
 
+def build_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Persist an IVF index: candidate vectors written as parquet
+    PARTITIONED BY cluster_id (the inverted file — each nearest-centroid
+    bucket is its own directory), with the centroid list as an
+    underscore-prefixed JSON sidecar Spark ignores on read. At 100 TB
+    the index build is one vectorized assignment pass + a partitioned
+    write; a probe then reads only ``nprobe``/``n_centroids`` of the
+    files via static partition pruning (see :func:`ivf_topk_indexed`)."""
+    import json
+    import os
+
+    centroids = fit_centroids(candidates, vec_col, n_centroids, seed)
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    (
+        candidates.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+        )
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a persisted index. The probe list (union of
+    every query's ``nprobe`` nearest centroids) is computed driver-side
+    from the tiny query set, so the candidate scan is
+    ``.filter(cluster_id IN probes)`` — a STATIC partition filter: only
+    the probed bucket directories are listed or read, which is the
+    whole point of the inverted file at scale. Scoring equals
+    :func:`ivf_topk` with the same centroids (pinned in tests)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    probe_n = _nearest_centroids_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_n(F.col(vec_col))).alias("cluster_id"),
+    ).persist()
+    probed = sorted({r["cluster_id"] for r in q.select("cluster_id").distinct().collect()})
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cluster_id").isin(probed))
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
+    )
+    scored = c.join(F.broadcast(q), "cluster_id").select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -325,3 +325,31 @@ def test_neardup_lsh_subset_of_brute(spark, sf_dir):
     assert set(lsh) <= set(brute)
     assert all(brute[k] == v for k, v in lsh.items())
     assert lsh  # catches something on this corpus
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """A persisted IVF index must (a) score identically to the
+    in-memory ivf_topk with the same centroids and (b) prove the scale
+    point: the candidate scan carries a static cluster_id partition
+    filter, so only probed bucket directories are read."""
+    from dbcut_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf_index")
+    cents = sim.build_ivf_index(c, path, n_centroids=8)
+
+    got = sim.ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+    rows = [tuple(r) for r in got.collect()]
+    exp = [
+        tuple(r)
+        for r in sim.ivf_topk(
+            q, c, k=5, nprobe=2, n_centroids=8, centroids=cents
+        ).collect()
+    ]
+    assert rows == exp and rows
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("PartitionFilters", 1)
+    assert len(tail) == 2 and "cluster_id" in tail[1][:250]
