@@ -164,15 +164,29 @@ def dumpsql(ctx: Ctx, dialect: str):
 
 
 @cli.command()
+@click.option(
+    "--estimate/--no-estimate",
+    default=True,
+    help="footer-metadata counts (no scan); --no-estimate runs real count()",
+)
 @click.pass_obj
-def inspect(ctx: Ctx):
-    """Source-vs-destination row counts (reference ``cmd_inspect``)."""
+def inspect(ctx: Ctx, estimate: bool):
+    """Source-vs-destination row counts (reference ``cmd_inspect``,
+    estimate-by-default like its ``--estimate`` flag — parquet footer
+    metadata instead of information_schema.table_rows)."""
+    from dbcut_spark.sources.parquet import estimate_row_count
+
+    def count(path: str):
+        if not os.path.exists(path):
+            return "-"
+        if estimate:
+            return estimate_row_count(path)
+        return ctx.spark.read.parquet(path).count()
+
     click.echo(f"{'table':<16}{'source':>12}{'destination':>14}")
     for table in sorted(ctx.catalog.tables):
-        spath = os.path.join(ctx.source, f"{table}.parquet")
-        dpath = os.path.join(ctx.dest, f"{table}.parquet")
-        sc = ctx.spark.read.parquet(spath).count() if os.path.exists(spath) else "-"
-        dc = ctx.spark.read.parquet(dpath).count() if os.path.exists(dpath) else "-"
+        sc = count(os.path.join(ctx.source, f"{table}.parquet"))
+        dc = count(os.path.join(ctx.dest, f"{table}.parquet"))
         click.echo(f"{table:<16}{sc!s:>12}{dc!s:>14}")
 
 

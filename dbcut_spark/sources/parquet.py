@@ -46,3 +46,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
+
+
+def estimate_row_count(path: str) -> int:
+    """Row count from parquet footer metadata only — no data scan, no
+    Spark job. The parquet-mode analogue of the reference's estimated
+    counts from ``information_schema.tables.table_rows``
+    (``/root/reference/dbcut/database.py:329-338``): footer counts are
+    exact for immutable files but cost O(files), not O(rows)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
