@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup_lsh",
+    "events_asof_attribution",
     "events_hourly",
     "events_sessionize",
 ]

@@ -1,0 +1,94 @@
+"""As-of (point-in-time) join — a training-data-pipeline operator Spark
+has no native form of (SURVEY.md §2.4 notes the reference has only FK
+equi-joins; this is a beyond-reference addition, same family as the
+dedup/similarity operators).
+
+Semantics: for every left row, attach the columns of the single right
+row with the same key whose timestamp is the latest at-or-before the
+left row's timestamp (``direction='backward'``, inclusive), with a
+deterministic tie-break so results are reproducible and oracle-checkable.
+
+Spark-first plan: instead of a range join (which Catalyst would execute
+as an exploding inner join + filter) the two sides are tagged and
+UNIONED, then a single window pass per key carries the last-seen right
+values forward (``last(..., ignorenulls=True)`` over rows between
+unbounded preceding and current). Cost: ONE shuffle on the key — the
+same partitioning a groupBy would need — and O(n log n) per-partition
+sort; no pair blowup, no broadcast requirement on either side. This is
+the standard scale shape for point-in-time feature joins (e.g. "most
+recent click before each purchase" over 100 TB of events): both sides
+co-partition by key, and skewed keys can reuse the salting helpers in
+``operators.skew``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    pick: dict[str, str],
+    tiebreak: str,
+) -> DataFrame:
+    """Backward inclusive as-of join.
+
+    ``on``: key columns, same names on both sides (rename first).
+    ``left_time`` / ``right_time``: timestamp columns (µs precision).
+    ``pick``: {right_col: output_alias} — right columns to attach.
+    ``tiebreak``: right column (castable to long); among right rows with
+    identical (key, time), the one with the LARGEST tiebreak wins.
+
+    Left rows with no qualifying right row keep NULLs in the picked
+    columns (left-outer semantics).
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.unix_micros(F.col(left_time)).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(dst)
+            for src, dst in pick.items()
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *[F.col(k) for k in on],
+        F.unix_micros(F.col(right_time)).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        F.col(tiebreak).cast("long").alias("__tb"),
+        *[F.col(src).alias(dst) for src, dst in pick.items()],
+    )
+    # ordering puts right rows BEFORE left rows at equal time (inclusive
+    # ≤), and the max-tiebreak right row last among its time-ties so the
+    # carried-forward value is deterministic
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_right").desc(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [
+        F.last(F.col(dst), ignorenulls=True).over(w).alias(dst)
+        for dst in pick.values()
+    ]
+    return (
+        l_tagged.unionByName(r_tagged)
+        .select(*lcols, "__is_right", *carried)
+        .filter(F.col("__is_right") == 0)
+        .drop("__is_right")
+    )

@@ -553,6 +553,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (point-in-time attribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_attribution",
+    sql="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, epoch_us(ts) AS cus
+          FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, pus AS t, 0 AS is_right, NULL::BIGINT AS tb,
+             purchase_id, NULL::BIGINT AS click_id, NULL::BIGINT AS click_us
+      FROM p
+      UNION ALL
+      SELECT user_id, cus, 1, event_id, NULL, event_id, cus FROM c),
+    w AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER win AS last_click_id,
+             last_value(click_us IGNORE NULLS) OVER win AS last_click_us
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY t, is_right DESC, tb ASC NULLS FIRST
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT purchase_id, user_id, last_click_id,
+           t - last_click_us AS gap_us
+    FROM w WHERE is_right = 0 ORDER BY purchase_id
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event attributed to the same
+    user's most recent click at-or-before it (NULL if none) — the
+    point-in-time feature-join shape. The oracle mirrors the union +
+    carry-forward-window formulation (DuckDB's native ASOF JOIN has a
+    nondeterministic tie-break, so the window form is used verbatim)."""
+    from dbcut_spark.operators.asof import asof_join_backward
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("click_us")
+    )
+    j = asof_join_backward(
+        p,
+        c,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        pick={"event_id": "last_click_id", "click_us": "last_click_us"},
+        tiebreak="event_id",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "last_click_id",
+        (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
 # Event streams (batch forms; streaming variants in dbcut_spark.streaming)
 # ---------------------------------------------------------------------------
 
