@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup_lsh",
     "events_asof_attribution",
+    "events_purchase_window_clicks",
     "events_hourly",
     "events_sessionize",
 ]

@@ -1,0 +1,53 @@
+"""Bin-bucketed interval (range) join — points matched to containing
+time windows. Beyond-reference, same family as :mod:`operators.asof`
+(the reference has only FK equi-joins, SURVEY.md §2.4).
+
+Catalyst executes a raw ``t BETWEEN start AND end`` theta-join as a
+broadcast-nested-loop or cartesian product — O(|points|×|intervals|)
+per key group. The scale shape instead quantizes time into fixed bins:
+
+- every interval is exploded to the bins it overlaps
+  (``(end-start)/bin + O(1)`` rows — bounded when window length is);
+- every point lands in exactly ONE bin;
+- an equi-join on ``(key…, bin)`` meets each qualifying pair exactly
+  once (the point's bin), so the containment refine-filter needs no
+  dedup afterwards;
+- both sides shuffle on ``(key, bin)`` — ordinary hash partitioning,
+  skew-splittable by AQE.
+
+Pick ``bin_us`` near the typical window length: larger bins inflate
+false candidates per bin, smaller bins inflate the interval explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_time: str,
+    start: str,
+    end: str,
+    bin_us: int,
+) -> DataFrame:
+    """Inner join of every point to every interval (same ``on`` keys)
+    with ``start <= point_time <= end`` (inclusive). Time columns are
+    epoch-µs longs. Output = point columns + interval columns."""
+    i_binned = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bin_us), F.floor(F.col(end) / bin_us)
+            )
+        ),
+    )
+    p_binned = points.withColumn("__bin", F.floor(F.col(point_time) / bin_us))
+    return (
+        p_binned.join(i_binned, on + ["__bin"])
+        .filter((F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end)))
+        .drop("__bin")
+    )

@@ -615,6 +615,50 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+@register(
+    "events_purchase_window_clicks",
+    sql="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id, c.cus - p.pus AS delay_us
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cus BETWEEN p.pus AND p.pus + 1800000000
+    ORDER BY purchase_id, click_id
+    """,
+)
+def events_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks inside the 30-minute window after each
+    purchase by the same user. The oracle is the naive BETWEEN
+    theta-join; the Spark plan is the bin-bucketed equi-join
+    (operators/range_join.py) — same rows, no pair explosion."""
+    from dbcut_spark.operators.range_join import point_in_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    win_us = 1_800_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        (F.unix_micros("ts") + win_us).alias("wend"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("cus"),
+    )
+    j = point_in_interval_join(
+        c, p, on=["user_id"], point_time="cus", start="pus", end="wend", bin_us=win_us
+    )
+    return j.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("cus") - F.col("pus")).alias("delay_us"),
+    ).orderBy("purchase_id", "click_id")
+
+
 # ---------------------------------------------------------------------------
 # Event streams (batch forms; streaming variants in dbcut_spark.streaming)
 # ---------------------------------------------------------------------------
