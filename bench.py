@@ -36,6 +36,8 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "union_dedup_orders",
+    "docs_train_holdout",
+    "docs_stratified_sample",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

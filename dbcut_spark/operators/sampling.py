@@ -1,0 +1,73 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines need samples and train/holdout splits that are
+REPRODUCIBLE — stable across runs, cluster sizes, partitionings, and
+engines. ``df.sample()``/``sampleBy()`` use Spark's per-partition RNG
+(results change with the partition layout), so instead membership is
+decided by the content hash of the id: a row is in the p-fraction
+sample iff the first 8 hex chars of ``md5(salt || id)`` are
+lexicographically below the p·2³² threshold written as 8-digit hex.
+String comparison on lowercase hex is identical in every engine, so
+the DuckDB oracle reproduces splits bit-for-bit.
+
+Scale: one codegen'd projection + filter per row — no shuffle, no
+state, trivially pushdown-friendly. Changing ``salt`` draws an
+independent sample; keeping it fixes the split forever (the property
+that makes holdout sets trustworthy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_threshold(fraction: float) -> str:
+    """8-hex-digit threshold: uniform hashes below it ≈ ``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || id) — the sampling key."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"))),
+        1,
+        8,
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by content hash of ``id_col``."""
+    return df.filter(hash_bucket(id_col, salt) < hash_threshold(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the
+    RNG): each stratum keeps its own hash-threshold fraction; strata
+    not listed are dropped."""
+    bucket = hash_bucket(id_col, salt)
+    cond = None
+    for stratum, frac in sorted(fractions.items()):
+        c = (F.col(strata_col) == stratum) & (bucket < hash_threshold(frac))
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond if cond is not None else F.lit(False))
+
+
+def train_holdout_split(
+    df: DataFrame, id_col: str, holdout_fraction: float = 0.1, salt: str = ""
+) -> DataFrame:
+    """Append a ``split`` column ('holdout' below the threshold, else
+    'train') — the stable-forever dataset split."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(id_col, salt) < hash_threshold(holdout_fraction),
+            F.lit("holdout"),
+        ).otherwise(F.lit("train")),
+    )

@@ -553,6 +553,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_train_holdout",
+    sql=f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{format(int(0.1 * 2**32), "08x")}'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def docs_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% holdout split by content hash of doc_id —
+    reproducible across runs, partitionings, and engines (the oracle
+    recomputes the identical md5-hex threshold)."""
+    from dbcut_spark.operators.sampling import train_holdout_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_holdout_split(d, "doc_id", 0.1, salt="split1:").orderBy("doc_id")
+
+
+@register(
+    "docs_stratified_sample",
+    sql=f"""
+    SELECT doc_id, source FROM documents
+    WHERE (source = 'src0' AND substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.5 * 2**32), "08x")}')
+       OR (source = 'src1' AND substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.2 * 2**32), "08x")}')
+    ORDER BY doc_id
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling (50% of src0, 20% of src1,
+    other sources dropped) — sampleBy without the partition-dependent
+    RNG."""
+    from dbcut_spark.operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.2}, salt="s:"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # As-of join (point-in-time attribution)
 # ---------------------------------------------------------------------------
 
