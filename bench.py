@@ -45,6 +45,7 @@ HEADLINE = [
     "events_asof_attribution",
     "events_purchase_window_clicks",
     "events_hourly",
+    "events_daily_rollup",
     "events_sessionize",
 ]
 

@@ -737,6 +737,42 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_rollup",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregate computed FROM the hourly rollup (sum of hourly
+    counts / decimal sums), not from raw events — the continuous-
+    aggregate / hypertable-rollup pattern: coarser resolutions reuse
+    finer partials, so a day touches 24 hourly rows instead of the raw
+    stream. The oracle aggregates raw events directly, so the
+    hash-match PROVES re-aggregation equals direct aggregation
+    (decimal sums are exactly associative; double sums would not be)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_total"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_total").cast("double").alias("total_value"),
+        )
+        .orderBy("day_start", "event_type")
+    )
+
+
+@register(
     "events_sessionize",
     sql="""
     WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
