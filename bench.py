@@ -28,6 +28,7 @@ HEADLINE = [
     "multimodal_features",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

@@ -225,6 +225,64 @@ def simhash_pairs_banded(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    node appearing in any edge: (id, component) where component is the
+    minimum node id reachable from it.
+
+    This is the step real dedup pipelines need after LSH pair
+    generation: candidate PAIRS say "a~b, b~c", but the unit of removal
+    is the CLUSTER {a,b,c} (keep one canonical survivor per component).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels — two
+    shuffles per round (join on dst, groupBy id), labels shrink
+    monotonically, fixpoint when the label-sum stops changing (safe
+    convergence test precisely BECAUSE labels only ever decrease, so
+    equal sum ⟺ no label moved; one cheap global agg instead of an
+    anti-join). Rounds needed = graph diameter. Near-dup clusters are
+    near-cliques (LSH connects most members pairwise), so diameter is
+    tiny — 2-4 rounds in practice; at 1000-executor scale each round is
+    one partitioned hash join on bare (long, long) pairs, no vectors or
+    text move. ``localCheckpoint`` truncates the per-iteration lineage
+    so the plan doesn't grow unboundedly (the classic iterative-
+    DataFrame trap). For adversarially long chain graphs, swap in
+    alternating large-star/small-star (Kiveris et al., same primitive
+    ops, O(log n) rounds) — not needed for dedup-shaped graphs.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = und.join(labels, und["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

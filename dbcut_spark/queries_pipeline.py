@@ -241,9 +241,10 @@ def _minhash_sig_sql(k: int = 16) -> str:
     return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
 
 
-def _minhash_lsh_sql(k: int = 16, band_rows: int = 4) -> str:
-    """Oracle for MinHash+LSH candidates, generated for any (k,
-    band_rows) so the SQL stays in lockstep with the Spark parameters."""
+def _minhash_cand_ctes(k: int = 16, band_rows: int = 4) -> str:
+    """CTE chain ``sh, sig, bands, cand, scored`` producing MinHash+LSH
+    candidate pairs with ``est_sim`` — shared by the pair query and the
+    cluster query so the SQL stays in lockstep with the Spark params."""
     n_bands = k // band_rows
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
@@ -254,8 +255,7 @@ def _minhash_lsh_sql(k: int = 16, band_rows: int = 4) -> str:
         f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(k)
     )
     return (
-        "WITH "
-        + SH_CTE.format(src="documents")
+        SH_CTE.format(src="documents")
         + ", "
         + _minhash_sig_sql(k)
         + f"""
@@ -265,13 +265,25 @@ def _minhash_lsh_sql(k: int = 16, band_rows: int = 4) -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-      CAST(({agree}) AS DOUBLE) / {k} AS est_sim
-    FROM cand
-    JOIN sig sa ON sa.doc_id = doc_a
-    JOIN sig sb ON sb.doc_id = doc_b
-    ORDER BY doc_a, doc_b
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b,
+        CAST(({agree}) AS DOUBLE) / {k} AS est_sim
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b)
+    """
+    )
+
+
+def _minhash_lsh_sql(k: int = 16, band_rows: int = 4) -> str:
+    """Oracle for MinHash+LSH candidates, generated for any (k,
+    band_rows) so the SQL stays in lockstep with the Spark parameters."""
+    return (
+        "WITH "
+        + _minhash_cand_ctes(k, band_rows)
+        + """
+    SELECT doc_a, doc_b, est_sim FROM scored ORDER BY doc_a, doc_b
     """
     )
 
@@ -288,6 +300,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
     return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+def _dedup_clusters_sql(k: int = 16, band_rows: int = 4, threshold: float = 0.5) -> str:
+    """Oracle for duplicate-cluster labeling: same LSH candidate pairs,
+    then transitive closure by recursive CTE (min reachable doc_id =
+    cluster label) — the SQL-expressible ground truth for the Spark
+    label-propagation loop."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cand_ctes(k, band_rows)
+        + f"""
+    , sim AS (
+      SELECT doc_a, doc_b FROM scored WHERE est_sim >= {threshold}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sim
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM sim),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+    comp AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT doc_id, cluster_id, cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp JOIN sizes USING (cluster_id) ORDER BY doc_id
+    """
+    )
+
+
+@register("dedup_clusters", sql=_dedup_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERS: MinHash+LSH candidate pairs (est_sim ≥ 0.5)
+    → connected components → every document labeled with its cluster id
+    (min doc_id in the component), cluster size, and a canonical-
+    survivor flag. This is the actual removal unit of a training-data
+    dedup pass: ``filter(~is_canonical)`` drops all non-survivors.
+
+    The oracle recomputes the closure with a recursive CTE, so the
+    hash-match proves the distributed label-propagation loop computes
+    exactly the transitive closure of the pair relation. Scale path:
+    the component loop shuffles bare (long,long) labels only —
+    signatures/vectors never enter the iteration (see
+    operators/dedup.py:connected_components)."""
+    d = tp(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).filter(
+        F.col("est_sim") >= 0.5
+    )
+    comp = dd.connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -40,6 +40,28 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 4) not in sims                   # unrelated not candidate
 
 
+def test_connected_components_chain_and_islands(spark):
+    # Chain 10-20-30-40 (diameter 3 → needs >1 propagation round),
+    # separate pair 100-200, node 300 only as an isolated self-pair
+    # source is absent — components cover only nodes appearing in edges.
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], ["doc_a", "doc_b"]
+    )
+    out = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_connected_components_merge_order_independent(spark):
+    # Two chains that meet in the middle; min label must flow across
+    # the junction regardless of edge orientation (a<b kept throughout).
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 50), (7, 50), (7, 80)], ["doc_a", "doc_b"]
+    )
+    out = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert set(out.values()) == {5}
+    assert len(out) == 5
+
+
 def test_simhash_properties(spark):
     out = {r["doc_id"]: r["simhash"] for r in dd.simhash(_docs(spark), "text", "doc_id").collect()}
     assert out[1] == out[2]                     # identical text → same hash
