@@ -306,6 +306,12 @@ def connected_components(
         e_cur = e_new
         if not_star.count() == 0:
             break
+    else:
+        # a partially-converged edge set would silently under-merge
+        # clusters — refuse rather than return wrong components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return (
         e_cur.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
         .union(e_cur.select(F.col("lo").alias("id"), F.col("lo").alias("component")))
