@@ -225,11 +225,52 @@ def simhash_pairs_banded(
     )
 
 
+def _components_driver_side(canon: DataFrame) -> DataFrame:
+    """Union-find over a collected (hi, lo) edge list — the small-graph
+    fast path of :func:`connected_components`. Same output contract:
+    one (id, component) row per node in any edge, component = minimum
+    reachable node id."""
+    from pyspark.sql import types as T
+
+    id_type = canon.schema["hi"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path compression
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for row in canon.collect():
+        hi, lo = row[0], row[1]
+        nodes.add(hi)
+        nodes.add(lo)
+        ra, rb = find(hi), find(lo)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # root stays the minimum id
+
+    out = [(n, find(n)) for n in sorted(nodes)]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    return canon.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node appearing in any edge: (id, component) where component is the
@@ -257,11 +298,24 @@ def connected_components(
     star step is one groupBy + one equi-join, and ``localCheckpoint``
     truncates per-round lineage (the classic iterative-DataFrame trap).
     Each round costs exactly ONE Spark action: both checkpoints are
-    lazy (materialized by the convergence count, whose semi-join needs
-    the full frame anyway), and convergence is "the edge set is a star
-    forest" — no node appears as both an edge head and an edge tail —
-    a state both star steps provably leave fixed, checked with one
-    semi-join count==0 instead of count+exceptAll over two rounds.
+    lazy (materialized by the convergence count, whose union needs the
+    full frame anyway), and convergence is "the edge set is a star
+    forest": no node appears as both an edge head and an edge tail
+    (semi-join), AND every head has exactly ONE parent (groupBy count).
+    The second condition is load-bearing — heads-disjoint-from-tails
+    alone also passes non-star states where one head still has two
+    distinct tails (e.g. edges {(1,5),(2,6),(3,5),(3,6)} after one
+    round), which would exit early with a node labeled into two
+    components. Both violation sets are unioned so the round still
+    costs a single action.
+
+    Small graphs (≤ ``small_graph_edges`` canonical edges, i.e. a few
+    tens of MB of (long,long) pairs) skip the star rounds entirely:
+    edges are collected once and resolved with driver-side union-find —
+    identical output, no per-round job overhead. At 100 TB scale the
+    edge set exceeds the threshold and takes the distributed path; the
+    threshold exists because per-round scheduling overhead (~0.8s)
+    dominates tiny graphs on a real cluster just as it does locally.
     """
     canon = (
         edges.select(
@@ -272,6 +326,8 @@ def connected_components(
         .distinct()
     )
     e_cur = canon.localCheckpoint()
+    if e_cur.count() <= small_graph_edges:
+        return _components_driver_side(e_cur)
     for _ in range(max_iter):
         # large-star: u's neighbors v > u attach to min(Γ(u) ∪ {u})
         und = e_cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
@@ -300,11 +356,18 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        not_star = e_new.join(
+        head_is_tail = e_new.join(
             e_new.select(F.col("lo").alias("hi")).distinct(), "hi", "left_semi"
+        ).select("hi")
+        # e_new is distinct, so count(*)>1 per head ⇔ >1 distinct parent
+        multi_parent = (
+            e_new.groupBy("hi")
+            .agg(F.count(F.lit(1)).alias("n_lo"))
+            .where(F.col("n_lo") > 1)
+            .select("hi")
         )
         e_cur = e_new
-        if not_star.count() == 0:
+        if head_is_tail.union(multi_parent).count() == 0:
             break
     else:
         # a partially-converged edge set would silently under-merge

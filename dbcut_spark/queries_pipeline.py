@@ -393,7 +393,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  >> (i % 4)) & 1) - COUNT(*) AS s
       FROM bits GROUP BY doc_id, i)
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -419,7 +419,7 @@ votes AS (
   FROM bits GROUP BY doc_id, i),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id)
 """
 

@@ -42,6 +42,12 @@ def _one_file(path: str) -> str:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if _nanos_columns(path):
+        # Runtime-settable; must NOT rely on session-builder config — the
+        # correctness harness passes a vanilla SparkSession, and without
+        # this the read throws PARQUET_TYPE_ILLEGAL before the
+        # normalization below can run.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

@@ -1,0 +1,50 @@
+"""Every oracle's DuckDB result types must be Spark-representable.
+
+The driver's value-hash is type-sensitive: DuckDB widens integer SUMs
+to HUGEINT (int128), which Spark cannot produce, so an uncast SUM makes
+an otherwise-identical result fail hash-match (round-1 `dedup_simhash`).
+This sweep fails on ANY oracle whose output includes a type outside the
+Spark-expressible set, so the bug class cannot recur.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+# DuckDB type names with no Spark analogue (the hash-mismatch class)
+_FORBIDDEN = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck_views():
+    from dbcut_spark.catalog import TPCH_TABLES
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _oracle_items():
+    return sorted(entry.oracle_sql().items())
+
+
+@pytest.mark.parametrize("name,sql", _oracle_items(), ids=[n for n, _ in _oracle_items()])
+def test_oracle_output_types_spark_representable(duck_views, name, sql):
+    rel = duck_views.sql(sql)
+    bad = [
+        (col, str(t))
+        for col, t in zip(rel.columns, rel.types)
+        if str(t).upper().split("(")[0] in _FORBIDDEN
+    ]
+    assert not bad, (
+        f"oracle '{name}' produces Spark-unrepresentable DuckDB types {bad}; "
+        "CAST the offending expression (usually SUM → BIGINT)"
+    )

@@ -62,6 +62,42 @@ def test_connected_components_merge_order_independent(spark):
     assert len(out) == 5
 
 
+def test_connected_components_no_premature_convergence(spark):
+    # Regression (round-2 advice): edges {(1,5),(2,6),(3,5),(3,6)} form
+    # ONE component, but the round-1 convergence test ("no node is both
+    # edge head and tail") also passed the intermediate state where
+    # heads 5 and 6 still had two distinct parents each — exiting early
+    # with node 3 labeled into two components. The check must also
+    # require every head to have exactly one parent.
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 6), (3, 5), (3, 6)], ["doc_a", "doc_b"]
+    )
+    # small_graph_edges=0 forces the distributed star-rounds path
+    out = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1}
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    # The driver-side union-find (small-graph fast path) and the
+    # large-star/small-star path must produce identical labelings.
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (1, 5), (2, 6), (3, 5), (3, 6)],
+        ["doc_a", "doc_b"],
+    )
+    fast = {
+        r["id"]: r["component"] for r in dd.connected_components(edges).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast[40] == 10 and fast[6] == 1 and fast[200] == 100
+
+
 def test_simhash_properties(spark):
     out = {r["doc_id"]: r["simhash"] for r in dd.simhash(_docs(spark), "text", "doc_id").collect()}
     assert out[1] == out[2]                     # identical text → same hash
