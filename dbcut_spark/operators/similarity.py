@@ -341,6 +341,40 @@ def embedding_neardup_pairs_lsh(
 # IVF (inverted-file) ANN — the second scale path besides LSH
 # ---------------------------------------------------------------------------
 
+_IVF_ARTIFACT = None
+
+
+def ivf_artifact() -> list[dict]:
+    """The committed offline quantizer (tools/fit_ivf_centroids.py):
+    per known embeddings table, the seed-fixed KMeans centroids. A real
+    IVF index is fit once and reused across queries; storing the
+    centroids as repo data also lets the DuckDB oracle embed the SAME
+    literals, giving the IVF path a full value-hash oracle."""
+    global _IVF_ARTIFACT
+    if _IVF_ARTIFACT is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "ivf_centroids.json",
+        )
+        with open(path) as f:
+            _IVF_ARTIFACT = json.load(f)
+    return _IVF_ARTIFACT
+
+
+def stored_centroids(sf_dir: str) -> list[list[float]] | None:
+    """Centroids for a known sf_dir (realpath match), else None."""
+    import os
+
+    real = os.path.realpath(sf_dir)
+    for entry in ivf_artifact():
+        if entry["path"] == real:
+            return entry["centroids"]
+    return None
+
 
 def _nearest_centroids_udf(centroids: list[list[float]], nprobe: int):
     """Vectorized argsort-of-distances: maps each vector to its nprobe

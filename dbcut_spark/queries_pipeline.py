@@ -956,25 +956,85 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple, list] = {}
 
 
-@register("ann_ivf_topk")  # KMeans quantizer — not SQL-expressible, rows-only check
+def _ivf_ann_sql(k: int = 5, nprobe: int = 4) -> str:
+    """Full oracle for the IVF ANN path. The coarse quantizer is the
+    committed artifact from tools/fit_ivf_centroids.py, embedded as SQL
+    literals (the LSH-hyperplane pattern at :func:`_lsh_ann_sql`), so
+    assignment, probing, and cosine re-rank are all plain SQL. The
+    centroid set self-selects on a cheap table fingerprint
+    (count + sum(label)) because different scale factors share row
+    counts. ||c||² is precomputed with numpy's summation (same as the
+    assignment UDF) so the only per-row FP difference vs Spark is the
+    single -2·x·c dot product, whose ~1e-15 noise is far below
+    inter-centroid distance gaps."""
+    import numpy as np
+
+    rows = []
+    for entry in sim.ivf_artifact():
+        arr = np.array(entry["centroids"], dtype=np.float64)
+        c2 = (arr * arr).sum(axis=1)
+        for i, comp in enumerate(entry["centroids"]):
+            rows.append(
+                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
+                f"{comp!r}, {c2[i]!r})".replace("'", "")
+            )
+    cent_values = ", ".join(rows)
+    return f"""
+    WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
+    cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
+    cs AS (SELECT c.c_idx, c.comp, c.c2
+           FROM cent c, fp WHERE c.n = fp.n AND c.slab = fp.slab),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cand AS (
+      SELECT vec_id, e, c_idx AS cluster_id FROM (
+        SELECT v.vec_id, v.e, cs.c_idx,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY -2 * list_dot_product(v.e, cs.comp) + cs.c2, cs.c_idx) AS rn
+        FROM v, cs WHERE v.vec_id >= 10)
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id, e, c_idx AS cluster_id FROM (
+        SELECT v.vec_id, v.e, cs.c_idx,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY -2 * list_dot_product(v.e, cs.comp) + cs.c2, cs.c_idx) AS rn
+        FROM v, cs WHERE v.vec_id < 10)
+      WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_dot_product(p.e, c.e) /
+                   (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))),
+                   6) AS cos_sim
+      FROM probe p JOIN cand c ON p.cluster_id = c.cluster_id)
+    SELECT query_id, cand_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register("ann_ivf_topk", sql=_ivf_ann_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 KMeans centroids, nprobe=4): candidates bucketed by
     nearest centroid, queries probe their 4 nearest buckets — per-query
     work is ~1/4 of the corpus instead of all of it. The quantizer is
-    memoized per (sf_dir, k): an IVF index is fit once offline and
-    reused across queries (the persisted form is build_ivf_index);
-    refitting per query would be wrong at any scale. KMeans(seed=7) is
-    deterministic, so memoization doesn't change results."""
+    the committed offline artifact (see :func:`sim.ivf_artifact`) — an
+    IVF index is fit once and reused across queries (the persisted form
+    is build_ivf_index); refitting per query would be wrong at any
+    scale. Unknown sf_dirs fall back to a memoized seed-fixed fit
+    (rows-only check in that case)."""
     e = tp(spark, sf_dir, "embeddings")
     cands = e.filter(F.col("vec_id") >= 10)
-    key = (sf_dir, 16)
-    if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
+    centroids = sim.stored_centroids(sf_dir)
+    if centroids is None:
+        key = (sf_dir, 16)
+        if key not in _IVF_CENTROIDS:
+            _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
+        centroids = _IVF_CENTROIDS[key]
     return sim.ivf_topk(
         e.filter(F.col("vec_id") < 10),
         cands,
         k=5,
         n_centroids=16,
         nprobe=4,
-        centroids=_IVF_CENTROIDS[key],
+        centroids=centroids,
     )
