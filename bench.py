@@ -55,6 +55,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    from dbcut_spark.operators.pinning import release_pinned
     from dbcut_spark.queries import QUERIES
     from dbcut_spark.session import get_spark
 
@@ -74,6 +75,7 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - start
             best = dt if best is None else min(best, dt)
+        release_pinned()
         spark.catalog.clearCache()
         timings[name] = round(best, 4)
         total += best

@@ -18,6 +18,7 @@ from dbcut_spark.cache import ResultCache, cache_key
 from dbcut_spark.catalog import Catalog, TPCH_CATALOG
 from dbcut_spark.config import load_config, normalize_query
 from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.operators.pinning import release_pinned
 from dbcut_spark.plans.extraction import build_plan
 
 
@@ -96,6 +97,8 @@ class Ctx:
         if not self.no_cache:
             counts = self.cache.save(key, frames)
             click.echo(f"  cached {key[:12]} ({counts})")
+            # the save materialized every frame — frontier caches are dead
+            release_pinned()
             return self.cache.load(self.spark, key)
         return frames
 
@@ -130,6 +133,7 @@ def load(ctx: Ctx):
                 ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
             )
             click.echo(f"  {table}: +{n} rows")
+        release_pinned()
 
 
 @cli.command()
@@ -145,6 +149,7 @@ def dumpjson(ctx: Ctx):
         key = cache_key(ctx.source, plan.spec)
         out = os.path.join(ctx.dest, f"{plan.root_table}-{key[:12]}.json")
         nested_export(plan, frontiers, out)
+        release_pinned()
         click.echo(f"query {i}: wrote {out}")
 
 
@@ -161,6 +166,7 @@ def dumpsql(ctx: Ctx, dialect: str):
         pks = {t: list(ctx.catalog.table(t).pk) for t in frames}
         for stmt in dump_sql(frames, pks, dialect):
             click.echo(stmt)
+        release_pinned()
 
 
 @cli.command()

@@ -48,15 +48,20 @@ def asof_join_backward(
     columns (left-outer semantics).
     """
     lcols = [c for c in left.columns]
+    # ALL picked columns travel as ONE struct so they always come from
+    # the same right row: carrying each column independently through
+    # last(ignorenulls=True) would backfill a NULL field from an OLDER
+    # right row, silently mixing columns across rows. The struct itself
+    # is non-null on every right row (its FIELDS may be null), and null
+    # on left rows, so ignorenulls skips exactly the left rows.
+    pick_struct = F.struct(*[F.col(src).alias(dst) for src, dst in pick.items()])
+    pick_type = right.select(pick_struct.alias("__pick")).schema["__pick"].dataType
     l_tagged = left.select(
         *lcols,
         F.unix_micros(F.col(left_time)).alias("__t"),
         F.lit(0).alias("__is_right"),
         F.lit(None).cast("long").alias("__tb"),
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(dst)
-            for src, dst in pick.items()
-        ],
+        F.lit(None).cast(pick_type).alias("__pick"),
     )
     r_tagged = right.select(
         *[
@@ -68,7 +73,7 @@ def asof_join_backward(
         F.unix_micros(F.col(right_time)).alias("__t"),
         F.lit(1).alias("__is_right"),
         F.col(tiebreak).cast("long").alias("__tb"),
-        *[F.col(src).alias(dst) for src, dst in pick.items()],
+        pick_struct.alias("__pick"),
     )
     # ordering puts right rows BEFORE left rows at equal time (inclusive
     # ≤), and the max-tiebreak right row last among its time-ties so the
@@ -82,13 +87,13 @@ def asof_join_backward(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(F.col(dst), ignorenulls=True).over(w).alias(dst)
-        for dst in pick.values()
-    ]
+    carried = F.last(F.col("__pick"), ignorenulls=True).over(w).alias("__pick")
     return (
         l_tagged.unionByName(r_tagged)
-        .select(*lcols, "__is_right", *carried)
+        .select(*lcols, "__is_right", carried)
         .filter(F.col("__is_right") == 0)
-        .drop("__is_right")
+        .select(
+            *lcols,
+            *[F.col("__pick")[dst].alias(dst) for dst in pick.values()],
+        )
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from dbcut_spark.operators.pinning import pin
 from pyspark.sql import functions as F
 
 from dbcut_spark.dsl import compile_where
@@ -111,7 +113,7 @@ class ClosureExecutor:
         # each frontier feeds every child edge plus the per-table output;
         # persist so lazy evaluation doesn't recompute the whole upstream
         # chain per consumer (frontiers are small by construction)
-        root_df = self.root_frame(plan).persist()
+        root_df = pin(self.root_frame(plan))
         # bounded root (limit set) ⇒ every frontier key set is small ⇒
         # broadcast it so child scans never shuffle
         bounded = plan.spec.limit is not None
@@ -154,7 +156,7 @@ class ClosureExecutor:
                             .filter(F.col("__rn") <= plan.spec.backref_limit)
                             .drop("__rn")
                         )
-                child_df = child_df.persist() if child.children else child_df
+                child_df = pin(child_df) if child.children else child_df
                 frontiers[id(child)] = child_df
                 per_table.setdefault(rel.target, []).append(child_df)
 

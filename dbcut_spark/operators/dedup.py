@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbcut_spark.operators.pinning import pin
+
 from dbcut_spark.functions.text import norm_text, shingles
 
 
@@ -73,7 +75,7 @@ def lsh_candidate_pairs(
     The signature frame is persisted: it feeds the band explode AND both
     sides of the pair join — without caching, lazy evaluation would
     recompute the shingle explode + minhash aggregation three times."""
-    signatures = signatures.persist()
+    signatures = pin(signatures)
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):
@@ -159,7 +161,7 @@ def simhash_pairs(
     """Near-dup pairs by Hamming distance on the simhash (brute self-join;
     the scale path buckets on bit-chunks first — same LSH shape as
     :func:`lsh_candidate_pairs`). Input persisted: both join sides."""
-    sim = sim.persist()
+    sim = pin(sim)
     a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
@@ -198,7 +200,7 @@ def simhash_pairs_banded(
         )
         off += width
 
-    sim = sim.persist()
+    sim = pin(sim)
     chunks = sim.select(
         F.col(id_col), F.explode(F.array(*chunk_cols)).alias("c")
     ).select(id_col, "c.chunk_idx", "c.chunk_val")
@@ -392,7 +394,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs (shingle-set intersection
     over union). Quadratic in shingle collisions — the ground-truth
     verifier for MinHash estimates, meant for subsets/samples."""
-    sh = shingle_rows(df, text_col, id_col, n).persist()  # feeds 3 plans
+    sh = pin(shingle_rows(df, text_col, id_col, n))  # feeds 3 plans
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+from dbcut_spark.operators.pinning import pin
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -485,7 +486,8 @@ def ivf_topk_indexed(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe_n(F.col(vec_col))).alias("cluster_id"),
-    ).persist()
+    )
+    q = pin(q)
     probed = sorted({r["cluster_id"] for r in q.select("cluster_id").distinct().collect()})
     c = (
         spark.read.parquet(index_path)

@@ -35,6 +35,37 @@ def test_asof_backward_semantics(spark):
     assert len(got) == 4     # left-outer: every left row survives
 
 
+def test_asof_null_field_not_backfilled_from_older_row(spark):
+    """Regression (round-2 advice): all picked columns must come from
+    the SAME right row. If the latest qualifying right row has NULL in
+    one picked column, that NULL must survive — carrying columns
+    independently would backfill it from an older right row."""
+    left = spark.createDataFrame(
+        [(1, 100, 3000)], "lid long, key long, t_us long"
+    ).select("lid", "key", F.timestamp_micros("t_us").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            (10, 100, 1000, "old-label", 7.0),
+            (11, 100, 2000, None, 9.0),  # latest row: label is NULL
+        ],
+        "rid long, key long, t_us long, label string, score double",
+    ).select(
+        "rid", "key", F.timestamp_micros("t_us").alias("rts"), "label", "score"
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        ["key"],
+        "lts",
+        "rts",
+        {"rid": "match_id", "label": "label", "score": "score"},
+        tiebreak="rid",
+    ).collect()[0]
+    assert out["match_id"] == 11
+    assert out["label"] is None  # NOT "old-label"
+    assert out["score"] == 9.0
+
+
 def test_asof_single_shuffle(spark, sf_dir):
     """The union + carry-forward-window plan must shuffle exactly once
     on the key (plus the final presentation sort) — never a range-join
