@@ -8,6 +8,7 @@ Commands: load, dumpjson, dumpsql, inspect, clear, flush, purgecache, tree.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import sys
@@ -22,6 +23,47 @@ from dbcut_spark.operators.pinning import release_pinned
 from dbcut_spark.plans.extraction import build_plan
 
 
+class Profiler:
+    """Per-operation wall-clock + row-count stats, reported to stderr —
+    the Spark analogue of the reference's sqltap profiler
+    (``/root/reference/dbcut/database.py:104-111`` begins/commits the
+    profiler around each command and streams stats to stderr via
+    ``/root/reference/dbcut/cli/operations.py:28-38``). Spark has no
+    per-SQL-statement tap, so the profiled unit is the query/sink
+    action."""
+
+    def __init__(self) -> None:
+        self.records: list[tuple[str, float, int | None]] = []
+
+    def timed(self, label: str):
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def _cm():
+            start = time.perf_counter()
+            holder = {"rows": None}
+            try:
+                yield holder
+            finally:
+                self.records.append(
+                    (label, time.perf_counter() - start, holder["rows"])
+                )
+
+        return _cm()
+
+    def report(self) -> None:
+        if not self.records:
+            return
+        total = sum(t for _, t, _ in self.records)
+        click.echo("-- profiler ----------------------------------", err=True)
+        for label, secs, rows in self.records:
+            extra = f" rows={rows}" if rows is not None else ""
+            click.echo(f"{label:<40}{secs:>9.3f}s{extra}", err=True)
+        click.echo(f"{'total':<40}{total:>9.3f}s", err=True)
+        self.records.clear()
+
+
 class Ctx:
     def __init__(
         self,
@@ -30,7 +72,9 @@ class Ctx:
         force_refresh: bool,
         only: tuple,
         last_only: bool = False,
+        profiler: bool = False,
     ):
+        self.profiler = Profiler() if profiler else None
         self.config = load_config(config_path)
         self.source = self.config["databases"]["source_uri"]
         self.dest = self.config["databases"]["destination_uri"]
@@ -93,13 +137,22 @@ class Ctx:
         if not self.no_cache and not self.force_refresh and self.cache.exists(key):
             click.echo(f"  using cache {key[:12]} ({self.cache.counts(key)})")
             return self.cache.load(self.spark, key)
-        frames = self.executor().execute(plan)
-        if not self.no_cache:
-            counts = self.cache.save(key, frames)
-            click.echo(f"  cached {key[:12]} ({counts})")
-            # the save materialized every frame — frontier caches are dead
-            release_pinned()
-            return self.cache.load(self.spark, key)
+        import contextlib
+
+        prof = (
+            self.profiler.timed(f"closure {plan.root_table}")
+            if self.profiler
+            else contextlib.nullcontext({"rows": None})
+        )
+        with prof as rec:
+            frames = self.executor().execute(plan)
+            if not self.no_cache:
+                counts = self.cache.save(key, frames)
+                rec["rows"] = sum(counts.values())
+                click.echo(f"  cached {key[:12]} ({counts})")
+                # the save materialized every frame — frontier caches are dead
+                release_pinned()
+                return self.cache.load(self.spark, key)
         return frames
 
 
@@ -110,9 +163,17 @@ class Ctx:
 @click.option("--only", multiple=True, help="restrict to query root table or index")
 @click.option("--last-only", is_flag=True, help="run only the last query of the config")
 @click.option("-y", "--yes", is_flag=True, help="assume yes (parity flag)")
+@click.option("--profiler", is_flag=True, help="per-query wall/row stats to stderr")
 @click.pass_context
-def cli(ctx, config, no_cache, force_refresh, only, last_only, yes):
-    ctx.obj = Ctx(config, no_cache, force_refresh, only, last_only)
+def cli(ctx, config, no_cache, force_refresh, only, last_only, yes, profiler):
+    ctx.obj = Ctx(config, no_cache, force_refresh, only, last_only, profiler)
+
+
+@cli.result_callback()
+@click.pass_obj
+def _report_profile(ctx: Ctx, *args, **kwargs):
+    if ctx.profiler:
+        ctx.profiler.report()
 
 
 @cli.command()
@@ -129,9 +190,16 @@ def load(ctx: Ctx):
         frames = ctx.run_closure(plan)
         for table, df in frames.items():
             pk = list(ctx.catalog.table(table).pk)
-            n = insert_ignore_parquet(
-                ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
+            prof = (
+                ctx.profiler.timed(f"insert {table}")
+                if ctx.profiler
+                else contextlib.nullcontext({"rows": None})
             )
+            with prof as rec:
+                n = insert_ignore_parquet(
+                    ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
+                )
+                rec["rows"] = n
             click.echo(f"  {table}: +{n} rows")
         release_pinned()
 

@@ -46,6 +46,19 @@ PK_QUERY = {
         WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = '{schema}'
         ORDER BY kcu.table_name, kcu.ordinal_position
     """,
+    # sqlite has no information_schema; the pragma table-valued
+    # functions (sqlite >= 3.16) joined over sqlite_master give the
+    # same one-query-per-database shape as the other dialects.
+    # Reference reflects sqlite through SQLAlchemy
+    # (/root/reference/dbcut/database.py:166-211, sqlite paths
+    # exercised at /root/reference/tests/test_cli.py:72-88).
+    "sqlite": """
+        SELECT m.name AS table_name, ti.name AS column_name,
+               ti.pk AS ordinal_position
+        FROM sqlite_master m, pragma_table_info(m.name) ti
+        WHERE m.type = 'table' AND m.name NOT LIKE 'sqlite_%' AND ti.pk > 0
+        ORDER BY m.name, ti.pk
+    """,
 }
 
 FK_QUERY = {
@@ -72,6 +85,20 @@ FK_QUERY = {
          AND ccu.table_schema = tc.table_schema
         WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '{schema}'
         ORDER BY tc.constraint_name, kcu.ordinal_position
+    """,
+    # fk.id numbers constraints within a table; the synthesized
+    # constraint name keeps multi-column FKs grouped exactly like the
+    # named constraints of the other dialects. fk."to" is NULL when a
+    # FK references the parent's implicit rowid PK — catalog_from_rows
+    # resolves that to the parent table's declared PK.
+    "sqlite": """
+        SELECT m.name AS child, fk."from" AS child_col,
+               fk."table" AS parent, fk."to" AS parent_col,
+               'fk_' || m.name || '_' || fk.id AS constraint_name,
+               fk.seq + 1 AS ordinal_position
+        FROM sqlite_master m, pragma_foreign_key_list(m.name) fk
+        WHERE m.type = 'table' AND m.name NOT LIKE 'sqlite_%'
+        ORDER BY constraint_name, fk.seq
     """,
 }
 
@@ -104,6 +131,15 @@ ESTIMATE_QUERY = {
         SELECT relname AS table_name, reltuples::bigint AS table_rows
         FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
         WHERE n.nspname = '{schema}' AND c.relkind = 'r'
+    """,
+    # populated by ANALYZE; the first integer of sqlite_stat1.stat is
+    # the estimated row count (same estimated-not-exact contract as the
+    # other dialects' statistics tables)
+    "sqlite": """
+        SELECT tbl AS table_name,
+               MAX(CAST(substr(stat || ' ', 1, instr(stat || ' ', ' ') - 1)
+                        AS INTEGER)) AS table_rows
+        FROM sqlite_stat1 GROUP BY tbl ORDER BY tbl
     """,
 }
 
@@ -153,12 +189,22 @@ def catalog_from_rows(
     for (child, _), rows in sorted(by_constraint.items()):
         rows.sort()
         parent = rows[0][2]
+        parent_cols = tuple(r[3] for r in rows)
+        if any(c is None for c in parent_cols):
+            # sqlite pragma_foreign_key_list reports "to" as NULL when
+            # the FK references the parent's implicit PK — resolve to
+            # the parent's declared/synthesized PK positionally
+            ppk = cat.tables[parent].pk if parent in cat.tables else ()
+            parent_cols = tuple(
+                c if c is not None else (ppk[i] if i < len(ppk) else c)
+                for i, c in enumerate(parent_cols)
+            )
         cat.fks.append(
             ForeignKey(
                 child,
                 tuple(r[1] for r in rows),
                 parent,
-                tuple(r[3] for r in rows),
+                parent_cols,
             )
         )
     return cat

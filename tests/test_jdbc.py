@@ -22,8 +22,67 @@ def test_reflection_sql_dialects():
             assert "mydb" in sql
             assert "information_schema" in sql or "pg_class" in sql
     assert "sqlite_master" in reflection_sql("tables", "sqlite", "")
+    assert "pragma_table_info" in reflection_sql("pk", "sqlite", "")
+    assert "pragma_foreign_key_list" in reflection_sql("fk", "sqlite", "")
+    assert "sqlite_stat1" in reflection_sql("estimate", "sqlite", "")
     with pytest.raises(ValueError):
-        reflection_sql("pk", "sqlite", "")  # sqlite PKs come from PRAGMA
+        reflection_sql("pk", "oracle", "x")
+
+
+def _sqlite_fixture():
+    """A real sqlite database shaped like the reference's Chinook-ish
+    test fixtures (composite FK + implicit-PK reference + PK-less
+    table) — the reflection SQL is executed for real, not string-
+    checked (reference sqlite reflection exercised at
+    /root/reference/tests/test_cli.py:72-88)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.executescript(
+        """
+        CREATE TABLE artist (artist_id INTEGER PRIMARY KEY, name TEXT);
+        CREATE TABLE album (
+            album_id INTEGER PRIMARY KEY,
+            artist_id INTEGER REFERENCES artist,   -- implicit-PK ref: "to" is NULL
+            title TEXT);
+        CREATE TABLE track (
+            disc INTEGER, no INTEGER, album_id INTEGER, name TEXT,
+            PRIMARY KEY (disc, no),
+            FOREIGN KEY (album_id) REFERENCES album (album_id));
+        CREATE TABLE log (entry_id INTEGER, msg TEXT);  -- no PK -> synthetic
+        INSERT INTO artist VALUES (1, 'a'), (2, 'b');
+        INSERT INTO album VALUES (10, 1, 't1'), (11, 2, 't2');
+        ANALYZE;
+        """
+    )
+    return con
+
+
+def test_sqlite_reflection_roundtrip():
+    con = _sqlite_fixture()
+    tables = [r[0] for r in con.execute(reflection_sql("tables", "sqlite", ""))]
+    assert tables == ["album", "artist", "log", "track"]
+    cols = {
+        t: [r[1] for r in con.execute(f"PRAGMA table_info({t})")] for t in tables
+    }
+    pk_rows = list(con.execute(reflection_sql("pk", "sqlite", "")))
+    fk_rows = list(con.execute(reflection_sql("fk", "sqlite", "")))
+    cat = catalog_from_rows(tables, cols, pk_rows, fk_rows)
+    assert cat.table("artist").pk == ("artist_id",)
+    assert cat.table("track").pk == ("disc", "no")  # composite, ordered
+    assert cat.table("log").synthetic_pk
+    fks = {(fk.child, fk.parent): fk for fk in cat.fks}
+    assert fks[("track", "album")].child_cols == ("album_id",)
+    assert fks[("track", "album")].parent_cols == ("album_id",)
+    # implicit-PK reference resolved to the parent's declared PK
+    assert fks[("album", "artist")].parent_cols == ("artist_id",)
+
+
+def test_sqlite_estimate_rows():
+    con = _sqlite_fixture()
+    est = dict(con.execute(reflection_sql("estimate", "sqlite", "")))
+    assert est.get("artist") == 2
+    assert est.get("album") == 2
 
 
 def test_catalog_from_rows_declared_and_synthetic_pk():

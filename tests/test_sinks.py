@@ -134,6 +134,20 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     )
     assert res4.exit_code == 0, res4.output
 
+    # --profiler: per-operation wall/rows stats streamed to stderr
+    # (reference db_profiling, /root/reference/dbcut/cli/operations.py:28-38)
+    res5 = runner.invoke(
+        cli,
+        ["-c", cfg_path, "--profiler", "--no-cache", "load"],
+        catch_exceptions=False,
+    )
+    assert res5.exit_code == 0, res5.output
+    err = res5.stderr
+    assert "-- profiler" in err
+    assert "closure customer" in err
+    assert "insert customer" in err and "rows=" in err
+    assert "total" in err
+
 
 def test_record_replay_cassette(spark, sf_dir, tmp_path):
     """A closure recorded through RecordingLoader must replay
