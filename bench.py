@@ -48,6 +48,12 @@ HEADLINE = [
     "events_hourly",
     "events_daily_rollup",
     "events_sessionize",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "dedup_incremental",
+    "pii_scan",
+    "docs_pack_sequences",
+    "docs_weighted_sample",
 ]
 
 

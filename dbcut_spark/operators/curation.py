@@ -1,0 +1,241 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+quality signals, benchmark decontamination, incremental (cross-corpus)
+dedup, and PII scan/redaction stats.
+
+These extend the dedup/similarity family (beyond-reference operators —
+the reference has no document pipeline; SURVEY.md §2 covers relational
+extraction only). All are pure Column algebra / equi-joins:
+
+- repetition: the Gopher-style "fraction of doc covered by its most
+  repeated n-gram" signals used to drop boilerplate/template docs.
+- decontamination: flag corpus docs sharing any word n-gram with a
+  benchmark/holdout set — the standard eval-leakage guard. The join
+  carries (doc_id, ngram) rows only.
+- incremental dedup: a new batch deduped AGAINST an existing corpus
+  (exact hash + MinHash/LSH near-dup) without re-clustering the whole
+  corpus — the shape of a recurring ingestion pipeline.
+- PII stats: regex detection counts + a redacted-text hash, all
+  JVM-side regexps.
+
+Scale notes: every join here is an equi-join on a hash/ngram/id key
+(shuffle keys are strings/longs, never documents); per-doc stats are
+one explode + two hash aggregations partitioned by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbcut_spark.functions.text import norm_text
+from dbcut_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) so the
+# oracle can recompute matches verbatim.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+1-555-[0-9]{4}", "<PHONE>"),
+    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), F.split(norm_text(text_col), " ").alias("w"))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    duplicate-word fraction and the fraction of word-bigram positions
+    covered by the single most frequent bigram. High values mark
+    boilerplate/templated documents that length/stopword scores miss.
+
+    Plan: one split projection, one bigram explode, two hash
+    aggregations keyed by doc_id — no joins wider than doc_id."""
+    w = _words(df, text_col, id_col)
+    base = w.select(
+        F.col(id_col),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("distinct_words"),
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bg = w.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.groupBy(id_col).agg(
+        F.max("cnt").alias("top_bigram_count"), F.sum("cnt").alias("n_bigrams")
+    )
+    return base.join(top, id_col, "left_outer").select(
+        F.col(id_col),
+        "n_words",
+        "distinct_words",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(1.0) - F.col("distinct_words") / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("top_bigram_count") / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, space-joined word n-gram) rows."""
+    w = _words(df, text_col, id_col)
+    ngrams = F.when(
+        F.size("w") >= n,
+        F.expr(
+            f"transform(sequence(0, size(w)-{n}), "
+            f"i -> array_join(slice(w, i+1, {n}), ' '))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        w.select(F.col(id_col), F.explode(ngrams).alias("ng"))
+        .distinct()
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its distinct word ``n``-grams appear anywhere in the benchmark set,
+    and a contaminated flag (any overlap). The standard guard against
+    eval-set leakage into training data.
+
+    Scale shape: both sides reduce to (id, ngram) rows; the overlap is
+    an equi-join on the ngram string (hash-shuffled, documents never
+    move), then a doc_id-keyed count. The benchmark side is typically
+    tiny — Spark's AQE broadcasts it when it fits."""
+    corpus_ng = _word_ngrams(corpus, text_col, id_col, n)
+    bench_ng = (
+        _word_ngrams(benchmark, text_col, id_col, n)
+        .select("ng")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # ONE pass: left-join the benchmark flag onto the corpus ngrams
+    # (each (id, ng) matches at most once — bench side is distinct),
+    # then a single doc_id aggregation yields total AND overlap counts —
+    # one ngram shuffle + one doc_id shuffle, not two of each.
+    per_doc = (
+        corpus_ng.join(bench_ng, "ng", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(per_doc, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contam_frac"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_new: Column,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING reference corpus: per new
+    document, ``is_exact_dup`` (normalized-text hash already present in
+    the reference) and ``is_near_dup`` (MinHash/LSH candidate pair
+    crossing the batch boundary with est_sim ≥ threshold). This is the
+    recurring-ingestion shape: the reference corpus is not re-clustered,
+    only probed.
+
+    Scale shape: the exact probe is an equi-join on a 32-char hash; the
+    near probe reuses the banded LSH join (id-pairs only) and filters to
+    boundary-crossing pairs."""
+    flagged = df.withColumn("__is_new", is_new)
+    newh = flagged.filter(F.col("__is_new")).select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias("__h")
+    )
+    refh = (
+        flagged.filter(~F.col("__is_new"))
+        .select(F.md5(norm_text(text_col)).alias("__h"))
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    exact = newh.join(refh, "__h", "left_outer").select(
+        F.col(id_col),
+        F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
+    )
+    sigs = minhash_signatures(flagged, text_col, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows).filter(
+        F.col("est_sim") >= threshold
+    )
+    fl = flagged.select(F.col(id_col), "__is_new")
+    near_ids = (
+        pairs.join(
+            fl.select(F.col(id_col).alias("doc_a"), F.col("__is_new").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            fl.select(F.col(id_col).alias("doc_b"), F.col("__is_new").alias("__nb")),
+            "doc_b",
+        )
+        .filter(F.col("__na") != F.col("__nb"))
+        .select(
+            F.when(F.col("__na"), F.col("doc_a")).otherwise(F.col("doc_b")).alias(id_col)
+        )
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return exact.join(near_ids, id_col, "left_outer").select(
+        F.col(id_col),
+        "is_exact_dup",
+        F.coalesce(F.col("__near"), F.lit(False)).alias("is_near_dup"),
+    )
+
+
+def pii_stats(df: DataFrame, text_col: str | Column, id_col: str) -> DataFrame:
+    """Per-document PII detection counts (emails / phones / IPv4) and
+    the md5 of the redacted text — detection + redaction in one
+    projection, all JVM-side regexps (no Python in the row path).
+    ``text_col`` may be a computed Column (the test corpus is synthetic
+    word-soup, so the registered query injects deterministic PII first
+    — the operator itself is the scan/redact)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}s")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    redacted = c
+    for pat, token in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -1,0 +1,56 @@
+"""Sequence packing — assign documents to fixed-token-budget training
+sequences (the packing step of a pretraining data pipeline: documents
+are concatenated in a deterministic order and chunked into
+``budget``-token sequences; documents may straddle a boundary, which
+the offsets record).
+
+Scale shape: packing is per-SHARD (the partition column — source,
+date, or an explicit shard key), exactly how production pipelines run
+it (each worker packs its own shard; global packing would serialize
+the whole corpus through one cumulative scan). Within a shard the
+running token offset is one window cumulative sum ordered by a
+deterministic content-hash order — a single hash-partition shuffle on
+the shard key, no global sort. The window is safe because a shard is
+one worker's unit of work by construction; the 100 TB corpus is many
+shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    shard_col: str,
+    budget: int,
+    order_col: Column | None = None,
+) -> DataFrame:
+    """Per-shard concat-and-chunk packing.
+
+    Returns one row per document: its shard, deterministic position,
+    token count, global start offset within the shard's concatenated
+    stream, the sequence index (``start_off // budget``) and offset
+    within that sequence. ``order_col`` defaults to the md5 of the id —
+    a reproducible shuffle that decorrelates adjacent documents (the
+    usual bias guard), identical across runs/engines.
+    """
+    order = order_col if order_col is not None else F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(shard_col).orderBy(order.asc(), F.col(id_col).asc())
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("start_off")
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        start,
+    ).select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.col("start_off").cast("long").alias("start_off"),
+        F.floor(F.col("start_off") / budget).cast("long").alias("seq_id"),
+        (F.col("start_off") % budget).cast("long").alias("off_in_seq"),
+    )

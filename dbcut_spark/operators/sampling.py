@@ -59,6 +59,27 @@ def stratified_hash_sample(
     return df.filter(cond if cond is not None else F.lit(False))
 
 
+def hash_fraction(id_col: Column | str, salt: str = "") -> Column:
+    """Uniform [0,1) value derived from the id hash — the per-row
+    variable-rate generalization of :func:`hash_bucket`'s fixed
+    threshold (``conv(hex,16,10)/2³²``, identical in DuckDB via
+    ``CAST('0x'||hex AS BIGINT)``)."""
+    return F.conv(hash_bucket(id_col, salt), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight: Column, salt: str = ""
+) -> DataFrame:
+    """Keep each row with its OWN probability (``weight``, clamped to
+    [0,1]) — quality-weighted / curriculum sampling, deterministic:
+    the same row with the same weight is kept in every run, engine,
+    and partitioning. One projection+filter, shuffle-free."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_fraction(id_col, salt) < w)
+
+
 def train_holdout_split(
     df: DataFrame, id_col: str, holdout_fraction: float = 0.1, salt: str = ""
 ) -> DataFrame:

@@ -1038,3 +1038,264 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         centroids=centroids,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): repetition signals,
+# decontamination, incremental dedup, PII scan
+# ---------------------------------------------------------------------------
+
+from dbcut_spark.operators import curation as cur  # noqa: E402
+
+
+@register(
+    "text_repetition",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+             CAST(len(list_distinct(words)) AS INT) AS distinct_words
+      FROM w),
+    bg AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+      FROM w, unnest(range(1, greatest(len(words), 1))) g(i)),
+    cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(cnt) AS top_bigram_count,
+                   sum(cnt) AS n_bigrams FROM cnts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words, b.distinct_words,
+           round(CASE WHEN b.n_words > 0
+                      THEN 1.0 - b.distinct_words * 1.0 / b.n_words
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           COALESCE(t.top_bigram_count, 0) AS top_bigram_count,
+           round(CASE WHEN COALESCE(t.n_bigrams, 0) > 0
+                      THEN t.top_bigram_count * 1.0 / t.n_bigrams
+                      ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id) ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    and most-frequent-bigram coverage — the filters that catch
+    boilerplate/templated documents that length/stopword scores miss."""
+    return cur.repetition_stats(
+        tp(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_ngrams",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_i,
+             string_split(lower(trim(text)), ' ') AS words
+      FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, src_i,
+             array_to_string(words[i:i+3], ' ') AS ng
+      FROM w, unnest(range(1, greatest(len(words) - 2, 1))) g(i)),
+    bn AS (SELECT DISTINCT ng FROM ng WHERE src_i = 19),
+    totals AS (
+      SELECT doc_id, count(*) AS n_ngrams FROM ng WHERE src_i <> 19
+      GROUP BY doc_id),
+    ov AS (
+      SELECT n.doc_id, count(*) AS n_overlap
+      FROM ng n JOIN bn USING (ng) WHERE n.src_i <> 19 GROUP BY n.doc_id)
+    SELECT w.doc_id,
+           COALESCE(t.n_ngrams, 0) AS n_ngrams,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           round(CASE WHEN COALESCE(t.n_ngrams, 0) > 0
+                      THEN COALESCE(o.n_overlap, 0) * 1.0 / t.n_ngrams
+                      ELSE 0.0 END, 6) AS contam_frac,
+           COALESCE(o.n_overlap, 0) > 0 AS contaminated
+    FROM w LEFT JOIN totals t USING (doc_id) LEFT JOIN ov o USING (doc_id)
+    WHERE w.src_i <> 19 ORDER BY w.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs (sources src0-18)
+    sharing any word 4-gram with the held-out benchmark set (src19) —
+    the standard eval-leakage guard before training. (Real pipelines
+    use ~13-grams; 4 is tuned to this synthetic corpus' short template
+    docs so the flag actually fires — ~5% of docs at sf0.01.)"""
+    d = tp(spark, sf_dir, "documents")
+    src_i = F.substring("source", 4, 10).cast("int")
+    return cur.ngram_overlap(
+        d.filter(src_i != 19), d.filter(src_i == 19), "text", "doc_id", n=4
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental",
+    sql="WITH "
+    + _minhash_cand_ctes()
+    + """
+    , flags AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+      FROM documents),
+    refh AS (
+      SELECT DISTINCT md5(lower(trim(d.text))) AS h
+      FROM documents d JOIN flags f USING (doc_id) WHERE NOT f.is_new),
+    near_ids AS (
+      SELECT DISTINCT CASE WHEN fa.is_new THEN s.doc_a ELSE s.doc_b END AS doc_id
+      FROM scored s
+      JOIN flags fa ON fa.doc_id = s.doc_a
+      JOIN flags fb ON fb.doc_id = s.doc_b
+      WHERE s.est_sim >= 0.5 AND fa.is_new <> fb.is_new)
+    SELECT d.doc_id,
+           md5(lower(trim(d.text))) IN (SELECT h FROM refh) AS is_exact_dup,
+           d.doc_id IN (SELECT doc_id FROM near_ids) AS is_near_dup
+    FROM documents d JOIN flags f USING (doc_id)
+    WHERE f.is_new ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the 'new batch' (sources src10-19) deduped
+    AGAINST the existing corpus (src0-9) — exact hash probe + LSH
+    near-dup probe, without re-clustering the reference side. The
+    recurring-ingestion shape of a production dedup pipeline."""
+    d = tp(spark, sf_dir, "documents")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    return cur.incremental_dedup(d, "text", "doc_id", is_new).orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    email_pat, email_tok = cur.PII_PATTERNS["email"]
+    phone_pat, phone_tok = cur.PII_PATTERNS["phone"]
+    ip_pat, ip_tok = cur.PII_PATTERNS["ip"]
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t, '{email_pat}')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(t, '{phone_pat}')) AS INT) AS n_phones,
+           CAST(length(regexp_extract_all(t, '{ip_pat}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{email_pat}', '{email_tok}', 'g'),
+                 '{phone_pat}', '{phone_tok}', 'g'),
+                 '{ip_pat}', '{ip_tok}', 'g')) AS redacted_hash
+    FROM aug ORDER BY doc_id
+    """
+
+
+@register("pii_scan", sql=_pii_sql())
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction stats (emails / phones / IPv4 counts,
+    md5 of the redacted text). The synthetic corpus contains no PII, so
+    the query first injects deterministic fixture PII keyed by doc_id —
+    identically in the oracle — and the operator under test is the
+    regex scan/redact projection itself (operators/curation.pii_stats,
+    all JVM-side regexps)."""
+    d = tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return cur.pii_stats(d, aug, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + weighted sampling (operators/packing.py, sampling.py)
+# ---------------------------------------------------------------------------
+
+from dbcut_spark.operators.packing import pack_sequences  # noqa: E402
+from dbcut_spark.operators.sampling import weighted_hash_sample  # noqa: E402
+
+
+@register(
+    "docs_pack_sequences",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), ' +')) END AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+      FROM toks)
+    SELECT doc_id, source, n_tokens, start_off,
+           start_off // 256 AS seq_id,
+           start_off % 256 AS off_in_seq
+    FROM o ORDER BY doc_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents concatenated per source shard in a
+    deterministic hash order and chunked into 256-token training
+    sequences (docs may straddle boundaries; offsets record where).
+    The packing step of a pretraining pipeline — per-shard window
+    cumsum, one shuffle on the shard key, no global sort
+    (operators/packing.py)."""
+    d = tp(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", ws_token_count("text").alias("n_tokens"))
+    return pack_sequences(toks, "doc_id", "n_tokens", "source", 256).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), ' +')) END AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens
+    FROM toks
+    WHERE CAST('0x' || substr(md5('qw:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0
+          < least(n_tokens, 80) / 80.0 * 0.5
+    ORDER BY doc_id
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document kept with
+    probability proportional to a quality signal (here min(tokens,80)/80
+    × 0.5) — curriculum/quality-mix sampling that is reproducible across
+    runs, engines, and partitionings (operators/sampling.py:
+    weighted_hash_sample)."""
+    d = tp(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", ws_token_count("text").alias("n_tokens"))
+    weight = F.least(F.col("n_tokens"), F.lit(80)) / F.lit(80.0) * F.lit(0.5)
+    return weighted_hash_sample(toks, "doc_id", weight, salt="qw:").orderBy(
+        "doc_id"
+    )

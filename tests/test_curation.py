@@ -1,0 +1,92 @@
+"""Semantics tests for corpus-curation operators (oracle parity covers
+the registered queries; these pin intended behavior on edge cases)."""
+
+from pyspark.sql import functions as F
+
+from dbcut_spark.operators import curation as cur
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated
+            (2, "w x y z"),          # all distinct
+            (3, "solo"),             # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cur.repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1]["n_words"] == 4 and out[1]["distinct_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_bigram_count"] == 3 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_frac"] == 0.333333
+    assert out[3]["top_bigram_count"] == 0 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_ngram_overlap_flags_only_real_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # contains benchmark 4-gram
+            (2, "completely unrelated words entirely here"),
+            (3, "too short"),                        # shorter than n -> 0 ngrams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cur.ngram_overlap(corpus, bench, "text", "doc_id", n=4).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_ngrams"] == 0 and not out[3]["contaminated"]
+    assert len(out) == 3  # benchmark docs never appear in the output
+
+
+def test_incremental_dedup_exact_and_near(spark):
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near_text = ref_text.replace("theta", "thetaX", 1)  # one token differs
+    df = spark.createDataFrame(
+        [
+            (1, ref_text, False),
+            (2, "totally different reference content here", False),
+            (10, ref_text.upper(), True),   # exact after normalization
+            (11, near_text, True),          # near dup of 1
+            (12, "brand new unseen content with fresh words", True),
+        ],
+        ["doc_id", "text", "new"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cur.incremental_dedup(df, "text", "doc_id", F.col("new")).collect()
+    }
+    assert set(out) == {10, 11, 12}  # only the new batch is emitted
+    assert out[10]["is_exact_dup"] and out[10]["is_near_dup"]
+    assert not out[11]["is_exact_dup"] and out[11]["is_near_dup"]
+    assert not out[12]["is_exact_dup"] and not out[12]["is_near_dup"]
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.com or call +1-555-0199"),
+            (2, "server at 10.0.3.77 and 192.168.0.1 up"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cur.pii_stats(df, "text", "doc_id").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_ips"] == 2
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ips"] == 0
+    # redaction changes the hash only when something was redacted
+    import hashlib
+
+    raw3 = hashlib.md5(b"nothing sensitive here").hexdigest()
+    assert out[3]["redacted_hash"] == raw3
+    raw1 = hashlib.md5(
+        b"mail me at jane.doe@example.com or call +1-555-0199"
+    ).hexdigest()
+    assert out[1]["redacted_hash"] != raw1
