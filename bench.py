@@ -54,6 +54,7 @@ HEADLINE = [
     "pii_scan",
     "docs_pack_sequences",
     "docs_weighted_sample",
+    "corpus_curate",
 ]
 
 

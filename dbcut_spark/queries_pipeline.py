@@ -1299,3 +1299,139 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(toks, "doc_id", weight, salt="qw:").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: end-to-end corpus curation decision
+# ---------------------------------------------------------------------------
+
+
+def _corpus_curate_sql(
+    k: int = 16, band_rows: int = 4, sim_threshold: float = 0.5,
+    rep_threshold: float = 0.65, ngram_n: int = 4, bench_src: int = 19,
+) -> str:
+    """One statement composing the dedup-cluster closure, repetition
+    signal, and benchmark-contamination CTEs into the final keep/drop
+    decision — the oracle proves the composed Spark pipeline end-to-end,
+    not just each stage."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cand_ctes(k, band_rows)
+        + f"""
+    , simp AS (
+      SELECT doc_a, doc_b FROM scored WHERE est_sim >= {sim_threshold}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM simp
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM simp),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+    comp AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    rw AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+      FROM documents),
+    rbg AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+      FROM rw, unnest(range(1, greatest(len(words), 1))) g(i)),
+    rep AS (
+      SELECT w.doc_id,
+             round(CASE WHEN len(w.words) > 0
+                        THEN 1.0 - len(list_distinct(w.words)) * 1.0 / len(w.words)
+                        ELSE 0.0 END, 6) AS dup_word_frac
+      FROM rw w),
+    cw AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_i,
+             string_split(lower(trim(text)), ' ') AS words
+      FROM documents),
+    cng AS (
+      SELECT DISTINCT doc_id, src_i,
+             array_to_string(words[i:i+{ngram_n - 1}], ' ') AS ng
+      FROM cw, unnest(range(1, greatest(len(words) - {ngram_n - 2}, 1))) g(i)),
+    cbn AS (SELECT DISTINCT ng FROM cng WHERE src_i = {bench_src}),
+    cont AS (
+      SELECT n.doc_id, count(*) > 0 AS contaminated
+      FROM cng n JOIN cbn USING (ng) WHERE n.src_i <> {bench_src}
+      GROUP BY n.doc_id)
+    SELECT d.doc_id,
+           comp.cluster_id,
+           (comp.cluster_id = d.doc_id) AS is_canonical,
+           COALESCE(cont.contaminated, FALSE) AS contaminated,
+           rep.dup_word_frac,
+           CASE WHEN CAST(substr(d.source, 4) AS INT) = {bench_src} THEN 'benchmark'
+                WHEN comp.cluster_id <> d.doc_id THEN 'duplicate'
+                WHEN COALESCE(cont.contaminated, FALSE) THEN 'contaminated'
+                WHEN rep.dup_word_frac > {rep_threshold} THEN 'repetitive'
+                ELSE 'keep' END AS reason,
+           CASE WHEN CAST(substr(d.source, 4) AS INT) = {bench_src} THEN 'benchmark'
+                WHEN comp.cluster_id <> d.doc_id THEN 'duplicate'
+                WHEN COALESCE(cont.contaminated, FALSE) THEN 'contaminated'
+                WHEN rep.dup_word_frac > {rep_threshold} THEN 'repetitive'
+                ELSE 'keep' END = 'keep' AS keep
+    FROM documents d
+    JOIN comp USING (doc_id)
+    JOIN rep USING (doc_id)
+    LEFT JOIN cont USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@register("corpus_curate", sql=_corpus_curate_sql())
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision — the pipeline a training-data run
+    actually executes, composed from the individual operators: LSH
+    near-dup clusters (keep one canonical per cluster), benchmark
+    contamination (4-gram overlap vs the src19 holdout), and the
+    repetition quality gate, with a precedence-ordered drop reason.
+    Benchmark docs are excluded by definition; lang-ID stays
+    informational (the synthetic corpus mislabels ~64% of docs, so a
+    lang gate would dominate every other signal). The oracle recomputes
+    the COMPOSED pipeline in one SQL statement, proving stage wiring,
+    not just stage outputs."""
+    d = tp(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).filter(
+        F.col("est_sim") >= 0.5
+    )
+    comp = dd.connected_components(pairs, "doc_a", "doc_b")
+    labeled = d.select("doc_id", "source").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    rep = cur.repetition_stats(d, "text", "doc_id").select(
+        "doc_id", "dup_word_frac"
+    )
+    src_i = F.substring("source", 4, 10).cast("int")
+    cont = cur.ngram_overlap(
+        d.filter(src_i != 19), d.filter(src_i == 19), "text", "doc_id", n=4
+    ).select("doc_id", "contaminated")
+    j = (
+        labeled.join(rep, "doc_id")
+        .join(cont, "doc_id", "left_outer")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+    )
+    reason = (
+        F.when(F.substring("source", 4, 10).cast("int") == 19, F.lit("benchmark"))
+        .when(F.col("cluster_id") != F.col("doc_id"), F.lit("duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("dup_word_frac") > 0.65, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        j.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+            "contaminated",
+            "dup_word_frac",
+            reason.alias("reason"),
+            (reason == "keep").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
