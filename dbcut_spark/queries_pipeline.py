@@ -1404,8 +1404,19 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
     )
-    rep = cur.repetition_stats(d, "text", "doc_id").select(
-        "doc_id", "dup_word_frac"
+    # only the duplicate-word fraction feeds the decision — computing it
+    # directly skips repetition_stats' bigram explode + two aggregations
+    # (Catalyst can't prune the bigram join away: it can't prove the
+    # grouped side is unique per doc_id)
+    rep = d.select("doc_id", F.split(norm_text("text"), " ").alias("w")).select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.size("w") > 0,
+                F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
     )
     src_i = F.substring("source", 4, 10).cast("int")
     cont = cur.ngram_overlap(

@@ -149,3 +149,40 @@ def test_lsh_ann_shuffles_ids_only(spark, sf_dir):
     assert dedup_outputs and all("vec" not in out for out in dedup_outputs)
     # top-k is a group-limit (per-partition heaps), not a full sort+filter
     assert "WindowGroupLimit" in plan
+
+
+def test_curation_queries_stay_jvm_side(spark, sf_dir):
+    """The round-2 curation family is pure Column algebra — no Python
+    evaluation stages anywhere."""
+    for name in [
+        "text_repetition",
+        "decontaminate_ngrams",
+        "dedup_incremental",
+        "pii_scan",
+        "docs_pack_sequences",
+        "docs_weighted_sample",
+        "corpus_curate",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "CartesianProduct" not in plan, f"{name} has a cross join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing must shuffle ONCE on the shard key (the window) plus the
+    final presentation sort — never a global single-partition window."""
+    df = QUERIES["docs_pack_sequences"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pii_scan_is_one_projection(spark, sf_dir):
+    """Detection + redaction fuse into a single projection over the
+    scan: no joins, no aggregation."""
+    plan = plan_of(spark, sf_dir, "pii_scan")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan and "Aggregate" not in plan, plan
