@@ -55,6 +55,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_weighted_sample",
     "corpus_curate",
+    "corpus_stats",
 ]
 
 

@@ -1446,3 +1446,46 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_stats",
+    sql="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(nt), 6) AS avg_tokens,
+           round(CAST(quantile_cont(nt, 0.5) AS DOUBLE), 6) AS p50_tokens,
+           round(CAST(quantile_cont(nt, 0.9) AS DOUBLE), 6) AS p90_tokens
+    FROM (
+      SELECT source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), ' +')) END AS DOUBLE) AS nt
+      FROM documents)
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc count, token totals/mean, and
+    EXACT p50/p90 token percentiles — the mix-monitoring dashboard a
+    data pipeline runs per ingest. Exact `percentile` sorts each
+    group's values; token counts are integer-valued doubles < 2^53 so
+    sums/avgs are order-independent and oracle-exact, and the
+    interpolated percentiles agree with DuckDB's quantile_cont after
+    round(6). At 100 TB swap `percentile` for `approx_percentile`
+    (same call shape, t-digest sketch, no per-group sort) — exact
+    percentiles are for bounded-cardinality profiling like this
+    per-source rollup."""
+    d = tp(spark, sf_dir, "documents")
+    toks = d.select("source", ws_token_count("text").cast("double").alias("nt"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("nt"), 6).alias("avg_tokens"),
+            F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )
