@@ -194,3 +194,37 @@ def dedup_stream(
     exact-dedup operator (operators/dedup.py)."""
     keys = key_cols or ["event_id"]
     return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def incremental_dedup_stream(
+    doc_stream: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the batch incremental dedup
+    (operators/curation.py:incremental_dedup, exact-probe half): a
+    stream of incoming documents is flagged against a STATIC reference
+    corpus via a stream-static left-outer equi-join on the normalized
+    content hash. Stream-static joins are stateless on the stream side
+    — each micro-batch probes the reference (broadcast when small,
+    shuffled equi-join otherwise), so state never grows with stream
+    length; that is what makes continuous ingest dedup viable. The
+    near-dup (LSH) probe composes the same way: signatures are a
+    per-row projection and the band join is also stream-static.
+    """
+    from dbcut_spark.functions.text import norm_text
+
+    refh = (
+        reference.select(F.md5(norm_text(text_col)).alias("__h"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        doc_stream.withColumn("__h", F.md5(norm_text(text_col)))
+        .join(refh, "__h", "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_exact_dup"),
+        )
+    )

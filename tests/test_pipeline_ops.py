@@ -411,3 +411,44 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     tail = plan.split("PartitionFilters", 1)
     assert len(tail) == 2 and "cluster_id" in tail[1][:250]
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static incremental dedup must produce exactly the
+    batch exact-dup flags once the stream drains (stream side carries
+    no state; each micro-batch probes the static reference)."""
+    from dbcut_spark.operators.curation import incremental_dedup
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import incremental_dedup_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    src_i = F.substring("source", 4, 10).cast("int")
+    new, ref = docs.filter(src_i >= 10), docs.filter(src_i < 10)
+
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    new.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    q = (
+        incremental_dedup_stream(stream, ref)
+        .writeStream.format("memory")
+        .queryName("incdedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["is_exact_dup"] for r in spark.table("incdedup_test").collect()
+    }
+    batch = {
+        r["doc_id"]: r["is_exact_dup"]
+        for r in incremental_dedup(docs, "text", "doc_id", src_i >= 10).collect()
+    }
+    assert got == batch
