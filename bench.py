@@ -56,6 +56,8 @@ HEADLINE = [
     "docs_weighted_sample",
     "corpus_curate",
     "corpus_stats",
+    "vocab_build",
+    "tfidf_top_terms",
 ]
 
 

@@ -1489,3 +1489,111 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + TF-IDF (corpus indexing ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_build",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT tok, count(*) AS term_count,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM tok WHERE length(tok) > 0 GROUP BY tok)
+    SELECT CAST(row_number() OVER (ORDER BY term_count DESC, tok) AS INT) AS token_id,
+           tok, term_count, doc_freq
+    FROM tf
+    QUALIFY token_id <= 100
+    ORDER BY token_id
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-100 tokens by corpus frequency with
+    stable ids (count desc, token asc — deterministic across runs and
+    engines) plus document frequency. The tokenizer-training front half
+    of a text pipeline: one explode + one hash aggregation; the top-k
+    is a TakeOrdered over the (small) distinct-token set, not a global
+    sort of the corpus."""
+    d = tp(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(norm_text("text"), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+    # TakeOrderedAndProject first (distributed per-partition heaps),
+    # THEN number the ≤100 survivors — a bare global row_number window
+    # would single-partition-sort the whole distinct-token set
+    top = tf.orderBy(F.col("term_count").desc(), F.col("tok").asc()).limit(100)
+    w = Window.orderBy(F.col("term_count").desc(), F.col("tok").asc())
+    return (
+        top.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .select("token_id", "tok", "term_count", "doc_freq")
+        .orderBy("token_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM tok WHERE length(tok) > 0 GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((SELECT n FROM n) * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (raw tf × ln(N/df)) — the
+    classic keyword/feature extraction pass. Round(6) absorbs the
+    last-ulp libm differences between JVM and DuckDB ln. Plan: explode
+    → (doc, tok) agg → token-keyed df join (token table is small →
+    broadcast under AQE) → per-doc windowed top-k."""
+    d = tp(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
