@@ -58,6 +58,7 @@ HEADLINE = [
     "corpus_stats",
     "vocab_build",
     "tfidf_top_terms",
+    "substring_dup_frac",
 ]
 
 

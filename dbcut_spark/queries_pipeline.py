@@ -1597,3 +1597,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "substring_dup_frac",
+    sql="""
+    WITH sh20 AS (
+      SELECT DISTINCT doc_id, substr(t, i, 20) AS sh FROM (
+        SELECT doc_id, lower(trim(text)) AS t,
+               unnest(range(1, greatest(length(trim(text)) - 19, 1) + 1)) AS i
+        FROM documents)),
+    freq AS (
+      SELECT sh, count(*) AS n_docs FROM sh20 GROUP BY sh)
+    SELECT s.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac
+    FROM sh20 s JOIN freq f USING (sh)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring duplication: per doc, the fraction of
+    its distinct 20-char windows that appear in at least one OTHER
+    document — the substring-level dedup signal (à la 'Deduplicating
+    Training Data Makes Language Models Better') that catches shared
+    boilerplate exact-hash and doc-level near-dup passes miss. Plan:
+    one shingle explode, a shingle-keyed frequency aggregation, and a
+    doc-keyed roll-up — shuffles carry (doc_id, window) rows only; at
+    100 TB the window strings would be md5'd to fixed width first
+    (identical plan shape)."""
+    d = tp(spark, sf_dir, "documents")
+    sh20 = dd.shingle_rows(d, "text", "doc_id", n=20)
+    freq = sh20.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        sh20.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
