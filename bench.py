@@ -59,6 +59,7 @@ HEADLINE = [
     "vocab_build",
     "tfidf_top_terms",
     "substring_dup_frac",
+    "ivf_cluster_profile",
 ]
 
 

@@ -1643,3 +1643,98 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _ivf_profile_sql() -> str:
+    """Oracle for the IVF cluster profile — same embedded-centroid
+    assignment CTE as :func:`_ivf_ann_sql`, rolled up per cluster."""
+    import numpy as np
+
+    rows = []
+    for entry in sim.ivf_artifact():
+        arr = np.array(entry["centroids"], dtype=np.float64)
+        c2 = (arr * arr).sum(axis=1)
+        for i, comp in enumerate(entry["centroids"]):
+            rows.append(
+                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
+                f"{comp!r}, {c2[i]!r})".replace("'", "")
+            )
+    cent_values = ", ".join(rows)
+    return f"""
+    WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
+    cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
+    cs AS (SELECT c.c_idx, c.comp, c.c2
+           FROM cent c, fp WHERE c.n = fp.n AND c.slab = fp.slab),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE vec_id >= 10),
+    assign AS (
+      SELECT vec_id, c_idx AS cluster_id,
+             -2 * dot + c2 AS d_rel
+      FROM (
+        SELECT v.vec_id, cs.c_idx, cs.c2,
+               list_dot_product(v.e, cs.comp) AS dot,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY -2 * list_dot_product(v.e, cs.comp) + cs.c2, cs.c_idx) AS rn
+        FROM v, cs)
+      WHERE rn = 1)
+    SELECT cluster_id, count(*) AS n_vectors,
+           round(min(d_rel), 6) AS min_drel, round(max(d_rel), 6) AS max_drel
+    FROM assign GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@register("ivf_cluster_profile", sql=_ivf_profile_sql())
+def ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index introspection: per-cluster candidate counts and the
+    spread of the (relative) assignment distance -2·x·c + ||c||² — the
+    balance check an operator runs before trusting an inverted-file
+    index (a skewed cluster histogram means probes hit hot buckets and
+    nprobe recall degrades). Uses the committed quantizer artifact, so
+    the oracle recomputes the identical assignment from SQL literals."""
+    import pandas as pd  # noqa: F401  (pandas_udf dependency)
+
+    e = tp(spark, sf_dir, "embeddings")
+    cands = e.filter(F.col("vec_id") >= 10)
+    centroids = sim.stored_centroids(sf_dir)
+    if centroids is None:
+        key = (sf_dir, 16)
+        if key not in _IVF_CENTROIDS:
+            _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
+        centroids = _IVF_CENTROIDS[key]
+    import numpy as np
+
+    arr = np.array(centroids, dtype=np.float64)
+    c2 = [float(x) for x in (arr * arr).sum(axis=1)]
+    assign1 = sim._nearest_centroids_udf(centroids, 1)
+    c2_arr = F.array(*[F.lit(x) for x in c2])
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = cands.select(
+        F.element_at(assign1(F.col("embedding")), 1).alias("cluster_id"),
+        F.col("embedding"),
+    ).select(
+        "cluster_id",
+        (
+            F.lit(-2.0)
+            * F.aggregate(
+                F.zip_with(
+                    F.element_at(cent_arr, F.col("cluster_id") + 1),
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    lambda c, x: c * x,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.element_at(c2_arr, F.col("cluster_id") + 1)
+        ).alias("d_rel"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("d_rel"), 6).alias("min_drel"),
+            F.round(F.max("d_rel"), 6).alias("max_drel"),
+        )
+        .orderBy("cluster_id")
+    )
