@@ -60,6 +60,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "substring_dup_frac",
     "ivf_cluster_profile",
+    "embedding_quantize_int8",
 ]
 
 

@@ -578,3 +578,25 @@ def ivf_topk(
         .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("query_id", "rnk")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) ∈ [-127, 127]. The storage/transport
+    compression step of an embedding pipeline (4× smaller than
+    float32; dot products on int8 + per-vector scales reconstruct
+    cosine to ~1e-3). Pure Column algebra — one projection, no UDF,
+    no shuffle; zero vectors keep scale 0 and quantize to zeros."""
+    x = _as_double(F.col(vec_col))
+    amax = F.aggregate(x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
+    scale = amax / F.lit(127.0)
+    q = F.when(scale > 0, F.transform(x, lambda v: F.round(v / scale).cast("int"))).otherwise(
+        F.transform(x, lambda v: F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"),
+    )

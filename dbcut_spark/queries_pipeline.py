@@ -1738,3 +1738,29 @@ def ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+               AS scale
+      FROM v)
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(e, x -> CAST(round(x / scale) AS INT))
+                ELSE list_transform(e, x -> 0) END AS q
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    (operators/similarity.py:quantize_int8) — the 4× compression step
+    before ANN index storage. Both engines compute round-half-away on
+    identical doubles, so the oracle is value-exact."""
+    return sim.quantize_int8(tp(spark, sf_dir, "embeddings")).orderBy("vec_id")

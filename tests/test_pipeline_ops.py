@@ -452,3 +452,23 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in incremental_dedup(docs, "text", "doc_id", src_i >= 10).collect()
     }
     assert got == batch
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """Quantized codes stay in [-127,127]; dequantized vectors (q *
+    scale) reconstruct cosine similarity vs the original to ~1e-3."""
+    from dbcut_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(100)
+    q = sim.quantize_int8(e)
+    joined = e.join(q, "vec_id").select(
+        "vec_id",
+        sim.cosine(
+            F.col("embedding"),
+            F.transform(F.col("q"), lambda x: x.cast("double") * F.col("scale")),
+        ).alias("cos_recon"),
+        F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).alias("max_abs_q"),
+    )
+    rows = joined.collect()
+    assert all(r["max_abs_q"] <= 127 for r in rows)
+    assert all(r["cos_recon"] > 0.999 for r in rows)
