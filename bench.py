@@ -61,6 +61,8 @@ HEADLINE = [
     "substring_dup_frac",
     "ivf_cluster_profile",
     "embedding_quantize_int8",
+    "events_enriched",
+    "events_json_extract",
 ]
 
 

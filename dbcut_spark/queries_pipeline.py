@@ -1764,3 +1764,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ANN index storage. Both engines compute round-half-away on
     identical doubles, so the oracle is value-exact."""
     return sim.quantize_int8(tp(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Event enrichment + semi-structured extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_enriched",
+    sql="""
+    SELECT n.n_name AS nation, e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment: the event stream joined to broadcast
+    customer/nation dims, rolled up per (nation, event_type). The
+    fact side streams through one scan; both dims broadcast (pinned
+    by the dimension-broadcast plan test pattern) — the standard
+    enrichment shape for a 100 TB fact table. Value sums route
+    through DECIMAL so they are order-insensitive and oracle-exact."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("nation", "event_type")
+    )
+
+
+@register(
+    "events_json_extract",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the JSON `props` payload parsed
+    JVM-side (`get_json_object`, codegen — never a Python json.loads)
+    and aggregated per event type. Integer payloads keep the sums
+    order-insensitive. At scale this is the shape for sparse
+    event properties: extract the fields you need in the scan
+    projection so column pruning still applies to everything else."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -186,3 +186,18 @@ def test_pii_scan_is_one_projection(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pii_scan")
     plan = plan.split("== Initial Plan ==")[0]
     assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_events_enrichment_dims_broadcast(spark, sf_dir):
+    """Fact-side enrichment: customer and nation must both broadcast —
+    the events fact table never shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "events_enriched")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_json_extract_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_json_extract")
+    assert "EvalPython" not in plan
+    assert "get_json_object" in plan
