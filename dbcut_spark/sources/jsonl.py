@@ -1,0 +1,50 @@
+"""JSONL (newline-delimited JSON) source/sink for document corpora.
+
+Web-scale text corpora ship as JSONL shards (one document object per
+line) at least as often as parquet; this is the ingest/egress pair for
+that format. Two rules that matter at 100 TB:
+
+- **Always pass an explicit schema on read.** Schema inference scans
+  the data once before the real read — a full extra pass over the
+  corpus — and can mis-type sparse fields from whichever shard it
+  samples. (`spark.read.schema(...).json(...)` skips inference.)
+- **Write compressed shards.** Line-JSON is ~3-5× larger than
+  parquet; gzip (the JSON writer's widest-supported codec) narrows
+  the gap. Sharding comes from the dataframe's partitioning —
+  `repartition(n)` before write controls file count; one gzip shard
+  is one task on read (gzip is not splittable), so keep shards
+  ~100-500 MB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def write_documents_jsonl(
+    df: DataFrame, path: str, compression: str = "gzip", shards: int | None = None
+) -> None:
+    """Write a documents frame as (compressed) JSONL shards."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read JSONL documents with an explicit schema (no inference pass).
+    Unparseable lines surface in `_corrupt_record` under the default
+    PERMISSIVE mode rather than failing the job — count them before
+    trusting an external drop."""
+    return spark.read.schema(schema or DOCUMENTS_SCHEMA).json(path)

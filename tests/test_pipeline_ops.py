@@ -472,3 +472,45 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
     rows = joined.collect()
     assert all(r["max_abs_q"] <= 127 for r in rows)
     assert all(r["cos_recon"] > 0.999 for r in rows)
+
+
+def test_connected_components_randomized_vs_unionfind(spark):
+    """20 seeded random graphs: the distributed star-rounds labeling
+    must equal a pure-Python union-find ground truth (guards the
+    convergence predicate on shapes no hand-written case covers)."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(20):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        truth = {x: find(x) for x in nodes}
+
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["id"]: r["component"]
+            for r in dd.connected_components(df, small_graph_edges=0).collect()
+        }
+        assert got == truth, f"trial {trial}: {sorted(edges)}"

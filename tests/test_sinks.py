@@ -177,3 +177,24 @@ def test_record_replay_cassette(spark, sf_dir, tmp_path):
 
     with _pytest.raises(KeyError):
         ReplayLoader(spark, cassette)("embeddings")
+
+
+def test_jsonl_documents_roundtrip(spark, sf_dir, tmp_path):
+    """parquet → JSONL shards → read-back must be value-identical, and
+    the explicit-schema read must not run an inference pass (schema
+    equality pinned)."""
+    from dbcut_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+    from dbcut_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out, shards=3)
+    back = read_documents_jsonl(spark, out)
+    assert back.schema == DOCUMENTS_SCHEMA
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
