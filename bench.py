@@ -63,6 +63,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "events_enriched",
     "events_json_extract",
+    "docs_truncate_tokens",
+    "docs_source_quota",
 ]
 
 

@@ -1838,3 +1838,60 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "docs_truncate_tokens",
+    sql="""
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_tokens,
+           CAST(least(len(words), 32) AS INT) AS kept_tokens,
+           md5(array_to_string(words[1:32], ' ')) AS truncated_hash
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def docs_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length capping: each document truncated to its first 32
+    whitespace tokens (hash of the truncated text proves the exact cut
+    point). One projection, codegen slice/join — the pre-tokenizer
+    length clamp of a training pipeline."""
+    d = tp(spark, sf_dir, "documents")
+    w = F.split(norm_text("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.least(F.size(w), F.lit(32)).alias("kept_tokens"),
+        F.md5(F.array_join(F.slice(w, 1, 32), " ")).alias("truncated_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_source_quota",
+    sql="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10 ORDER BY doc_id
+    """,
+)
+def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (data mixing): each source contributes
+    at most 10 documents, chosen by deterministic hash order — the
+    same docs in every run/engine/partitioning. One shuffle on the
+    source key; the per-group top-k is a windowed rank, never a global
+    sort."""
+    d = tp(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
