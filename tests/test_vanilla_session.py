@@ -24,7 +24,20 @@ import __spark_entry__ as entry
 
 out = {}
 qs = entry.queries()
-for name in ["events_hourly", "events_sessionize", "tpch_q1", "dedup_simhash"]:
+# one representative per family that could plausibly depend on session
+# state: ns-timestamp reads, windows+state, md5 hashing, driver-side
+# union-find + composed joins, artifact-loaded centroids, JSON
+# extraction, exact percentiles
+for name in [
+    "events_hourly",
+    "events_sessionize",
+    "tpch_q1",
+    "dedup_simhash",
+    "corpus_curate",
+    "ann_ivf_topk",
+    "events_json_extract",
+    "corpus_stats",
+]:
     df = qs[name](spark, "/root/testdata/sf0.001")
     out[name] = {"rows": df.count(), "cols": df.columns}
 
@@ -45,8 +58,9 @@ def test_queries_run_on_vanilla_session():
     assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
     line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")][0]
     out = json.loads(line[len("RESULT:"):])
+    for name, info in out.items():
+        assert info["rows"] >= 0, name
     assert out["events_hourly"]["rows"] > 0
-    assert out["events_sessionize"]["rows"] > 0
-    assert out["tpch_q1"]["rows"] > 0
-    assert out["dedup_simhash"]["rows"] > 0
+    assert out["corpus_curate"]["rows"] > 0
+    assert out["ann_ivf_topk"]["rows"] > 0
     assert out["entry"]["rows"] >= 0
