@@ -63,8 +63,10 @@ def dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity', 'sum_qty')},
            {dsum_sql('l_extendedprice', 'sum_base_price')},
-           {dsum_sql('CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)', 'sum_disc_price', 8)},
-           {dsum_sql('CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)', 'sum_charge', 8)},
+           CAST(round(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+                         AS DECIMAL(25,8))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)
+                         AS DECIMAL(25,8))), 2) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -86,8 +88,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price.cast("decimal(25,8)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(25,8)")).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(25,8)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(25,8)")), 2).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -98,8 +100,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     sql="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
-                         AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+           CAST(round(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                         AS DECIMAL(25,8))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -129,7 +131,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue.cast("decimal(25,8)")).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue.cast("decimal(25,8)")), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -140,8 +142,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region_revenue",
     sql="""
     SELECT n.n_name,
-           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
-                         AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+           CAST(round(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                         AS DECIMAL(25,8))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -180,7 +182,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue.cast("decimal(25,8)")).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue.cast("decimal(25,8)")), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
