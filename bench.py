@@ -16,6 +16,17 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5_region_revenue",
+    "tpch_q4_late_orders",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_orders",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q21_late_sole_supplier",
+    "tpch_q22_idle_customers",
     "topk_orders",
     "window_rank_orders",
     "rollup_orders",

@@ -571,5 +571,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch_q1(spark, sf_dir)
 
 
-# pipeline operators register themselves into QUERIES/ORACLES
+# pipeline + extended relational operators register themselves into
+# QUERIES/ORACLES
 import dbcut_spark.queries_pipeline  # noqa: E402,F401  isort:skip
+import dbcut_spark.queries_relational  # noqa: E402,F401  isort:skip

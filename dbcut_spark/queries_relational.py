@@ -1,0 +1,533 @@
+"""Extended relational coverage: TPC-H-shaped queries q4/q6/q7/q10/q14/
+q15/q17/q18/q19/q21/q22 adapted to the harness's trimmed schema (no
+``partsupp``, no commit/receipt dates — late shipment is expressed
+against ``o_orderdate`` instead).
+
+These widen the relational surface beyond what the reference's own test
+queries exercise (the reference cuts relational closures; a user doing
+analytics on the cut output runs exactly these shapes). Every query
+follows the repo's parity rules: money sums go through DECIMAL(25,8),
+ratios divide as DOUBLE (IEEE-deterministic on both engines), every
+computed column is aliased identically in Spark and the DuckDB oracle,
+and orderings carry full tiebreakers.
+
+Plan goals per query are stated in each docstring; `tests/test_plans.py`
+pins the load-bearing shapes (broadcasts, semi/anti joins, pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbcut_spark.queries import register, t
+
+# Shared money-sum fragment: exact decimal accumulation, rounded to
+# cents, surfaced as DOUBLE (identical arithmetic in both engines).
+_REV = "CAST(round(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(25,8))), 2) AS DOUBLE)"
+
+
+def _rev_col(alias: str):
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        F.round(F.sum(revenue.cast("decimal(25,8)")), 2).cast("double").alias(alias)
+    )
+
+
+@register(
+    "tpch_q4_late_orders",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM read_parquet('{sf}/orders.parquet') o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """.replace("read_parquet('{sf}/orders.parquet')", "orders"),
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, late-shipment variant:
+    EXISTS a lineitem shipped >90 days after the order date). The
+    correlated EXISTS compiles to a LEFT SEMI hash join on l_orderkey
+    with the date predicate as join condition — no subquery re-execution,
+    one shuffle, and the quarter filter prunes orders at the scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    sql="""
+    SELECT CAST(round(SUM(CAST(CAST(l_extendedprice * l_discount AS DOUBLE)
+                       AS DECIMAL(25,8))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): pure scan-filter-agg.
+    All three predicates and the 4-column projection push into the
+    parquet scan; the aggregate is a single partial+final with no keys
+    (one row crosses the exchange per partition)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("double")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev.cast("decimal(25,8)")), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    sql=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {_REV} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape). Both nation
+    dims and supplier broadcast; the disjunctive nation-pair predicate is
+    applied after the broadcast joins so the only shuffle is
+    orders⋈lineitem. Grouping is on low-cardinality keys (2×2×years)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev_col("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name, {_REV} AS revenue, c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): who returned the most
+    revenue last quarter. Quarter + returnflag filters push to the scans;
+    customer and nation broadcast; top-20 is TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_col("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    sql="""
+    SELECT CAST(round(
+             100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                        ELSE 0.0 END AS DECIMAL(25,8))) AS DOUBLE)
+                   / CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)
+                        AS DECIMAL(25,8))) AS DOUBLE), 6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect (TPC-H Q14 shape): % of month revenue from PROMO
+    parts. Part broadcasts; both sums accumulate in DECIMAL then the
+    ratio divides as DOUBLE (bit-identical in both engines)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(25,8)")).cast("double")
+                / F.sum(rev.cast("decimal(25,8)")).cast("double"),
+                6,
+            ).cast("double").alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    sql=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape). The scalar
+    max-subquery is a rank-1 window over the 100-row supplier aggregate —
+    no self-join re-aggregation, no second lineitem scan; ties all
+    surface (rank, not row_number), matching the SQL's = max semantics."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_col("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_orders",
+    sql="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(round(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+                       AS DECIMAL(25,8))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg  ON pavg.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.5 * pavg.avg_qty
+    """,
+)
+def tpch_q17_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems under
+    half the part's average quantity, for one brand. The correlated AVG
+    is a broadcast of the per-part aggregate (decimal-sum / count so the
+    threshold is bit-identical across engines); the brand filter prunes
+    part before the join so only matching parts' lineitems survive."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    pavg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(pavg), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("double").cast("decimal(25,8)")) / 7.0,
+                2,
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    sql="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 260)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    quantity exceeds 260. The HAVING subquery is ONE aggregation of
+    lineitem reused as a semi-join filter (broadcast — it's the ~1% tail
+    by construction); the outer re-aggregation then runs on the
+    surviving ~100 orders only."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
+        .filter(F.col("q") > 260)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_pred",
+    sql=f"""
+    SELECT {_REV} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue under a 3-branch disjunctive predicate (TPC-H
+    Q19 shape). Catalyst extracts the common-across-branches implications
+    (brand IN (...), size/quantity envelope bounds) and pushes them into
+    both scans; the residual OR evaluates post-join inside codegen. Part
+    broadcasts."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(_rev_col("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_late_sole_supplier",
+    sql="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, shipdate
+    variant): on finished multi-supplier orders, the supplier who alone
+    shipped >60 days late. EXISTS/NOT EXISTS become one LEFT SEMI and
+    one LEFT ANTI hash join against the same lineitem projection, both
+    shuffling on l_orderkey — Spark co-partitions all three joins in a
+    single exchange chain, no correlated re-scans."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l1 = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+        F.col("l_shipdate").alias("a_shipdate"),
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_suppkey") != F.col("r_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("a_orderkey"))
+            & (F.col("l_suppkey") != F.col("a_suppkey"))
+            & (F.col("a_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS v
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey AS cust_group,
+           COUNT(*) AS numcust,
+           CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY cust_group
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): above-average-balance
+    customers with no recent (post-1999) orders, grouped by nation. The
+    global average is a 1-row broadcast cross join (decimal-sum/count,
+    engine-identical); no-recent-orders is a LEFT ANTI join against the
+    date-pruned orders key projection."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cust_group")
+    )

@@ -201,3 +201,48 @@ def test_json_extract_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_json_extract")
     assert "EvalPython" not in plan
     assert "get_json_object" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS must be ONE left-semi hash join with the
+    late-shipment predicate as join condition — no correlated re-scan
+    of lineitem, and the quarter filter pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_late_orders")
+    assert "LeftSemi" in plan, plan
+    fplan = formatted(spark, sf_dir, "tpch_q4_late_orders")
+    assert "PushedFilters" in fplan and "o_orderdate" in fplan
+
+
+def test_q6_single_scan_no_join(spark, sf_dir):
+    """Q6 is scan-filter-agg: no join anywhere, all three predicates
+    pushed, and only the 4 referenced columns read."""
+    plan = plan_of(spark, sf_dir, "tpch_q6_revenue_forecast")
+    assert "Join" not in plan, plan
+    fplan = formatted(spark, sf_dir, "tpch_q6_revenue_forecast")
+    read = [ln for ln in fplan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_returnflag" not in read[0] and "l_orderkey" not in read[0]
+
+
+def test_q18_having_filter_broadcasts(spark, sf_dir):
+    """Q18's HAVING subquery result (the ~1% large-order tail) must be
+    broadcast into the semi join, and the big lineitem table must join
+    the surviving orders via broadcast — lineitem itself never
+    shuffles."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_q21_semi_and_anti_on_same_key(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must compile to one LeftSemi and one
+    LeftAnti join (no correlated subquery re-execution)."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_late_sole_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: the global-average is a 1-row broadcast (nested-loop or
+    broadcast join, never a shuffle); no-recent-orders is LeftAnti with
+    the date filter pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q22_idle_customers")
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
