@@ -45,6 +45,10 @@ def get_spark(
         # harness testdata stores ns-precision timestamps; read them as
         # long and convert in sources.parquet.read_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs-precision (isAdjustedToUTC=false) timestamps must read as the
+        # classic TimestampType, not TIMESTAMP_NTZ — one timestamp type
+        # everywhere (see sources.parquet.read_table)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

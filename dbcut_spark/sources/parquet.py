@@ -48,6 +48,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # this the read throws PARQUET_TYPE_ILLEGAL before the
         # normalization below can run.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # µs-precision parquet timestamps (isAdjustedToUTC=false) would infer
+    # as TIMESTAMP_NTZ on Spark 3.4+, which unix_micros()/window() reject
+    # and which diverges from the ns path above (timestamp_micros → LTZ).
+    # Force the classic TimestampType so every downstream operator sees
+    # one timestamp type regardless of the file's physical precision.
+    # Runtime-settable for the same vanilla-session reason as above.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
