@@ -55,6 +55,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # one timestamp type regardless of the file's physical precision.
     # Runtime-settable for the same vanilla-session reason as above.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Reading NTZ micros as classic TimestampType is wall-clock-preserving
+    # only when the session timezone is UTC; get_spark() pins it, but the
+    # harness's vanilla session inherits the machine zone — pin it here so
+    # hour/date/window results match the naive DuckDB oracle timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

@@ -41,6 +41,21 @@ for name in [
     df = qs[name](spark, "/root/testdata/sf0.001")
     out[name] = {"rows": df.count(), "cols": df.columns}
 
+# Timezone contract: the harness machine may run in any zone; hour
+# buckets must still equal the naive (wall-clock) parquet timestamps
+# the DuckDB oracle sees. Collect one boundary value to check.
+from pyspark.sql import functions as F
+
+hourly = qs["events_hourly"](spark, "/root/testdata/sf0.001")
+# date_format renders in the session timezone (pinned UTC by
+# read_table), so this string is the wall-clock bucket the plan
+# computed — independent of the driver-side collect() conversion,
+# which uses the OS zone and is not part of the engine contract.
+probe = hourly.agg(
+    F.min(F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss")).alias("h")
+).first()["h"]
+out["_tz_probe"] = {"hour_start": probe}
+
 # entry() must also run on a vanilla session (the driver smoke-check)
 edf = entry.entry(spark)
 out["entry"] = {"rows": edf.count(), "cols": edf.columns}
@@ -49,18 +64,38 @@ print("RESULT:" + json.dumps(out))
 
 
 def test_queries_run_on_vanilla_session():
+    # TZ is pinned to a non-UTC zone to model a harness machine that is
+    # not running in UTC: read_table must pin spark.sql.session.timeZone
+    # itself or every hour/date/window bucket shifts vs the naive DuckDB
+    # oracle timestamps (ADVICE round 2).
+    import os
+
+    env = dict(os.environ, TZ="America/Anchorage")
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],
         capture_output=True,
         text=True,
         timeout=600,
+        env=env,
     )
     assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
     line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")][0]
     out = json.loads(line[len("RESULT:"):])
     for name, info in out.items():
+        if name.startswith("_"):
+            continue
         assert info["rows"] >= 0, name
     assert out["events_hourly"]["rows"] > 0
     assert out["corpus_curate"]["rows"] > 0
     assert out["ann_ivf_topk"]["rows"] > 0
     assert out["entry"]["rows"] >= 0
+
+    # The wall-clock hour bucket the oracle computes on naive timestamps.
+    import duckdb
+
+    expected = duckdb.sql(
+        "SELECT CAST(min(date_trunc('hour', ts)) AS VARCHAR) "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    got = out["_tz_probe"]["hour_start"]
+    assert got == expected, f"tz-shifted hour bucket: spark={got} oracle={expected}"
