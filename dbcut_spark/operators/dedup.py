@@ -43,6 +43,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+MINHASH_MASK = (1 << 56) - 1
+
+
+def minhash_coeffs(j: int) -> tuple[int, int, int]:
+    """Fixed (a_j, b_j, c_j) for hash j of the 2-universal family
+    g_j = (a_j*hi + b_j*lo + c_j) mod 2^56 over the 28-bit halves of
+    the base hash — md5-derived so both engines (and any
+    reimplementation) regenerate the same constants. a_j, b_j are
+    28-bit and odd, c_j 56-bit, keeping every intermediate < 3*2^56
+    (no BIGINT overflow on either engine)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a:{j}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"mh-b:{j}".encode()).hexdigest()[:7], 16) | 1
+    c = int(hashlib.md5(f"mh-c:{j}".encode()).hexdigest()[:14], 16)
+    return a, b, c
+
+
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
     """(id, shingle) rows, distinct per doc (set semantics)."""
     return df.select(
@@ -53,14 +71,30 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataF
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n: int = 5
 ) -> DataFrame:
-    """One row per doc with columns h0..h{k-1}: min over shingles of
-    md5('<j>:' || shingle). Single explode + single grouped agg."""
-    sh = shingle_rows(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """One row per doc with long columns h0..h{k-1}: min over shingles
+    of k draws from a 2-universal hash family over ONE md5 per shingle
+    — g_j = (a_j*hi + b_j*lo + c_j) mod 2^56, where hi/lo are the
+    28-bit halves of the md5's 56-bit head and (a_j, b_j, c_j) are
+    fixed md5-derived constants (:func:`minhash_coeffs`). Pairwise
+    independence across j keeps the per-hash collision probability at
+    the Jaccard similarity without cross-hash correlation (a shared-
+    rotation scheme was tried first and inflated false candidates
+    ~2×), while hashing cost drops k× versus k md5s per shingle and
+    signatures shuffle/compare as longs, not 32-char hex strings.
+    Every intermediate is < 3*2^56, so nothing overflows a BIGINT on
+    either engine (ANSI Spark and DuckDB both error on overflow).
+    Single explode + single grouped agg."""
+    base = shingle_rows(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long").alias("ghi"),
+        F.conv(F.substring(F.md5("sh"), 8, 7), 16, 10).cast("long").alias("glo"),
+    )
+    aggs = []
+    for j in range(num_hashes):
+        a, b, c = minhash_coeffs(j)
+        g = F.lit(a) * F.col("ghi") + F.lit(b) * F.col("glo") + F.lit(c)
+        aggs.append(F.min(g.bitwiseAND(F.lit(MINHASH_MASK))).alias(f"h{j}"))
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -79,9 +113,14 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):
-        parts = [F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        parts = [
+            F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)
+        ]
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
+            )
         )
     bands = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")

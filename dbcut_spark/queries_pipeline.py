@@ -23,6 +23,7 @@ from dbcut_spark.functions.text import (
 )
 from dbcut_spark.operators import dedup as dd
 from dbcut_spark.operators import similarity as sim
+from dbcut_spark.operators.pinning import pin
 from dbcut_spark.queries import ORACLES, QUERIES, register, t
 
 
@@ -237,8 +238,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(k: int = 16) -> str:
-    mins = ", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    """Mirrors operators.dedup.minhash_signatures: ONE md5 per shingle,
+    k 2-universal draws g_j = (a_j*hi + b_j*lo + c_j) mod 2^56 over
+    its 28-bit halves ('0x'-cast is DuckDB's conv(hex,16,10))."""
+    mask = dd.MINHASH_MASK
+    mins = ", ".join(
+        "min(({a} * ghi + {b} * glo + {c}) & {m}) AS h{j}".format(
+            a=a, b=b, c=c, m=mask, j=j
+        )
+        for j, (a, b, c) in ((j, dd.minhash_coeffs(j)) for j in range(k))
+    )
+    return f"""sig AS (
+      SELECT doc_id, {mins} FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS ghi,
+               CAST('0x' || substr(md5(sh), 8, 7) AS BIGINT) AS glo
+        FROM sh)
+      GROUP BY doc_id)"""
 
 
 def _minhash_cand_ctes(k: int = 16, band_rows: int = 4) -> str:
@@ -246,9 +262,10 @@ def _minhash_cand_ctes(k: int = 16, band_rows: int = 4) -> str:
     candidate pairs with ``est_sim`` — shared by the pair query and the
     cluster query so the SQL stays in lockstep with the Spark params."""
     n_bands = k // band_rows
+    sep = " || ':' || "
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"md5({' || '.join(f'h{b * band_rows + r}' for r in range(band_rows))}) AS band_hash FROM sig"
+        f"md5({sep.join(f'CAST(h{b * band_rows + r} AS VARCHAR)' for r in range(band_rows))}) AS band_hash FROM sig"
         for b in range(n_bands)
     )
     agree = " + ".join(
@@ -1625,16 +1642,23 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — the substring-level dedup signal (à la 'Deduplicating
     Training Data Makes Language Models Better') that catches shared
     boilerplate exact-hash and doc-level near-dup passes miss. Plan:
-    one shingle explode, a shingle-keyed frequency aggregation, and a
-    doc-keyed roll-up — shuffles carry (doc_id, window) rows only; at
-    100 TB the window strings would be md5'd to fixed width first
-    (identical plan shape)."""
+    one shingle explode hashed to fixed-width 64-bit keys (shuffles
+    carry (doc_id, long), not 20-char strings), a key-partitioned
+    frequency aggregation, and a doc-keyed roll-up. The exploded frame
+    is pinned because it feeds both join sides and column pruning
+    defeats exchange reuse. The oracle recomputes on the raw window
+    strings, so a hash collision would surface as a value mismatch;
+    at 1.4M distinct windows the birthday bound is ~5e-8."""
     d = tp(spark, sf_dir, "documents")
-    sh20 = dd.shingle_rows(d, "text", "doc_id", n=20)
-    freq = sh20.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    sh20 = pin(
+        dd.shingle_rows(d, "text", "doc_id", n=20).select(
+            "doc_id", F.xxhash64("sh").alias("h")
+        )
+    )
+    freq = sh20.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
     return (
-        sh20.join(freq, "sh")
+        sh20.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
