@@ -27,6 +27,13 @@ HEADLINE = [
     "tpch_q19_disjunctive_pred",
     "tpch_q21_late_sole_supplier",
     "tpch_q22_idle_customers",
+    "tpch_q2_best_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_shippers",
     "topk_orders",
     "window_rank_orders",
     "rollup_orders",

@@ -246,3 +246,34 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q22_idle_customers")
     assert "LeftAnti" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_tpch_completion_join_strategies(spark, sf_dir):
+    """The q2/q8/q9/q16 star joins must broadcast every dimension (the
+    only shuffles are on fact keys / distinct id pairs); q20's
+    sq⋈pt join may sort-merge (two large aggregates sharing the p_key
+    partitioning) but its part/supplier dims must broadcast."""
+    for name, min_bhj in [
+        ("tpch_q2_best_supplier", 3),
+        ("tpch_q8_market_share", 4),
+        ("tpch_q9_product_profit", 3),
+        ("tpch_q16_supplier_cnt", 2),
+        ("tpch_q20_excess_shippers", 2),
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_q11_scalar_subquery_broadcasts(spark, sf_dir):
+    """q11's global-average threshold must join as a broadcast of ONE
+    row (BroadcastNestedLoopJoin over the single-row aggregate), never
+    a shuffled cross join."""
+    plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q16_anti_join_stays_anti(spark, sf_dir):
+    """The supplier blacklist NOT IN must compile to LEFT ANTI."""
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan
