@@ -79,6 +79,7 @@ HEADLINE = [
     "substring_dup_frac",
     "ivf_cluster_profile",
     "embedding_quantize_int8",
+    "embedding_jl_distortion",
     "events_enriched",
     "events_json_extract",
     "docs_truncate_tokens",

@@ -600,3 +600,56 @@ def quantize_int8(
         F.round(scale, 9).alias("scale"),
         q.alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def jl_components(out_dim: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the dense Achlioptas JL
+    projection: sign[j][i] = +1 iff md5int('jl:j:i') is even. Pure
+    constants computed on the driver (no stored model — any engine
+    regenerates the identical matrix), embedded as literals so the
+    projection stays inside whole-stage codegen."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame, vec_col: str, out_dim: int = 16, dim: int = 64
+) -> DataFrame:
+    """Append ``proj`` (array<double>, length ``out_dim``): the
+    Johnson-Lindenstrauss projection p_j = (1/sqrt(out_dim)) * s_j · v
+    with ±1 sign rows s_j. Distances/norms are preserved within
+    1±O(sqrt(log n / out_dim)) — the standard width-reduction in front
+    of LSH banding or brute re-ranking: shuffling 16 doubles instead
+    of 64 floats quarters every downstream shuffle of vectors.
+
+    Each component is one fused multiply-add fold over the vector
+    (codegen, no UDF); the sum order is left-to-right sequential,
+    matching DuckDB's list_dot_product for oracle bit-parity."""
+    comps = jl_components(out_dim, dim)
+    inv = 1.0 / (out_dim ** 0.5)
+
+    def comp(j: int) -> Column:
+        signs = F.array(*[F.lit(float(s)) for s in comps[j]])
+        return (
+            F.aggregate(
+                F.zip_with(signs, _as_double(F.col(vec_col)), lambda s, v: s * v),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(inv)
+        )
+
+    return df.withColumn("proj", F.array(*[comp(j) for j in range(out_dim)]))

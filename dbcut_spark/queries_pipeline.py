@@ -1919,3 +1919,72 @@ def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def _jl_distortion_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """Oracle for the JL distortion profile — the identical ±1 sign
+    matrix embedded as SQL literals (the hyperplane-literal pattern),
+    each projected component one list_dot_product, the norm ratio's
+    mean decimal-routed for order-independence."""
+    comps = sim.jl_components(out_dim, dim)
+    inv = 1.0 / (out_dim ** 0.5)
+    dots = [
+        f"({inv!r} * list_dot_product(e, {[float(s) for s in comps[j]]!r}))"
+        for j in range(out_dim)
+    ]
+    proj_n2 = " + ".join(f"{d} * {d}" for d in dots)
+    return f"""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    r AS (
+      SELECT label,
+             ({proj_n2}) / list_dot_product(e, e) AS ratio
+      FROM v WHERE list_dot_product(e, e) > 0)
+    SELECT label, COUNT(*) AS n,
+           round(CAST(SUM(CAST(ratio AS DECIMAL(25,12))) / COUNT(*) AS DOUBLE), 6)
+             AS avg_ratio,
+           round(MIN(ratio), 6) AS min_ratio,
+           round(MAX(ratio), 6) AS max_ratio
+    FROM r GROUP BY label ORDER BY label
+    """
+
+
+@register("embedding_jl_distortion", sql=_jl_distortion_sql())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection quality profile: per label, the
+    distribution of ||proj(v)||²/||v||² after projecting 64-dim float
+    embeddings to 16 dims with a deterministic ±1 sign matrix
+    (Achlioptas). Ratios concentrated near 1 certify the projection
+    preserves norms/distances, which is what licenses running LSH
+    banding or re-ranking in the narrow space — a 4x cut of every
+    downstream vector shuffle at 100 TB. All codegen folds (no UDF);
+    the mean routes through DECIMAL(25,12) so partial-aggregation
+    order can't perturb the value-hash."""
+    e = tp(spark, sf_dir, "embeddings")
+    proj = sim.jl_project(e, "embedding", out_dim=16, dim=64)
+    orig_n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    proj_n2 = F.aggregate(
+        F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    r = (
+        proj.select("label", (proj_n2 / orig_n2).alias("ratio"), orig_n2.alias("o2"))
+        .filter(F.col("o2") > 0)
+    )
+    return (
+        r.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.col("ratio").cast("decimal(25,12)")) / F.count(F.lit(1)))
+                .cast("double"),
+                6,
+            ).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -514,3 +514,16 @@ def test_connected_components_randomized_vs_unionfind(spark):
             for r in dd.connected_components(df, small_graph_edges=0).collect()
         }
         assert got == truth, f"trial {trial}: {sorted(edges)}"
+
+
+def test_jl_projection_preserves_norms(spark, sf_dir):
+    """The 64->16 ±1 projection must concentrate ||proj||²/||v||²
+    around 1 (JL lemma) — loose bounds; distributional, not exact."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_jl_distortion"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.7 <= r["avg_ratio"] <= 1.3, r
+        assert r["min_ratio"] > 0.2, r
+        assert r["max_ratio"] < 3.0, r
