@@ -44,6 +44,7 @@ HEADLINE = [
     "closure_main__lineitem",
     "include_path__customer",
     "multimodal_features",
+    "multimodal_frame_sample",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

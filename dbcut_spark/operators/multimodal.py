@@ -134,3 +134,79 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_batch(df: DataFrame, max_side: int = 64, fake: bool = False) -> DataFrame:
+    """Thumbnail/resize stage: decode → scale longest side to
+    ``max_side`` (aspect preserved, never upscale) → re-encode. The
+    pixel work is stubbed like :func:`decode_image_batch` (no imaging
+    libs in this container): dimensions come from the deterministic
+    fake decoder and the 'thumbnail' payload is an md5 of
+    (payload, out dims) — the Spark-side contract (mapInPandas Arrow
+    batches, binary in/binary out, schema) is exactly what a real
+    PIL/libvips resize would use, and output size math is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs an imaging library (PIL/libvips) — "
+            "not installed in this container; pass fake=True for the "
+            "deterministic stub"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ = _fake_decode(bytes(payload or b""))
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                thumb = hashlib.md5(
+                    bytes(payload or b"") + f":{ow}x{oh}".encode()
+                ).digest()
+                out.append((media_id, w, h, ow, oh, bytearray(thumb)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "out_width", "out_height", "thumb",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def audio_window_plan(
+    df: DataFrame, win_samples: int = 16000, hop_samples: int = 8000
+) -> DataFrame:
+    """Audio windowing *plan*: expands (media_id, sample_rate/n_samples
+    meta) into one row per analysis window [start, start+win) with hop
+    ``hop_samples`` — pure Column algebra (sequence + explode), the
+    audio twin of :func:`frame_sample_plan`. The per-window feature
+    extraction (fbank/MFCC) would be a mapInPandas stage consuming
+    these (media_id, win_start) rows joined back to the payload."""
+    n_samples = F.coalesce(
+        F.element_at(F.col("meta"), "n_samples").cast("long"), F.lit(0)
+    )
+    last_start = F.greatest(n_samples - win_samples, F.lit(0))
+    return (
+        df.where(n_samples >= F.lit(win_samples))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), last_start, F.lit(hop_samples))
+            ).alias("win_start"),
+        )
+    )

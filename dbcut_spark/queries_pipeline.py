@@ -1988,3 +1988,49 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             30 + length(text) % 900 AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT media_id, n_frames,
+             unnest(range(0, greatest(n_frames - 1, 0) + 1, 30)) AS frame_idx
+      FROM media)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(frame_idx) AS BIGINT) AS first_idx,
+           CAST(max(frame_idx) AS BIGINT) AS last_idx
+    FROM frames GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan on the correctness gate: documents
+    stand in for videos (n_frames derived from text length), expanded
+    to every-30th-frame rows by operators.multimodal.frame_sample_plan
+    — pure sequence+explode Column algebra, the row set a real frame
+    decoder (another mapInPandas stage) would consume. The oracle
+    recomputes the expansion with DuckDB's range unnest."""
+    from dbcut_spark.operators.multimodal import frame_sample_plan
+
+    media = tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.create_map(
+            F.lit("n_frames"),
+            (F.lit(30) + F.length("text") % 900).cast("string"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_n=30)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("frame_idx").cast("long").alias("first_idx"),
+            F.max("frame_idx").cast("long").alias("last_idx"),
+        )
+        .orderBy("media_id")
+    )

@@ -527,3 +527,46 @@ def test_jl_projection_preserves_norms(spark, sf_dir):
         assert 0.7 <= r["avg_ratio"] <= 1.3, r
         assert r["min_ratio"] > 0.2, r
         assert r["max_ratio"] < 3.0, r
+
+
+def test_multimodal_resize_and_audio_windows(spark):
+    import pytest
+
+    from dbcut_spark.operators.multimodal import (
+        audio_window_plan,
+        resize_batch,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24)
+    with pytest.raises(NotImplementedError):
+        resize_batch(media)  # real resize stubbed by design
+    out = {r["media_id"]: r for r in resize_batch(media, max_side=64, fake=True).collect()}
+    assert len(out) == 24
+    for r in out.values():
+        # aspect preserved, longest side capped, never upscaled
+        assert max(r["out_width"], r["out_height"]) <= 64
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        assert len(r["thumb"]) == 16  # md5 stub payload
+    # determinism across runs
+    again = resize_batch(media, max_side=64, fake=True).collect()
+    assert {r["media_id"]: bytes(r["thumb"]) for r in again} == {
+        k: bytes(v["thumb"]) for k, v in out.items()
+    }
+
+    audio = spark.createDataFrame(
+        [
+            (1, {"n_samples": "48000"}),   # 5 windows at hop 8000
+            (2, {"n_samples": "16000"}),   # exactly one window
+            (3, {"n_samples": "7999"}),    # too short -> dropped
+            (4, {}),                        # no meta -> dropped
+        ],
+        "media_id long, meta map<string,string>",
+    )
+    wins = audio_window_plan(audio, win_samples=16000, hop_samples=8000)
+    got = {}
+    for r in wins.collect():
+        got.setdefault(r["media_id"], []).append(r["win_start"])
+    assert sorted(got[1]) == [0, 8000, 16000, 24000, 32000]
+    assert got[2] == [0]
+    assert 3 not in got and 4 not in got
