@@ -81,6 +81,7 @@ HEADLINE = [
     "ivf_cluster_profile",
     "embedding_quantize_int8",
     "embedding_jl_distortion",
+    "embedding_semdedup",
     "events_enriched",
     "events_json_extract",
     "docs_truncate_tokens",

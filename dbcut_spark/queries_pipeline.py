@@ -2034,3 +2034,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def _semdedup_sql(threshold: float = 0.35) -> str:
+    """Oracle for SemDeDup: the committed-quantizer assignment CTE (the
+    _ivf_ann_sql pattern, fingerprint-selected centroids as literals),
+    within-cluster pair cosine on the round(6) value, duplicate =
+    has a lower-id partner at or above threshold."""
+    import numpy as np
+
+    rows = []
+    for entry in sim.ivf_artifact():
+        arr = np.array(entry["centroids"], dtype=np.float64)
+        c2 = (arr * arr).sum(axis=1)
+        for i, comp in enumerate(entry["centroids"]):
+            rows.append(
+                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
+                f"{comp!r}, {c2[i]!r})".replace("'", "")
+            )
+    cent_values = ", ".join(rows)
+    return f"""
+    WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
+    cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
+    cs AS (SELECT c.c_idx, c.comp, c.c2
+           FROM cent c, fp WHERE c.n = fp.n AND c.slab = fp.slab),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    assign AS (
+      SELECT vec_id, e, c_idx AS cluster_id FROM (
+        SELECT v.vec_id, v.e, cs.c_idx,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY -2 * list_dot_product(v.e, cs.comp) + cs.c2, cs.c_idx) AS rn
+        FROM v, cs)
+      WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                  6) >= {threshold})
+    SELECT s.vec_id, s.cluster_id, (d.dup_id IS NOT NULL) AS is_dup
+    FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id
+    ORDER BY s.vec_id
+    """
+
+
+@register("embedding_semdedup", sql=_semdedup_sql())
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: coarse-
+    cluster with the committed IVF quantizer, flag vectors with a
+    lower-id same-cluster neighbor at cosine >= 0.35 (the corpus's
+    near-dup band). Quadratic work is fenced inside clusters —
+    sum_c n_c² pairs, not n² — which is the published SemDeDup recipe
+    for web-scale semantic dedup (docstring cites, not copies,
+    operators/similarity.py:semantic_dedup)."""
+    e = tp(spark, sf_dir, "embeddings")
+    cents = sim.stored_centroids(sf_dir)
+    if cents is None:
+        cents = sim.fit_centroids(e, "embedding")
+    return sim.semantic_dedup(
+        e, cents, id_col="vec_id", vec_col="embedding", threshold=0.35
+    ).orderBy("vec_id")
