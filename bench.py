@@ -82,6 +82,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_jl_distortion",
     "embedding_semdedup",
+    "shingle_distinct_kmv",
     "events_enriched",
     "events_json_extract",
     "docs_truncate_tokens",

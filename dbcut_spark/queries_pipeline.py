@@ -18,6 +18,7 @@ from dbcut_spark.functions.text import (
     bpe_token_count,
     norm_text,
     quality_score,
+    shingles,
     stopword_hits,
     ws_token_count,
 )
@@ -2095,3 +2096,60 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         e, cents, id_col="vec_id", vec_col="embedding", threshold=0.35
     ).orderBy("vec_id")
+
+
+@register(
+    "shingle_distinct_kmv",
+    sql="""
+    WITH sh AS (
+      SELECT DISTINCT source, substr(t, i, 5) AS s FROM (
+        SELECT source, lower(trim(text)) AS t,
+               unnest(range(1, greatest(length(trim(text)) - 4, 1) + 1)) AS i
+        FROM documents)),
+    exact AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM sh
+      GROUP BY source),
+    th AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) / 4294967296.0 AS hv
+      FROM sh),
+    rk AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM th),
+    kth AS (SELECT source, hv AS vk FROM rk WHERE rn = 64),
+    cnt AS (SELECT source, count(*) AS n_hashes FROM rk GROUP BY source)
+    SELECT c.source, e.n_exact,
+           round(COALESCE(63.0 / k.vk, CAST(c.n_hashes AS DOUBLE)), 2)
+             AS est_distinct
+    FROM cnt c JOIN exact e ON c.source = e.source
+    LEFT JOIN kth k ON c.source = k.source
+    ORDER BY c.source
+    """,
+)
+def shingle_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-5-gram-shingle estimate via the KMV
+    bottom-64 sketch (operators/sketches.py) next to the exact count —
+    sizing the shingle table is exactly what you sketch before
+    committing to a minhash/LSH run, and at 100 TB the sketch (one
+    (group, int32) shuffle, mergeable across shards, ~12.5% expected
+    error at k=64) replaces the exact count entirely. KMV is the
+    repo's sketch of choice because its md5 estimator is fully
+    deterministic and therefore oracle-checkable — HyperLogLog's
+    engine-internal hashing is not. The exact count rides along so
+    accuracy is visible in the gate output itself (the synthetic
+    token vocabulary is only ~31 words/source — below k — which is
+    why this sketches shingles, not tokens)."""
+    from dbcut_spark.operators.sketches import kmv_distinct
+
+    d = tp(spark, sf_dir, "documents")
+    sh = d.select("source", F.explode(shingles("text", 5)).alias("s"))
+    exact = sh.distinct().groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = kmv_distinct(sh, "source", "s", k=64)
+    return (
+        exact.join(est, "source")
+        .select("source", "n_exact", "est_distinct")
+        .orderBy("source")
+    )

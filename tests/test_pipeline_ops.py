@@ -570,3 +570,31 @@ def test_multimodal_resize_and_audio_windows(spark):
     assert sorted(got[1]) == [0, 8000, 16000, 24000, 32000]
     assert got[2] == [0]
     assert 3 not in got and 4 not in got
+
+
+def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
+    """KMV estimate within ~4 standard errors of exact per source, and
+    merging two shards' bottom-k sets gives the same estimate as
+    sketching the union (the mergeability that makes it a sketch)."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["shingle_distinct_kmv"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r["n_exact"] >= 64:
+            rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 0.5, r  # 4 sigma at k=64 (~12.5% per sigma)
+
+    # mergeability on a synthetic split
+    from dbcut_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(500)], "grp string, v string"
+    )
+    whole = kmv_distinct(df, "grp", "v", k=32).collect()[0]["est_distinct"]
+    half1 = df.filter(F.substring("v", 7, 1).isin("0", "1", "2", "3", "4"))
+    half2 = df.subtract(half1)
+    merged = kmv_distinct(half1.union(half2), "grp", "v", k=32).collect()[0][
+        "est_distinct"
+    ]
+    assert merged == whole
