@@ -85,6 +85,7 @@ HEADLINE = [
     "shingle_distinct_kmv",
     "events_enriched",
     "events_json_extract",
+    "events_hourly_anomaly",
     "docs_truncate_tokens",
     "docs_source_quota",
 ]

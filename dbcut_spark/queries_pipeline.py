@@ -2153,3 +2153,65 @@ def shingle_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_exact", "est_distinct")
         .orderBy("source")
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT hour_start, event_type, n_events,
+             sum(n_events) OVER trail AS t_sum,
+             count(*) OVER trail AS t_cnt
+      FROM hourly
+      WINDOW trail AS (PARTITION BY event_type ORDER BY hour_start
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hour_start, event_type, n_events,
+           round(CAST(t_sum AS DOUBLE) / t_cnt, 4) AS trailing_avg,
+           (CAST(n_events AS DOUBLE) > 2.0 * (CAST(t_sum AS DOUBLE) / t_cnt))
+             AS is_spike,
+           (CAST(n_events AS DOUBLE) < 0.5 * (CAST(t_sum AS DOUBLE) / t_cnt))
+             AS is_drop
+    FROM w WHERE t_cnt >= 12
+    ORDER BY event_type, hour_start
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the event stream: per
+    event type, each hour's count against the mean of the previous
+    1-24 hours (warm-up of 12 trailing hours required); spike = >2x,
+    drop = <0.5x — the monitoring pass a pipeline runs over ingest
+    rates. Integer window sums are exact and the single double
+    division is IEEE-deterministic, so the flags hash-match without
+    stddev (whose accumulation algorithm differs between engines).
+    Plan: one hourly aggregation, one windowed pass partitioned by
+    event_type — at scale the window state is 24 longs per type."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    t_sum = F.sum("n_events").over(trail)
+    t_cnt = F.count(F.lit(1)).over(trail)
+    avg = t_sum.cast("double") / t_cnt
+    return (
+        hourly.select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.round(avg, 4).alias("trailing_avg"),
+            (F.col("n_events").cast("double") > 2.0 * avg).alias("is_spike"),
+            (F.col("n_events").cast("double") < 0.5 * avg).alias("is_drop"),
+            t_cnt.alias("t_cnt"),
+        )
+        .filter(F.col("t_cnt") >= 12)
+        .drop("t_cnt")
+        .orderBy("event_type", "hour_start")
+    )
