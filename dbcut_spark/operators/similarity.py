@@ -300,9 +300,15 @@ def embedding_neardup_pairs_lsh(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_val")
+    # pinned: the band self-join scans this frame twice, and without
+    # the cache each scan re-runs the Arrow-batched signature UDF over
+    # every vector. (id, band_idx, band_val) rows only — n_bands rows
+    # per vector, never the vectors themselves.
+    banded = pin(
+        sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+            id_col, "band.band_idx", "band.band_val"
+        )
+    )
     pairs = (
         banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_val")
         .join(
@@ -323,6 +329,12 @@ def embedding_neardup_pairs_lsh(
         F.col(vec_col).alias("vb"),
         norm(F.col(vec_col)).alias("nb"),
     )
+    # Explicit width for the scoring stage: the candidate-pair set is
+    # bytes-small (two longs per row) so AQE coalesces it to a handful
+    # of partitions, but each row then pays a dim-length dot-product
+    # fold — the cost is compute-bound, and 3 fat tasks serialize it.
+    sc = pairs.sparkSession.sparkContext
+    pairs = pairs.repartition(sc.defaultParallelism, "doc_a")
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
