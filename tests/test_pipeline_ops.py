@@ -598,3 +598,53 @@ def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
         "est_distinct"
     ]
     assert merged == whole
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once file-sink semantics across a stop/restart: process
+    half the source files, stop, add the rest, restart with the SAME
+    checkpoint — the sink must contain every input row exactly once
+    (offset log skips processed files; sink commit log makes output
+    atomic). This is the property that lets a 100 TB ingest job die
+    and resume without dedup passes."""
+    import os
+
+    from dbcut_spark.streaming.events import read_event_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000).cache()
+    total = events.count()
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    # two source batches of 4 files each
+    events.filter(F.col("event_id") % 2 == 0).repartition(4).write.parquet(
+        str(src), mode="append"
+    )
+
+    def run_once():
+        q = (
+            read_event_stream(spark, str(src), max_files_per_trigger=2)
+            .select("event_id", "user_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # first half
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first == events.filter(F.col("event_id") % 2 == 0).count()
+
+    events.filter(F.col("event_id") % 2 == 1).repartition(4).write.parquet(
+        str(src), mode="append"
+    )
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == total                      # nothing lost
+    assert got.select("event_id").distinct().count() == total  # nothing doubled
+    events.unpersist()
