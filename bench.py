@@ -87,6 +87,7 @@ HEADLINE = [
     "events_json_extract",
     "events_hourly_anomaly",
     "docs_truncate_tokens",
+    "docs_bigram_logprob",
     "docs_source_quota",
 ]
 

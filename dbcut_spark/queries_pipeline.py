@@ -2215,3 +2215,91 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("t_cnt")
         .orderBy("event_type", "hour_start")
     )
+
+
+@register(
+    "docs_bigram_logprob",
+    sql="""
+    WITH bg AS (
+      SELECT doc_id, substr(t, i, 2) AS b FROM (
+        SELECT doc_id, lower(trim(text)) AS t,
+               unnest(range(1, greatest(length(trim(text)) - 1, 1) + 1)) AS i
+        FROM documents)
+      WHERE length(t) >= 2),
+    dbg AS (
+      SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    c2 AS (SELECT b, sum(cnt) AS n2 FROM dbg GROUP BY b),
+    c1 AS (SELECT substr(b, 1, 1) AS a, sum(n2) AS n1 FROM c2 GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT substr(b, 2, 1)) AS v FROM c2),
+    model AS (
+      SELECT c2.b,
+             round(ln((c2.n2 + 1.0) / (c1.n1 + vocab.v)), 9) AS logp
+      FROM c2 JOIN c1 ON substr(c2.b, 1, 1) = c1.a, vocab)
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(sum(CAST(d.cnt * m.logp AS DECIMAL(25,12))) AS DOUBLE)
+                / sum(d.cnt), 6) AS DOUBLE) AS avg_logp
+    FROM dbg d JOIN model m ON d.b = m.b
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram log-probability scoring — the perplexity-proxy
+    quality filter (CCNet-style: score text against a language model
+    fit on the corpus itself; low avg log-prob marks gibberish or
+    boilerplate the length/stopword gates miss). Model = add-one-
+    smoothed P(b|a) from global bigram counts; score = per-doc mean
+    ln P over all bigram positions (multiset, not distinct).
+
+    Determinism: each ln is rounded to 9 digits BEFORE the weighted
+    decimal sum, so JVM-vs-libm last-ulp log differences and partial-
+    aggregation order cannot perturb the hash. Plan: ONE bigram
+    explode feeding a (doc, bigram) count, re-aggregated into the
+    global model (two-level agg — the corpus is never re-scanned);
+    the model is a few hundred rows and broadcasts onto the per-doc
+    counts."""
+    d = tp(spark, sf_dir, "documents")
+    t_ = norm_text("text")
+    bigrams = F.when(
+        F.length(t_) >= 2,
+        F.expr(
+            "transform(sequence(1, greatest(length(lower(trim(text))) - 1, 1)),"
+            " i -> substr(lower(trim(text)), i, 2))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    dbg = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c2 = dbg.groupBy("b").agg(F.sum("cnt").alias("n2"))
+    c1 = c2.groupBy(F.substring("b", 1, 1).alias("a")).agg(
+        F.sum("n2").alias("n1")
+    )
+    v = c2.agg(F.count_distinct(F.substring("b", 2, 1)).alias("v"))
+    model = (
+        c2.join(F.broadcast(c1), F.substring(F.col("b"), 1, 1) == F.col("a"))
+        .join(F.broadcast(v))
+        .select(
+            "b",
+            F.round(
+                F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))), 9
+            ).alias("logp"),
+        )
+    )
+    return (
+        dbg.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum((F.col("cnt") * F.col("logp")).cast("decimal(25,12)"))
+                .cast("double")
+                / F.sum("cnt"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
