@@ -88,6 +88,7 @@ HEADLINE = [
     "events_hourly_anomaly",
     "docs_truncate_tokens",
     "docs_bigram_logprob",
+    "corpus_diff",
     "docs_source_quota",
 ]
 

@@ -2303,3 +2303,59 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_diff",
+    sql="""
+    WITH v1 AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+      WHERE doc_id % 20 <> 0),
+    v2 AS (
+      SELECT doc_id,
+             md5(lower(trim(CASE WHEN doc_id % 5 = 0
+                                 THEN text || ' rev2' ELSE text END))) AS h
+      FROM documents WHERE doc_id % 20 <> 1)
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit a data-
+    versioning layer runs between crawls: added / removed / changed /
+    unchanged per doc, detected by content hash, never by comparing
+    documents byte-wise across the shuffle (hashes travel, text does
+    not). The two versions are synthesized from the one harness table
+    (v1 drops ids ≡0 mod 20, v2 drops ≡1 and revises ids ≡0 mod 5);
+    the operator itself is the general shape: hash projection per
+    side, one full outer join on the id. At 100 TB both sides prune
+    to (id, hash) projections at the scan."""
+    d = tp(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.md5(norm_text("text")).alias("h1")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2 = d.filter(F.col("doc_id") % 20 != 1).select(
+        F.col("doc_id").alias("doc_id2"), F.md5(norm_text(v2_text)).alias("h2")
+    )
+    j = v1.join(v2, v1["doc_id"] == v2["doc_id2"], "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNull(), F.lit("added"))
+        .when(F.col("doc_id2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("doc_id"), F.col("doc_id2")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
+    )
