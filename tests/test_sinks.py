@@ -198,3 +198,44 @@ def test_jsonl_documents_roundtrip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_csv_orc_documents_roundtrip(spark, sf_dir, tmp_path):
+    """CSV (quote-all + multiLine: embedded commas/quotes/newlines must
+    survive) and ORC round-trips are value-identical to the source,
+    including a crafted pathological document."""
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.sources.text_formats import (
+        read_documents_csv,
+        read_documents_orc,
+        write_documents_csv,
+        write_documents_orc,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    nasty = spark.createDataFrame(
+        [(999999, 'line one\nline "two", with comma\n\tand tab', "xx", "srcX", 42)],
+        docs.schema,
+    )
+    src = docs.unionByName(nasty)
+
+    csv_path = str(tmp_path / "docs_csv")
+    write_documents_csv(src, csv_path, shards=3)
+    back = read_documents_csv(spark, csv_path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+    orc_path = str(tmp_path / "docs_orc")
+    write_documents_orc(src, orc_path, shards=2)
+    back2 = read_documents_orc(spark, orc_path)
+    assert back2.exceptAll(src).count() == 0 and src.exceptAll(back2).count() == 0
+    # ORC keeps pushdown: a doc_id predicate must reach the scan
+    plan = (
+        read_documents_orc(spark, orc_path)
+        .filter(F.col("doc_id") == 999999)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,999999)]" in plan
