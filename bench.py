@@ -86,6 +86,7 @@ HEADLINE = [
     "events_enriched",
     "events_json_extract",
     "events_hourly_anomaly",
+    "events_top_users_salted",
     "docs_truncate_tokens",
     "docs_bigram_logprob",
     "corpus_diff",

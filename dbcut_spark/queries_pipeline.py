@@ -2359,3 +2359,32 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_top_users_salted",
+    sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event count, computed through the SALTED
+    two-phase aggregation (operators/skew.py:salted_agg_count): partial
+    counts per (user, salt) spread any hot user over 16 reducers, then
+    re-aggregate per user. The oracle is the plain GROUP BY — the
+    hash-match proves the salted plan is result-identical, which is
+    the contract that lets you drop it in when one user owns 10% of a
+    100 TB event stream. Top-k compiles to TakeOrderedAndProject."""
+    from dbcut_spark.operators.skew import salted_agg_count
+
+    e = t(spark, sf_dir, "events").select("user_id")
+    counts = salted_agg_count(e, ["user_id"], n_salts=16)
+    return (
+        counts.select("user_id", F.col("count").cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
