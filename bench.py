@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup_lsh",
     "events_asof_attribution",
+    "events_asof_next_purchase",
     "events_purchase_window_clicks",
     "events_hourly",
     "events_daily_rollup",

@@ -35,6 +35,7 @@ def asof_join_backward(
     right_time: str,
     pick: dict[str, str],
     tiebreak: str,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of join.
 
@@ -43,10 +44,51 @@ def asof_join_backward(
     ``pick``: {right_col: output_alias} — right columns to attach.
     ``tiebreak``: right column (castable to long); among right rows with
     identical (key, time), the one with the LARGEST tiebreak wins.
+    ``tolerance_us``: maximum staleness in microseconds — a match older
+    than this yields NULLs (pandas merge_asof's ``tolerance``).
 
     Left rows with no qualifying right row keep NULLs in the picked
     columns (left-outer semantics).
     """
+    return _asof_join(
+        left, right, on, left_time, right_time, pick, tiebreak,
+        direction="backward", tolerance_us=tolerance_us,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    pick: dict[str, str],
+    tiebreak: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Forward inclusive as-of join: for every left row, the EARLIEST
+    right row with the same key at-or-after the left timestamp (the
+    "next event after" direction — e.g. first purchase after each
+    impression). Same one-shuffle window plan as backward, traversed
+    in descending time; among (key, time) ties the largest tiebreak
+    wins, mirroring backward."""
+    return _asof_join(
+        left, right, on, left_time, right_time, pick, tiebreak,
+        direction="forward", tolerance_us=tolerance_us,
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    pick: dict[str, str],
+    tiebreak: str,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+) -> DataFrame:
     lcols = [c for c in left.columns]
     # ALL picked columns travel as ONE struct so they always come from
     # the same right row: carrying each column independently through
@@ -54,7 +96,11 @@ def asof_join_backward(
     # right row, silently mixing columns across rows. The struct itself
     # is non-null on every right row (its FIELDS may be null), and null
     # on left rows, so ignorenulls skips exactly the left rows.
-    pick_struct = F.struct(*[F.col(src).alias(dst) for src, dst in pick.items()])
+    pick_struct = F.struct(
+        *[F.col(src).alias(dst) for src, dst in pick.items()],
+        # the matched right row's own time rides along for tolerance
+        F.unix_micros(F.col(right_time)).alias("__rt"),
+    )
     pick_type = right.select(pick_struct.alias("__pick")).schema["__pick"].dataType
     l_tagged = left.select(
         *lcols,
@@ -76,24 +122,33 @@ def asof_join_backward(
         pick_struct.alias("__pick"),
     )
     # ordering puts right rows BEFORE left rows at equal time (inclusive
-    # ≤), and the max-tiebreak right row last among its time-ties so the
-    # carried-forward value is deterministic
+    # ≤ / ≥), and the max-tiebreak right row last among its time-ties so
+    # the carried value is deterministic. Forward direction = identical
+    # traversal over descending time.
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("__t").asc(),
+            t_order,
             F.col("__is_right").desc(),
             F.col("__tb").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("__pick"), ignorenulls=True).over(w).alias("__pick")
-    return (
-        l_tagged.unionByName(r_tagged)
-        .select(*lcols, "__is_right", carried)
-        .filter(F.col("__is_right") == 0)
-        .select(
-            *lcols,
-            *[F.col("__pick")[dst].alias(dst) for dst in pick.values()],
+    matched = l_tagged.unionByName(r_tagged).select(
+        *lcols, "__t", "__is_right", carried
+    ).filter(F.col("__is_right") == 0)
+    if tolerance_us is not None:
+        dist = (
+            F.col("__t") - F.col("__pick.__rt")
+            if direction == "backward"
+            else F.col("__pick.__rt") - F.col("__t")
         )
+        matched = matched.withColumn(
+            "__pick", F.when(dist <= F.lit(tolerance_us), F.col("__pick"))
+        )
+    return matched.select(
+        *lcols,
+        *[F.col("__pick")[dst].alias(dst) for dst in pick.values()],
     )

@@ -2388,3 +2388,68 @@ def events_top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_asof_next_purchase",
+    sql="""
+    WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, cus AS t, 0 AS is_right, NULL::BIGINT AS tb,
+             click_id, NULL::BIGINT AS purchase_id, NULL::BIGINT AS purchase_us
+      FROM c
+      UNION ALL
+      SELECT user_id, pus, 1, event_id, NULL, event_id, pus FROM p),
+    w AS (
+      SELECT *,
+             last_value(purchase_id IGNORE NULLS) OVER win AS np_id,
+             last_value(purchase_us IGNORE NULLS) OVER win AS np_us
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY t DESC, is_right DESC, tb ASC NULLS FIRST
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT click_id, user_id,
+           CASE WHEN np_us - t <= 21600000000 THEN np_id END
+             AS next_purchase_id,
+           CASE WHEN np_us - t <= 21600000000 THEN np_us - t END AS lead_us
+    FROM w WHERE is_right = 0 ORDER BY click_id
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click joined to the same
+    user's next purchase at-or-after it, but only within 6 hours
+    (pandas merge_asof direction='forward', tolerance) — the
+    conversion-attribution shape. Same one-shuffle union + window plan
+    as the backward form, traversed in descending time; the tolerance
+    masks matches staler than the horizon to NULL."""
+    from dbcut_spark.operators.asof import asof_join_forward
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("purchase_us")
+    )
+    j = asof_join_forward(
+        c,
+        p,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        pick={"event_id": "next_purchase_id", "purchase_us": "np_us"},
+        tiebreak="event_id",
+        tolerance_us=6 * 3600 * 1_000_000,
+    )
+    return (
+        j.select(
+            "click_id",
+            "user_id",
+            "next_purchase_id",
+            (F.col("np_us") - F.unix_micros("ts")).alias("lead_us"),
+        )
+        .orderBy("click_id")
+    )

@@ -79,3 +79,44 @@ def test_asof_single_shuffle(spark, sf_dir):
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, f"expected 1 key shuffle, saw {hash_exchanges}"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_semantics(spark):
+    from dbcut_spark.operators.asof import asof_join_forward
+
+    left, right = _frames(spark)
+    out = asof_join_forward(
+        left, right, ["key"], "lts", "rts", {"rid": "match_id"}, tiebreak="rid"
+    )
+    got = {r["lid"]: r["match_id"] for r in out.collect()}
+    assert got[1] == 11      # inclusive at equal time, max-tiebreak wins
+    assert got[2] is None    # nothing at-or-after 2000 for key 100
+    assert got[3] == 13      # earliest at-or-after 1500
+    assert got[4] is None    # key 300 absent on the right
+    assert len(got) == 4
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from dbcut_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    left, right = _frames(spark)
+    back = asof_join_backward(
+        left, right, ["key"], "lts", "rts", {"rid": "match_id"},
+        tiebreak="rid", tolerance_us=1,
+    )
+    gb = {r["lid"]: r["match_id"] for r in back.collect()}
+    assert gb[1] == 11       # distance 0 <= 1
+    assert gb[2] == 12       # match at 1999: distance 1 <= 1 survives
+    back0 = asof_join_backward(
+        left, right, ["key"], "lts", "rts", {"rid": "match_id"},
+        tiebreak="rid", tolerance_us=0,
+    )
+    gb0 = {r["lid"]: r["match_id"] for r in back0.collect()}
+    assert gb0[2] is None    # distance 1 > 0 masked
+    fwd = asof_join_forward(
+        left, right, ["key"], "lts", "rts", {"rid": "match_id"},
+        tiebreak="rid", tolerance_us=0,
+    )
+    gf = {r["lid"]: r["match_id"] for r in fwd.collect()}
+    assert gf[1] == 11       # exact-time match survives tolerance 0
+    assert gf[3] is None     # next right row is 1us later -> masked
