@@ -65,6 +65,7 @@ HEADLINE = [
     "events_asof_attribution",
     "events_asof_next_purchase",
     "events_purchase_window_clicks",
+    "orders_overlap_windows",
     "events_hourly",
     "events_daily_rollup",
     "events_sessionize",

@@ -51,3 +51,50 @@ def point_in_interval_join(
         .filter((F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end)))
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_us: int,
+) -> DataFrame:
+    """Inner join of overlapping interval pairs (same ``on`` keys):
+    ``l_start <= r_end AND r_start <= l_end`` (inclusive). Time
+    columns are epoch-µs longs. Output = left columns + right columns.
+
+    Exactly-once without a dedup pass: both sides explode to their
+    bins, but a candidate pair is kept only in the bin containing
+    ``greatest(l_start, r_start)`` — the first bin the two intervals
+    share — so a pair overlapping many bins still meets once. Both
+    sides shuffle on (key, bin), ordinary hash partitioning."""
+    l_binned = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / bin_us), F.floor(F.col(l_end) / bin_us)
+            )
+        ),
+    )
+    r_binned = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bin_us), F.floor(F.col(r_end) / bin_us)
+            )
+        ),
+    )
+    first_shared = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / bin_us)
+    return (
+        l_binned.join(r_binned, on + ["__bin"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )

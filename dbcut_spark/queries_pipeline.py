@@ -2453,3 +2453,72 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+@register(
+    "orders_overlap_windows",
+    sql="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS s,
+             epoch_us(o_orderdate + INTERVAL 30 DAY) AS e
+      FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST((least(a.e, b.e) - greatest(a.s, b.s)) / 86400000000
+                AS BIGINT) AS overlap_days
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def orders_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join on the correctness gate: pairs of orders
+    from the same customer whose 30-day fulfillment windows are open
+    simultaneously (operators/range_join.py:interval_overlap_join).
+    The naive theta-join the oracle runs is O(n² per customer); the
+    Spark plan bins both interval sides and keeps each pair only in
+    the bin of greatest(starts), so every qualifying pair meets
+    exactly once in an ordinary (key, bin) equi-join — no nested
+    loop, no dedup pass."""
+    from dbcut_spark.operators.range_join import interval_overlap_join
+
+    DAY_US = 86_400_000_000
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("s"),
+        (F.unix_micros("o_orderdate") + F.lit(30 * DAY_US)).alias("e"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    j = interval_overlap_join(
+        a, b, ["custkey"], "a_s", "a_e", "b_s", "b_e", bin_us=30 * DAY_US
+    ).filter(F.col("order_a") < F.col("order_b"))
+    return (
+        j.select(
+            "custkey",
+            "order_a",
+            "order_b",
+            (
+                (
+                    F.least(F.col("a_e"), F.col("b_e"))
+                    - F.greatest(F.col("a_s"), F.col("b_s"))
+                )
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )

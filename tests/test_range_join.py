@@ -45,3 +45,28 @@ def test_interval_join_no_pair_explosion(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Overlap semantics incl. touching endpoints, and exactly-once
+    pair emission even when a pair spans many shared bins."""
+    from dbcut_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0, 1000), (2, 1, 2000, 2500), (3, 2, 0, 10_000)],
+        "lid long, key long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 1000, 1500),   # touches lid=1 at 1000 (inclusive)
+            (11, 1, 1501, 1999),   # gap: matches nothing
+            (12, 2, 5, 9_999),     # nested in lid=3, spans ~100 bins at bin=100
+        ],
+        "rid long, key long, rs long, re long",
+    )
+    out = interval_overlap_join(
+        left, right, ["key"], "ls", "le", "rs", "re", bin_us=100
+    ).select("lid", "rid")
+    got = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert sorted(got) == [(1, 10), (3, 12)]
+    assert len(got) == len(set(got))  # exactly once despite shared bins
