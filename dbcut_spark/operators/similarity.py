@@ -649,22 +649,40 @@ def jl_project(
 
     Each component is one fused multiply-add fold over the vector
     (codegen, no UDF); the sum order is left-to-right sequential,
-    matching DuckDB's list_dot_product for oracle bit-parity."""
+    matching DuckDB's list_dot_product for oracle bit-parity.
+
+    The sign matrix enters the plan as a broadcast ONE-ROW dataframe,
+    not as literals: a 16x64 literal tree (1024 nodes) costs more in
+    Catalyst analysis per query build (~1.3s measured) than the whole
+    execution; as data, each component expression is just a fold over
+    ``__jl_mat[j]``."""
     comps = jl_components(out_dim, dim)
     inv = 1.0 / (out_dim ** 0.5)
+    spark = df.sparkSession
+    mat = spark.createDataFrame(
+        [([[float(s) for s in row] for row in comps],)],
+        "__jl_mat: array<array<double>>",
+    )
 
     def comp(j: int) -> Column:
-        signs = F.array(*[F.lit(float(s)) for s in comps[j]])
         return (
             F.aggregate(
-                F.zip_with(signs, _as_double(F.col(vec_col)), lambda s, v: s * v),
+                F.zip_with(
+                    F.col("__jl_mat")[j],
+                    _as_double(F.col(vec_col)),
+                    lambda s, v: s * v,
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             * F.lit(inv)
         )
 
-    return df.withColumn("proj", F.array(*[comp(j) for j in range(out_dim)]))
+    return (
+        df.crossJoin(F.broadcast(mat))
+        .withColumn("proj", F.array(*[comp(j) for j in range(out_dim)]))
+        .drop("__jl_mat")
+    )
 
 
 def semantic_dedup(
