@@ -89,6 +89,7 @@ HEADLINE = [
     "events_json_extract",
     "events_hourly_anomaly",
     "events_top_users_salted",
+    "orders_zorder_stats",
     "docs_truncate_tokens",
     "docs_bigram_logprob",
     "corpus_diff",

@@ -2522,3 +2522,89 @@ def orders_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+def _zorder_sql() -> str:
+    from dbcut_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql("cs", "ds", bits=16)
+    return f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS dayno
+      FROM orders),
+    ranges AS (
+      SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+             min(dayno) AS d_lo, max(dayno) AS d_hi
+      FROM base),
+    scaled AS (
+      SELECT ck, dayno,
+             (ck - ck_lo) * 65535 // greatest(ck_hi - ck_lo, 1) AS cs,
+             (dayno - d_lo) * 65535 // greatest(d_hi - d_lo, 1) AS ds
+      FROM base, ranges),
+    zb AS (
+      SELECT ck, dayno,
+             CAST(floor(({z}) * 64.0 / 4294967296) AS INT) AS bucket
+      FROM scaled)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(dayno) AS min_day, max(dayno) AS max_day
+    FROM zb GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("orders_zorder_stats", sql=_zorder_sql())
+def orders_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile (operators/layout.py): orders range-
+    partitioned into 64 Morton-code buckets over (custkey, order day)
+    with each bucket's min/max of BOTH dimensions — the footer stats a
+    Z-ordered table would let a scan prune on for either predicate.
+    Pure integer bit arithmetic, bit-identical on the oracle. The
+    layout lever behind Delta/Iceberg OPTIMIZE ZORDER BY, expressed
+    as plain DataFrame ops."""
+    from dbcut_spark.operators.layout import zvalue
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("dayno"),
+    )
+    # min/max normalization to the 16-bit Morton domain: a single-row
+    # aggregate broadcast back (the scalar-subquery pattern); integer
+    # floor-division on both engines
+    ranges = o.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dayno").alias("d_lo"),
+        F.max("dayno").alias("d_hi"),
+    )
+    scaled = o.join(F.broadcast(ranges)).select(
+        "ck",
+        "dayno",
+        F.floor(
+            (F.col("ck") - F.col("ck_lo"))
+            * 65535
+            / F.greatest(F.col("ck_hi") - F.col("ck_lo"), F.lit(1))
+        ).alias("cs"),
+        F.floor(
+            (F.col("dayno") - F.col("d_lo"))
+            * 65535
+            / F.greatest(F.col("d_hi") - F.col("d_lo"), F.lit(1))
+        ).alias("ds"),
+    )
+    z = zvalue(F.col("cs"), F.col("ds"), bits=16)
+    bucket = F.floor(z * 64.0 / F.lit(4294967296.0)).cast("int")
+    return (
+        scaled.select("ck", "dayno", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dayno").alias("min_day"),
+            F.max("dayno").alias("max_day"),
+        )
+        .orderBy("bucket")
+    )

@@ -648,3 +648,20 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == total                      # nothing lost
     assert got.select("event_id").distinct().count() == total  # nothing doubled
     events.unpersist()
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """Morton buckets must bound BOTH dimensions (the pruning benefit):
+    most buckets see a fraction of each dimension's global range,
+    which a single-column sort cannot give to the second column."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["orders_zorder_stats"](spark, sf_dir).collect()
+    assert len(rows) >= 32
+    g_ck = max(r["max_ck"] for r in rows) - min(r["min_ck"] for r in rows)
+    g_dy = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    frac_ck = sorted((r["max_ck"] - r["min_ck"]) / g_ck for r in rows)
+    frac_dy = sorted((r["max_day"] - r["min_day"]) / g_dy for r in rows)
+    # median bucket spans at most ~40% of each dimension's range
+    assert frac_ck[len(frac_ck) // 2] <= 0.4
+    assert frac_dy[len(frac_dy) // 2] <= 0.4
