@@ -239,3 +239,43 @@ def pii_stats(df: DataFrame, text_col: str | Column, id_col: str) -> DataFrame:
         *counts,
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+def materialize_corpus(
+    docs: DataFrame, decisions: DataFrame, out_dir: str, id_col: str = "doc_id"
+) -> dict:
+    """End-to-end dataset materialization: join the curation decisions
+    (corpus_curate's output: keep flag + drop reason per doc) back to
+    the documents, write kept docs as source-partitioned parquet, and
+    a JSON manifest with per-reason counts — the artifact a training
+    run consumes.
+
+    Scale notes: the decision frame carries (id, keep, reason) only;
+    the text joins in exactly once on the way to the writer.
+    Partitioning by source gives downstream mixture sampling static
+    partition pruning; the manifest counts come from one aggregation
+    of the (small) decision frame, not a rescan of the output."""
+    import json
+    import os
+
+    kept = docs.join(
+        decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    kept.write.mode("overwrite").partitionBy("source").parquet(
+        os.path.join(out_dir, "corpus")
+    )
+    reason_counts = {
+        r["reason"]: r["n"]
+        for r in decisions.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "n_input": decisions.count(),
+        "n_kept": reason_counts.get("keep", 0),
+        "drop_reasons": {k: v for k, v in sorted(reason_counts.items()) if k != "keep"},
+        "partitioned_by": "source",
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -90,3 +90,34 @@ def test_pii_stats_counts_and_redaction(spark):
         b"mail me at jane.doe@example.com or call +1-555-0199"
     ).hexdigest()
     assert out[1]["redacted_hash"] != raw1
+
+
+def test_materialize_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """The materialized corpus must contain exactly the keep=true docs,
+    partition-pruned reads must work, and the manifest counts must
+    reconcile with the decision frame."""
+    import json
+
+    from dbcut_spark.operators.curation import materialize_corpus
+    from dbcut_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decisions = QUERIES["corpus_curate"](spark, sf_dir)
+    manifest = materialize_corpus(docs, decisions, str(tmp_path))
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert out.count() == manifest["n_kept"]
+    assert manifest["n_input"] == docs.count()
+    assert manifest["n_kept"] + sum(manifest["drop_reasons"].values()) == (
+        manifest["n_input"]
+    )
+    # source-partitioned: a source predicate must prune at the scan
+    plan = (
+        out.filter(F.col("source") == "src3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    disk = json.load(open(tmp_path / "manifest.json"))
+    assert disk == manifest
