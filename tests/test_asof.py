@@ -120,3 +120,60 @@ def test_asof_tolerance_masks_stale_matches(spark):
     gf = {r["lid"]: r["match_id"] for r in fwd.collect()}
     assert gf[1] == 11       # exact-time match survives tolerance 0
     assert gf[3] is None     # next right row is 1us later -> masked
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    """Differential check against an independent implementation:
+    pandas.merge_asof on seeded random data, both directions, with and
+    without tolerance. pandas breaks (key, time) ties by row order, so
+    right-side time ties are dropped to keep the comparison exact (our
+    tie-break is max-tiebreak, pandas' is positional)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame(
+        {
+            "lid": np.arange(300),
+            "key": rng.randint(0, 5, 300),
+            "t": rng.randint(0, 10_000, 300).astype("int64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "rid": np.arange(1000, 1200),
+            "key": rng.randint(0, 5, 200),
+            "t": rng.randint(0, 10_000, 200).astype("int64"),
+        }
+    ).drop_duplicates(subset=["key", "t"])  # kill ties: tie policies differ
+
+    left = spark.createDataFrame(left_pd).select(
+        "lid", "key", F.timestamp_micros(F.col("t")).alias("lts")
+    )
+    right = spark.createDataFrame(right_pd).select(
+        "rid", "key", F.timestamp_micros(F.col("t")).alias("rts")
+    )
+
+    from dbcut_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    for direction, fn in [("backward", asof_join_backward), ("forward", asof_join_forward)]:
+        for tol in [None, 500]:
+            expected = pd.merge_asof(
+                left_pd.sort_values(["t", "lid"]),
+                right_pd.sort_values("t"),
+                on="t",
+                by="key",
+                direction=direction,
+                allow_exact_matches=True,
+                tolerance=tol,
+            )
+            exp = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in expected.itertuples()
+            }
+            got_df = fn(
+                left, right, ["key"], "lts", "rts", {"rid": "match_id"},
+                tiebreak="rid", tolerance_us=tol,
+            )
+            got = {r["lid"]: r["match_id"] for r in got_df.collect()}
+            assert got == exp, f"direction={direction} tol={tol}"
