@@ -71,3 +71,44 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def kmv_bottom_k(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """The sketch itself: per group, the k smallest distinct hash
+    fractions as a sorted array — the mergeable state :func:`kmv_distinct`
+    summarizes. Stored form for reuse across queries (union/intersection
+    estimates, incremental maintenance)."""
+    h = df.select(F.col(group_col), hash_fraction(value_col).alias("hv")).distinct()
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+    )
+
+
+def kmv_union_estimate(kmv_a: Column, kmv_b: Column, k: int = 64) -> Column:
+    """Distinct-count estimate of A ∪ B from two bottom-k sketches:
+    merge, dedupe, re-take the bottom k — the associative merge that
+    makes KMV a sketch. Falls back to the exact merged size when the
+    union has fewer than k distinct hashes."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k
+    )
+    n = F.size(merged)
+    vk = F.element_at(merged, k)
+    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / vk)
+
+
+def kmv_intersection_estimate(kmv_a: Column, kmv_b: Column, k: int = 64) -> Column:
+    """Distinct-count estimate of A ∩ B (the join-cardinality input):
+    Jaccard is estimated from the merged bottom-k (fraction of the
+    union's bottom-k present in both sketches — a minhash estimate),
+    then scaled by the union estimate: |A∩B| ≈ J(A,B) · |A∪B|."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k
+    )
+    both = F.size(F.array_intersect(merged, F.array_intersect(kmv_a, kmv_b)))
+    jaccard = both.cast("double") / F.size(merged)
+    return jaccard * kmv_union_estimate(kmv_a, kmv_b, k)

@@ -665,3 +665,32 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     # median bucket spans at most ~40% of each dimension's range
     assert frac_ck[len(frac_ck) // 2] <= 0.4
     assert frac_dy[len(frac_dy) // 2] <= 0.4
+
+
+def test_kmv_union_and_intersection_estimates(spark):
+    """Sketch algebra: union estimate within ~4 sigma; intersection
+    (join-size) estimate within a loose band; union of a sketch with
+    itself is identity."""
+    from dbcut_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_intersection_estimate,
+        kmv_union_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(1500)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(1000, 3000)], "g string, v string"
+    )
+    # true: |A|=1500, |B|=2000, |A∪B|=3000, |A∩B|=500
+    ska = kmv_bottom_k(a, "g", "v", k=64).withColumnRenamed("kmv", "ka")
+    skb = kmv_bottom_k(b, "g", "v", k=64).withColumnRenamed("kmv", "kb")
+    j = ska.join(skb, "g").select(
+        kmv_union_estimate(F.col("ka"), F.col("kb"), 64).alias("u"),
+        kmv_intersection_estimate(F.col("ka"), F.col("kb"), 64).alias("i"),
+        kmv_union_estimate(F.col("ka"), F.col("ka"), 64).alias("self_u"),
+    ).collect()[0]
+    assert abs(j["u"] - 3000) / 3000 < 0.5
+    assert 100 < j["i"] < 1200          # coarse: k=64 intersection is noisy
+    assert abs(j["self_u"] - 1500) / 1500 < 0.5
