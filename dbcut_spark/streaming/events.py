@@ -228,3 +228,106 @@ def incremental_dedup_stream(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_exact_dup"),
         )
     )
+
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("closed_hours", T.ArrayType(T.LongType())),
+        T.StructField("closed_counts", T.ArrayType(T.LongType())),
+        T.StructField("open_hour", T.LongType()),
+        T.StructField("open_count", T.LongType()),
+    ]
+)
+
+ANOMALY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hour_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("trailing_avg", T.DoubleType()),
+        T.StructField("is_spike", T.BooleanType()),
+        T.StructField("is_drop", T.BooleanType()),
+    ]
+)
+
+
+def stateful_hourly_anomaly(
+    stream: DataFrame, warmup: int = 12, trail: int = 24, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hourly_anomaly`` query: a
+    custom stateful operator keyed by event_type that maintains the
+    open hour's running count plus the last ``trail`` CLOSED hourly
+    counts, and emits each hour the moment a later hour arrives —
+    with its spike/drop flag against the trailing mean, exactly the
+    batch query's ROWS BETWEEN trail PRECEDING AND 1 PRECEDING frame.
+
+    This is the shape built-in windowed aggregation cannot express:
+    the emission depends on state ACROSS window boundaries (the
+    trailing mean of prior windows), not just within one. State per
+    key = trail+1 longs — O(event types), not O(events)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    HOUR_US = 3_600_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (etype,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        counts: dict[int, int] = {}
+        for pdf in pdf_iter:
+            us = pdf["ts"].astype("int64") // 1000
+            for h, c in us.floordiv(HOUR_US).value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+        if not counts:
+            return
+        ch, cc, open_hour, open_count = (
+            state.get if state.exists else ([], [], None, None)
+        )
+        ch, cc = list(ch), list(cc)
+        out = {k: [] for k in (
+            "event_type", "hour_start_us", "n_events",
+            "trailing_avg", "is_spike", "is_drop",
+        )}
+
+        def close(hour: int, count: int) -> None:
+            if len(ch) >= warmup:
+                window = cc[-trail:]
+                avg = sum(window) / len(window)
+                out["event_type"].append(etype)
+                out["hour_start_us"].append(hour * HOUR_US)
+                out["n_events"].append(count)
+                out["trailing_avg"].append(round(avg, 4))
+                out["is_spike"].append(float(count) > 2.0 * avg)
+                out["is_drop"].append(float(count) < 0.5 * avg)
+            ch.append(hour)
+            cc.append(count)
+            del ch[:-trail], cc[:-trail]
+
+        for h in sorted(counts):
+            if open_hour is None:
+                open_hour, open_count = h, 0
+            if h == open_hour:
+                open_count += counts[h]
+                continue
+            close(open_hour, open_count)
+            open_hour, open_count = h, counts[h]
+        state.update((ch, cc, open_hour, open_count))
+        state.setTimeoutDuration(3_600_000)
+        if out["event_type"]:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            ANOMALY_OUT_SCHEMA,
+            ANOMALY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

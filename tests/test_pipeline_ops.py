@@ -694,3 +694,62 @@ def test_kmv_union_and_intersection_estimates(spark):
     assert abs(j["u"] - 3000) / 3000 < 0.5
     assert 100 < j["i"] < 1200          # coarse: k=64 intersection is noisy
     assert abs(j["self_u"] - 1500) / 1500 < 0.5
+
+
+def test_stateful_hourly_anomaly_matches_batch(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState anomaly detector must agree with the
+    oracle-checked batch query on every CLOSED hour (the final hour
+    per event type stays open in state)."""
+    import time as _time
+
+    from dbcut_spark.queries import QUERIES
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        read_event_stream,
+        stateful_hourly_anomaly,
+    )
+
+    src = tmp_path / "events_anomaly"
+    src.mkdir()
+    read_table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    q = (
+        stateful_hourly_anomaly(read_event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("anomaly_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = sum(p["numInputRows"] for p in q.recentProgress) > 0
+        if done and spark.table("anomaly_test").count() > 0:
+            break
+        _time.sleep(1)
+    q.stop()
+
+    got = {
+        (r["event_type"], r["hour_start_us"]): (
+            r["n_events"], r["trailing_avg"], r["is_spike"], r["is_drop"]
+        )
+        for r in spark.table("anomaly_test").collect()
+    }
+    batch = QUERIES["events_hourly_anomaly"](spark, sf_dir).collect()
+    exp = {}
+    last_hour = {}
+    for r in batch:
+        us = int(r["hour_start"].timestamp() * 1_000_000)
+        exp[(r["event_type"], us)] = (
+            r["n_events"], r["trailing_avg"], r["is_spike"], r["is_drop"]
+        )
+        last_hour[r["event_type"]] = max(last_hour.get(r["event_type"], 0), us)
+    # streaming emits exactly the batch rows minus each type's open hour
+    expected_keys = {
+        k for k in exp if k[1] != last_hour[k[0]]
+    }
+    assert set(got) == expected_keys
+    for k in expected_keys:
+        assert got[k] == exp[k], k
