@@ -330,3 +330,27 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@cli.command()
+@click.option("--out", default=None, help="output dir (default: <dest>/curated)")
+@click.pass_obj
+def curate(ctx: Ctx, out: str | None):
+    """End-to-end corpus curation (beyond-reference): run the composed
+    keep/drop decision (LSH dedup clusters + benchmark contamination +
+    repetition gate) over the source documents table and materialize
+    the kept corpus as source-partitioned parquet with a JSON
+    manifest of drop reasons."""
+    from dbcut_spark.operators.curation import materialize_corpus
+    from dbcut_spark.queries import QUERIES
+    from dbcut_spark.sources.parquet import read_table
+
+    out_dir = out or os.path.join(ctx.dest, "curated")
+    docs = read_table(ctx.spark, ctx.source, "documents")
+    decisions = QUERIES["corpus_curate"](ctx.spark, ctx.source)
+    manifest = materialize_corpus(docs, decisions, out_dir)
+    click.echo(
+        f"curated {manifest['n_kept']}/{manifest['n_input']} docs -> {out_dir}"
+    )
+    for reason, n in sorted(manifest["drop_reasons"].items()):
+        click.echo(f"  dropped {n:>6}  {reason}")

@@ -239,3 +239,33 @@ def test_csv_orc_documents_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,999999)]" in plan
+
+
+def test_cli_curate(spark, sf_dir, tmp_path):
+    import json
+
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    dest = str(tmp_path / "target")
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": dest},
+        "cache": str(tmp_path / "cache"),
+        "queries": [PLAN_RAW],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out_dir = str(tmp_path / "curated")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "curate", "--out", out_dir], catch_exceptions=False
+    )
+    assert res.exit_code == 0, res.output
+    assert "curated " in res.output
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    kept = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
+    assert kept == manifest["n_kept"] > 0
