@@ -70,3 +70,41 @@ def test_interval_overlap_join_exactly_once(spark):
     got = [(r["lid"], r["rid"]) for r in out.collect()]
     assert sorted(got) == [(1, 10), (3, 12)]
     assert len(got) == len(set(got))  # exactly once despite shared bins
+
+
+def test_interval_overlap_randomized_vs_brute(spark):
+    """Seeded random intervals: the binned plan must equal the brute
+    theta-join exactly (same pairs, each exactly once) across bin
+    sizes smaller, comparable, and larger than the interval lengths."""
+    import random
+
+    from dbcut_spark.operators.range_join import interval_overlap_join
+
+    rng = random.Random(11)
+    rows_l, rows_r = [], []
+    for i in range(250):
+        k = rng.randint(0, 6)
+        s = rng.randint(0, 50_000)
+        rows_l.append((i, k, s, s + rng.randint(0, 3_000)))
+    for i in range(250):
+        k = rng.randint(0, 6)
+        s = rng.randint(0, 50_000)
+        rows_r.append((1000 + i, k, s, s + rng.randint(0, 3_000)))
+    left = spark.createDataFrame(rows_l, "lid long, key long, ls long, le long")
+    right = spark.createDataFrame(rows_r, "rid long, key long, rs long, re long")
+
+    brute = {
+        (l[0], r[0])
+        for l in rows_l
+        for r in rows_r
+        if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3]
+    }
+    for bin_us in (100, 2_500, 100_000):
+        got = [
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ["key"], "ls", "le", "rs", "re", bin_us=bin_us
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"bin={bin_us}: duplicate pairs"
+        assert set(got) == brute, f"bin={bin_us}: pair set mismatch"
