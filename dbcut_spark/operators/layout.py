@@ -43,26 +43,32 @@ def zvalue_sql(a: str, b: str, bits: int = 16) -> str:
 
 
 def zorder_bucket_stats(
-    df: DataFrame, a: str, b: str, n_buckets: int = 64, bits: int = 16
+    df: DataFrame,
+    a: str,
+    b: str,
+    stat_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    bits: int = 16,
 ) -> DataFrame:
     """Profile what a Z-ordered layout buys: range-partition rows by
-    Morton code into ``n_buckets`` equal z-ranges ("files") and report
-    each bucket's min/max of BOTH dimensions — the min/max footer
-    stats a scan would prune on. Tight per-bucket ranges on both
-    columns = both predicates skip files; a single-column sort shows
-    tight ranges on one column only."""
+    the Morton code of ``a``/``b`` (already scaled to the ``bits``-bit
+    domain) into ``n_buckets`` equal z-ranges ("files") and report
+    each bucket's min/max of every ``stat_cols`` column (default: the
+    z-input columns themselves) — the min/max footer stats a scan
+    would prune on. Tight per-bucket ranges on both dimensions = both
+    predicates skip files; a single-column sort shows tight ranges on
+    one column only."""
+    stat_cols = stat_cols or [a, b]
     z = zvalue(F.col(a), F.col(b), bits)
     span = F.lit((1 << (2 * bits)) - 1)
     bucket = F.floor(z * n_buckets / (span + 1)).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return (
-        df.select(F.col(a), F.col(b), bucket.alias("bucket"))
+        df.select(*stat_cols, bucket.alias("bucket"))
         .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(a).alias(f"min_{a}"),
-            F.max(a).alias(f"max_{a}"),
-            F.min(b).alias(f"min_{b}"),
-            F.max(b).alias(f"max_{b}"),
-        )
+        .agg(*aggs)
         .orderBy("bucket")
     )

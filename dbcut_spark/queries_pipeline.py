@@ -2563,7 +2563,7 @@ def orders_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer bit arithmetic, bit-identical on the oracle. The
     layout lever behind Delta/Iceberg OPTIMIZE ZORDER BY, expressed
     as plain DataFrame ops."""
-    from dbcut_spark.operators.layout import zvalue
+    from dbcut_spark.operators.layout import zorder_bucket_stats
 
     o = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),
@@ -2594,17 +2594,14 @@ def orders_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("d_hi") - F.col("d_lo"), F.lit(1))
         ).alias("ds"),
     )
-    z = zvalue(F.col("cs"), F.col("ds"), bits=16)
-    bucket = F.floor(z * 64.0 / F.lit(4294967296.0)).cast("int")
-    return (
-        scaled.select("ck", "dayno", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.min("ck").alias("min_ck"),
-            F.max("ck").alias("max_ck"),
-            F.min("dayno").alias("min_day"),
-            F.max("dayno").alias("max_day"),
-        )
-        .orderBy("bucket")
+    stats = zorder_bucket_stats(
+        scaled, "cs", "ds", stat_cols=["ck", "dayno"], n_buckets=64, bits=16
     )
+    return stats.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        "min_ck",
+        "max_ck",
+        F.col("min_dayno").alias("min_day"),
+        F.col("max_dayno").alias("max_day"),
+    ).orderBy("bucket")
