@@ -45,6 +45,7 @@ HEADLINE = [
     "include_path__customer",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_audio_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -2605,3 +2605,48 @@ def orders_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_dayno").alias("min_day"),
         F.col("max_dayno").alias("max_day"),
     ).orderBy("bucket")
+
+
+@register(
+    "multimodal_audio_windows",
+    sql="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             16000 + (length(text) % 64) * 1000 AS n_samples
+      FROM documents),
+    wins AS (
+      SELECT media_id, n_samples,
+             unnest(range(0, greatest(n_samples - 16000, 0) + 1, 8000))
+               AS win_start
+      FROM media WHERE n_samples >= 16000)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(win_start) AS BIGINT) AS last_start
+    FROM wins GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plan on the correctness gate: documents stand in
+    for audio clips (n_samples derived from text length, 1s windows at
+    16 kHz with 0.5s hop), expanded to per-window rows by
+    operators.multimodal.audio_window_plan — the row set a per-window
+    feature extractor (fbank/MFCC mapInPandas stage) would consume.
+    Oracle recomputes the expansion with DuckDB's stepped range."""
+    from dbcut_spark.operators.multimodal import audio_window_plan
+
+    media = tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.create_map(
+            F.lit("n_samples"),
+            (F.lit(16000) + (F.length("text") % 64) * 1000).cast("string"),
+        ).alias("meta"),
+    )
+    wins = audio_window_plan(media, win_samples=16000, hop_samples=8000)
+    return (
+        wins.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("win_start").cast("long").alias("last_start"),
+        )
+        .orderBy("media_id")
+    )
