@@ -324,14 +324,6 @@ def topo_order(catalog: Catalog) -> list[str]:
     return order
 
 
-def main():
-    cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
-
-
-if __name__ == "__main__":
-    main()
-
-
 @cli.command()
 @click.option("--out", default=None, help="output dir (default: <dest>/curated)")
 @click.pass_obj
@@ -354,3 +346,10 @@ def curate(ctx: Ctx, out: str | None):
     )
     for reason, n in sorted(manifest["drop_reasons"].items()):
         click.echo(f"  dropped {n:>6}  {reason}")
+
+def main():
+    cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
+
+
+if __name__ == "__main__":
+    main()

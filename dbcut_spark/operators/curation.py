@@ -253,11 +253,18 @@ def materialize_corpus(
     Scale notes: the decision frame carries (id, keep, reason) only;
     the text joins in exactly once on the way to the writer.
     Partitioning by source gives downstream mixture sampling static
-    partition pruning; the manifest counts come from one aggregation
-    of the (small) decision frame, not a rescan of the output."""
+    partition pruning. The decision frame feeds two actions (the
+    semi-join write and the reason aggregation), so it is pinned —
+    without that, the full curation pipeline (LSH dedup +
+    contamination + repetition gates) would recompute per action; and
+    n_input is derived from the collected reason counts instead of a
+    third count() action."""
     import json
     import os
 
+    from dbcut_spark.operators.pinning import pin
+
+    decisions = pin(decisions)
     kept = docs.join(
         decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
@@ -270,8 +277,9 @@ def materialize_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    decisions.unpersist()
     manifest = {
-        "n_input": decisions.count(),
+        "n_input": sum(reason_counts.values()),
         "n_kept": reason_counts.get("keep", 0),
         "drop_reasons": {k: v for k, v in sorted(reason_counts.items()) if k != "keep"},
         "partitioned_by": "source",

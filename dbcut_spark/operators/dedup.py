@@ -106,9 +106,14 @@ def lsh_candidate_pairs(
     """Docs sharing at least one LSH band → candidate pairs (id_a < id_b)
     with the signature-agreement estimate ``est_sim``.
 
-    The signature frame is persisted: it feeds the band explode AND both
-    sides of the pair join — without caching, lazy evaluation would
-    recompute the shingle explode + minhash aggregation three times."""
+    One shuffle, one join: the banded frame carries the full signature as
+    an array payload, so ``est_sim`` is computed inside the single band
+    equi-join (``zip_with`` agreement count) and a pair that collides in
+    several bands is collapsed by a max-aggregate — no distinct-then-
+    re-join of the signature frame to both pair sides (a 3-join shape
+    that benched 3.6x slower at sf0.1). The payload is k longs per band
+    row (k*n_bands per doc total) — bounded, and far cheaper at scale
+    than two extra shuffled joins against the signature frame."""
     signatures = pin(signatures)
     n_bands = num_hashes // band_rows
     band_cols = []
@@ -122,39 +127,34 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
             )
         )
+    sig_array = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
     bands = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+        F.col(id_col),
+        sig_array.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
     left = bands.select(
-        F.col(id_col).alias("doc_a"), "band_idx", "band_hash"
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )
     right = bands.select(
-        F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
     )
-    pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sig_a = signatures.select(
-        F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)]
-    )
-    sig_b = signatures.select(
-        F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             (matches.cast("double") / num_hashes).alias("est_sim"),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_sim").alias("est_sim"))
     )
 
 

@@ -529,27 +529,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup",
-    sql="""
-    WITH nrm AS (
-      SELECT vec_id, sqrt(SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
-      FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot
-      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
-      WHERE a.vec_id < b.vec_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-    FROM dots JOIN nrm na ON na.vec_id = doc_a JOIN nrm nb ON nb.vec_id = doc_b
-    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
-    ORDER BY doc_a, doc_b
-    """,
-)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 on this
-    synthetic corpus), exact brute verifier for the LSH path."""
+    synthetic corpus) — exact brute-force verifier for the LSH path.
+
+    Deliberately NOT registered as a gate query: the O(n²) cross join is
+    the wrong plan shape at scale, so the headline/gate entry is the
+    banded ``embedding_neardup_lsh`` and this form survives only as the
+    differential check in ``tests/test_pipeline_ops.py`` (LSH recall vs
+    brute-force ground truth)."""
     return sim.embedding_neardup_pairs(
         tp(spark, sf_dir, "embeddings"), threshold=0.35
     )

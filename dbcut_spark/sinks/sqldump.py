@@ -70,13 +70,92 @@ def render_value(v) -> str:
 
 
 def create_table_sql(
-    table: str, df: DataFrame, pk: list[str], dialect: str = "sqlite"
+    table: str,
+    df: DataFrame,
+    pk: list[str],
+    dialect: str = "sqlite",
+    fks: list[tuple[list[str], str, list[str]]] | None = None,
 ) -> str:
+    """CREATE TABLE with portable, target-unique constraint names.
+
+    Cross-DBMS portability mutations mirror the reference's metadata
+    rewrite on reflect (``/root/reference/dbcut/database.py:183-205``):
+    every named constraint is renamed through a deterministic naming
+    convention so a dump taken from one DBMS loads into another where
+    constraint names must be schema-unique (PostgreSQL) — here
+    ``pk_<table>`` / ``fk_<table>_<cols>_<i>``. ``fks`` entries are
+    ``(child_cols, parent_table, parent_cols)``."""
     q = DIALECTS[dialect]["quote"]
     cols = [f"{q}{f.name}{q} {sql_type(f.dataType)}" for f in df.schema.fields]
     if pk:
-        cols.append(f"PRIMARY KEY ({', '.join(q + c + q for c in pk)})")
+        cols.append(
+            f"CONSTRAINT {q}pk_{table}{q} PRIMARY KEY "
+            f"({', '.join(q + c + q for c in pk)})"
+        )
+    for i, (child_cols, parent, parent_cols) in enumerate(fks or [], start=1):
+        cname = f"fk_{table}_{'_'.join(child_cols)}_{i}"
+        cols.append(
+            f"CONSTRAINT {q}{cname}{q} FOREIGN KEY "
+            f"({', '.join(q + c + q for c in child_cols)}) REFERENCES "
+            f"{q}{parent}{q} ({', '.join(q + c + q for c in parent_cols)})"
+        )
     return f"CREATE TABLE IF NOT EXISTS {q}{table}{q} (\n  " + ",\n  ".join(cols) + "\n);"
+
+
+# MySQL cannot index an unbounded TEXT/BLOB column without a prefix
+# length; the reference caps those index columns at 128 chars when the
+# TARGET dialect is mysql (``/root/reference/dbcut/database.py:196-205``,
+# ``_MYSQL_LENGHT_TEXT_INDEX_COLUMN = 128`` at ``database.py:35``).
+MYSQL_TEXT_INDEX_LENGTH = 128
+
+
+def index_name(
+    table: str, columns: list[str], unique: bool, exclude: set[str] | None = None
+) -> str:
+    """Deterministic target-unique index name: ``<table>_<cols>_idx_<i>``
+    (``_unique_idx_`` when unique), first counter value not in
+    ``exclude`` — the reference's ``generate_valid_index_name``
+    (``/root/reference/dbcut/utils.py:155-166``), which renames every
+    reflected index so a dump never trips over source-dialect name
+    scoping or duplicates on the target."""
+    import itertools
+
+    stem = f"{table}_{'_'.join(columns)}" + ("_unique_idx" if unique else "_idx")
+    for i in itertools.count(start=1):
+        candidate = f"{stem}_{i}"
+        if candidate not in (exclude or set()):
+            return candidate
+
+
+def create_index_sql(
+    table: str,
+    columns: list[str],
+    df: DataFrame,
+    dialect: str = "sqlite",
+    unique: bool = False,
+    exclude: set[str] | None = None,
+    name: str | None = None,
+) -> str:
+    """CREATE INDEX with the portability mutations applied: renamed via
+    :func:`index_name` (or the caller-assigned ``name``), and on mysql
+    targets TEXT columns get the ``(128)`` prefix cap (an unbounded TEXT
+    index is a hard error on MySQL — the dump would fail to load)."""
+    q = DIALECTS[dialect]["quote"]
+    name = name or index_name(table, columns, unique, exclude)
+    text_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    }
+    rendered = []
+    for c in columns:
+        if dialect == "mysql" and c in text_cols:
+            rendered.append(f"{q}{c}{q}({MYSQL_TEXT_INDEX_LENGTH})")
+        else:
+            rendered.append(f"{q}{c}{q}")
+    uq = "UNIQUE " if unique else ""
+    return (
+        f"CREATE {uq}INDEX {q}{name}{q} ON {q}{table}{q} "
+        f"({', '.join(rendered)});"
+    )
 
 
 def _insert_stmt(table: str, columns: list[str], row, dialect: str) -> str:
@@ -92,13 +171,21 @@ def dump_sql(
     pks: dict[str, list[str]],
     dialect: str = "sqlite",
     include_ddl: bool = True,
+    indexes: dict[str, list[tuple[list[str], bool]]] | None = None,
 ) -> Iterator[str]:
     """Stream the dump statement-by-statement (reference output shape:
-    BEGIN → DDL → INSERT... → COMMIT)."""
+    BEGIN → DDL → INSERT... → COMMIT). ``indexes`` maps table →
+    ``[(columns, unique)]``; index names are regenerated target-unique
+    across the whole dump (reference ``database.py:188-195``)."""
     yield "BEGIN;"
+    seen_index_names: set[str] = set()
     for table, df in tables.items():
         if include_ddl:
             yield create_table_sql(table, df, pks.get(table, []), dialect)
+            for cols, unique in (indexes or {}).get(table, []):
+                name = index_name(table, cols, unique, seen_index_names)
+                seen_index_names.add(name)
+                yield create_index_sql(table, cols, df, dialect, unique, name=name)
         columns = df.columns
         for row in df.toLocalIterator():
             yield _insert_stmt(table, columns, row, dialect)

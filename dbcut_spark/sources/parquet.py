@@ -32,6 +32,15 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+@lru_cache(maxsize=256)
+def _timestamp_columns(path: str) -> tuple[str, ...]:
+    """Column names with any timestamp type in the parquet footer."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(_one_file(path))
+    return tuple(f.name for f in schema if str(f.type).startswith("timestamp"))
+
+
 def _one_file(path: str) -> str:
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
@@ -48,18 +57,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # this the read throws PARQUET_TYPE_ILLEGAL before the
         # normalization below can run.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # µs-precision parquet timestamps (isAdjustedToUTC=false) would infer
-    # as TIMESTAMP_NTZ on Spark 3.4+, which unix_micros()/window() reject
-    # and which diverges from the ns path above (timestamp_micros → LTZ).
-    # Force the classic TimestampType so every downstream operator sees
-    # one timestamp type regardless of the file's physical precision.
-    # Runtime-settable for the same vanilla-session reason as above.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # Reading NTZ micros as classic TimestampType is wall-clock-preserving
-    # only when the session timezone is UTC; get_spark() pins it, but the
-    # harness's vanilla session inherits the machine zone — pin it here so
-    # hour/date/window results match the naive DuckDB oracle timestamps.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _timestamp_columns(path):
+        # µs-precision parquet timestamps (isAdjustedToUTC=false) would
+        # infer as TIMESTAMP_NTZ on Spark 3.4+, which unix_micros()/
+        # window() reject and which diverges from the ns path above
+        # (timestamp_micros → LTZ). Force the classic TimestampType so
+        # every downstream operator sees one timestamp type regardless of
+        # the file's physical precision.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Reading NTZ micros as classic TimestampType is wall-clock-
+        # preserving only when the session timezone is UTC; get_spark()
+        # pins it at construction, but the harness's vanilla session
+        # inherits the machine zone — pin it here so hour/date/window
+        # results match the naive DuckDB oracle timestamps. A set-and-
+        # restore wrapper would NOT work: DataFrames are lazy, and the
+        # conf must still be UTC when an action finally evaluates the
+        # expressions. Scoped to timestamp-bearing tables so zone-free
+        # workloads never observe the mutation; sessions built by
+        # get_spark() are UTC already, making this a no-op there.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

@@ -309,7 +309,20 @@ def stateful_hourly_anomaly(
 
         for h in sorted(counts):
             if open_hour is None:
-                open_hour, open_count = h, 0
+                open_hour, open_count = h, counts[h]
+                continue
+            if h < open_hour:
+                # Late arrival for an hour that already closed (admitted
+                # by the watermark but behind the open hour). Reopening
+                # it would emit the open hour early and append
+                # out-of-order entries to the closed list — instead fold
+                # the late counts into the stored trailing entry (its
+                # row was already emitted; this keeps FUTURE trailing
+                # averages right) and drop anything older than the
+                # trail. open_hour only ever advances.
+                if h in ch:
+                    cc[ch.index(h)] += counts[h]
+                continue
             if h == open_hour:
                 open_count += counts[h]
                 continue

@@ -753,3 +753,86 @@ def test_stateful_hourly_anomaly_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == expected_keys
     for k in expected_keys:
         assert got[k] == exp[k], k
+
+
+def test_stateful_hourly_anomaly_out_of_order_batches(spark, tmp_path):
+    """A micro-batch carrying an hour EARLIER than the open hour (late
+    data admitted by the 2-hour watermark) must not close the open hour
+    prematurely or re-emit the stale hour: late counts fold into the
+    stored trailing entry and open_hour advances monotonically."""
+    import pandas as pd
+
+    from dbcut_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stateful_hourly_anomaly,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, chk = tmp_path / "out", tmp_path / "chk"
+    HOUR_US = 3_600_000_000
+
+    def mk(rows):
+        recs = []
+        for h, n in rows:
+            for i in range(n):
+                recs.append(
+                    {
+                        "event_id": len(recs),
+                        "ts": pd.to_datetime(h * 3600 + i, unit="s"),
+                        "user_id": 1,
+                        "event_type": "click",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+        return pd.DataFrame(recs)
+
+    def run_until(n_rows):
+        # the stateful query keeps running under availableNow (processing-
+        # time timeouts hold it open) — poll for the committed sink rows,
+        # then stop; rows are visible only after the batch (sink + state)
+        # commits, so stopping here never loses state.
+        import time as _time
+
+        q = (
+            stateful_hourly_anomaly(
+                read_event_stream(spark, str(src)), warmup=1, trail=3
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= n_rows:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            _time.sleep(1)
+        q.stop()
+
+    spark.createDataFrame(
+        mk([(0, 4), (1, 6), (2, 8), (3, 10)]), schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_until(2)  # hours 1, 2 close (hour 0 is warmup, hour 3 stays open)
+    # batch B: hour 2 is LATE (open hour is 3); hour 4 closes hour 3
+    spark.createDataFrame(
+        mk([(2, 5), (4, 12)]), schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_until(3)
+
+    rows = {r["hour_start_us"]: r for r in spark.read.parquet(str(out)).collect()}
+    # exactly one row per closed hour past warmup — no duplicate hour 2,
+    # no premature double-close of hour 3
+    assert sorted(rows) == [1 * HOUR_US, 2 * HOUR_US, 3 * HOUR_US]
+    assert rows[2 * HOUR_US]["n_events"] == 8  # emitted before the late data
+    h3 = rows[3 * HOUR_US]
+    assert h3["n_events"] == 10
+    # trailing window saw the late-merged hour-2 count: [4, 6, 8+5]
+    assert h3["trailing_avg"] == round((4 + 6 + 13) / 3, 4)

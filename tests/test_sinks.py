@@ -269,3 +269,63 @@ def test_cli_curate(spark, sf_dir, tmp_path):
     manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
     kept = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
     assert kept == manifest["n_kept"] > 0
+
+
+def test_ddl_portability_mutations(spark):
+    """Reference parity for the cross-DBMS DDL rewrite
+    (/root/reference/dbcut/database.py:183-205, utils.py:155-166):
+    constraint/index names regenerated target-unique, and TEXT index
+    columns capped at (128) for mysql targets."""
+    from dbcut_spark.sinks.sqldump import create_index_sql, index_name
+
+    df = spark.createDataFrame(
+        [(1, "x" * 500, "a")], "doc_id bigint, body string, tag string"
+    )
+    # mysql: TEXT column inside an index gets the 128-char prefix cap
+    mysql = create_index_sql("docs", ["body", "doc_id"], df, "mysql")
+    assert "`body`(128)" in mysql and "`doc_id`(" not in mysql
+    # sqlite target: no prefix cap (sqlite doesn't support that syntax)
+    lite = create_index_sql("docs", ["body"], df, "sqlite")
+    assert "(128)" not in lite
+    # unique index naming + collision counter (generate_valid_index_name)
+    n1 = index_name("docs", ["tag"], False, set())
+    n2 = index_name("docs", ["tag"], False, {n1})
+    assert n1 == "docs_tag_idx_1" and n2 == "docs_tag_idx_2"
+    assert index_name("docs", ["tag"], True, set()) == "docs_tag_unique_idx_1"
+
+
+def test_ddl_dump_loads_into_sqlite(spark):
+    """Golden end-to-end: a dump of a long-TEXT-index table (the shape
+    that would fail on mysql without the cap and trips name-scoping
+    across DBMSes) loads cleanly into stdlib sqlite3, constraints,
+    indexes, FK and all."""
+    import sqlite3
+
+    from dbcut_spark.sinks.sqldump import create_table_sql, dump_sql
+
+    parent = spark.createDataFrame([(1, "s1")], "src_id bigint, name string")
+    docs = spark.createDataFrame(
+        [(1, 1, "lorem " * 200), (2, 1, "ipsum " * 200)],
+        "doc_id bigint, src_id bigint, body string",
+    )
+    ddl = create_table_sql(
+        "docs", docs, ["doc_id"], "sqlite", fks=[(["src_id"], "sources", ["src_id"])]
+    )
+    assert 'CONSTRAINT "pk_docs" PRIMARY KEY' in ddl
+    assert 'CONSTRAINT "fk_docs_src_id_1" FOREIGN KEY' in ddl
+    stmts = list(
+        dump_sql(
+            {"sources": parent, "docs": docs},
+            {"sources": ["src_id"], "docs": ["doc_id"]},
+            "sqlite",
+            indexes={"docs": [(["body"], False), (["body"], False)]},
+        )
+    )
+    con = sqlite3.connect(":memory:")
+    for s in stmts:
+        con.execute(s)
+    assert con.execute("SELECT COUNT(*) FROM docs").fetchone()[0] == 2
+    names = {r[1] for r in con.execute("PRAGMA index_list('docs')")}
+    # duplicate index spec got a distinct target-unique name
+    assert {"docs_body_idx_1", "docs_body_idx_2"} <= names
+    con.close()
