@@ -95,6 +95,8 @@ HEADLINE = [
     "docs_bigram_logprob",
     "corpus_diff",
     "docs_source_quota",
+    "docs_chunk_overlap",
+    "docs_bm25_top_terms",
 ]
 
 

@@ -43,6 +43,9 @@ class Relationship:
     source_cols: tuple[str, ...]   # join columns on source side
     target_cols: tuple[str, ...]   # join columns on target side
     fk_name: str                   # identity of the underlying FK
+    # scalar relation name resolved against the source table's columns
+    # (set by relationships_of; None → fall back to the target table)
+    scalar_name: str | None = None
 
     @property
     def arity_mark(self) -> str:
@@ -50,12 +53,33 @@ class Relationship:
 
     @property
     def name(self) -> str:
-        # scalar relations named after the FK column stem, collections
-        # "<child>_collection" (reference naming,
-        # /root/reference/dbcut/database.py:350-367)
+        # Reference naming (/root/reference/dbcut/database.py:350-367 and
+        # the documented sample /root/reference/README.rst:320-361):
+        # scalar (many-to-one) relations are named after the FK column
+        # minus its "_id" suffix ("role_id" → "role") when that stem
+        # isn't itself a column of the source table, else the referred
+        # table's name; collections are "<child>_collection". (The
+        # reference implements the stem with str.strip("_id") — a
+        # character-class strip that over-trims names like "paid_id";
+        # we use suffix semantics, identical on every sane FK name.)
         if self.direction is Direction.MANYTOONE:
-            return self.target
+            return self.scalar_name or self.target
         return f"{self.target}_collection"
+
+
+def _scalar_relation_name(catalog: Catalog, table: str, fk) -> str | None:
+    """FK-column-stem scalar naming ("role_id" → "role") with the
+    reference's guard: the stem must not collide with a real column of
+    the source table (then automap falls back to the referred class
+    name). Only applies to single-column FKs ending in "_id", and only
+    when the source table's columns are known."""
+    if len(fk.child_cols) != 1 or not fk.child_cols[0].endswith("_id"):
+        return None
+    stem = fk.child_cols[0][: -len("_id")]
+    cols = catalog.table(table).columns
+    if not stem or (cols and stem in cols):
+        return None
+    return stem
 
 
 def relationships_of(catalog: Catalog, table: str) -> list[Relationship]:
@@ -63,7 +87,13 @@ def relationships_of(catalog: Catalog, table: str) -> list[Relationship]:
     for fk in catalog.fks_of(table):
         rels.append(
             Relationship(
-                table, fk.parent, Direction.MANYTOONE, fk.child_cols, fk.parent_cols, fk.name
+                table,
+                fk.parent,
+                Direction.MANYTOONE,
+                fk.child_cols,
+                fk.parent_cols,
+                fk.name,
+                scalar_name=_scalar_relation_name(catalog, table, fk),
             )
         )
     for fk in catalog.fks_into(table):

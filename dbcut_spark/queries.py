@@ -690,6 +690,9 @@ _GATE_ROTATION = [
     "ann_ivf_topk",
     "text_repetition",
     "decontaminate_ngrams",
+    # round-4 additions (appended so earlier rotation offsets stay stable)
+    "docs_chunk_overlap",
+    "docs_bm25_top_terms",
 ]
 
 GATE_WINDOW = 50

@@ -2638,3 +2638,128 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "docs_chunk_overlap",
+    sql="""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           length(substr(text, CAST(i AS INT) * 400 + 1, 600)) AS chunk_len,
+           md5(substr(text, CAST(i AS INT) * 400 + 1, 600)) AS chunk_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest((length(text) - 1) // 400, 0) + 1)) AS i
+      FROM documents)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 600 chars, stride 400 →
+    200-char overlap), the context-window splitter every training
+    pipeline runs before tokenization. One projection + explode — no
+    shuffle at all until the display sort; at 100 TB this is a pure
+    map stage whose output co-partitions with its input, and the
+    md5-per-chunk doubles as a chunk-level dedup key downstream.
+    Chunk count per doc = ((len-1) div stride)+1, so the final short
+    tail window is kept and empty docs still yield one (empty) chunk —
+    identical arithmetic on both engines, no float floor."""
+    d = tp(spark, sf_dir, "documents")
+    chunk = F.expr("substring(text, chunk_idx * 400 + 1, 600)")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.expr("(length(text) - 1) div 400"), F.lit(0)),
+                )
+            ).alias("chunk_idx0"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx0").cast("int").alias("chunk_idx"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "docs_bm25_top_terms",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM tok WHERE length(tok) > 0 GROUP BY doc_id, tok),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tok WHERE length(tok) > 0 GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / (SELECT avgdl FROM stats))),
+                   6) AS bm25
+      FROM tf JOIN df USING (tok) JOIN dlen USING (doc_id))
+    SELECT doc_id, tok, bm25,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, tok) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75, the
+    Robertson/Sparck-Jones idf ln(1+(N-df+.5)/(df+.5))) — the
+    doc-length-normalized upgrade of ``tfidf_top_terms`` and the
+    lexical half of hybrid retrieval mining. Plan shape: one token
+    explode feeds BOTH the per-doc tf and doc-length aggregations;
+    the token-keyed df table is small (broadcast under AQE); N and
+    avgdl are two driver scalars from one tiny aggregate. round(6)
+    absorbs JVM-vs-DuckDB libm ulp in ln/division."""
+    d = tp(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    toks = pin(toks)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dlen.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                idf
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "bm25", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

@@ -57,16 +57,27 @@ def insert_ignore_jdbc(
     pk: list[str],
     properties: dict[str, str] | None = None,
     batchsize: int = 5000,
+    quote: str = '"',
 ) -> None:
     """JDBC variant: anti-join against the target's current PKs (pushed
     as a key-only JDBC read), then batched append. ``batchsize`` mirrors
     the reference's PG executemany page size of 5000
-    (``/root/reference/dbcut/database.py:479-484``)."""
+    (``/root/reference/dbcut/database.py:479-484``).
+
+    Column identifiers in the key query are quoted (``quote``, pass a
+    backtick for mysql): Spark's JDBC writer creates delimited —
+    case-preserved — column names, and databases that uppercase unquoted
+    identifiers (Derby, Oracle, DB2) would otherwise fail to resolve
+    them. The table name is passed through verbatim, exactly as it was
+    given to the writer's ``dbtable`` (which Spark also leaves
+    unquoted)."""
     props = dict(properties or {})
+    q = quote
+    key_cols = ", ".join(f"{q}{c}{q}" for c in pk)
     existing = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", f"SELECT {', '.join(pk)} FROM {table}")
+        .option("query", f"SELECT {key_cols} FROM {table}")
         .options(**props)
         .load()
     )

@@ -344,3 +344,17 @@ def stateful_hourly_anomaly(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_events_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingestion repair: drop replayed/duplicate events by
+    ``event_id`` with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state for an id is freed once
+    the watermark passes it, so state size is O(events per watermark
+    window), not O(stream history)). The batch twin is the exact-dedup
+    family (``operators/dedup.py``); at-least-once sources (Kafka
+    replays, file redelivery) make this the standard first stage of a
+    streaming ingest at any scale."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -836,3 +836,54 @@ def test_stateful_hourly_anomaly_out_of_order_batches(spark, tmp_path):
     assert h3["n_events"] == 10
     # trailing window saw the late-merged hour-2 count: [4, 6, 8+5]
     assert h3["trailing_avg"] == round((4 + 6 + 13) / 3, 4)
+
+
+def test_dedup_events_stream(spark, tmp_path):
+    """Replayed events (same event_id redelivered in a later file) are
+    emitted exactly once; state is watermark-bounded."""
+    import pandas as pd
+
+    from dbcut_spark.streaming.events import (
+        EVENT_SCHEMA,
+        dedup_events_stream,
+        read_event_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(ids):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.to_datetime(1_000_000 + i, unit="s"),
+                    "user_id": i % 5,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i in ids
+            ]
+        )
+
+    # file 1: ids 0..99; file 2 replays 50..99 and adds 100..119
+    spark.createDataFrame(mk(range(100)), schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(
+        mk(list(range(50, 120))), schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = (
+        dedup_events_stream(read_event_stream(spark, str(src), max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_stream_test").collect()
+    ids = [r["event_id"] for r in rows]
+    assert sorted(ids) == list(range(120))  # every id exactly once

@@ -329,3 +329,76 @@ def test_ddl_dump_loads_into_sqlite(spark):
     # duplicate index spec got a distinct target-unique name
     assert {"docs_body_idx_1", "docs_body_idx_2"} <= names
     con.close()
+
+
+def test_nested_json_golden_reference_shape(spark, tmp_path):
+    """Byte-stable golden parity for the nested JSON export against the
+    reference's documented output (/root/reference/README.rst:320-361):
+    the user/group/role/permission schema from the README, with
+    - scalar relations named FK-column-minus-_id ("role_id" -> "role",
+      /root/reference/dbcut/database.py:350-356),
+    - collections named "<child>_collection",
+    - m2m chains nested through the association table
+      (user -> user_group_collection -> group -> role ->
+      role_permission_collection -> permission),
+    - column order = table order, relation columns after.
+    Divergence (documented): a cycle-truncated relation key is omitted
+    entirely rather than rendered as None/[] — our extraction tree never
+    materializes the back-edge, the reference's ORM loads it empty."""
+    from dbcut_spark.catalog import Catalog, ForeignKey, TableSpec
+    from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+    from dbcut_spark.plans.extraction import build_plan
+    from dbcut_spark.sinks.json_export import nested_documents
+
+    cat = Catalog()
+    for name, cols in [
+        ("permission", ["id", "codename"]),
+        ("role", ["id", "name"]),
+        ("role_permission", ["id", "role_id", "permission_id"]),
+        ("group", ["id", "name", "role_id"]),
+        ("user", ["id", "login", "password"]),
+        ("user_group", ["id", "user_id", "group_id"]),
+        ("comment", ["id", "content", "user_id"]),
+        ("vote", ["id", "rating", "user_id", "comment_id"]),
+    ]:
+        cat.tables[name] = TableSpec(name, ("id",), tuple(cols))
+    cat.fks += [
+        ForeignKey("role_permission", ("role_id",), "role", ("id",)),
+        ForeignKey("role_permission", ("permission_id",), "permission", ("id",)),
+        ForeignKey("group", ("role_id",), "role", ("id",)),
+        ForeignKey("user_group", ("user_id",), "user", ("id",)),
+        ForeignKey("user_group", ("group_id",), "group", ("id",)),
+        ForeignKey("comment", ("user_id",), "user", ("id",)),
+        ForeignKey("vote", ("user_id",), "user", ("id",)),
+        ForeignKey("vote", ("comment_id",), "comment", ("id",)),
+    ]
+    data = {
+        "permission": ("id bigint, codename string",
+                       [(1, "delete_comment"), (4, "create_comment"), (5, "create_vote")]),
+        "role": ("id bigint, name string", [(2, "moderator"), (3, "user")]),
+        "role_permission": ("id bigint, role_id bigint, permission_id bigint",
+                            [(7, 2, 4), (10, 2, 1), (12, 3, 4), (13, 3, 5)]),
+        "group": ("id bigint, name string, role_id bigint",
+                  [(2, "Moderateur", 2), (3, "Utilisateur", 3)]),
+        "user": ("id bigint, login string, password string",
+                 [(3, "jerome", "jerome"), (4, "julien", "julien")]),
+        "user_group": ("id bigint, user_id bigint, group_id bigint",
+                       [(3, 3, 2), (4, 4, 3)]),
+        "comment": ("id bigint, content string, user_id bigint",
+                    [(1, "c1", 4), (8, "comment jerome 1", 3)]),
+        "vote": ("id bigint, rating bigint, user_id bigint, comment_id bigint",
+                 [(2, 5, 3, 1), (3, 4, 4, 1), (10, 6, 3, 1)]),
+    }
+    for name, (schema, rows) in data.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+
+    plan = build_plan(cat, {"from": "user", "join_depth": 10, "backref_depth": 10})
+    ex = ClosureExecutor(spark, parquet_loader(spark, str(tmp_path)))
+    _, frontiers = ex.execute_nodes(plan)
+    got = nested_documents(plan, frontiers).orderBy("id").toJSON().collect()
+    golden = os.path.join(os.path.dirname(__file__), "golden", "nested_users.jsonl")
+    with open(golden) as f:
+        expected = f.read().splitlines()
+    assert got == expected
