@@ -97,6 +97,12 @@ HEADLINE = [
     "docs_source_quota",
     "docs_chunk_overlap",
     "docs_bm25_top_terms",
+    "docs_gopher_rules",
+    "docs_domain_mix_temperature",
+    "docs_ngram_novelty",
+    "events_funnel",
+    "events_retention",
+    "docs_length_quantiles",
 ]
 
 
@@ -133,6 +139,12 @@ DROP_ORDER = [
     "docs_weighted_sample",
     "docs_pack_sequences",
     "tfidf_top_terms",
+    "docs_gopher_rules",
+    "events_retention",
+    "docs_length_quantiles",
+    "events_funnel",
+    "docs_domain_mix_temperature",
+    "docs_ngram_novelty",
 ]
 
 

@@ -693,6 +693,12 @@ _GATE_ROTATION = [
     # round-4 additions (appended so earlier rotation offsets stay stable)
     "docs_chunk_overlap",
     "docs_bm25_top_terms",
+    "docs_gopher_rules",
+    "docs_domain_mix_temperature",
+    "docs_ngram_novelty",
+    "events_funnel",
+    "events_retention",
+    "docs_length_quantiles",
 ]
 
 GATE_WINDOW = 50

@@ -2763,3 +2763,328 @@ def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "bm25", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: quality-rule filtering, domain mixing, cross-corpus
+# novelty, product analytics (funnel / retention), distribution profiling
+# ---------------------------------------------------------------------------
+
+
+def _gopher_sql() -> str:
+    words = LANG_PROFILES["en"]
+    stop_terms = " + ".join(
+        f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in words
+    )
+    return f"""
+    SELECT doc_id, word_count, mean_word_len, frac_alpha_words, stop_hits,
+           r_wordcount, r_meanlen, r_alpha, r_stop,
+           (r_wordcount AND r_meanlen AND r_alpha AND r_stop) AS keep
+    FROM (
+      SELECT doc_id, word_count,
+             round(mean_word_len, 6) AS mean_word_len,
+             round(frac_alpha, 6) AS frac_alpha_words,
+             stop_hits,
+             (word_count BETWEEN 10 AND 1000) AS r_wordcount,
+             (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS r_meanlen,
+             (frac_alpha >= 0.8) AS r_alpha,
+             (stop_hits >= 2) AS r_stop
+      FROM (
+        SELECT doc_id,
+          CASE WHEN length(t) = 0 THEN 0 ELSE len(ws) END AS word_count,
+          CASE WHEN length(t) = 0 OR len(ws) = 0 THEN 0.0
+               ELSE (length(t) - (len(ws) - 1)) * 1.0 / len(ws) END AS mean_word_len,
+          CASE WHEN length(t) = 0 OR len(ws) = 0 THEN 0.0
+               ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                    / len(ws) END AS frac_alpha,
+          {stop_terms} AS stop_hits
+        FROM (SELECT doc_id, lower(trim(text)) AS t,
+                     string_split_regex(lower(trim(text)), ' +') AS ws
+              FROM documents)
+      )
+    ) ORDER BY doc_id
+    """
+
+
+@register("docs_gopher_rules", sql=_gopher_sql())
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021, public): word
+    count bounds, mean word length window, alphabetic-word fraction, and
+    stopword presence, each as an explicit rule flag plus the combined
+    keep decision. Pure Column algebra over one scan — codegen'd,
+    shuffle-free, the 100 TB shape of a rule-based quality gate. No
+    reference counterpart (beyond-reference §2.9 pipeline surface)."""
+    d = tp(spark, sf_dir, "documents")
+    t_ = norm_text("text")
+    ws = F.split(t_, " +")
+    wc = F.when(F.length(t_) == 0, F.lit(0)).otherwise(F.size(ws))
+    mean_wlen = F.when(
+        (F.length(t_) == 0) | (F.size(ws) == 0), F.lit(0.0)
+    ).otherwise((F.length(t_) - (F.size(ws) - 1)) / F.size(ws))
+    frac_alpha = F.when(
+        (F.length(t_) == 0) | (F.size(ws) == 0), F.lit(0.0)
+    ).otherwise(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))) / F.size(ws)
+    )
+    stop = stopword_hits(t_, LANG_PROFILES["en"])
+    r_wc = (wc >= 10) & (wc <= 1000)
+    r_ml = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    r_al = frac_alpha >= 0.8
+    r_st = stop >= 2
+    return d.select(
+        "doc_id",
+        wc.cast("int").alias("word_count"),
+        F.round(mean_wlen.cast("double"), 6).alias("mean_word_len"),
+        F.round(frac_alpha.cast("double"), 6).alias("frac_alpha_words"),
+        stop.cast("int").alias("stop_hits"),
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stop"),
+        (r_wc & r_ml & r_al & r_st).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_domain_mix_temperature",
+    sql="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    s AS (SELECT CAST(SUM(CAST(pow(n, 0.5) AS DECIMAL(25,12))) AS DOUBLE) AS tot
+          FROM c),
+    quota AS (SELECT source, CAST(floor(pow(n, 0.5) / tot * 200) AS INT) AS quota
+              FROM c, s),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source, q.quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    ORDER BY r.doc_id
+    """,
+)
+def docs_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha=0.5, total budget 200):
+    per-source sampling weight proportional to count^alpha — the
+    standard up/down-weighting of rare/common sources in pretraining
+    mixes (publicly described for The Pile / XLM-R). Per-source quotas
+    come from a tiny aggregate (broadcast both ways); member selection
+    is deterministic hash ranking, so the mix is reproducible across
+    engines and partitionings. The count^alpha sum routes through
+    DECIMAL so partial-aggregation order can't flip a floor() boundary."""
+    d = tp(spark, sf_dir, "documents").select("doc_id", "source")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pw = F.pow(F.col("n").cast("double"), 0.5)
+    tot = cnt.agg(
+        F.sum(pw.cast("decimal(25,12)")).cast("double").alias("tot")
+    )
+    quota = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(pw / F.col("tot") * 200).cast("int").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_ngram_novelty",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents WHERE length(trim(text)) > 0),
+    g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+          FROM (SELECT doc_id, ws,
+                       unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i
+                FROM w)),
+    f AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN f ON g.ng = f.ng
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty (the train-data signal behind Lee et
+    al. 2021's dedup analysis, public): for each document, the fraction
+    of its distinct word-3-grams whose first occurrence (min doc_id) is
+    this document. Explode → map-side-combinable min per gram → one
+    equi-join back — O(total tokens) with no all-pairs stage, the shape
+    that survives 100 TB."""
+    d = tp(spark, sf_dir, "documents")
+    t_ = norm_text("text")
+    ws = F.split(t_, " +")
+    grams = F.when(F.size(ws) >= 3, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode(grams).alias("ng"))
+    )
+    first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("novel_grams"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_funnel",
+    sql="""
+    WITH v AS (SELECT user_id, min(ts) AS fv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS fc FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS fp FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY e.user_id)
+    SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS users FROM v
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ORDER BY stage_ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage
+    counts users whose first stage-event strictly follows their first
+    event of the previous stage. Three aggregations and two equi-joins,
+    all keyed on user_id — after the first shuffle the rest co-locate,
+    and every aggregate partial-combines map-side."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    row = lambda df, ordn, name: df.agg(  # noqa: E731
+        F.lit(ordn).cast("int").alias("stage_ord"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).alias("users"),
+    )
+    return (
+        row(v, 1, "view")
+        .unionByName(row(c, 2, "click"))
+        .unionByName(row(p, 3, "purchase"))
+        .orderBy("stage_ord")
+    )
+
+
+@register(
+    "events_retention",
+    sql="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort,
+                 date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort, CAST(day_offset AS INT) AS day_offset, COUNT(*) AS users
+    FROM a WHERE day_offset <= 7
+    GROUP BY cohort, day_offset ORDER BY cohort, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the date of their first event
+    (cohort), counted distinct per day-offset 0..7. One shuffle keyed on
+    user_id for the cohort assign, then a small keyed aggregation — the
+    standard activation/retention matrix, distribution-safe because the
+    distinct happens before the count."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    f_ = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    a = (
+        e.join(f_, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        a.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .select("cohort", F.col("day_offset").cast("int").alias("day_offset"), "users")
+        .orderBy("cohort", "day_offset")
+    )
+
+
+@register(
+    "docs_length_quantiles",
+    sql="""
+    SELECT source, COUNT(*) AS n,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution profile: exact
+    interpolated percentiles (p25/p50/p90/p99) of n_chars. Spark's
+    `percentile` matches DuckDB's quantile_cont (linear interpolation).
+    At 100 TB swap `percentile` for `percentile_approx` — same plan
+    shape, mergeable sketch, documented here as the scale path; the
+    exact form is the oracle-checkable twin."""
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+    pct = F.expr(
+        "percentile(n_chars, array(0.25D, 0.5D, 0.9D, 0.99D))"
+    )
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("q"))
+        .select(
+            "source",
+            "n",
+            F.round(F.col("q")[0], 6).alias("p25"),
+            F.round(F.col("q")[1], 6).alias("p50"),
+            F.round(F.col("q")[2], 6).alias("p90"),
+            F.round(F.col("q")[3], 6).alias("p99"),
+        )
+        .orderBy("source")
+    )
