@@ -180,15 +180,28 @@ def _report_profile(ctx: Ctx, *args, **kwargs):
 @click.pass_obj
 def load(ctx: Ctx):
     """Extract each query's closure and insert-ignore it into the
-    destination (reference ``cmd_load``)."""
-    from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+    destination (reference ``cmd_load``). A ``jdbc:`` destination_uri
+    routes inserts through a live database — FK-safe topological order,
+    table auto-create on first load, idempotent insert-ignore after
+    (the reference's mysql→{mysql,sqlite,postgres} load matrix,
+    ``/root/reference/tests/test_cli.py:72-184``)."""
+    from dbcut_spark.sinks.insert_ignore import (
+        insert_ignore_jdbc,
+        insert_ignore_parquet,
+    )
 
-    os.makedirs(ctx.dest, exist_ok=True)
+    jdbc = ctx.dest.startswith("jdbc:")
+    if not jdbc:
+        os.makedirs(ctx.dest, exist_ok=True)
+    topo = {t: i for i, t in enumerate(topo_order(ctx.catalog))}
     for i, plan in ctx.plans():
         click.echo(f"query {i}: from {plan.root_table}")
         click.echo(plan.tree.render())
         frames = ctx.run_closure(plan)
-        for table, df in frames.items():
+        # parents before children: FK-enforcing JDBC targets reject
+        # child rows whose parent has not been inserted yet
+        for table in sorted(frames, key=lambda t: topo.get(t, len(topo))):
+            df = frames[table]
             pk = list(ctx.catalog.table(table).pk)
             prof = (
                 ctx.profiler.timed(f"insert {table}")
@@ -196,12 +209,30 @@ def load(ctx: Ctx):
                 else contextlib.nullcontext({"rows": None})
             )
             with prof as rec:
-                n = insert_ignore_parquet(
-                    ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
-                )
+                if jdbc:
+                    n = _jdbc_insert(ctx, df, table, pk)
+                else:
+                    n = insert_ignore_parquet(
+                        ctx.spark, df, os.path.join(ctx.dest, f"{table}.parquet"), pk
+                    )
                 rec["rows"] = n
             click.echo(f"  {table}: +{n} rows")
         release_pinned()
+
+
+def _jdbc_insert(ctx: Ctx, df, table: str, pk: list[str]) -> int:
+    """Insert-ignore into a live JDBC destination, creating the table on
+    first contact (Spark's JDBC append-mode writer emits the dialect's
+    CREATE TABLE, mirroring the reference's ``create_all``)."""
+    from dbcut_spark.sinks.insert_ignore import insert_ignore_jdbc
+    from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
+
+    if not jdbc_table_exists(ctx.spark, ctx.dest, table):
+        out = df.dropDuplicates(pk)
+        n = out.count()
+        write_append(out, ctx.dest, table)
+        return n
+    return insert_ignore_jdbc(ctx.spark, df, ctx.dest, table, pk)
 
 
 @cli.command()
@@ -257,10 +288,19 @@ def inspect(ctx: Ctx, estimate: bool):
             return estimate_row_count(path)
         return ctx.spark.read.parquet(path).count()
 
+    def dest_count(table: str):
+        if ctx.dest.startswith("jdbc:"):
+            from dbcut_spark.sources.jdbc import jdbc_count, jdbc_table_exists
+
+            if not jdbc_table_exists(ctx.spark, ctx.dest, table):
+                return "-"
+            return jdbc_count(ctx.spark, ctx.dest, table)
+        return count(os.path.join(ctx.dest, f"{table}.parquet"))
+
     click.echo(f"{'table':<16}{'source':>12}{'destination':>14}")
     for table in sorted(ctx.catalog.tables):
         sc = count(os.path.join(ctx.source, f"{table}.parquet"))
-        dc = count(os.path.join(ctx.dest, f"{table}.parquet"))
+        dc = dest_count(table)
         click.echo(f"{table:<16}{sc!s:>12}{dc!s:>14}")
 
 
@@ -270,6 +310,14 @@ def clear(ctx: Ctx):
     """Delete destination rows, reverse-topological order (reference
     ``delete_all`` + ``no_fkc_session``; order matters for FK-checked
     JDBC targets, harmless for parquet)."""
+    if ctx.dest.startswith("jdbc:"):
+        from dbcut_spark.sources.jdbc import jdbc_execute, jdbc_table_exists
+
+        for table in reversed(topo_order(ctx.catalog)):
+            if jdbc_table_exists(ctx.spark, ctx.dest, table):
+                jdbc_execute(ctx.spark, ctx.dest, [f"DELETE FROM {table}"])
+                click.echo(f"cleared {table}")
+        return
     for table in reversed(topo_order(ctx.catalog)):
         path = os.path.join(ctx.dest, f"{table}.parquet")
         if os.path.exists(path):
@@ -281,6 +329,15 @@ def clear(ctx: Ctx):
 @click.pass_obj
 def flush(ctx: Ctx):
     """Drop and recreate the destination (reference ``cmd_flush``)."""
+    if ctx.dest.startswith("jdbc:"):
+        from dbcut_spark.sources.jdbc import jdbc_execute, jdbc_table_exists
+
+        for table in reversed(topo_order(ctx.catalog)):
+            if jdbc_table_exists(ctx.spark, ctx.dest, table):
+                jdbc_execute(ctx.spark, ctx.dest, [f"DROP TABLE {table}"])
+                click.echo(f"dropped {table}")
+        click.echo(f"flushed {ctx.dest}")
+        return
     if os.path.exists(ctx.dest):
         shutil.rmtree(ctx.dest)
     os.makedirs(ctx.dest, exist_ok=True)

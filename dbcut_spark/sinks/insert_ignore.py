@@ -58,7 +58,7 @@ def insert_ignore_jdbc(
     properties: dict[str, str] | None = None,
     batchsize: int = 5000,
     quote: str = '"',
-) -> None:
+) -> int:
     """JDBC variant: anti-join against the target's current PKs (pushed
     as a key-only JDBC read), then batched append. ``batchsize`` mirrors
     the reference's PG executemany page size of 5000
@@ -82,12 +82,19 @@ def insert_ignore_jdbc(
         .load()
     )
     out = df.dropDuplicates(pk).join(F.broadcast(existing), on=pk, how="left_anti")
-    (
-        out.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-        .options(**props)
-        .mode("append")
-        .save()
-    )
+    out = out.cache()
+    try:
+        n = out.count()
+        if n:
+            (
+                out.write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", table)
+                .option("batchsize", str(batchsize))
+                .options(**props)
+                .mode("append")
+                .save()
+            )
+    finally:
+        out.unpersist()
+    return n

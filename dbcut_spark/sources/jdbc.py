@@ -334,3 +334,63 @@ def write_append(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# Driver-side JDBC statement helpers (CLI load/clear/flush/inspect against
+# a live destination — the reference's target-DB session surface,
+# /root/reference/dbcut/database.py:239-245,282-314)
+# ---------------------------------------------------------------------------
+
+
+def jdbc_execute(spark, url: str, statements: list[str]) -> list[int]:
+    """Run DDL/DML statements over one driver-side JDBC connection (py4j
+    ``java.sql.DriverManager``). Returns per-statement update counts.
+    Driver-side by design: these are metadata/maintenance statements
+    (DELETE ALL / DROP), not data movement."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    counts = []
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                counts.append(st.executeUpdate(sql))
+        finally:
+            st.close()
+    finally:
+        conn.close()
+    return counts
+
+
+def jdbc_table_exists(spark, url: str, table: str) -> bool:
+    """True if ``table`` exists on the target. Checks the name verbatim
+    and uppercased — databases that fold unquoted identifiers (Derby,
+    Oracle, DB2) store Spark's unquoted ``dbtable`` names in caps."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for name in (table, table.upper(), table.lower()):
+            rs = meta.getTables(None, None, name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
+def jdbc_count(spark, url: str, table: str) -> int:
+    """Exact ``COUNT(*)`` of a target table over a driver connection."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(f"SELECT COUNT(*) FROM {table}")
+            rs.next()
+            return int(rs.getLong(1))
+        finally:
+            st.close()
+    finally:
+        conn.close()

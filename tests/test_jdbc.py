@@ -203,3 +203,79 @@ def test_live_jdbc_roundtrip_derby(spark, tmp_path):
     # idempotent: second run inserts nothing
     insert_ignore_jdbc(spark, more, url, "orders", ["o_orderkey"], batchsize=100)
     assert read_table(spark, url, "orders", plan).count() == 1100
+
+
+def test_cli_load_inspect_clear_flush_against_derby(spark, sf_dir, tmp_path):
+    """Full CLI matrix against a LIVE database destination — the Spark
+    analogue of the reference's mysql→{mysql,sqlite,postgres} e2e runs
+    (/root/reference/tests/test_cli.py:115-184): parquet source →
+    extraction closure → Derby load (auto-create + FK-safe topo order)
+    → inspect counts → idempotent second load (+0 rows) → clear →
+    reload → flush (drop)."""
+    import yaml
+    from click.testing import CliRunner
+
+    import pytest
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sources.jdbc import jdbc_count, jdbc_table_exists
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+    except Exception:
+        pytest.skip("Derby driver not on the Spark classpath")
+
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": url},
+        "cache": str(tmp_path / "cache"),
+        "queries": [
+            {
+                "from": "customer",
+                "where": {"c_mktsegment": "BUILDING"},
+                "limit": 5,
+                "join_depth": 2,
+                "backref_depth": 1,
+                "backref_limit": 3,
+                "exclude": ["events", "part", "supplier"],
+            }
+        ],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    res = runner.invoke(cli, ["-c", cfg_path, "load", "inspect"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert jdbc_table_exists(spark, url, "customer")
+    n_cust = jdbc_count(spark, url, "customer")
+    n_orders = jdbc_count(spark, url, "orders")
+    assert n_cust == 5
+    assert n_orders > 0
+    # inspect printed live destination counts
+    assert any(
+        line.split()[0] == "customer" and line.split()[-1] == "5"
+        for line in res.output.splitlines()
+        if line.strip().startswith("customer")
+    )
+
+    # idempotent: second load inserts nothing new
+    res2 = runner.invoke(cli, ["-c", cfg_path, "load"], catch_exceptions=False)
+    assert res2.exit_code == 0, res2.output
+    assert jdbc_count(spark, url, "customer") == n_cust
+    assert jdbc_count(spark, url, "orders") == n_orders
+    assert "customer: +0 rows" in res2.output
+
+    # clear empties but keeps tables; reload repopulates identically
+    res3 = runner.invoke(cli, ["-c", cfg_path, "clear", "load"], catch_exceptions=False)
+    assert res3.exit_code == 0, res3.output
+    assert jdbc_count(spark, url, "customer") == n_cust
+    assert jdbc_count(spark, url, "orders") == n_orders
+
+    # flush drops every destination table
+    res4 = runner.invoke(cli, ["-c", cfg_path, "flush"], catch_exceptions=False)
+    assert res4.exit_code == 0, res4.output
+    assert not jdbc_table_exists(spark, url, "customer")
