@@ -192,10 +192,11 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        # steady-state: best of 2 runs (first run pays whole-stage-codegen
-        # JIT compilation, which is amortized away on any real workload)
+        # steady-state: best of 3 runs (the first pays whole-stage-codegen
+        # JIT + Python-worker startup, and single repeats still catch GC
+        # pauses — best-of-3 keeps per-query timings stable run-to-run)
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - start

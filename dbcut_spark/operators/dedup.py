@@ -366,9 +366,20 @@ def connected_components(
         .where(F.col("hi") != F.col("lo"))
         .distinct()
     )
+    # persist (NOT localCheckpoint) for the size probe: an eager
+    # localCheckpoint materializes the un-adaptive plan — AQE never gets
+    # to convert the upstream pair join to broadcast, which benched 4x
+    # slower at sf0.1. persist keeps AQE in play; the checkpoint below
+    # only happens on the big-graph path where lineage truncation pays.
+    canon = canon.persist()
+    n_edges = canon.count()
+    if n_edges <= small_graph_edges:
+        try:
+            return _components_driver_side(canon)
+        finally:
+            canon.unpersist()
     e_cur = canon.localCheckpoint()
-    if e_cur.count() <= small_graph_edges:
-        return _components_driver_side(e_cur)
+    canon.unpersist()
     for _ in range(max_iter):
         # large-star: u's neighbors v > u attach to min(Γ(u) ∪ {u})
         und = e_cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(

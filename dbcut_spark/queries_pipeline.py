@@ -371,7 +371,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_sim") >= 0.5
     )
     comp = dd.connected_components(pairs, "doc_a", "doc_b")
-    labeled = (
+    labeled = pin(
         d.select("doc_id")
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
         .select(
@@ -2942,13 +2942,16 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", F.explode(grams).alias("ng"))
     )
-    first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    # window-min instead of groupBy+join-back: the per-gram first_doc
+    # lands on the exploded rows in the SAME gram-keyed shuffle (2
+    # shuffles total, not 3)
+    first_doc = F.min("doc_id").over(Window.partitionBy("ng"))
+    g = g.withColumn("first_doc", first_doc)
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        g.join(first, "ng")
-        .groupBy("doc_id")
+        g.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             novel.alias("novel_grams"),
