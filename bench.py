@@ -103,6 +103,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "docs_length_quantiles",
+    "docs_token_heavy_hitters",
 ]
 
 
@@ -145,6 +146,7 @@ DROP_ORDER = [
     "events_funnel",
     "docs_domain_mix_temperature",
     "docs_ngram_novelty",
+    "docs_token_heavy_hitters",
 ]
 
 

@@ -112,3 +112,82 @@ def kmv_intersection_estimate(kmv_a: Column, kmv_b: Column, k: int = 64) -> Colu
     both = F.size(F.array_intersect(merged, F.array_intersect(kmv_a, kmv_b)))
     jaccard = both.cast("double") / F.size(merged)
     return jaccard * kmv_union_estimate(kmv_a, kmv_b, k)
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (heavy hitters): Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def mg_frequent_candidates(df: DataFrame, col: str, k: int = 1024) -> list:
+    """Candidate heavy hitters via per-partition Misra-Gries summaries
+    (k counters each), unioned on the driver.
+
+    Guarantee (pigeonhole over partitions + the MG bound): every value
+    with GLOBAL frequency > n/(k+1) appears in the union — if
+    freq > Σn_p/(k+1) then some partition has freq_p > n_p/(k+1), and
+    MG with k counters never evicts such a value. The union is a
+    superset of the true heavy hitters; the exact recount pass
+    (:func:`frequent_items_exact`) removes false positives, so the
+    final answer is EXACT — the classic 2-pass heavy-hitters scheme
+    (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+    Summaries", PODS'12).
+
+    Scale shape: pass 1 is one scan, Arrow-batched, state bounded at k
+    counters per partition, and ≤ k·partitions candidate rows ever
+    reach the driver — the full value domain is never shuffled.
+    """
+    import pandas as pd
+
+    def summarize(pdf_iter):
+        counters: dict = {}
+        for pdf in pdf_iter:
+            for val, cnt in pdf[col].value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > k:
+                # MG decrement, batched: subtract the (k+1)-th largest
+                # count from everyone, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    schema = df.select(col).schema
+    cands = df.select(col).mapInPandas(summarize, schema).collect()
+    return sorted({r[0] for r in cands})
+
+
+def frequent_items_exact(
+    df: DataFrame,
+    col: str,
+    threshold_fraction: float = 0.001,
+    k: int = 1024,
+) -> DataFrame:
+    """Values of ``col`` with frequency strictly greater than
+    ``threshold_fraction`` of all rows, with EXACT counts.
+
+    Two passes: Misra-Gries candidate generation (superset guarantee
+    requires k+1 ≥ 1/threshold_fraction — asserted), then an exact
+    count restricted to the candidate set (broadcast semi-join, so the
+    pass-2 shuffle carries only candidate keys). Output: (value,
+    n_occurrences) sorted by count desc then value.
+    """
+    if (k + 1) * threshold_fraction < 1.0:
+        raise ValueError(
+            f"k={k} counters cannot guarantee threshold {threshold_fraction}"
+            f" (need k+1 >= {1.0 / threshold_fraction:.0f})"
+        )
+    spark = df.sparkSession
+    candidates = mg_frequent_candidates(df, col, k)
+    total = df.count()
+    cand_df = spark.createDataFrame(
+        [(c,) for c in candidates], df.select(col).schema
+    )
+    return (
+        df.join(F.broadcast(cand_df), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > total * threshold_fraction)
+        .orderBy(F.col("n_occurrences").desc(), F.col(col).asc())
+    )

@@ -699,6 +699,7 @@ _GATE_ROTATION = [
     "events_funnel",
     "events_retention",
     "docs_length_quantiles",
+    "docs_token_heavy_hitters",
 ]
 
 GATE_WINDOW = 50

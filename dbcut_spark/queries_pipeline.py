@@ -3091,3 +3091,33 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_token_heavy_hitters",
+    sql="""
+    WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+               FROM documents WHERE length(trim(text)) > 0)
+    SELECT tok, COUNT(*) AS n_occurrences FROM w GROUP BY tok
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM w) / 1000.0
+    ORDER BY n_occurrences DESC, tok
+    """,
+)
+def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over the token stream (freq > 0.1% of all
+    tokens): 2-pass Misra-Gries — per-partition bounded summaries (1024
+    counters) union to a guaranteed candidate superset, an exact
+    recount over the broadcast candidate set removes false positives
+    (operators/sketches.py:frequent_items_exact). The full token domain
+    is never shuffled — pass 2's shuffle carries candidate tokens only.
+    On this template corpus the vocabulary (~31) is below k, so MG
+    does no pruning here; the pruning behavior is pinned on skewed
+    data in tests/test_round4_ops.py."""
+    from dbcut_spark.operators.sketches import frequent_items_exact
+
+    d = tp(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(norm_text("text"), " +")).alias("tok"))
+    )
+    return frequent_items_exact(toks, "tok", threshold_fraction=0.001, k=1024)

@@ -358,3 +358,90 @@ def dedup_events_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_view_us", T.LongType()),
+        T.StructField("first_click_us", T.LongType()),
+        T.StructField("first_purchase_us", T.LongType()),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("first_view_us", T.LongType()),
+        T.StructField("first_click_us", T.LongType()),
+        T.StructField("first_purchase_us", T.LongType()),
+    ]
+)
+
+
+def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``events_funnel``: per-user funnel
+    progression view → click → purchase tracked incrementally with
+    ``applyInPandasWithState``. A user's state is three timestamps
+    (first view, first click strictly after it, first purchase strictly
+    after that); a row is emitted whenever a batch advances the user's
+    stage, so downstream consumers see conversion transitions as they
+    happen instead of recomputing three joins per batch.
+
+    Events are sorted inside each batch, so intra-batch disorder is
+    handled; across batches the stage timestamps only ever advance
+    (monotonic), matching the batch semantics whenever the replay is
+    chronologically ordered per user — the watermark bounds how late an
+    event may arrive at all. State is O(active users) × 3 longs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = []
+        for pdf in pdf_iter:
+            for ts, et in zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),
+                pdf["event_type"].tolist(),
+            ):
+                rows.append((ts, et))
+        rows.sort()
+        fv, fc, fp = state.get if state.exists else (None, None, None)
+        stage_before = sum(x is not None for x in (fv, fc, fp))
+        for ts, et in rows:
+            if et == "view" and fv is None:
+                fv = ts
+            elif et == "click" and fc is None and fv is not None and ts > fv:
+                fc = ts
+            elif et == "purchase" and fp is None and fc is not None and ts > fc:
+                fp = ts
+        stage_after = sum(x is not None for x in (fv, fc, fp))
+        state.update((fv, fc, fp))
+        if stage_after > stage_before:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "stage": [stage_after],
+                    "first_view_us": [fv],
+                    "first_click_us": [fc],
+                    "first_purchase_us": [fp],
+                }
+            )
+
+    return (
+        stream.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            FUNNEL_OUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

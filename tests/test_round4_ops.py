@@ -86,3 +86,110 @@ def test_length_quantiles_are_ordered(spark, sf_dir):
         | (F.col("p90") > F.col("p99"))
     ).count()
     assert bad == 0
+
+
+def test_mg_frequent_items_guarantee_and_pruning(spark):
+    """Misra-Gries with a TINY k on skewed data: every true heavy
+    hitter survives, the candidate set is far smaller than the domain,
+    and the exact recount matches a plain groupBy."""
+    import pandas as pd
+
+    from dbcut_spark.operators.sketches import (
+        frequent_items_exact,
+        mg_frequent_candidates,
+    )
+
+    # zipf-ish: value i appears ~ 4000/i times, i in 1..400
+    rows = [(f"v{i:03d}",) for i in range(1, 401) for _ in range(4000 // i)]
+    df = spark.createDataFrame(rows, ["val"]).repartition(8)
+    n = len(rows)
+
+    cands = mg_frequent_candidates(df, "val", k=39)  # guarantees > n/40
+    domain = 400
+    assert len(cands) < domain  # actually pruned
+    truth = {}
+    for (v,) in rows:
+        truth[v] = truth.get(v, 0) + 1
+    heavy = {v for v, c in truth.items() if c > n / 40}
+    assert heavy <= set(cands)  # superset guarantee
+
+    got = {
+        r.val: r.n_occurrences
+        for r in frequent_items_exact(
+            df, "val", threshold_fraction=1 / 40, k=39
+        ).collect()
+    }
+    assert got == {v: truth[v] for v in heavy}  # exact, no false positives
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_items_exact(df, "val", threshold_fraction=0.001, k=39)
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming funnel's final per-user stage must agree with the
+    oracle-checked batch events_funnel when events replay in
+    chronological micro-batches (3 files picked up oldest-first)."""
+    import time as _time
+
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import read_event_stream, stateful_funnel
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    src = tmp_path / "funnel_stream"
+    src.mkdir()
+    ts_splits = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(0.34D, 0.67D)) AS q"
+    ).first().q
+    lo, hi = ts_splits
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= lo),
+        ev.filter(
+            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
+        ),
+        ev.filter(F.col("ts").cast("double") > hi),
+    ]
+    for i, p in enumerate(parts):
+        p.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic pickup order
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        stateful_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("funnel_test")
+    # final stage per user = max emitted stage (stages only advance)
+    final = got.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    stream_counts = {
+        s: final.filter(F.col("stage") >= s).count() for s in (1, 2, 3)
+    }
+
+    # batch funnel restricted to the same user subset, recomputed inline
+    e = ev.select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("fv")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    assert stream_counts == {1: v.count(), 2: c.count(), 3: p.count()}
