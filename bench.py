@@ -104,6 +104,7 @@ HEADLINE = [
     "events_retention",
     "docs_length_quantiles",
     "docs_token_heavy_hitters",
+    "embedding_pq_topk",
 ]
 
 
@@ -147,6 +148,7 @@ DROP_ORDER = [
     "docs_domain_mix_temperature",
     "docs_ngram_novelty",
     "docs_token_heavy_hitters",
+    "embedding_pq_topk",
 ]
 
 

@@ -740,3 +740,185 @@ def semantic_dedup(
         "cluster_id",
         F.col("dup_id").isNotNull().alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64x vector compression + ADC scoring
+# (Jegou et al., TPAMI 2011 — public). Codebooks are a committed offline
+# artifact (tools/fit_pq_codebooks.py), same policy as the IVF quantizer:
+# fit once, reuse everywhere, and let the DuckDB oracle consume identical
+# literals. Encode and scoring are PURE Column algebra — the distance
+# sums are generated with fixed left-associative order, so Spark and the
+# oracle produce bit-identical doubles (no UDF, no ulp drift).
+# ---------------------------------------------------------------------------
+
+_PQ_ARTIFACT: list[dict] | None = None
+
+
+def pq_artifact() -> list[dict]:
+    """The committed PQ codebooks (tools/fit_pq_codebooks.py)."""
+    global _PQ_ARTIFACT
+    if _PQ_ARTIFACT is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "pq_codebooks.json",
+        )
+        with open(path) as f:
+            _PQ_ARTIFACT = json.load(f)
+    return _PQ_ARTIFACT
+
+
+def stored_pq(sf_dir: str) -> dict | None:
+    """PQ artifact entry for a known sf_dir (realpath match), else None."""
+    import os
+
+    real = os.path.realpath(sf_dir)
+    for entry in pq_artifact():
+        if entry["path"] == real:
+            return entry
+    return None
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(id, m, code) rows: each vector's per-subspace nearest-centroid
+    code — first index among exact-minimum distances (array_position of
+    array_min), mirrored in SQL as min(code) over dist = window-min.
+
+    Distances fold through aggregate(zip_with(...)) lambdas over a
+    literal codebook array rather than M×K expanded column expressions:
+    the fold order (((0+t₁)+t₂)+…) is bit-identical to the oracle's
+    left-associative expansion (0+t₁ ≡ t₁ for the non-negative squared
+    terms), while the plan stays O(M·K) literals instead of O(M·K·dim)
+    expression nodes — the expanded form ballooned Catalyst
+    analysis/codegen to ~80s per run at sf0.1. Pure Column algebra; a
+    64-dim float32 vector becomes M nibble codes (32x memory cut)."""
+    sub = len(codebooks[0][0])
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    structs = []
+    for m, book in enumerate(codebooks):
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        sl = F.slice(dvec, m * sub + 1, sub)
+        dists = F.transform(
+            lit_book,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        structs.append(
+            F.struct(F.lit(m).cast("int").alias("m"), code.alias("code"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("mc")
+    ).select(id_col, F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    cands: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """PQ ANN, the standard two-phase shape (IVF-PQ without the coarse
+    stage): (1) ADC scan — candidates meet queries only through their M
+    PQ codes; query-side lookup tables (per-subspace distance to every
+    centroid) are a tiny crossJoin against the broadcast codebook grid,
+    and the candidate side joins on (m, code), so the wide scan
+    shuffles codes, never raw vectors; (2) exact re-rank — only the
+    per-query ADC shortlist (default 50) is joined back to its raw
+    vectors for the true distance. Compression is what makes phase 1
+    cheap at 100 TB (16 nibble codes vs 64 floats per vector); the
+    re-rank bounds the raw-vector traffic at shortlist × queries rows.
+    ADC parts sum through DECIMAL; the re-rank distance uses the same
+    left-associative expansion as the oracle, so ordering and the
+    value-hash are engine-exact."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    m_count = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m_count * sub
+    grid = spark.createDataFrame(
+        [
+            (m, j, [float(x) for x in codebooks[m][j]])
+            for m in range(m_count)
+            for j in range(len(codebooks[m]))
+        ],
+        "m int, code int, cvec array<double>",
+    )
+    e = F.col(vec_col)
+    part = None
+    for d in range(1, sub + 1):
+        t = (
+            F.element_at(e, F.col("m") * sub + d).cast("double")
+            - F.element_at(F.col("cvec"), d)
+        )
+        term = t * t
+        part = term if part is None else part + term
+    lut = queries.crossJoin(F.broadcast(grid)).select(
+        F.col(id_col).alias("q_id"), "m", "code", part.alias("pd")
+    )
+    codes = pq_encode(cands, vec_col, id_col, codebooks).withColumnRenamed(
+        id_col, "cand_id"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum(F.col("pd").cast("decimal(25,12)")).alias("adc_dec"))
+    )
+    w_sl = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dec").asc(), F.col("cand_id").asc()
+    )
+    sl = (
+        adc.withColumn("sl_rn", F.row_number().over(w_sl))
+        .filter(F.col("sl_rn") <= shortlist)
+        .select("q_id", "cand_id")
+    )
+    # exact re-rank on the shortlist only
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = cands.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("rvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("qvec"), lambda x: x.cast("double")),
+            F.transform(F.col("rvec"), lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rer = (
+        sl.join(cv, "cand_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "cand_id", d2.alias("dist2"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("dist2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            "cand_id",
+            F.round(F.col("dist2"), 6).alias("dist2"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

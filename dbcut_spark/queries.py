@@ -700,6 +700,7 @@ _GATE_ROTATION = [
     "events_retention",
     "docs_length_quantiles",
     "docs_token_heavy_hitters",
+    "embedding_pq_topk",
 ]
 
 GATE_WINDOW = 50

@@ -3121,3 +3121,101 @@ def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(norm_text("text"), " +")).alias("tok"))
     )
     return frequent_items_exact(toks, "tok", threshold_fraction=0.001, k=1024)
+
+
+def _pq_topk_sql(k: int = 5, shortlist: int = 50) -> str:
+    """Full oracle for the PQ/ADC + re-rank path: committed codebooks
+    embedded as VALUES literals self-selecting on the embeddings-table
+    fingerprint (the _ivf_ann_sql pattern). Encode distances, LUT
+    entries, and the exact re-rank distance all use the SAME
+    left-associative per-dimension expansion as the Spark Column
+    expressions, so every double matches bit for bit; ADC parts sum
+    through DECIMAL on both engines."""
+    rows = []
+    dim = sub = None
+    for entry in sim.pq_artifact():
+        sub = entry["dim"] // entry["m"]
+        dim = entry["dim"]
+        for m in range(entry["m"]):
+            for j, cvec in enumerate(entry["codebooks"][m]):
+                rows.append(
+                    f"({entry['n_rows']}, {entry['sum_label']}, {m}, {j}, "
+                    f"{[float(x) for x in cvec]!r})".replace("'", "")
+                )
+    cb_values = ", ".join(rows)
+
+    def sq_sum(evec: str, off_expr: str, cvec: str, n: int) -> str:
+        terms = [
+            f"({evec}[{off_expr}{d}] - {cvec}[{d}]) * "
+            f"({evec}[{off_expr}{d}] - {cvec}[{d}])"
+            for d in range(1, n + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    enc_dist = sq_sum("c.e", f"cb.m * {sub} + ", "cb.cvec", sub)
+    lut_dist = sq_sum("q.e", f"cb.m * {sub} + ", "cb.cvec", sub)
+    rerank_dist = sq_sum("q.e", "", "c.e", dim)
+    return f"""
+    WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
+    cball(n, slab, m, code, cvec) AS (VALUES {cb_values}),
+    cb AS (SELECT b.m, b.code, b.cvec FROM cball b, fp
+           WHERE b.n = fp.n AND b.slab = fp.slab),
+    cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings WHERE vec_id >= 10),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 10),
+    enc AS (SELECT c.vec_id, cb.m, cb.code, {enc_dist} AS dist
+            FROM cand c CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id, m, MIN(code) AS code FROM (
+        SELECT vec_id, m, code, dist,
+               MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+        FROM enc)
+      WHERE dist = mind GROUP BY vec_id, m),
+    lut AS (SELECT q.vec_id AS q_id, cb.m, cb.code, {lut_dist} AS pd
+            FROM q CROSS JOIN cb),
+    adc AS (SELECT l.q_id, c.vec_id AS cand_id,
+                   SUM(CAST(l.pd AS DECIMAL(25,12))) AS adc_dec
+            FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+            GROUP BY l.q_id, c.vec_id),
+    sl AS (SELECT q_id, cand_id FROM (
+             SELECT q_id, cand_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc_dec, cand_id) AS sl_rn
+             FROM adc) WHERE sl_rn <= {shortlist}),
+    rer AS (SELECT s.q_id, s.cand_id, {rerank_dist} AS dist2
+            FROM sl s JOIN cand c ON s.cand_id = c.vec_id
+                      JOIN q ON s.q_id = q.vec_id)
+    SELECT q_id AS query_id, cand_id,
+           round(dist2, 6) AS dist2,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist2, cand_id) AS INT) AS rnk
+    FROM rer QUALIFY rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register("embedding_pq_topk", sql=_pq_topk_sql())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): candidates are
+    encoded to M=16 nibble codes (32x smaller than the float vectors)
+    by the committed offline codebooks; the ADC lookup-table scan
+    shuffles (m, code) ints only, and just the per-query top-50
+    shortlist rejoins its raw vectors for the exact re-rank — the
+    two-phase shape every production PQ system uses. Encode, ADC, and
+    re-rank are pure Column algebra with oracle-identical arithmetic
+    order (no UDF)."""
+    e = tp(spark, sf_dir, "embeddings")
+    entry = sim.stored_pq(sf_dir)
+    if entry is None:  # pragma: no cover - harness dirs are all committed
+        raise ValueError(f"no committed PQ codebooks for {sf_dir}")
+    return sim.pq_adc_topk(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        "embedding",
+        "vec_id",
+        entry["codebooks"],
+        k=5,
+    )

@@ -193,3 +193,34 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
         .agg(F.min("ts").alias("fp"))
     )
     assert stream_counts == {1: v.count(), 2: c.count(), 3: p.count()}
+
+
+def test_pq_codes_and_recall(spark, sf_dir):
+    """PQ encode emits one code in [0,16) per (vector, subspace), and
+    the ADC-shortlist + exact-re-rank top-5 recalls most of the exact
+    top-5 (vectors are unit-norm, so the cosine top-k is the euclidean
+    top-k; shortlist-50 recall ≈ 0.9 at this bit rate)."""
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.queries import QUERIES
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    entry = sim.stored_pq(sf_dir)
+    assert entry is not None
+    codes = sim.pq_encode(
+        e.filter(F.col("vec_id") >= 10), "embedding", "vec_id", entry["codebooks"]
+    )
+    n_cands = e.filter(F.col("vec_id") >= 10).count()
+    assert codes.count() == n_cands * entry["m"]
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= entry["k"])).count()
+    assert bad == 0
+
+    pq = {
+        (r.query_id, r.cand_id)
+        for r in QUERIES["embedding_pq_topk"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.8, recall
