@@ -64,9 +64,11 @@ def main() -> int:
     from dbcut_spark.operators.pinning import release_pinned
 
     failures = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -110,7 +112,7 @@ def main() -> int:
         else:
             print(f"ok    {name} rows={len(s_rows)}")
 
-    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    print(f"\n{len(failures)} failures / {n_checked} queries")
     return 1 if failures else 0
 
 
