@@ -1,0 +1,165 @@
+"""Randomized differential test of the closure executor (SURVEY §2 J5 —
+the core operator): a pure-Python reference implementation of the
+frontier semantics runs against the Spark executor on 20 seeded random
+extraction specs. The Python mirror shares only the PLAN (tree shape is
+unit-tested separately in test_graph.py) — every data decision (root
+filter/order/offset/limit, per-edge semi-join, per-parent and global
+backref caps, per-table union + PK dedup) is recomputed independently
+from collected rows, so any executor bug in join keys, cap ordering, or
+dedup shows as a row-set diff."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from dbcut_spark.catalog import TPCH_CATALOG
+from dbcut_spark.graph import Direction
+from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.plans.extraction import build_plan
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+]
+
+
+def _load_all(spark, sf_dir):
+    out = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        out[t] = [r.asDict() for r in df.collect()]
+    return out
+
+
+def _sort_key(row, keys, descending):
+    # None sorts first on asc like Spark NULLS FIRST; our PKs are non-null
+    vals = tuple(row[k] for k in keys)
+    return vals
+
+
+def py_closure(plan, data):
+    """Pure-Python mirror of ClosureExecutor.execute()."""
+    spec = plan.spec
+    root_rows = list(data[plan.root_table])
+    if spec.where:
+        # generator below only emits single-column equality
+        ((col, val),) = spec.where.items()
+        root_rows = [r for r in root_rows if r[col] == val]
+    pk = list(plan.root_pk())
+    root_rows.sort(key=lambda r: _sort_key(r, pk, True), reverse=True)
+    if spec.offset:
+        root_rows = root_rows[spec.offset :]
+    if spec.limit is not None:
+        root_rows = root_rows[: spec.limit]
+
+    frontiers = {id(plan.tree.root): root_rows}
+    per_table = {plan.root_table: [root_rows]}
+    for node in plan.tree.root.walk():
+        for child in node.children:
+            rel = child.relationship
+            parent_rows = frontiers[id(node)]
+            keys = {
+                tuple(r[s] for s in rel.source_cols)
+                for r in parent_rows
+                if all(r[s] is not None for s in rel.source_cols)
+            }
+            child_rows = [
+                r
+                for r in data[rel.target]
+                if tuple(r[t] for t in rel.target_cols) in keys
+            ]
+            if (
+                rel.direction is Direction.ONETOMANY
+                and spec.backref_limit is not None
+            ):
+                cpk = list(plan.catalog.table(rel.target).pk)
+                if spec.backref_limit_mode == "global":
+                    child_rows.sort(
+                        key=lambda r: _sort_key(r, cpk, True), reverse=True
+                    )
+                    child_rows = child_rows[: spec.backref_limit]
+                else:
+                    groups = {}
+                    for r in child_rows:
+                        groups.setdefault(
+                            tuple(r[t] for t in rel.target_cols), []
+                        ).append(r)
+                    child_rows = []
+                    for g in groups.values():
+                        g.sort(key=lambda r: _sort_key(r, cpk, True), reverse=True)
+                        child_rows.extend(g[: spec.backref_limit])
+            frontiers[id(child)] = child_rows
+            per_table.setdefault(rel.target, []).append(child_rows)
+
+    out = {}
+    for table, groups in per_table.items():
+        tpk = list(plan.catalog.table(table).pk)
+        seen = {}
+        for g in groups:
+            for r in g:
+                seen.setdefault(tuple(r[k] for k in tpk), r)
+        out[table] = seen
+    return out
+
+
+def _random_spec(rng, data):
+    root = rng.choice(["customer", "orders", "nation", "supplier", "lineitem"])
+    spec = {"from": root, "limit": rng.choice([3, 7, 15])}
+    spec["join_depth"] = rng.choice([1, 2, 3])
+    spec["backref_depth"] = rng.choice([0, 1, 2])
+    if rng.random() < 0.5:
+        spec["backref_limit"] = rng.choice([2, 5])
+        if rng.random() < 0.3:
+            spec["backref_limit_mode"] = "global"
+    if rng.random() < 0.5:
+        excl = [t for t in ("events", "part", "lineitem") if t != root]
+        spec["exclude"] = rng.sample(excl, rng.randint(1, len(excl)))
+    if rng.random() < 0.6:
+        row = rng.choice(data[root])
+        col = rng.choice(
+            [
+                c
+                for c in row
+                if isinstance(row[c], (int, str)) and not c.endswith("comment")
+            ]
+        )
+        spec["where"] = {col: row[col]}
+    if rng.random() < 0.3:
+        spec["offset"] = rng.choice([1, 3])
+    return spec
+
+
+def test_closure_differential_random(spark, sf_dir):
+    data = _load_all(spark, sf_dir)
+    executor = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
+    rng = random.Random(20260814)
+    for i in range(20):
+        raw = _random_spec(rng, data)
+        plan = build_plan(TPCH_CATALOG, dict(raw))
+        expected = py_closure(plan, data)
+        got = executor.execute(plan)
+        assert set(got) == set(expected), (i, raw)
+        for table, frame in got.items():
+            tpk = list(plan.catalog.table(table).pk)
+            rows = {
+                tuple(r[k] for k in tpk): r.asDict() for r in frame.collect()
+            }
+            exp = expected[table]
+            assert rows.keys() == exp.keys(), (
+                i,
+                raw,
+                table,
+                len(rows),
+                len(exp),
+                sorted(set(rows) ^ set(exp))[:5],
+            )
+        from dbcut_spark.operators.pinning import release_pinned
+
+        release_pinned()
+        spark.catalog.clearCache()
