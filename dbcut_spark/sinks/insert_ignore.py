@@ -98,3 +98,69 @@ def insert_ignore_jdbc(
     finally:
         out.unpersist()
     return n
+
+
+def upsert_parquet(
+    spark: SparkSession, df: DataFrame, path: str, pk: list[str]
+) -> tuple[int, int]:
+    """MERGE semantics for a parquet target: incoming rows replace
+    existing rows with the same PK (update) or append (insert).
+    Implemented as existing-minus-incoming (left-anti on the PK) union
+    incoming, written to a staging directory then atomically swapped —
+    the standard rewrite shape for formats without row-level updates.
+    Returns (updated, inserted) counts.
+
+    Scale note: this rewrites the table; on a partitioned 100 TB target
+    restrict the rewrite to the partitions the incoming keys touch
+    (dynamic partition overwrite) — same plan, pruned scan. Not atomic
+    under concurrent writers (same caveat as insert-ignore), and like
+    any rewrite-based format, DataFrames built over the old files are
+    invalid after the swap (the session's own listing cache is
+    refreshed here)."""
+    import shutil
+
+    df = df.dropDuplicates(pk)
+    if not os.path.exists(path):
+        n = df.count()
+        df.write.parquet(path)
+        return 0, n
+    existing = spark.read.parquet(path)
+    keep = anti_new_rows(existing, df, pk)
+    df = df.cache()
+    try:
+        incoming = df.count()
+        updated = incoming - anti_new_rows(df, existing, pk).count()
+        staged = path + ".__staging__"
+        keep.unionByName(df).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(path)
+        os.rename(staged, path)
+        # the session caches file listings per path; the swap invalidated them
+        spark.catalog.refreshByPath(path)
+        return updated, incoming - updated
+    finally:
+        df.unpersist()
+
+
+def delete_keys_parquet(
+    spark: SparkSession, df_keys: DataFrame, path: str, pk: list[str]
+) -> int:
+    """Row-level delete for a parquet target: rewrite the table minus
+    the rows whose PK appears in ``df_keys`` (left-anti join). Returns
+    the number of rows deleted. Same staging-swap and partition-pruning
+    caveats as :func:`upsert_parquet`."""
+    import shutil
+
+    if not os.path.exists(path):
+        return 0
+    existing = spark.read.parquet(path)
+    keys = df_keys.select(*pk).dropDuplicates(pk)
+    remaining = anti_new_rows(existing, keys, pk)
+    n_before = existing.count()
+    staged = path + ".__staging__"
+    remaining.write.mode("overwrite").parquet(staged)
+    remaining2 = spark.read.parquet(staged)
+    n_after = remaining2.count()
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    spark.catalog.refreshByPath(path)
+    return n_before - n_after

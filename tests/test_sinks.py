@@ -402,3 +402,63 @@ def test_nested_json_golden_reference_shape(spark, tmp_path):
     with open(golden) as f:
         expected = f.read().splitlines()
     assert got == expected
+
+
+def test_upsert_and_delete_keys_parquet(spark, sf_dir, tmp_path):
+    """TPC-H refresh-function shape (RF1/RF2, public spec): MERGE new +
+    changed rows into the target, then delete by key — the row-level
+    mutation surface parquet lacks natively, built from the same
+    anti-join primitive as insert-ignore."""
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "orders.parquet")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 100
+    )
+    n0 = base.count()
+    upd, ins = upsert_parquet(spark, base, path, ["o_orderkey"])
+    assert (upd, ins) == (0, n0)
+
+    # RF1-style refresh: 10 changed rows (price bump) + 5 brand-new keys
+    changed = (
+        spark.read.parquet(path)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    fresh = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 120)
+    )
+    n_fresh = fresh.count()
+    upd, ins = upsert_parquet(spark, changed.unionByName(fresh), path, ["o_orderkey"])
+    assert upd == 10 and ins == n_fresh
+    after = spark.read.parquet(path)
+    assert after.count() == n0 + n_fresh
+    # the changed rows really changed
+    bumped = after.orderBy("o_orderkey").limit(10).agg(
+        F.sum("o_totalprice").alias("s")
+    ).first().s
+    orig = base.orderBy("o_orderkey").limit(10).agg(
+        F.sum("o_totalprice").alias("s")
+    ).first().s
+    assert abs(bumped - (orig + 10.0)) < 1e-6
+
+    # RF2-style delete by key (keys collected first: a rewrite
+    # invalidates DataFrames built over the old files, like any
+    # rewrite-based format)
+    victim_keys = [
+        (r.o_orderkey,)
+        for r in after.orderBy("o_orderkey").limit(7).select("o_orderkey").collect()
+    ]
+    victims = spark.createDataFrame(victim_keys, ["o_orderkey"])
+    n_del = delete_keys_parquet(spark, victims, path, ["o_orderkey"])
+    assert n_del == 7
+    assert spark.read.parquet(path).count() == n0 + n_fresh - 7
+    # deleting absent keys is a no-op
+    victims2 = spark.createDataFrame(victim_keys, ["o_orderkey"])
+    assert delete_keys_parquet(spark, victims2, path, ["o_orderkey"]) == 0
