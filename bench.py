@@ -105,6 +105,8 @@ HEADLINE = [
     "docs_length_quantiles",
     "docs_token_heavy_hitters",
     "embedding_pq_topk",
+    "events_hourly_gapfill",
+    "orders_daily_ma7",
 ]
 
 
@@ -149,6 +151,8 @@ DROP_ORDER = [
     "docs_ngram_novelty",
     "docs_token_heavy_hitters",
     "embedding_pq_topk",
+    "events_hourly_gapfill",
+    "orders_daily_ma7",
 ]
 
 

@@ -28,9 +28,24 @@ DEFAULT_CONFIG: dict[str, Any] = {
 
 
 def expand_env_variables(value: Any) -> Any:
-    """Recursively expand ``${VAR}`` in strings (safe_substitute)."""
+    """Recursively expand ``${VAR}`` in strings. A reference to an
+    unset variable raises ``KeyError`` naming it — strict parity with
+    the reference's ``Template.substitute`` + ``UndefinedError``
+    (``/root/reference/dbcut/utils.py:269-274``, exercised by its
+    ``test_expand_env_variables``); the old safe_substitute silently
+    forwarded the literal ``${VAR}`` into connection URIs."""
     if isinstance(value, str):
-        return string.Template(value).safe_substitute(os.environ)
+        try:
+            return string.Template(value).substitute(os.environ)
+        except KeyError as exc:
+            raise KeyError(
+                f"undefined environment variable {exc.args[0]!r} in config "
+                f"value {value!r}"
+            ) from exc
+        except ValueError:
+            # '$' that isn't a placeholder (e.g. a $like pattern with a
+            # literal '$%') — leave the string alone, like safe_substitute
+            return string.Template(value).safe_substitute(os.environ)
     if isinstance(value, dict):
         return {k: expand_env_variables(v) for k, v in value.items()}
     if isinstance(value, list):

@@ -701,6 +701,8 @@ _GATE_ROTATION = [
     "docs_length_quantiles",
     "docs_token_heavy_hitters",
     "embedding_pq_topk",
+    "events_hourly_gapfill",
+    "orders_daily_ma7",
 ]
 
 GATE_WINDOW = 50

@@ -3219,3 +3219,123 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry["codebooks"],
         k=5,
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    sql="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type, value FROM events),
+    obs AS (SELECT event_type, hr, COUNT(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_value
+            FROM e GROUP BY event_type, hr),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+    grid AS (SELECT t.event_type, g.hr
+             FROM (SELECT DISTINCT event_type FROM e) t
+             CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                         FROM bounds) g)
+    SELECT g.event_type, g.hr,
+           COALESCE(o.n_events, 0) AS n_events,
+           (o.n_events IS NULL) AS filled,
+           last_value(o.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+    FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.hr = o.hr
+    ORDER BY g.event_type, g.hr
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + LOCF (the hypertable
+    `time_bucket_gapfill` pattern, public TimescaleDB semantics): the
+    dense (event_type × hour) grid is generated from one tiny bounds
+    aggregate (sequence + explode — no driver loop), observed buckets
+    left-join onto it, missing buckets zero-fill their count and carry
+    the last observed hourly average forward with a window `last(...,
+    ignorenulls)`. Grid size is types × hours — metadata-scale — while
+    the only event-sized stage is the bucket aggregation, so the shape
+    holds on a 100 TB stream. Averages route through DECIMAL."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type", "value"
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )
+    bounds = e.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "hr"], "left_outer")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("filled"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg_value"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "orders_daily_ma7",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_int,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2)
+    SELECT d, n_orders,
+           round(CAST(rev_dec AS DOUBLE), 6) AS daily_rev,
+           round(CAST(SUM(rev_dec) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7,
+           CAST(COUNT(*) OVER w AS INT) AS days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY day_int RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+)
+def orders_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware 7-day moving average of daily order revenue: a
+    RANGE window over the integer day key, so calendar gaps shrink the
+    window instead of silently widening it (the ROWS-frame bug). One
+    shuffle for the daily aggregate; the window sum stays DECIMAL until
+    the final render, so partial-agg order can't move the hash. The
+    unpartitioned window is fine at any scale — its input is one row
+    per DAY, not per order."""
+    o = t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    daily = o.groupBy("d").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).withColumn("day_int", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.orderBy("day_int").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "d",
+            "n_orders",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("daily_rev"),
+            F.round(
+                F.sum("rev_dec").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double"),
+                6,
+            ).alias("ma7"),
+            F.count(F.lit(1)).over(w).cast("int").alias("days_in_window"),
+        )
+        .orderBy("d")
+    )

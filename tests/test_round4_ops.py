@@ -224,3 +224,53 @@ def test_pq_codes_and_recall(spark, sf_dir):
     }
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_gapfill_grid_is_dense(spark, sf_dir):
+    """The gap-filled frame is exactly types × hours dense, zero-filled
+    buckets are flagged, and LOCF never leaves a null after the first
+    observation of a type."""
+    df = QUERIES["events_hourly_gapfill"](spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_types = e.select("event_type").distinct().count()
+    span = e.selectExpr(
+        "CAST((unix_timestamp(date_trunc('hour', max(ts)))"
+        " - unix_timestamp(date_trunc('hour', min(ts)))) / 3600 + 1 AS INT) AS h"
+    ).first().h
+    assert df.count() == n_types * span
+    assert df.filter(F.col("filled") & (F.col("n_events") != 0)).count() == 0
+    # after a type's first observed hour, locf must be non-null
+    w_ok = df.filter(~F.col("filled")).groupBy("event_type").agg(
+        F.min("hr").alias("first_obs")
+    )
+    bad = (
+        df.join(w_ok, "event_type")
+        .filter((F.col("hr") >= F.col("first_obs")) & F.col("locf_avg_value").isNull())
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ma7_window_semantics(spark, sf_dir):
+    """days_in_window never exceeds 7, and a day with a full 7-day
+    window has ma7 equal to the mean of its trailing daily revenues."""
+    df = QUERIES["orders_daily_ma7"](spark, sf_dir)
+    assert df.filter(F.col("days_in_window") > 7).count() == 0
+    rows = df.orderBy("d").collect()
+    by_day = {r.d: r for r in rows}
+    import datetime
+
+    checked = 0
+    for r in rows:
+        window = [
+            by_day[r.d - datetime.timedelta(days=k)]
+            for k in range(7)
+            if r.d - datetime.timedelta(days=k) in by_day
+        ]
+        if len(window) == r.days_in_window == 7:
+            expect = sum(x.daily_rev for x in window) / 7
+            assert abs(r.ma7 - expect) < 1e-3
+            checked += 1
+            if checked >= 20:
+                break
+    assert checked >= 5

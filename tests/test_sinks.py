@@ -462,3 +462,36 @@ def test_upsert_and_delete_keys_parquet(spark, sf_dir, tmp_path):
     # deleting absent keys is a no-op
     victims2 = spark.createDataFrame(victim_keys, ["o_orderkey"])
     assert delete_keys_parquet(spark, victims2, path, ["o_orderkey"]) == 0
+
+
+def test_cli_undefined_env_var_fails_with_name(tmp_path, monkeypatch):
+    """Reference parity (its test_expand_env_variables): a config
+    referencing an unset ${VAR} must fail loudly, naming the variable —
+    not forward the literal into a connection URI."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    monkeypatch.delenv("XXX_NO_SUCH_VAR", raising=False)
+    cfg = {
+        "databases": {
+            "source_uri": "${XXX_NO_SUCH_VAR}/data",
+            "destination_uri": str(tmp_path / "t"),
+        },
+        "queries": [{"from": "customer", "limit": 1}],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = CliRunner()
+    res = runner.invoke(cli, ["-c", cfg_path, "tree"])
+    assert res.exit_code != 0
+    assert "XXX_NO_SUCH_VAR" in str(res.exception) or "XXX_NO_SUCH_VAR" in res.output
+
+
+def test_expand_env_variables_substitutes(monkeypatch):
+    from dbcut_spark.config import expand_env_variables
+
+    monkeypatch.setenv("XVAR", "hello")
+    assert expand_env_variables({"a": ["${XVAR}/x", 3]}) == {"a": ["hello/x", 3]}
