@@ -3,7 +3,8 @@
 etc.), operating on parquet-directory "databases" (and JDBC URLs for the
 reader/writer paths).
 
-Commands: load, dumpjson, dumpsql, inspect, clear, flush, purgecache, tree.
+Commands: load, dumpjson, dumpsql, inspect, clear, flush, purgecache,
+tree, explain, curate.
 """
 
 from __future__ import annotations
@@ -359,6 +360,38 @@ def tree(ctx: Ctx):
     for i, plan in ctx.plans():
         click.echo(f"query {i}:")
         click.echo(plan.tree.render())
+
+
+@cli.command()
+@click.option(
+    "--mode",
+    default="formatted",
+    type=click.Choice(["simple", "formatted", "extended"]),
+)
+@click.pass_obj
+def explain(ctx: Ctx, mode: str):
+    """Show the Spark physical plan for each query's root frame and the
+    equivalent inline SQL (reference D5 query-plan echo + D6 inline-SQL
+    rendering, re-expressed for the Catalyst world: check that filters
+    reach the scan as PushedFilters and top-k compiles to
+    TakeOrderedAndProject before running a big extraction)."""
+    from dbcut_spark.plans.oracle import _root_sql
+
+    for i, plan in ctx.plans():
+        click.echo(f"query {i}: from {plan.root_table}")
+        click.echo(plan.tree.render())
+        try:
+            click.echo(_root_sql(plan))
+        except Exception:  # noqa: BLE001 - SQL echo is best-effort
+            pass
+        df = ctx.executor().root_frame(plan)
+        click.echo(
+            df._jdf.queryExecution().explainString(
+                ctx.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    mode
+                )
+            )
+        )
 
 
 def topo_order(catalog: Catalog) -> list[str]:

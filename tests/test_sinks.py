@@ -495,3 +495,24 @@ def test_expand_env_variables_substitutes(monkeypatch):
 
     monkeypatch.setenv("XVAR", "hello")
     assert expand_env_variables({"a": ["${XVAR}/x", 3]}) == {"a": ["hello/x", 3]}
+
+
+def test_cli_explain_shows_physical_plan(spark, sf_dir, tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": str(tmp_path / "t")},
+        "queries": [PLAN_RAW],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = CliRunner()
+    res = runner.invoke(cli, ["-c", cfg_path, "explain"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "Physical Plan" in res.output or "TakeOrderedAndProject" in res.output
+    assert "SELECT" in res.output  # inline-SQL echo (reference D6)
+    assert "customer" in res.output
