@@ -1,0 +1,117 @@
+"""Programmatic façade — the library entry points a notebook / job
+user calls instead of the CLI. Thin sugar over the same plan builder,
+executor, and sinks the CLI uses (one code path, two front doors).
+
+    from dbcut_spark.api import Engine
+
+    eng = Engine("/data/sf0.1")                       # parquet source
+    frames = eng.extract({"from": "customer", "limit": 100})
+    eng.load(frames, "/data/target")                  # insert-ignore
+    eng.load(frames, "jdbc:derby:/tmp/db;create=true")
+    docs = eng.nested_json({"from": "customer", "limit": 5})
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbcut_spark.catalog import TPCH_CATALOG, Catalog
+from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.plans.extraction import ExtractionPlan, build_plan
+
+
+class Engine:
+    """One source database (parquet directory), its catalog, and the
+    executor — the object a reference user's ``Database`` maps to."""
+
+    def __init__(
+        self,
+        source: str,
+        spark: SparkSession | None = None,
+        catalog: Catalog | None = None,
+        config: dict | None = None,
+    ):
+        if spark is None:
+            from dbcut_spark.session import get_spark
+
+            spark = get_spark("dbcut-spark-api")
+        self.spark = spark
+        self.source = source
+        self.config = dict(config or {})
+        if catalog is None:
+            if all(
+                os.path.exists(os.path.join(source, f"{t}.parquet"))
+                for t in ("region", "nation", "customer", "orders", "lineitem")
+            ):
+                catalog = TPCH_CATALOG
+            else:
+                from dbcut_spark.catalog import infer_catalog
+
+                catalog = infer_catalog(spark, source)
+        self.catalog = catalog
+        self.executor = ClosureExecutor(spark, parquet_loader(spark, source))
+
+    def plan(self, query: dict) -> ExtractionPlan:
+        """YAML-shaped query dict → extraction plan (inspect
+        ``.tree.render()`` before executing)."""
+        return build_plan(self.catalog, dict(query), self.config)
+
+    def extract(self, query: dict) -> dict[str, DataFrame]:
+        """Referentially-consistent closure: {table: DataFrame}."""
+        return self.executor.execute(self.plan(query))
+
+    def load(
+        self, frames: dict[str, DataFrame], destination: str
+    ) -> dict[str, int]:
+        """Insert-ignore every frame into a parquet directory or a
+        ``jdbc:`` URL (parents first). Returns inserted counts."""
+        from dbcut_spark.cli import topo_order
+        from dbcut_spark.sinks.insert_ignore import (
+            insert_ignore_jdbc,
+            insert_ignore_parquet,
+        )
+        from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
+
+        topo = {t: i for i, t in enumerate(topo_order(self.catalog))}
+        out: dict[str, int] = {}
+        jdbc = destination.startswith("jdbc:")
+        if not jdbc:
+            os.makedirs(destination, exist_ok=True)
+        for table in sorted(frames, key=lambda t: topo.get(t, len(topo))):
+            df = frames[table]
+            pk = list(self.catalog.table(table).pk)
+            if jdbc:
+                if not jdbc_table_exists(self.spark, destination, table):
+                    deduped = df.dropDuplicates(pk)
+                    out[table] = deduped.count()
+                    write_append(deduped, destination, table)
+                else:
+                    out[table] = insert_ignore_jdbc(
+                        self.spark, df, destination, table, pk
+                    )
+            else:
+                out[table] = insert_ignore_parquet(
+                    self.spark,
+                    df,
+                    os.path.join(destination, f"{table}.parquet"),
+                    pk,
+                )
+        return out
+
+    def nested_json(self, query: dict) -> DataFrame:
+        """One nested document per root row (reference dumpjson)."""
+        from dbcut_spark.sinks.json_export import nested_documents
+
+        plan = self.plan(query)
+        _, frontiers = self.executor.execute_nodes(plan)
+        return nested_documents(plan, frontiers)
+
+    def sql_dump(self, query: dict, dialect: str = "sqlite"):
+        """Yield CREATE TABLE + INSERT statements (reference dumpsql)."""
+        from dbcut_spark.sinks.sqldump import dump_sql
+
+        frames = self.extract(query)
+        pks = {t: list(self.catalog.table(t).pk) for t in frames}
+        yield from dump_sql(frames, pks, dialect)
