@@ -1,12 +1,14 @@
 """Randomized differential test of the closure executor (SURVEY §2 J5 —
 the core operator): a pure-Python reference implementation of the
-frontier semantics runs against the Spark executor on 20 seeded random
+frontier semantics runs against the Spark executor on 30 seeded random
 extraction specs. The Python mirror shares only the PLAN (tree shape is
 unit-tested separately in test_graph.py) — every data decision (root
 filter/order/offset/limit, per-edge semi-join, per-parent and global
 backref caps, per-table union + PK dedup) is recomputed independently
 from collected rows, so any executor bug in join keys, cap ordering, or
-dedup shows as a row-set diff."""
+dedup shows as a row-set diff. Specs cover =/$gt/$in predicates,
+offset, excludes, per-parent and global backref caps, and include:
+path pruning."""
 
 import random
 
@@ -48,9 +50,19 @@ def py_closure(plan, data):
     spec = plan.spec
     root_rows = list(data[plan.root_table])
     if spec.where:
-        # generator below only emits single-column equality
-        ((col, val),) = spec.where.items()
-        root_rows = [r for r in root_rows if r[col] == val]
+        # generator emits one column with =, $gt, or $in
+        ((col, cond),) = spec.where.items()
+        if isinstance(cond, dict):
+            ((op, val),) = cond.items()
+            if op == "$gt":
+                pred = lambda r: r[col] is not None and r[col] > val  # noqa: E731
+            elif op == "$in":
+                pred = lambda r: r[col] in val  # noqa: E731
+            else:  # pragma: no cover - generator never emits others
+                raise AssertionError(op)
+        else:
+            pred = lambda r: r[col] == cond  # noqa: E731
+        root_rows = [r for r in root_rows if pred(r)]
     pk = list(plan.root_pk())
     root_rows.sort(key=lambda r: _sort_key(r, pk, True), reverse=True)
     if spec.offset:
@@ -129,9 +141,23 @@ def _random_spec(rng, data):
                 if isinstance(row[c], (int, str)) and not c.endswith("comment")
             ]
         )
-        spec["where"] = {col: row[col]}
+        form = rng.random()
+        if form < 0.5:
+            spec["where"] = {col: row[col]}
+        elif form < 0.75 and isinstance(row[col], int):
+            spec["where"] = {col: {"$gt": row[col]}}
+        else:
+            other = rng.choice(data[root])[col]
+            spec["where"] = {col: {"$in": [row[col], other]}}
     if rng.random() < 0.3:
         spec["offset"] = rng.choice([1, 3])
+    if rng.random() < 0.25:
+        # include: prune to the direct path of one dimension target
+        targets = {"customer": ["region"], "orders": ["nation"],
+                   "lineitem": ["region", "nation"], "supplier": ["region"]}
+        if root in targets:
+            spec["include"] = [rng.choice(targets[root])]
+            spec.pop("exclude", None)
     return spec
 
 
@@ -139,7 +165,7 @@ def test_closure_differential_random(spark, sf_dir):
     data = _load_all(spark, sf_dir)
     executor = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
     rng = random.Random(20260814)
-    for i in range(20):
+    for i in range(30):
         raw = _random_spec(rng, data)
         plan = build_plan(TPCH_CATALOG, dict(raw))
         expected = py_closure(plan, data)
