@@ -274,3 +274,76 @@ def test_ma7_window_semantics(spark, sf_dir):
             if checked >= 20:
                 break
     assert checked >= 5
+
+
+def test_stateful_funnel_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Funnel state must survive a stop/restart from the same
+    checkpoint: users whose view arrived before the stop and whose
+    click/purchase arrive after must still complete the funnel — the
+    state store, not the process, owns the stage timestamps."""
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import read_event_stream, stateful_funnel
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    # early split: most funnels must still be open at the stop point,
+    # so completions in run 2 prove state crossed the restart
+    mid = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.08D) AS q"
+    ).first().q
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+    ev.filter(F.col("ts").cast("double") <= mid).orderBy("ts").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+
+    def run_once():
+        q = (
+            stateful_funnel(
+                read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {
+        r.user_id
+        for r in spark.read.parquet(str(sink)).filter("stage = 3").collect()
+    }
+
+    ev.filter(F.col("ts").cast("double") > mid).orderBy("ts").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    run_once()
+    spark.catalog.refreshByPath(str(sink))
+    got2 = {
+        r.user_id
+        for r in spark.read.parquet(str(sink)).filter("stage = 3").collect()
+    }
+    completed = got1 | got2
+
+    # batch truth on the full subset
+    e = ev.select("user_id", "event_type", "ts")
+    v = e.filter("event_type = 'view'").groupBy("user_id").agg(F.min("ts").alias("fv"))
+    c = (
+        e.filter("event_type = 'click'").join(v, "user_id")
+        .filter(F.col("ts") > F.col("fv")).groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        e.filter("event_type = 'purchase'").join(c, "user_id")
+        .filter(F.col("ts") > F.col("fc")).groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    truth = {r.user_id for r in p.collect()}
+    assert completed == truth
+    # at least one user completed only thanks to state carried across
+    # the restart (their purchase was in batch 2 with the view in batch 1)
+    assert got2 - got1, "restart carried no state - test not exercising restart"
