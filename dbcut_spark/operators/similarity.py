@@ -790,37 +790,53 @@ def pq_encode(
     code — first index among exact-minimum distances (array_position of
     array_min), mirrored in SQL as min(code) over dist = window-min.
 
-    Distances fold through aggregate(zip_with(...)) lambdas over a
-    literal codebook array rather than M×K expanded column expressions:
-    the fold order (((0+t₁)+t₂)+…) is bit-identical to the oracle's
-    left-associative expansion (0+t₁ ≡ t₁ for the non-negative squared
-    terms), while the plan stays O(M·K) literals instead of O(M·K·dim)
-    expression nodes — the expanded form ballooned Catalyst
-    analysis/codegen to ~80s per run at sf0.1. Pure Column algebra; a
-    64-dim float32 vector becomes M nibble codes (32x memory cut)."""
+    Encoding is the third deliberate vectorized-pandas-UDF site
+    (next to the LSH hyperplane and IVF centroid matmuls): both
+    Column-algebra forms were tried and measured at sf0.1 — M×K×dim
+    expanded literals put ~80s into Catalyst analysis, and a
+    HOF fold (aggregate/zip_with) over the codebook-as-data still
+    cost ~1.4 ms/row of interpreted per-element evaluation, three
+    orders slower than the Arrow batch path. The numpy arithmetic is
+    bit-identical to the SQL oracle's left-associative expansion:
+    float32→float64 casts are exact, elementwise IEEE adds are chained
+    explicitly (((t₁+t₂)+t₃)+… — never np.sum's pairwise tree), and
+    ``np.argmin`` returns the FIRST index among exact-minimum
+    distances, the array_position-of-array_min / min(code)-over-
+    window-min tie rule. Zero shuffle; a 64-dim float32 vector
+    becomes M nibble codes (32x memory cut)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    m_count = len(codebooks)
     sub = len(codebooks[0][0])
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    structs = []
-    for m, book in enumerate(codebooks):
-        lit_book = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
+
+    def _encode(vecs):
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
         )
-        sl = F.slice(dvec, m * sub + 1, sub)
-        dists = F.transform(
-            lit_book,
-            lambda c: F.aggregate(
-                F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        structs.append(
-            F.struct(F.lit(m).cast("int").alias("m"), code.alias("code"))
-        )
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((X.shape[0], m_count), dtype=np.int32)
+        for m in range(m_count):
+            S = X[:, m * sub : (m + 1) * sub]  # (n, sub)
+            d = cb[m][None, :, :] - S[:, None, :]  # (n, K, sub)
+            sq = d * d
+            acc = sq[:, :, 0]
+            for j in range(1, sub):
+                acc = acc + sq[:, :, j]  # explicit left-assoc chain
+            codes[:, m] = np.argmin(acc, axis=1)
+        return pd.Series(list(codes))
+
+    encode = pandas_udf(_encode, "array<int>", PandasUDFType.SCALAR)
     return df.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("mc")
-    ).select(id_col, F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+        F.col(id_col), F.posexplode(encode(F.col(vec_col)))
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("m"),
+        F.col("col").cast("int").alias("code"),
+    )
 
 
 def pq_adc_topk(
