@@ -107,6 +107,7 @@ HEADLINE = [
     "embedding_pq_topk",
     "events_hourly_gapfill",
     "orders_daily_ma7",
+    "docs_strip_repeated_spans",
 ]
 
 
@@ -118,6 +119,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "docs_strip_repeated_spans",
     "docs_truncate_tokens",
     "docs_source_quota",
     "events_json_extract",

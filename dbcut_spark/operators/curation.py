@@ -287,3 +287,79 @@ def materialize_corpus(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Span-level (sub-document) dedup: REWRITE each document with every
+    word ``n``-gram that appears in ≥ ``min_docs`` distinct documents
+    removed — the RefinedWeb / MassiveText "remove duplicated spans"
+    primitive that document-level dedup passes miss (two unique docs can
+    still share a boilerplate sentence). A token is dropped when ANY of
+    the grams covering it is corpus-frequent; survivors are re-joined in
+    original order.
+
+    Scale shape: every join/agg is equi-keyed — gram doc-frequency
+    shuffles (gram) strings, coverage expansion shuffles (id, pos)
+    pairs, reassembly shuffles one bounded token list per doc. No
+    cross join, no driver collect; at 100 TB the gram-frequency frame
+    is Zipf-skewed and AQE's skew split handles the hot grams.
+
+    Output: (id, clean_text, n_kept, n_removed) — one row per input
+    document, empty string when everything was boilerplate.
+    """
+    split = F.split(F.col(text_col), " ")
+    toks = df.select(
+        F.col(id_col), F.posexplode(split).alias("pos0", "w")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "w")
+    gram_arr = F.when(
+        F.size(split) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' '))-{n}), "
+            f"i -> array_join(slice(split({text_col}, ' '), i+1, {n}), ' '))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = df.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("p0", "g")
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), "g")
+    freq = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(freq, "g", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col), F.size(split).alias("n_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

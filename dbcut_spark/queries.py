@@ -703,6 +703,7 @@ _GATE_ROTATION = [
     "embedding_pq_topk",
     "events_hourly_gapfill",
     "orders_daily_ma7",
+    "docs_strip_repeated_spans",
 ]
 
 GATE_WINDOW = 50

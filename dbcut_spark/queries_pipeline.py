@@ -3346,3 +3346,47 @@ def orders_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "docs_strip_repeated_spans",
+    sql="""
+    WITH arr AS (SELECT doc_id, str_split(text, ' ') AS a FROM documents),
+    toks AS (SELECT doc_id, unnest(a) AS w,
+                    unnest(range(1, len(a) + 1)) AS pos
+             FROM arr),
+    grams AS (SELECT doc_id, i AS pos,
+                     a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+              FROM arr, unnest(range(1, len(a) - 1)) AS t(i)),
+    freq AS (SELECT g FROM grams GROUP BY g
+             HAVING count(DISTINCT doc_id) >= 3),
+    cov AS (SELECT DISTINCT gr.doc_id, gr.pos + d.d AS pos
+            FROM grams gr JOIN freq USING (g),
+                 (VALUES (0), (1), (2)) AS d(d)),
+    kept AS (SELECT t.doc_id, t.pos, t.w
+             FROM toks t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.pos = c.pos
+             WHERE c.pos IS NULL),
+    reb AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           len(str_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS n_removed
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup on the gate: documents REWRITTEN with every
+    word 3-gram shared by >= 3 docs removed
+    (operators/curation.py:remove_repeated_spans — the RefinedWeb
+    "remove duplicated spans" primitive). The oracle recomputes
+    tokenize -> gram doc-frequency -> coverage -> ordered reassembly
+    verbatim, so the hash pins the whole rewrite, not just counts."""
+    from dbcut_spark.operators.curation import remove_repeated_spans
+
+    return remove_repeated_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=3
+    ).orderBy("doc_id")

@@ -445,3 +445,59 @@ def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchase_window_clicks_stream(
+    events: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the Structured Streaming
+    twin of the oracle-checked batch ``events_purchase_window_clicks``
+    (``operators/range_join.py`` point-in-interval form): clicks inside
+    the ``window`` after each purchase by the same user.
+
+    Both branches of the one events stream carry a watermark and the
+    join predicate carries the time-range bound — exactly what lets
+    Spark expire join state instead of buffering both streams forever:
+    a buffered purchase is dropped once the click-side watermark passes
+    ``purchase_ts + window``, a buffered click once the purchase-side
+    watermark passes ``click_ts`` (no earlier purchase can still
+    arrive). State is O(events inside the watermark horizon), not
+    O(stream). Inner-join matches emit as soon as both sides arrive —
+    no watermark wait on the output path.
+
+    Column semantics match the batch form exactly: BETWEEN-inclusive
+    bounds and ``delay_us = click_ts - purchase_ts``.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND "
+            f"c_ts >= p_ts AND c_ts <= p_ts + INTERVAL {window}"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("delay_us"),
+    )

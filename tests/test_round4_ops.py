@@ -347,3 +347,97 @@ def test_stateful_funnel_checkpoint_restart(spark, sf_dir, tmp_path):
     # at least one user completed only thanks to state carried across
     # the restart (their purchase was in batch 2 with the view in batch 1)
     assert got2 - got1, "restart carried no state - test not exercising restart"
+
+
+def test_purchase_window_clicks_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream join must emit exactly the pairs
+    the oracle-checked batch interval join produces when events replay
+    in chronological micro-batches (inner-join matches emit as both
+    sides arrive; the watermark only bounds state, never results)."""
+    import time as _time
+
+    from dbcut_spark.queries import QUERIES
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        purchase_window_clicks_stream,
+        read_event_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    src = tmp_path / "ssj_stream"
+    src.mkdir()
+    lo, hi = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(0.34D, 0.67D)) AS q"
+    ).first().q
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= lo),
+        ev.filter(
+            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
+        ),
+        ev.filter(F.col("ts").cast("double") > hi),
+    ]
+    for i, p in enumerate(parts):
+        p.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic pickup order
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        purchase_window_clicks_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id, r.delay_us)
+        for r in spark.table("ssj_test").collect()
+    }
+
+    batch = QUERIES["events_purchase_window_clicks"](spark, sf_dir).filter(
+        F.col("user_id") < 80
+    )
+    want = {
+        (r.purchase_id, r.click_id, r.delay_us) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Shared boilerplate 3-grams vanish, unique prose survives in
+    order, a fully-boilerplate doc becomes empty, and short docs
+    (< n tokens) can never lose tokens."""
+    from dbcut_spark.operators.curation import remove_repeated_spans
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta"),
+        (2, f"{boiler} epsilon zeta"),
+        (3, f"eta theta {boiler}"),
+        (4, boiler),
+        (5, "one two"),
+        (6, "unique prose entirely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(
+            df, "text", "doc_id", n=3, min_docs=3
+        ).collect()
+    }
+    assert len(out) == 6
+    # every token of the boilerplate is covered by a >=3-doc 3-gram
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta"
+    assert out[3].clean_text == "eta theta"
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    assert out[4].n_removed == 4
+    assert out[5].clean_text == "one two" and out[5].n_removed == 0
+    assert out[6].clean_text == rows[5][1] and out[6].n_removed == 0
+    for r in out.values():
+        assert r.n_kept + r.n_removed == len(
+            dict(rows)[r.doc_id].split(" ")
+        )
