@@ -108,6 +108,7 @@ HEADLINE = [
     "events_hourly_gapfill",
     "orders_daily_ma7",
     "docs_strip_repeated_spans",
+    "embedding_binary_topk",
 ]
 
 
@@ -119,6 +120,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "embedding_binary_topk",
     "docs_strip_repeated_spans",
     "docs_truncate_tokens",
     "docs_source_quota",

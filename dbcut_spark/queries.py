@@ -704,6 +704,7 @@ _GATE_ROTATION = [
     "events_hourly_gapfill",
     "orders_daily_ma7",
     "docs_strip_repeated_spans",
+    "embedding_binary_topk",
 ]
 
 GATE_WINDOW = 50

@@ -3390,3 +3390,79 @@ def docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=3
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_binary_topk",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN g.d <= 32
+                            AND CAST(embedding[g.d] AS DOUBLE) >= 0
+                           THEN 1::BIGINT << (g.d - 1) ELSE 0 END)
+                  AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN g.d > 32
+                            AND CAST(embedding[g.d] AS DOUBLE) >= 0
+                           THEN 1::BIGINT << (g.d - 33) ELSE 0 END)
+                  AS BIGINT) AS hi
+      FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(SUM(CAST(embedding[g.i] AS DOUBLE)
+                      * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+      FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+    ham AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(bit_count(xor(sq.lo, sc.lo))
+                  + bit_count(xor(sq.hi, sc.hi)) AS INT) AS hamming
+      FROM q JOIN sig sq ON sq.vec_id = q.vec_id
+           CROSS JOIN c JOIN sig sc ON sc.vec_id = c.vec_id),
+    sl AS (
+      SELECT query_id, cand_id, hamming FROM (
+        SELECT query_id, cand_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, cand_id) AS sl_rn
+        FROM ham) WHERE sl_rn <= 50),
+    dots AS (
+      SELECT s.query_id, s.cand_id, s.hamming,
+             SUM(CAST(q.embedding[g.i] AS DOUBLE)
+                 * CAST(c.embedding[g.i] AS DOUBLE)) AS dot
+      FROM sl s JOIN q ON q.vec_id = s.query_id
+                JOIN c ON c.vec_id = s.cand_id,
+           generate_series(1, 64) g(i)
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT query_id, cand_id, hamming,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+      FROM dots
+      JOIN nrm nq ON nq.vec_id = query_id
+      JOIN nrm nc ON nc.vec_id = cand_id)
+    SELECT query_id, cand_id, hamming, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS INT)
+             AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def embedding_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization ANN
+    (operators/similarity.py:binary_hamming_topk): the b1 scan —
+    candidates collapse to two 32-bit sign words, Hamming =
+    xor+popcount against broadcast query signatures, and only the
+    per-query top-50 shortlist rejoins raw vectors for the exact
+    cosine re-rank. Completes the quantization family (int8, PQ, JL)
+    with the 32x-compression scan path. The oracle recomputes
+    signatures, Hamming shortlist, and re-rank verbatim."""
+    e = tp(spark, sf_dir, "embeddings")
+    return sim.binary_hamming_topk(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        "embedding",
+        "vec_id",
+        k=5,
+        shortlist=50,
+    )

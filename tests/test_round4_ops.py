@@ -441,3 +441,30 @@ def test_remove_repeated_spans_semantics(spark):
         assert r.n_kept + r.n_removed == len(
             dict(rows)[r.doc_id].split(" ")
         )
+
+
+def test_binary_hamming_recall_and_signatures(spark, sf_dir):
+    """Sign signatures stay inside their 32-bit halves, Hamming is
+    symmetric-bounded [0, 64], and the b1 shortlist + exact re-rank
+    recovers most of the brute-force cosine top-5."""
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+
+    lo, hi = sim.binary_signatures("embedding", 64)
+    sigs = e.select(lo.alias("lo"), hi.alias("hi")).collect()
+    for r in sigs:
+        assert 0 <= r.lo < 2**32 and 0 <= r.hi < 2**32
+
+    approx = sim.binary_hamming_topk(q, c, "embedding", "vec_id", k=5)
+    got = {(r.query_id, r.cand_id) for r in approx.collect()}
+    assert all(
+        0 <= r.hamming <= 64 for r in approx.collect()
+    )
+    exact = sim.cosine_topk(q, c, "vec_id", "embedding", k=5)
+    want = {(r.query_id, r.cand_id) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
