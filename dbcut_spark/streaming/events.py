@@ -451,9 +451,10 @@ def purchase_window_clicks_stream(
     events: DataFrame,
     window: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked STREAM-STREAM inner join — the Structured Streaming
-    twin of the oracle-checked batch ``events_purchase_window_clicks``
+    """Watermarked STREAM-STREAM join — the Structured Streaming twin
+    of the oracle-checked batch ``events_purchase_window_clicks``
     (``operators/range_join.py`` point-in-interval form): clicks inside
     the ``window`` after each purchase by the same user.
 
@@ -466,6 +467,12 @@ def purchase_window_clicks_stream(
     arrive). State is O(events inside the watermark horizon), not
     O(stream). Inner-join matches emit as soon as both sides arrive —
     no watermark wait on the output path.
+
+    ``how="left_outer"`` keeps purchase-side rows with NO click in
+    window (null click_id/delay_us) — the abandoned-conversion feed.
+    Outer results are necessarily watermark-GATED: a null row emits
+    only once the join watermark passes ``purchase_ts + window``,
+    when the engine can prove no matching click can still arrive.
 
     Column semantics match the batch form exactly: BETWEEN-inclusive
     bounds and ``delay_us = click_ts - purchase_ts``.
@@ -494,7 +501,7 @@ def purchase_window_clicks_stream(
             "p_user = c_user AND "
             f"c_ts >= p_ts AND c_ts <= p_ts + INTERVAL {window}"
         ),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         "click_id",

@@ -468,3 +468,88 @@ def test_binary_hamming_recall_and_signatures(spark, sf_dir):
     want = {(r.query_id, r.cand_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, recall
+
+
+def test_purchase_window_clicks_stream_left_outer(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched pairs equal the inner
+    join's, and null rows appear exactly for purchases with no click in
+    window whose eviction bound (p_ts + window) has passed the final
+    join watermark — the rows the engine could PROVE unmatched. Rows
+    still inside the watermark horizon must NOT produce nulls."""
+    import time as _time
+
+    from dbcut_spark.queries import QUERIES
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        purchase_window_clicks_stream,
+        read_event_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    src = tmp_path / "ssj_outer"
+    src.mkdir()
+    mid = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5D) AS m"
+    ).first().m
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= mid),
+        ev.filter(F.col("ts").cast("double") > mid),
+    ]
+    for i, p in enumerate(parts):
+        p.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        purchase_window_clicks_stream(stream, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("ssj_outer_test")
+
+    matched = {
+        (r.purchase_id, r.click_id)
+        for r in out.filter(F.col("click_id").isNotNull()).collect()
+    }
+    batch = QUERIES["events_purchase_window_clicks"](spark, sf_dir).filter(
+        F.col("user_id") < 80
+    )
+    want_matched = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert matched == want_matched
+
+    null_ids = {
+        r.purchase_id
+        for r in out.filter(F.col("click_id").isNull()).collect()
+    }
+    # watermark floor: min over both branches of max(event ts) - 2h
+    WIN_US, DELAY_US = 1_800_000_000, 7_200_000_000
+    branch_max = {
+        r.event_type: r.m
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()
+    }
+    wm = min(branch_max.values()) - DELAY_US
+    unmatched = {
+        r.purchase_id
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.unix_micros("ts").alias("pus"),
+        )
+        .collect()
+        if r.purchase_id not in {p for p, _ in want_matched}
+        and r.pus + WIN_US < wm
+    }
+    # provably-unmatched purchases all emitted; no matched purchase
+    # ever emits a null row
+    assert unmatched <= null_ids
+    assert not (null_ids & {p for p, _ in want_matched})
+    assert len(unmatched) > 0
