@@ -553,3 +553,52 @@ def test_purchase_window_clicks_stream_left_outer(spark, sf_dir, tmp_path):
     assert unmatched <= null_ids
     assert not (null_ids & {p for p, _ in want_matched})
     assert len(unmatched) > 0
+
+
+def _spans_reference(corpus, n=3, min_docs=3):
+    """Pure-Python reference for remove_repeated_spans."""
+    grams = {}
+    for doc_id, text in corpus:
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(" ".join(toks[i : i + n]), set()).add(doc_id)
+    hot = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = {}
+    for doc_id, text in corpus:
+        toks = text.split(" ")
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i : i + n]) in hot:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        out[doc_id] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    return out
+
+
+def test_remove_repeated_spans_differential(spark):
+    """Randomized differential: the distributed rewrite must equal the
+    pure-Python reference on corpora drawn from a 5-word vocabulary
+    (tiny vocab forces heavy 3-gram sharing and overlapping spans)."""
+    import random
+
+    from dbcut_spark.operators.curation import remove_repeated_spans
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(5):
+        corpus = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(rng.randint(4, 20))
+        ]
+        want = _spans_reference(corpus)
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+            for r in remove_repeated_spans(df, "text", "doc_id").collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
