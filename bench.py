@@ -109,6 +109,7 @@ HEADLINE = [
     "orders_daily_ma7",
     "docs_strip_repeated_spans",
     "embedding_binary_topk",
+    "docs_clean_text",
 ]
 
 
@@ -120,6 +121,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "docs_clean_text",
     "embedding_binary_topk",
     "docs_strip_repeated_spans",
     "docs_truncate_tokens",

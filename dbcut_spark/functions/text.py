@@ -102,3 +102,25 @@ def quality_score(text_col: str | Column) -> dict[str, Column]:
         "mean_word_len": F.round(mean_wlen.cast("double"), 6),
         "quality_score": score.cast("double"),
     }
+
+
+# Cleanup regexes valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# \x{...} code points and \s have the same meaning in each.
+CTRL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # C0 minus \t\n\r, + DEL
+ZERO_WIDTH_RE = r"[\x{200B}-\x{200D}\x{FEFF}]"  # ZWSP/ZWNJ/ZWJ/BOM
+WS_RUN_RE = r"[\s\x{00A0}]+"  # whitespace runs incl. NBSP
+
+
+def clean_text(col: str | Column) -> Column:
+    """Web-scrape text cleanup (the CCNet/RefinedWeb normalization
+    stage): strip C0 control characters and DEL, delete zero-width
+    code points (ZWSP/ZWNJ/ZWJ/BOM), then collapse every whitespace
+    run — including NBSP — to a single space and trim. Three JVM
+    regexp_replace passes, one codegen projection, no UDF; every
+    pattern is written in the \\x{...} syntax both Java regex and
+    DuckDB's RE2 accept, so the oracle recomputes the identical
+    rewrite."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, CTRL_CHARS_RE, "")
+    c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    return F.trim(F.regexp_replace(c, WS_RUN_RE, " "))

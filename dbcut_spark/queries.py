@@ -705,6 +705,7 @@ _GATE_ROTATION = [
     "orders_daily_ma7",
     "docs_strip_repeated_spans",
     "embedding_binary_topk",
+    "docs_clean_text",
 ]
 
 GATE_WINDOW = 50

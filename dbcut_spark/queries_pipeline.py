@@ -3466,3 +3466,68 @@ def embedding_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=50,
     )
+
+
+@register(
+    "docs_clean_text",
+    sql="""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN chr(7) || chr(0) || ' trailing' || chr(160) || 'junk'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN chr(8203) || chr(65279) || '  spaced   out ' || chr(9)
+                  ELSE '' END AS t
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '[\\s\\x{00A0}]+', ' ', 'g')) AS clean_text
+      FROM aug)
+    SELECT doc_id, clean_text,
+           CAST(length(t) AS BIGINT) AS raw_len,
+           CAST(length(clean_text) AS BIGINT) AS clean_len,
+           (t <> clean_text) AS changed
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def docs_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scrape text normalization (functions/text.py:clean_text —
+    the CCNet/RefinedWeb cleanup stage): control chars stripped,
+    zero-width code points deleted, whitespace runs (incl. NBSP)
+    collapsed. The synthetic corpus is already clean, so the query
+    injects deterministic mess keyed by doc_id — identically in the
+    oracle (same pii_scan pattern) — and the operator under test is
+    the three-regex JVM projection itself; the hash pins the full
+    rewritten text."""
+    d = tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            # \x07\x00 = BEL+NUL (ctrl strip), \xa0 = NBSP (ws collapse)
+            F.lit("\x07\x00 trailing\xa0junk"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            # ZWSP + BOM + multi-space runs + tab
+            F.lit("\u200b\ufeff  spaced   out \t"),
+        ).otherwise(F.lit("")),
+    )
+    from dbcut_spark.functions.text import clean_text
+
+    cleaned = clean_text(aug)
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(aug).cast("long").alias("raw_len"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        (aug != cleaned).alias("changed"),
+    ).orderBy("doc_id")

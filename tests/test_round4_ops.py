@@ -602,3 +602,29 @@ def test_remove_repeated_spans_differential(spark):
             for r in remove_repeated_spans(df, "text", "doc_id").collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_clean_text_edges(spark):
+    """Control chars stripped, zero-width deleted, NBSP and whitespace
+    runs collapsed, already-clean text untouched, and pure-junk text
+    collapses to the empty string."""
+    from dbcut_spark.functions.text import clean_text
+
+    rows = [
+        (1, "already clean text"),
+        (2, "a\x00b\x07c"),                      # controls vanish, no space
+        (3, "a​b‌c﻿d"),           # zero-width vanish
+        (4, "a\xa0b  c\t\td \n e"),              # NBSP + runs -> single
+        (5, "  \t \xa0 ​  "),               # nothing left
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.c for r in df.select("id", clean_text("t").alias("c")).collect()}
+    assert got == {
+        1: "already clean text",
+        2: "abc",
+        3: "abcd",
+        4: "a b c d e",
+        5: "",
+        6: "",
+    }
