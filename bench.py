@@ -110,6 +110,8 @@ HEADLINE = [
     "docs_strip_repeated_spans",
     "embedding_binary_topk",
     "docs_clean_text",
+    "docs_leakage_safe_split",
+    "docs_length_batches",
 ]
 
 
@@ -121,6 +123,8 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "docs_leakage_safe_split",
+    "docs_length_batches",
     "docs_clean_text",
     "embedding_binary_topk",
     "docs_strip_repeated_spans",

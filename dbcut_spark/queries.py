@@ -706,6 +706,8 @@ _GATE_ROTATION = [
     "docs_strip_repeated_spans",
     "embedding_binary_topk",
     "docs_clean_text",
+    "docs_leakage_safe_split",
+    "docs_length_batches",
 ]
 
 GATE_WINDOW = 50

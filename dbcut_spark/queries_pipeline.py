@@ -3531,3 +3531,143 @@ def docs_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).cast("long").alias("clean_len"),
         (aug != cleaned).alias("changed"),
     ).orderBy("doc_id")
+
+
+def _leakage_safe_split_sql(
+    k: int = 16, band_rows: int = 4, threshold: float = 0.5, frac: float = 0.2
+) -> str:
+    """Oracle for the cluster-integral split: the dedup_clusters CTE
+    chain (LSH pairs -> recursive-CTE transitive closure) followed by
+    the md5-hex threshold on the CLUSTER id."""
+    thr = format(int(frac * 2**32), "08x")
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cand_ctes(k, band_rows)
+        + f"""
+    , sim AS (
+      SELECT doc_a, doc_b FROM scored WHERE est_sim >= {threshold}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sim
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM sim),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+    comp AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           CASE WHEN substr(md5('clsplit:' || CAST(c.cluster_id AS VARCHAR)),
+                            1, 8) < '{thr}'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM comp c JOIN sizes s USING (cluster_id) ORDER BY c.doc_id
+    """
+    )
+
+
+@register("docs_leakage_safe_split", sql=_leakage_safe_split_sql())
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/holdout split: membership is decided by the
+    content hash of the near-dup CLUSTER id, not the document id, so an
+    entire MinHash/LSH duplicate cluster lands on one side — the guard
+    against the classic eval contamination where a near-duplicate of a
+    holdout document sits in the training set. Composes the
+    oracle-checked dedup_clusters labeling with the engine's
+    deterministic hash-split convention (same md5-hex threshold as
+    docs_train_holdout, salted independently); the oracle recomputes
+    clusters via recursive CTE and the split from the cluster label, so
+    the hash-match proves cluster integrity end-to-end."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+
+    d = tp(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=16, band_rows=4
+    ).filter(F.col("est_sim") >= 0.5)
+    comp = dd.connected_components(pairs, "doc_a", "doc_b")
+    labeled = pin(
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.when(
+                hash_bucket(F.col("cluster_id"), "clsplit:")
+                < hash_threshold(0.2),
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_length_batches",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(string_split_regex(trim(text), ' +')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM toks)
+    SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           sum(n_tokens) AS total_tokens,
+           round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                     / (count(*) * max(n_tokens)), 6) AS pad_frac
+    FROM ordered GROUP BY 1 ORDER BY batch_id
+    """,
+)
+def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: documents sorted by token
+    count (desc, id tiebreak) and cut into fixed-size batches of 32, so
+    same-batch documents have near-equal lengths and padding waste
+    (pad_frac = 1 - sum/len·max) is minimized — the dynamic-batching
+    prep every serving/training stack runs. The window sorts the tiny
+    (doc_id, n_tokens) pair frame, never the text; at 100 TB this
+    global numbering becomes per-shard batching exactly like
+    pack_sequences (same cumsum shape), trading global optimality for
+    a shuffle-free map stage."""
+    d = tp(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    ordered = toks.withColumn("rn", F.row_number().over(w))
+    return (
+        ordered.groupBy(
+            ((F.col("rn") - 1) / 32).cast("long").alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("pad_frac"),
+        )
+        .orderBy("batch_id")
+    )

@@ -628,3 +628,36 @@ def test_clean_text_edges(spark):
         5: "",
         6: "",
     }
+
+
+def test_leakage_safe_split_cluster_integrity(spark, sf_dir):
+    """No near-dup cluster may straddle the split (the whole point),
+    and the split must agree with dedup_clusters' labeling."""
+    from dbcut_spark.queries import QUERIES
+
+    df = QUERIES["docs_leakage_safe_split"](spark, sf_dir)
+    straddle = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle == 0
+    rows = df.collect()
+    assert {r.split for r in rows} == {"train", "holdout"}
+    multi = [r for r in rows if r.cluster_size > 1]
+    assert multi, "fixture corpus should contain near-dup clusters"
+
+
+def test_length_batches_shape(spark, sf_dir):
+    """Full batches of 32 (one trailing partial allowed), max_tokens
+    non-increasing over batch_id, pad_frac in [0, 1)."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["docs_length_batches"](spark, sf_dir).collect()
+    assert [r.batch_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_docs == 32 for r in rows[:-1])
+    assert 0 < rows[-1].n_docs <= 32
+    maxes = [r.max_tokens for r in rows]
+    assert maxes == sorted(maxes, reverse=True)
+    assert all(0.0 <= r.pad_frac < 1.0 for r in rows)
