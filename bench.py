@@ -112,6 +112,7 @@ HEADLINE = [
     "docs_clean_text",
     "docs_leakage_safe_split",
     "docs_length_batches",
+    "corpus_drift_psi",
 ]
 
 
@@ -123,6 +124,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "corpus_drift_psi",
     "docs_leakage_safe_split",
     "docs_length_batches",
     "docs_clean_text",

@@ -708,6 +708,7 @@ _GATE_ROTATION = [
     "docs_clean_text",
     "docs_leakage_safe_split",
     "docs_length_batches",
+    "corpus_drift_psi",
 ]
 
 GATE_WINDOW = 50

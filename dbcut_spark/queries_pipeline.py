@@ -3671,3 +3671,102 @@ def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+@register(
+    "corpus_drift_psi",
+    sql="""
+    WITH feats AS (
+      SELECT substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '80000000' AS is_ref,
+             'tok_len' AS feature,
+             CAST(least(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), ' +')) END
+                        // 10, 10) AS VARCHAR) AS bucket
+      FROM documents
+      UNION ALL
+      SELECT substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '80000000' AS is_ref,
+             'source' AS feature, source AS bucket
+      FROM documents),
+    counts AS (
+      SELECT feature, bucket,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      FROM feats GROUP BY 1, 2),
+    tot AS (
+      SELECT feature, bucket, n_ref, n_new,
+             SUM(n_ref) OVER (PARTITION BY feature) AS t_ref,
+             SUM(n_new) OVER (PARTITION BY feature) AS t_new,
+             COUNT(*) OVER (PARTITION BY feature) AS k
+      FROM counts),
+    probs AS (
+      SELECT feature, bucket, n_ref, n_new,
+             (n_ref + 0.5) / (t_ref + 0.5 * k) AS p_ref,
+             (n_new + 0.5) / (t_new + 0.5 * k) AS p_new
+      FROM tot)
+    SELECT feature, bucket, n_ref, n_new,
+           round(p_ref, 6) AS p_ref, round(p_new, 6) AS p_new,
+           round((p_new - p_ref) * ln(p_new / p_ref), 6) AS psi_term
+    FROM probs ORDER BY feature, bucket
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection via Population Stability Index: two
+    snapshots (deterministic md5 hash split of doc_id standing in for
+    old/new ingests — a parity split would alias the synthetic corpus's
+    source = src{doc_id % 20} layout into a fake total source shift)
+    compared on token-length deciles and source mix;
+    psi_term = (p_new - p_ref)·ln(p_new/p_ref) per bucket with
+    Laplace-smoothed probabilities (no ln(0)), summing to the PSI the
+    monitoring dashboards alert on (>0.2 = shifted). One scan, one
+    (feature, bucket) aggregation, window totals over the tiny bucket
+    frame — the 100 TB cost is the scan. Round(6) absorbs last-ulp
+    libm ln differences, as in bm25/tfidf."""
+    from dbcut_spark.operators.sampling import hash_bucket
+
+    d = tp(spark, sf_dir, "documents")
+    is_ref = hash_bucket(F.col("doc_id"), "drift:") < F.lit("80000000")
+    tok_bucket = F.least(
+        F.floor(ws_token_count("text").cast("long") / 10), F.lit(10)
+    ).cast("string")
+    feats = d.select(
+        is_ref.alias("is_ref"),
+        F.lit("tok_len").alias("feature"),
+        tok_bucket.alias("bucket"),
+    ).unionByName(
+        d.select(
+            is_ref.alias("is_ref"),
+            F.lit("source").alias("feature"),
+            F.col("source").alias("bucket"),
+        )
+    )
+    counts = feats.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_new"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = counts.select(
+        "feature",
+        "bucket",
+        "n_ref",
+        "n_new",
+        F.sum("n_ref").over(wf).alias("t_ref"),
+        F.sum("n_new").over(wf).alias("t_new"),
+        F.count(F.lit(1)).over(wf).alias("k"),
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("k"))
+    p_new = (F.col("n_new") + 0.5) / (F.col("t_new") + 0.5 * F.col("k"))
+    return tot.select(
+        "feature",
+        "bucket",
+        "n_ref",
+        "n_new",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_ref) * F.log(p_new / p_ref), 6).alias("psi_term"),
+    ).orderBy("feature", "bucket")

@@ -661,3 +661,22 @@ def test_length_batches_shape(spark, sf_dir):
     maxes = [r.max_tokens for r in rows]
     assert maxes == sorted(maxes, reverse=True)
     assert all(0.0 <= r.pad_frac < 1.0 for r in rows)
+
+
+def test_corpus_drift_psi_properties(spark, sf_dir):
+    """Per-feature probabilities sum to ~1 on each side, PSI (a
+    symmetrized KL) is non-negative, and the hash split of ONE corpus
+    shows only sampling noise — far below the 0.2 alert line at sf0.01+
+    and bounded even at the 50-doc sf0.001 fixture."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_drift_psi"](spark, sf_dir).collect()
+    feats = {}
+    for r in rows:
+        feats.setdefault(r.feature, []).append(r)
+    assert set(feats) == {"tok_len", "source"}
+    for f, rs in feats.items():
+        assert abs(sum(r.p_ref for r in rs) - 1.0) < 1e-3
+        assert abs(sum(r.p_new for r in rs) - 1.0) < 1e-3
+        psi = sum(r.psi_term for r in rs)
+        assert 0.0 <= psi < 1.0, (f, psi)
