@@ -277,3 +277,29 @@ def test_q16_anti_join_stays_anti(spark, sf_dir):
     """The supplier blacklist NOT IN must compile to LEFT ANTI."""
     plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
     assert "LeftAnti" in plan
+
+
+def test_new_pipeline_queries_stay_jvm_side(spark, sf_dir):
+    """Round-4 additions that must not fall off the JVM path: the
+    binary-Hamming scan (xor+popcount is pure codegen), the span
+    rewrite, text cleanup, the PSI aggregation, and length batching.
+    (docs_leakage_safe_split is excluded: its MinHash stage shares the
+    vectorized signature site.)"""
+    for name in [
+        "embedding_binary_topk",
+        "docs_strip_repeated_spans",
+        "docs_clean_text",
+        "corpus_drift_psi",
+        "docs_length_batches",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_binary_hamming_query_side_broadcast(spark, sf_dir):
+    """The b1 Hamming scan must broadcast the query signatures — the
+    candidate side streams, nothing sort-merges."""
+    plan = plan_of(spark, sf_dir, "embedding_binary_topk")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
