@@ -3632,7 +3632,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            max(n_tokens) AS max_tokens,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
                      / (count(*) * max(n_tokens)), 6) AS pad_frac
     FROM ordered GROUP BY 1 ORDER BY batch_id
