@@ -437,6 +437,33 @@ def curate(ctx: Ctx, out: str | None):
     for reason, n in sorted(manifest["drop_reasons"].items()):
         click.echo(f"  dropped {n:>6}  {reason}")
 
+@cli.command()
+@click.argument("statement")
+@click.option("--limit", "-n", default=20, help="max rows to print")
+@click.pass_obj
+def sql(ctx: Ctx, statement: str, limit: int):
+    """Run an ad-hoc Spark SQL statement with every source table
+    registered as a temp view (beyond-reference usability: the
+    analytics-engine face of the same catalog the extraction queries
+    use — full Catalyst SQL over the reflected tables)."""
+    from dbcut_spark.sources.parquet import read_table
+
+    for table in sorted(ctx.catalog.tables):
+        try:
+            read_table(ctx.spark, ctx.source, table).createOrReplaceTempView(
+                table
+            )
+        except Exception:  # noqa: BLE001 - missing files are queryable-less
+            continue
+    df = ctx.spark.sql(statement)
+    rows = df.limit(limit + 1).collect()
+    click.echo("\t".join(df.columns))
+    for r in rows[:limit]:
+        click.echo("\t".join("NULL" if v is None else str(v) for v in r))
+    if len(rows) > limit:
+        click.echo(f"... (> {limit} rows, use -n to raise)")
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

@@ -516,3 +516,38 @@ def test_cli_explain_shows_physical_plan(spark, sf_dir, tmp_path):
     assert "Physical Plan" in res.output or "TakeOrderedAndProject" in res.output
     assert "SELECT" in res.output  # inline-SQL echo (reference D6)
     assert "customer" in res.output
+
+
+def test_cli_sql_adhoc_statement(spark, sf_dir, tmp_path):
+    """The `sql` command registers the catalog tables as temp views and
+    prints result rows for an arbitrary Spark SQL statement."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": str(tmp_path / "t")},
+        "queries": [PLAN_RAW],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "-c",
+            cfg_path,
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region "
+            "JOIN nation ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    lines = res.output.strip().splitlines()
+    assert lines[0] == "r_name\tn"
+    assert len(lines) == 6  # 5 regions + header
+    assert all("\t" in ln for ln in lines[1:])
