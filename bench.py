@@ -113,6 +113,7 @@ HEADLINE = [
     "docs_leakage_safe_split",
     "docs_length_batches",
     "corpus_drift_psi",
+    "events_hourly_drift_psi",
 ]
 
 
@@ -124,6 +125,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "events_hourly_drift_psi",
     "corpus_drift_psi",
     "docs_leakage_safe_split",
     "docs_length_batches",

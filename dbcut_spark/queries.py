@@ -709,6 +709,7 @@ _GATE_ROTATION = [
     "docs_leakage_safe_split",
     "docs_length_batches",
     "corpus_drift_psi",
+    "events_hourly_drift_psi",
 ]
 
 GATE_WINDOW = 50

@@ -3770,3 +3770,79 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_new, 6).alias("p_new"),
         F.round((p_new - p_ref) * F.log(p_new / p_ref), 6).alias("psi_term"),
     ).orderBy("feature", "bucket")
+
+
+@register(
+    "events_hourly_drift_psi",
+    sql="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type FROM events),
+    gcnt AS (
+      SELECT event_type, count(*) AS n_g FROM e GROUP BY 1),
+    gtot AS (SELECT SUM(n_g) AS t_g, COUNT(*) AS k FROM gcnt),
+    pref AS (
+      SELECT event_type, (n_g + 0.5) / (t_g + 0.5 * k) AS p_ref, k
+      FROM gcnt, gtot),
+    hourly AS (
+      SELECT hr, event_type, count(*) AS n_h FROM e GROUP BY 1, 2),
+    htot AS (SELECT hr, SUM(n_h) AS t_h FROM hourly GROUP BY 1),
+    terms AS (
+      SELECT h.hr, h.event_type,
+             round(((h.n_h + 0.5) / (t.t_h + 0.5 * p.k) - p.p_ref)
+                   * ln(((h.n_h + 0.5) / (t.t_h + 0.5 * p.k)) / p.p_ref),
+                   6) AS term
+      FROM hourly h JOIN htot t USING (hr) JOIN pref p USING (event_type))
+    SELECT hr AS hour_start,
+           CAST(count(*) AS INT) AS n_types,
+           round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_hourly_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest drift monitor: PSI of each hour's event-type mix
+    against the corpus-global mix (Laplace-smoothed, k = observed type
+    count). The alerting signal for 'the stream changed shape' —
+    complements events_hourly_anomaly's per-type volume spikes with a
+    distribution-level view. Two hash aggregations (global + hourly)
+    joined on the tiny type/hour keys; per-term round(6) then a
+    DECIMAL-routed sum so cross-engine double-add order can't move the
+    hash. Streaming twin: streaming/events.py:drift_psi_stream (same
+    formula from one windowed stateful aggregation)."""
+    d = tp(spark, sf_dir, "events")
+    e = d.select(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+    glob = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    gtot = glob.agg(
+        F.sum("n_g").alias("t_g"), F.count(F.lit(1)).alias("k")
+    )
+    pref = glob.crossJoin(F.broadcast(gtot)).select(
+        "event_type",
+        ((F.col("n_g") + 0.5) / (F.col("t_g") + 0.5 * F.col("k"))).alias(
+            "p_ref"
+        ),
+        "k",
+    )
+    hourly = e.groupBy("hr", "event_type").agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    htot = hourly.groupBy("hr").agg(F.sum("n_h").alias("t_h"))
+    p_new = (F.col("n_h") + 0.5) / (F.col("t_h") + 0.5 * F.col("k"))
+    terms = (
+        hourly.join(htot, "hr")
+        .join(F.broadcast(pref), "event_type")
+        .select(
+            "hr",
+            "event_type",
+            F.round(
+                (p_new - F.col("p_ref")) * F.log(p_new / F.col("p_ref")), 6
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("hr").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("psi"),
+        )
+        .orderBy("hour_start")
+    )

@@ -508,3 +508,58 @@ def purchase_window_clicks_stream(
         F.col("p_user").alias("user_id"),
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("delay_us"),
     )
+
+
+def drift_psi_stream(
+    stream: DataFrame,
+    ref_probs: dict[str, float],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the oracle-checked ``events_hourly_drift_psi``:
+    per event-time window, the PSI of the window's event-type mix
+    against a REFERENCE distribution (``ref_probs`` — the smoothed
+    global histogram, a tiny driver-side artifact like the IVF
+    centroids). ONE watermarked stateful aggregation computes every
+    bucket count as a conditional sum, and the PSI folds from those
+    columns in the same projection — append-mode legal (Structured
+    Streaming forbids stacked stateful aggs), state = k+1 longs per
+    open window.
+
+    Arithmetic matches the batch form exactly: terms only for buckets
+    observed in the window, Laplace smoothing with k = len(ref_probs),
+    per-term round(6), DECIMAL-routed term sum."""
+    buckets = sorted(ref_probs)
+    k = len(buckets)
+    counts = [
+        F.sum(
+            F.when(F.col("event_type") == b, 1).otherwise(0)
+        ).alias(f"n_{i}")
+        for i, b in enumerate(buckets)
+    ]
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("t_h"), *counts)
+    )
+    term_sum = None
+    n_types = None
+    for i, b in enumerate(buckets):
+        n = F.col(f"n_{i}")
+        p_new = (n + 0.5) / (F.col("t_h") + 0.5 * F.lit(k))
+        term = F.when(
+            n > 0,
+            F.round(
+                (p_new - F.lit(ref_probs[b]))
+                * F.log(p_new / F.lit(ref_probs[b])),
+                6,
+            ).cast("decimal(18,6)"),
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        seen = F.when(n > 0, 1).otherwise(0)
+        term_sum = term if term_sum is None else term_sum + term
+        n_types = seen if n_types is None else n_types + seen
+    return agg.select(
+        F.col("w.start").alias("hour_start"),
+        n_types.cast("int").alias("n_types"),
+        F.round(term_sum.cast("double"), 6).alias("psi"),
+    )

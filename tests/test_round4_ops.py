@@ -714,3 +714,66 @@ def test_every_query_reachable_by_gate_rotation():
         off = (r * slots) % len(pool)
         seen.update(pool[(off + i) % len(pool)] for i in range(slots))
     assert seen == set(QUERIES), sorted(set(QUERIES) - seen)
+
+
+def test_drift_psi_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Windows emitted by the streaming drift monitor must carry
+    exactly the batch query's per-hour PSI values (same smoothing,
+    rounding, and DECIMAL term sum); append mode emits every window the
+    final watermark passed."""
+    import time as _time
+
+    from dbcut_spark.queries import QUERIES
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import drift_psi_stream, read_event_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    # reference probs: the batch query's smoothed global histogram
+    glob = {r.event_type: r.n for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    k, tot = len(glob), sum(glob.values())
+    ref_probs = {b: (n + 0.5) / (tot + 0.5 * k) for b, n in glob.items()}
+
+    src = tmp_path / "drift_stream"
+    src.mkdir()
+    mid = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5D) AS m").first().m
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= mid),
+        ev.filter(F.col("ts").cast("double") > mid),
+    ]
+    for i, p in enumerate(parts):
+        p.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        drift_psi_stream(stream, ref_probs)
+        .writeStream.format("memory")
+        .queryName("drift_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.hour_start: (r.n_types, r.psi)
+        for r in spark.table("drift_test").collect()
+    }
+    assert got, "no windows emitted"
+
+    want = {
+        r.hour_start: (r.n_types, r.psi)
+        for r in QUERIES["events_hourly_drift_psi"](spark, sf_dir).collect()
+    }
+    for hr, vals in got.items():
+        assert want[hr] == vals, (hr, vals, want[hr])
+    # everything the watermark passed must have been emitted
+    max_ts = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first().m
+    wm_us = max_ts - 7_200_000_000
+    emitted_expect = {
+        hr for hr in want
+        if (hr.timestamp() + 3600) * 1_000_000 < wm_us
+    }
+    assert emitted_expect <= set(got)
