@@ -114,6 +114,7 @@ HEADLINE = [
     "docs_length_batches",
     "corpus_drift_psi",
     "events_hourly_drift_psi",
+    "events_value_winsorized",
 ]
 
 
@@ -125,6 +126,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "events_value_winsorized",
     "events_hourly_drift_psi",
     "corpus_drift_psi",
     "docs_leakage_safe_split",

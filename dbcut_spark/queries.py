@@ -710,6 +710,7 @@ _GATE_ROTATION = [
     "docs_length_batches",
     "corpus_drift_psi",
     "events_hourly_drift_psi",
+    "events_value_winsorized",
 ]
 
 GATE_WINDOW = 50

@@ -3846,3 +3846,72 @@ def events_hourly_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "events_value_winsorized",
+    sql="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, e.value, q.p01, q.p99,
+             least(greatest(e.value, q.p01), q.p99) AS clipped
+      FROM events e JOIN q USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(p01), 6) AS p01,
+           round(any_value(p99), 6) AS p99,
+           CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(25,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_raw,
+           round(CAST(SUM(CAST(round(clipped, 6) AS DECIMAL(25,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_clipped
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) of the event value column: per
+    event type, values clipped to the exact interpolated [p01, p99]
+    range — the standard robust-feature preprocessing step before
+    training on heavy-tailed metrics. Two passes over the fact table
+    (quantiles, then clip+aggregate) with the tiny per-type quantile
+    frame broadcast back; at 100 TB swap `percentile` for
+    `percentile_approx` exactly as docs_length_quantiles documents.
+    Means go through round(6) + DECIMAL sums so cross-engine float
+    summation order can't move the hash."""
+    d = tp(spark, sf_dir, "events")
+    q = d.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01D)").alias("p01"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+    )
+    c = d.join(F.broadcast(q), "event_type").withColumn(
+        "clipped", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    dsum6 = lambda col: F.sum(F.round(F.col(col), 6).cast("decimal(25,6)"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("p01"), 6).alias("p01"),
+            F.round(F.first("p99"), 6).alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.round(
+                dsum6("value").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_raw"),
+            F.round(
+                dsum6("clipped").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_clipped"),
+        )
+        .orderBy("event_type")
+    )

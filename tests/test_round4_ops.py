@@ -777,3 +777,16 @@ def test_drift_psi_stream_matches_batch(spark, sf_dir, tmp_path):
         if (hr.timestamp() + 3600) * 1_000_000 < wm_us
     }
     assert emitted_expect <= set(got)
+
+
+def test_winsorized_invariants(spark, sf_dir):
+    """Clip bounds ordered, ~1% clipped on each side (exact percentile
+    definition bounds it by ceil/floor of 1%), and the clipped mean
+    lies inside [p01, p99]."""
+    from dbcut_spark.queries import QUERIES
+
+    for r in QUERIES["events_value_winsorized"](spark, sf_dir).collect():
+        assert r.p01 <= r.p99
+        assert 0 <= r.n_clipped_low <= r.n * 0.011 + 1
+        assert 0 <= r.n_clipped_high <= r.n * 0.011 + 1
+        assert r.p01 <= r.mean_clipped <= r.p99
