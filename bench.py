@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_drift_psi",
     "events_hourly_drift_psi",
     "events_value_winsorized",
+    "docs_tokenize_ids",
 ]
 
 
@@ -126,6 +127,7 @@ HEADLINE = [
 # still lands in BENCH_DETAIL.json next to this script.
 TAIL_BUDGET = 1900
 DROP_ORDER = [
+    "docs_tokenize_ids",
     "events_value_winsorized",
     "events_hourly_drift_psi",
     "corpus_drift_psi",

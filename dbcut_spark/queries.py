@@ -711,6 +711,7 @@ _GATE_ROTATION = [
     "corpus_drift_psi",
     "events_hourly_drift_psi",
     "events_value_winsorized",
+    "docs_tokenize_ids",
 ]
 
 GATE_WINDOW = 50

@@ -3915,3 +3915,80 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "docs_tokenize_ids",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT tok, count(*) AS n FROM tok WHERE length(tok) > 0 GROUP BY tok),
+    vocab AS (
+      SELECT tok,
+             row_number() OVER (ORDER BY n DESC, tok ASC) AS token_id
+      FROM cnt ORDER BY n DESC, tok ASC LIMIT 100),
+    seq AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
+                   unnest(range(1, len(string_split(lower(trim(text)), ' ')) + 1))
+                     AS pos
+            FROM documents) t
+      LEFT JOIN vocab v USING (tok))
+    SELECT doc_id,
+           string_agg(tid, ' ' ORDER BY pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM seq GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's terminal tokenization step: every document mapped
+    to its id sequence under the vocab_build vocabulary (top-100 by
+    count desc / token asc, ids 1..100; out-of-vocabulary -> 0),
+    rendered as a space-joined string so the value hash pins order and
+    ids across engines. One token explode, a broadcast vocab join, and
+    one ordered per-doc reassembly — the exact shape of a real
+    tokenizer-apply pass (vocab broadcast, shuffle carries (doc, pos,
+    id) ints)."""
+    d = tp(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cnt = (
+        toks.filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(100)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    vocab = top.withColumn("token_id", F.row_number().over(w)).select(
+        "tok", "token_id"
+    )
+    seq = toks.join(F.broadcast(vocab), "tok", "left_outer").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("tid"),
+    )
+    return (
+        seq.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                " ",
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )

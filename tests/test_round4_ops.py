@@ -790,3 +790,35 @@ def test_winsorized_invariants(spark, sf_dir):
         assert 0 <= r.n_clipped_low <= r.n * 0.011 + 1
         assert 0 <= r.n_clipped_high <= r.n * 0.011 + 1
         assert r.p01 <= r.mean_clipped <= r.p99
+
+
+def test_tokenize_ids_consistency(spark, sf_dir):
+    """Id sequences are length-consistent with the doc token count,
+    OOV ids are exactly the 0 entries, and in-vocab ids agree with
+    vocab_build's numbering."""
+    from dbcut_spark.queries import QUERIES
+
+    rows = QUERIES["docs_tokenize_ids"](spark, sf_dir).collect()
+    vocab = {
+        r.token_id: r.tok for r in QUERIES["vocab_build"](spark, sf_dir).collect()
+    }
+    assert rows
+    for r in rows[:50]:
+        ids = [int(x) for x in r.token_ids.split(" ")]
+        assert len(ids) == r.n_tokens
+        assert sum(1 for i in ids if i == 0) == r.n_oov
+        assert all(0 <= i <= 100 for i in ids)
+    # spot-check the mapping against the actual text
+    doc = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(5)
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for did, text in doc.items():
+        toks = text.strip().lower().split(" ")
+        ids = [int(x) for x in by_id[did].token_ids.split(" ")]
+        for t, i in zip(toks, ids):
+            if i != 0:
+                assert vocab[i] == t
