@@ -229,6 +229,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         release_pinned()
         spark.catalog.clearCache()
+        # JVM GC between queries: without it, heap pressure built up by
+        # earlier queries bleeds into later timings (observed 2-4x
+        # run-to-run swings on the tail of the 100-query session)
+        spark._jvm.System.gc()
         timings[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
