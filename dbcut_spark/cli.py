@@ -453,7 +453,13 @@ def sql(ctx: Ctx, statement: str, limit: int):
             read_table(ctx.spark, ctx.source, table).createOrReplaceTempView(
                 table
             )
-        except Exception:  # noqa: BLE001 - missing files are queryable-less
+        except Exception as exc:  # noqa: BLE001 - keep going, but SAY so:
+            # a corrupt file / schema problem on one table must not be
+            # indistinguishable from the table not existing
+            click.echo(
+                f"-- skipping {table}: {type(exc).__name__}: {exc}",
+                err=True,
+            )
             continue
     df = ctx.spark.sql(statement)
     rows = df.limit(limit + 1).collect()

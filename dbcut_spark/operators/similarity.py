@@ -812,22 +812,36 @@ def pq_encode(
     sub = len(codebooks[0][0])
     cb = np.array(codebooks, dtype=np.float64)  # (M, K, sub)
 
+    dim = m_count * sub
+
     def _encode(vecs):
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
-        )
-        if X.size == 0:
-            return pd.Series([], dtype=object)
-        codes = np.empty((X.shape[0], m_count), dtype=np.int32)
-        for m in range(m_count):
-            S = X[:, m * sub : (m + 1) * sub]  # (n, sub)
-            d = cb[m][None, :, :] - S[:, None, :]  # (n, K, sub)
-            sq = d * d
-            acc = sq[:, :, 0]
-            for j in range(1, sub):
-                acc = acc + sq[:, :, j]  # explicit left-assoc chain
-            codes[:, m] = np.argmin(acc, axis=1)
-        return pd.Series(list(codes))
+        # null / ragged vectors can't be encoded — return a null code
+        # array (posexplode then emits no rows for them, matching the
+        # old Column form where null vectors produced no usable codes)
+        out: list = [None] * len(vecs)
+        valid, mats = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim != 1 or a.shape[0] != dim:
+                continue
+            valid.append(i)
+            mats.append(a)
+        if mats:
+            X = np.stack(mats)  # (n_valid, dim)
+            codes = np.empty((X.shape[0], m_count), dtype=np.int32)
+            for m in range(m_count):
+                S = X[:, m * sub : (m + 1) * sub]  # (n, sub)
+                d = cb[m][None, :, :] - S[:, None, :]  # (n, K, sub)
+                sq = d * d
+                acc = sq[:, :, 0]
+                for j in range(1, sub):
+                    acc = acc + sq[:, :, j]  # explicit left-assoc chain
+                codes[:, m] = np.argmin(acc, axis=1)
+            for row, i in enumerate(valid):
+                out[i] = [int(x) for x in codes[row]]
+        return pd.Series(out, dtype=object)
 
     encode = pandas_udf(_encode, "array<int>", PandasUDFType.SCALAR)
     return df.select(
@@ -946,8 +960,12 @@ def binary_signatures(vec_col: str, dim: int = 64) -> list[Column]:
     its half is >= 0. Two halves rather than one 64-bit word keep every
     value positive and inside BIGINT on BOTH engines (DuckDB's SUM
     widens to HUGEINT and 1<<63 flips sign — the split sidesteps both),
-    and generalize to any dim. OR-folds of disjoint single-bit values:
-    no carries, no overflow, pure codegen."""
+    and generalize to any EVEN dim ≤ 64 (an odd dim would silently
+    drop the last element's sign bit, so it is rejected). OR-folds of
+    disjoint single-bit values: no carries, no overflow, pure
+    codegen."""
+    if dim % 2 != 0 or not 2 <= dim <= 64:
+        raise ValueError(f"dim must be even and in [2, 64], got {dim}")
     halves = []
     for lo in (1, dim // 2 + 1):
         halves.append(

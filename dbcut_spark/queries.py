@@ -734,17 +734,26 @@ def _detect_round() -> int:
     return (max(rounds) + 1) if rounds else 4
 
 
-def _reorder_for_gate() -> None:
+def gate_window_for_round(round_no: int) -> list[str]:
+    """The first-GATE_WINDOW queries the driver's gate will sample in
+    ``round_no``: the core §2 surface plus this round's rotation slice.
+    Shared by :func:`_reorder_for_gate` and the coverage guard test so
+    the rotation arithmetic exists in exactly one place."""
     core = [q for q in _CORE_GATE if q in QUERIES]
     pool = [q for q in _GATE_ROTATION if q in QUERIES and q not in core]
     slots = max(GATE_WINDOW - len(core), 0)
-    if pool:
-        off = ((_detect_round() - 4) * slots) % len(pool)
-        window = [pool[(off + i) % len(pool)] for i in range(min(slots, len(pool)))]
-    else:
-        window = []
-    placed = set(core) | set(window)
-    ordered = core + window + [q for q in QUERIES if q not in placed]
+    if not pool or slots == 0:
+        return core
+    off = ((round_no - 4) * slots) % len(pool)
+    return core + [
+        pool[(off + i) % len(pool)] for i in range(min(slots, len(pool)))
+    ]
+
+
+def _reorder_for_gate() -> None:
+    window = gate_window_for_round(_detect_round())
+    placed = set(window)
+    ordered = window + [q for q in QUERIES if q not in placed]
     snap_q, snap_o = dict(QUERIES), dict(ORACLES)
     QUERIES.clear()
     ORACLES.clear()

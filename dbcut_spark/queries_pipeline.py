@@ -3388,7 +3388,7 @@ def docs_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbcut_spark.operators.curation import remove_repeated_spans
 
     return remove_repeated_spans(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=3
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=3
     ).orderBy("doc_id")
 
 
@@ -3956,9 +3956,7 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tp(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
-            "pos0", "tok"
-        ),
+        F.posexplode(F.split(norm_text("text"), " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     cnt = (
         toks.filter(F.length("tok") > 0)

@@ -515,6 +515,7 @@ def drift_psi_stream(
     ref_probs: dict[str, float],
     window: str = "1 hour",
     watermark: str = "2 hours",
+    unseen_floor: float = 1e-4,
 ) -> DataFrame:
     """Streaming twin of the oracle-checked ``events_hourly_drift_psi``:
     per event-time window, the PSI of the window's event-type mix
@@ -526,9 +527,18 @@ def drift_psi_stream(
     Streaming forbids stacked stateful aggs), state = k+1 longs per
     open window.
 
-    Arithmetic matches the batch form exactly: terms only for buckets
-    observed in the window, Laplace smoothing with k = len(ref_probs),
-    per-term round(6), DECIMAL-routed term sum."""
+    Arithmetic matches the batch form exactly when every event type in
+    the window is a reference bucket: terms only for buckets observed
+    in the window, Laplace smoothing with k = len(ref_probs), per-term
+    round(6), DECIMAL-routed term sum. Event types ABSENT from
+    ``ref_probs`` — the archetypal drift a monitor exists to catch —
+    fold into a residual OTHER bucket scored against ``unseen_floor``
+    (a tiny reference probability): without it, a brand-new type would
+    inflate the window total, deflate every known bucket's p_new, and
+    contribute no term of its own, letting a pure new-type surge stay
+    under the alert line. When OTHER fires, the stream intentionally
+    diverges from the batch twin (which re-derives its buckets from
+    the same data and so can never see an unknown type)."""
     buckets = sorted(ref_probs)
     k = len(buckets)
     counts = [
@@ -542,6 +552,7 @@ def drift_psi_stream(
         .groupBy(F.window("ts", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("t_h"), *counts)
     )
+    known_sum = None
     term_sum = None
     n_types = None
     for i, b in enumerate(buckets):
@@ -556,10 +567,24 @@ def drift_psi_stream(
             ).cast("decimal(18,6)"),
         ).otherwise(F.lit(0).cast("decimal(18,6)"))
         seen = F.when(n > 0, 1).otherwise(0)
+        known_sum = n if known_sum is None else known_sum + n
         term_sum = term if term_sum is None else term_sum + term
         n_types = seen if n_types is None else n_types + seen
+    n_other = F.col("t_h") - known_sum
+    p_other = (n_other + 0.5) / (F.col("t_h") + 0.5 * F.lit(k))
+    other_term = F.when(
+        n_other > 0,
+        F.round(
+            (p_other - F.lit(unseen_floor))
+            * F.log(p_other / F.lit(unseen_floor)),
+            6,
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    term_sum = term_sum + other_term
+    n_types = n_types + F.when(n_other > 0, 1).otherwise(0)
     return agg.select(
         F.col("w.start").alias("hour_start"),
         n_types.cast("int").alias("n_types"),
         F.round(term_sum.cast("double"), 6).alias("psi"),
+        n_other.cast("long").alias("n_unseen"),
     )

@@ -704,15 +704,19 @@ def test_every_query_reachable_by_gate_rotation():
     dead = reachable - set(QUERIES)
     assert not dead, f"gate lists reference unknown queries: {sorted(dead)}"
 
+    from dbcut_spark.queries import gate_window_for_round
+
     core = [q for q in _CORE_GATE if q in QUERIES]
     pool = [q for q in _GATE_ROTATION if q in QUERIES and q not in core]
     slots = GATE_WINDOW - len(core)
     assert slots > 0
-    seen = set(core)
+    # drive the PRODUCTION window computation across rounds
+    seen = set()
     rounds = math.ceil(len(pool) / slots)
-    for r in range(rounds):
-        off = (r * slots) % len(pool)
-        seen.update(pool[(off + i) % len(pool)] for i in range(slots))
+    for r in range(4, 4 + rounds):
+        window = gate_window_for_round(r)
+        assert len(window) == min(GATE_WINDOW, len(QUERIES))
+        seen.update(window)
     assert seen == set(QUERIES), sorted(set(QUERIES) - seen)
 
 
@@ -822,3 +826,79 @@ def test_tokenize_ids_consistency(spark, sf_dir):
         for t, i in zip(toks, ids):
             if i != 0:
                 assert vocab[i] == t
+
+
+def test_pq_encode_null_and_ragged_vectors(spark, sf_dir):
+    """Null / wrong-length embeddings can't be encoded: they emit no
+    code rows (null array -> posexplode skips), while valid rows in
+    the same Arrow batch encode normally."""
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sources.parquet import read_table
+
+    entry = sim.stored_pq(sf_dir)
+    good = (
+        read_table(spark, sf_dir, "embeddings")
+        .limit(3)
+        .select("vec_id", "embedding")
+    )
+    bad = spark.createDataFrame(
+        [(1001, None), (1002, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = sim.pq_encode(
+        good.unionByName(bad), "embedding", "vec_id", entry["codebooks"]
+    )
+    rows = codes.collect()
+    ids = {r.vec_id for r in rows}
+    assert 1001 not in ids and 1002 not in ids
+    assert len(rows) == 3 * len(entry["codebooks"])
+
+
+def test_binary_signatures_rejects_odd_dim():
+    import pytest
+
+    from dbcut_spark.operators import similarity as sim
+
+    for dim in (5, 63, 0, 66):
+        with pytest.raises(ValueError):
+            sim.binary_signatures("embedding", dim)
+
+
+def test_drift_psi_stream_flags_unseen_type(spark, tmp_path):
+    """A brand-new event type (absent from ref_probs) must spike the
+    PSI via the residual OTHER bucket instead of silently deflating
+    the known buckets."""
+    import datetime as dt
+
+    from dbcut_spark.streaming.events import drift_psi_stream, read_event_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = []
+    for i in range(50):
+        rows.append((i, base, 100 + i, "click", 1.0, "{}"))
+    for i in range(50, 100):
+        rows.append((i, base, 100 + i, "brand_new_type", 1.0, "{}"))
+    # sentinel far ahead so the watermark passes the window
+    rows.append((999, base + dt.timedelta(hours=6), 1, "click", 1.0, "{}"))
+    src = tmp_path / "unseen_stream"
+    src.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).orderBy("ts").coalesce(1).write.parquet(str(src / "b0"))
+
+    ref_probs = {"click": 0.5, "view": 0.5}
+    q = (
+        drift_psi_stream(read_event_stream(spark, str(src) + "/b*"), ref_probs)
+        .writeStream.format("memory")
+        .queryName("unseen_drift")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.hour_start: r for r in spark.table("unseen_drift").collect()}
+    first = out[base.replace(minute=0)]
+    assert first.n_unseen == 50
+    assert first.psi > 0.2, first.psi  # above the standard alert line
