@@ -90,6 +90,17 @@ def _asof_join(
     tolerance_us: int | None = None,
 ) -> DataFrame:
     lcols = [c for c in left.columns]
+    # NULL timestamps would otherwise corrupt the window traversal:
+    # asc() sorts NULL __t first, so a null-time RIGHT row's non-null
+    # __pick would be carried into every left row that precedes all
+    # real right rows (and desc() mirrors it for the forward
+    # direction). A null-time right row can never legitimately match
+    # (the ≤/≥ comparison is undefined), so drop it; null-time LEFT
+    # rows keep left-outer semantics — they bypass the union and come
+    # back with NULL picks at the end.
+    right = right.filter(F.col(right_time).isNotNull())
+    left_null = left.filter(F.col(left_time).isNull())
+    left = left.filter(F.col(left_time).isNotNull())
     # ALL picked columns travel as ONE struct so they always come from
     # the same right row: carrying each column independently through
     # last(ignorenulls=True) would backfill a NULL field from an OLDER
@@ -148,7 +159,15 @@ def _asof_join(
         matched = matched.withColumn(
             "__pick", F.when(dist <= F.lit(tolerance_us), F.col("__pick"))
         )
-    return matched.select(
+    out = matched.select(
         *lcols,
         *[F.col("__pick")[dst].alias(dst) for dst in pick.values()],
     )
+    null_picks = left_null.select(
+        *lcols,
+        *[
+            F.lit(None).cast(pick_type[dst].dataType).alias(dst)
+            for dst in pick.values()
+        ],
+    )
+    return out.unionByName(null_picks)

@@ -115,8 +115,15 @@ class ClosureExecutor:
         # chain per consumer (frontiers are small by construction)
         root_df = pin(self.root_frame(plan))
         # bounded root (limit set) ⇒ every frontier key set is small ⇒
-        # broadcast it so child scans never shuffle
-        bounded = plan.spec.limit is not None
+        # broadcast it so child scans never shuffle. The invariant
+        # needs BOTH caps: with `backref_limit: no` a ONETOMANY hop can
+        # fan a 100-row root into millions of child rows, and a forced
+        # broadcast of that frontier's keys would OOM the driver — so
+        # fall back to Spark's own size-based strategy then (AQE still
+        # broadcasts the ones that turn out small).
+        bounded = (
+            plan.spec.limit is not None and plan.spec.backref_limit is not None
+        )
         frontiers: dict[int, DataFrame] = {id(plan.tree.root): root_df}
         per_table: dict[str, list[DataFrame]] = {plan.root_table: [root_df]}
 

@@ -115,6 +115,11 @@ def lsh_candidate_pairs(
     row (k*n_bands per doc total) — bounded, and far cheaper at scale
     than two extra shuffled joins against the signature frame."""
     signatures = pin(signatures)
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_rows "
+            f"({band_rows}) - trailing hashes would silently never band"
+        )
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):
@@ -181,16 +186,26 @@ def simhash(
     votes = b.groupBy(id_col, "i").agg(
         (2 * F.sum(bit) - F.count(F.lit(1))).alias("s")
     )
+    sigs = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    # docs with no tokens (empty/whitespace-only text) vanish from the
+    # aggregation; give them the defined all-zero signature instead of
+    # silently dropping them — two empty docs ARE trivially identical
+    # and must be pairable, and corpus joins must not lose rows
     return (
-        votes.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+        df.select(F.col(id_col))
+        .join(sigs, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias(
+                "simhash"
+            ),
         )
-        .select(F.col(id_col), F.col("simhash"))
     )
 
 

@@ -108,13 +108,18 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     n_frames = F.coalesce(
         F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
     )
-    return df.select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
-            )
-        ).alias("frame_idx"),
+    # media with zero/missing n_frames yields NO rows (a frameless
+    # image must not emit a phantom frame_idx=0 for the decoder) —
+    # the same guard shape as audio_window_plan's n_samples filter
+    return (
+        df.select("media_id", n_frames.alias("__nf"))
+        .filter(F.col("__nf") > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nf") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
     )
 
 

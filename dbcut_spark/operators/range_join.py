@@ -37,7 +37,11 @@ def point_in_interval_join(
     """Inner join of every point to every interval (same ``on`` keys)
     with ``start <= point_time <= end`` (inclusive). Time columns are
     epoch-µs longs. Output = point columns + interval columns."""
-    i_binned = intervals.withColumn(
+    # malformed (end < start) intervals can never contain a point, but
+    # F.sequence with start > stop generates a DESCENDING sequence —
+    # a single inverted record could explode to billions of bins
+    # before the refine filter discards them all. Drop them up front.
+    i_binned = intervals.filter(F.col(end) >= F.col(start)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -72,7 +76,9 @@ def interval_overlap_join(
     ``greatest(l_start, r_start)`` — the first bin the two intervals
     share — so a pair overlapping many bins still meets once. Both
     sides shuffle on (key, bin), ordinary hash partitioning."""
-    l_binned = left.withColumn(
+    # same inverted-interval guard as point_in_interval_join: end <
+    # start can't overlap anything but would explode descending bins
+    l_binned = left.filter(F.col(l_end) >= F.col(l_start)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -80,7 +86,7 @@ def interval_overlap_join(
             )
         ),
     )
-    r_binned = right.withColumn(
+    r_binned = right.filter(F.col(r_end) >= F.col(r_start)).withColumn(
         "__bin",
         F.explode(
             F.sequence(

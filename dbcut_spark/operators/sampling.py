@@ -23,10 +23,17 @@ from pyspark.sql import functions as F
 
 
 def hash_threshold(fraction: float) -> str:
-    """8-hex-digit threshold: uniform hashes below it ≈ ``fraction``."""
+    """8-hex-digit threshold: uniform hashes below it ≈ ``fraction``.
+
+    fraction=1.0 returns "g" (lexicographically above every hex
+    string) so a full sample is exactly the identity — clamping to
+    "ffffffff" with the strict < comparison would drop rows whose
+    bucket is exactly ffffffff (~1 in 2³², real rows at 100 TB)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * 2**32), "08x")
 
 
 def hash_bucket(id_col: Column | str, salt: str = "") -> Column:

@@ -145,14 +145,33 @@ def signatures_vectorized(
     planes = np.array(hyperplane_components(n_planes, dim)).T  # (dim, n_planes)
 
     def _sig(vecs):
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (mat @ planes > 0).astype(np.int32)
-        return pd.Series(list(bits))
+        # null / ragged vectors can't be signed (same guard as
+        # pq_encode) — emit null signatures, filtered out below, so a
+        # single bad row can't kill the whole Arrow batch
+        out: list = [None] * len(vecs)
+        valid, mats = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim != 1 or a.shape[0] != dim:
+                continue
+            valid.append(i)
+            mats.append(a)
+        if mats:
+            bits = (np.stack(mats) @ planes > 0).astype(np.int32)
+            for row, i in enumerate(valid):
+                out[i] = [int(x) for x in bits[row]]
+        return pd.Series(out, dtype=object)
 
     # explicit SCALAR eval type: `from __future__ import annotations`
     # stringifies hints, so type-hint inference can't be used here
     sig_udf = pandas_udf(_sig, "array<int>", PandasUDFType.SCALAR)
-    return df.withColumn("sig_bits", sig_udf(F.col(vec_col)))
+    # unencodable vectors are DROPPED (they can't be bucketed; leaving
+    # null sigs in would collapse every bad row into one '' band)
+    return df.withColumn("sig_bits", sig_udf(F.col(vec_col))).filter(
+        F.col("sig_bits").isNotNull()
+    )
 
 
 def lsh_ann_topk(
@@ -178,6 +197,11 @@ def lsh_ann_topk(
     cand_id), and the tiny query side is broadcast."""
     from pyspark.sql import Window
 
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by band_bits "
+            f"({band_bits}) - trailing sign bits would silently never band"
+        )
     n_bands = n_planes // band_bits
 
     def banded_ids(df: DataFrame, role: str) -> DataFrame:
@@ -287,6 +311,11 @@ def embedding_neardup_pairs_lsh(
     high probability; only colliding pairs are scored. Same id-pairs
     shuffle discipline as :func:`lsh_ann_topk`: bands and the pair
     dedup move ids only, vectors join back once."""
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by band_bits "
+            f"({band_bits}) - trailing sign bits would silently never band"
+        )
     n_bands = n_planes // band_bits
     sig = signatures_vectorized(df, vec_col, n_planes, dim)
     bands = F.array(
@@ -713,19 +742,22 @@ def semantic_dedup(
         F.col(vec_col),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
     )
+    # norms once per VECTOR (same arithmetic, evaluated n times instead
+    # of n² inside the self-join) — the convention every other pair
+    # operator in this module follows
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dups = (
         a.join(b, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))

@@ -46,7 +46,12 @@ def kmv_distinct(
     fewer than k distinct hashes fall back to their exact distinct
     count (the sketch IS exact below k)."""
     h = (
-        df.select(F.col(group_col), hash_fraction(value_col).alias("hv"))
+        # NULL values carry no distinct-count information and their
+        # NULL hash would sort FIRST, stealing a bottom-k rank (the
+        # k-th row would then hold the (k-1)-th real hash and the
+        # estimator would overshoot) — drop them before hashing
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), hash_fraction(value_col).alias("hv"))
         .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("hv")
@@ -78,7 +83,11 @@ def kmv_bottom_k(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> 
     fractions as a sorted array — the mergeable state :func:`kmv_distinct`
     summarizes. Stored form for reuse across queries (union/intersection
     estimates, incremental maintenance)."""
-    h = df.select(F.col(group_col), hash_fraction(value_col).alias("hv")).distinct()
+    h = (
+        df.filter(F.col(value_col).isNotNull())  # same NULL guard as kmv_distinct
+        .select(F.col(group_col), hash_fraction(value_col).alias("hv"))
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("hv")
     return (
         h.withColumn("rn", F.row_number().over(w))

@@ -417,9 +417,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * SUM(((strpos('0123456789abcdef', substr(h8, (i // 4) + 1, 1)) - 1)
                  >> (i % 4)) & 1) - COUNT(*) AS s
       FROM bits GROUP BY doc_id, i)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id ORDER BY doc_id
+    , sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY d.doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +446,13 @@ votes AS (
     2 * SUM(((strpos('0123456789abcdef', substr(h8, (i // 4) + 1, 1)) - 1)
              >> (i % 4)) & 1) - COUNT(*) AS s
   FROM bits GROUP BY doc_id, i),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id)
+  FROM votes GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sh0 USING (doc_id))
 """
 
 

@@ -902,3 +902,108 @@ def test_drift_psi_stream_flags_unseen_type(spark, tmp_path):
     first = out[base.replace(minute=0)]
     assert first.n_unseen == 50
     assert first.psi > 0.2, first.psi  # above the standard alert line
+
+
+def test_asof_null_timestamps_excluded(spark):
+    """Null-time RIGHT rows never match (their carry would corrupt
+    every earlier left row); null-time LEFT rows keep left-outer
+    semantics with NULL picks."""
+    from dbcut_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, None, "l2"), (1, 5, "l3")],
+        "k long, t long, lbl string",
+    ).select("k", F.timestamp_micros("t").alias("ts"), "lbl")
+    right = spark.createDataFrame(
+        [(1, None, 901), (1, 50, 902)], "k long, t long, rid long"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "rid")
+    out = {
+        r.lbl: r.got
+        for r in asof_join_backward(
+            left, right, ["k"], "ts", "ts", {"rid": "got"}, "rid"
+        ).collect()
+    }
+    # l1 (t=100) matches rid=902 (t=50); l3 (t=5) precedes all real
+    # rights -> NULL (the null-time right row must NOT leak in); the
+    # null-time left row gets NULL picks
+    assert out == {"l1": 902, "l2": None, "l3": None}
+    fwd = {
+        r.lbl: r.got
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", "ts", {"rid": "got"}, "rid"
+        ).collect()
+    }
+    assert fwd == {"l1": None, "l2": None, "l3": 902}
+
+
+def test_range_join_inverted_intervals_dropped(spark):
+    """end < start intervals can't explode bins or match points."""
+    from dbcut_spark.operators.range_join import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame([(1, 55)], "k long, t long")
+    iv = spark.createDataFrame(
+        [(1, 50, 60, "ok"), (1, 1_000_000_000, 0, "inverted")],
+        "k long, s long, e long, tag string",
+    )
+    got = point_in_interval_join(pts, iv, ["k"], "t", "s", "e", bin_us=100)
+    assert [r.tag for r in got.collect()] == ["ok"]
+    a = iv.select("k", F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+                  F.col("tag").alias("a_tag"))
+    b = iv.select("k", F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+                  F.col("tag").alias("b_tag"))
+    ov = interval_overlap_join(a, b, ["k"], "a_s", "a_e", "b_s", "b_e", 100)
+    assert [(r.a_tag, r.b_tag) for r in ov.collect()] == [("ok", "ok")]
+
+
+def test_simhash_empty_docs_get_zero_signature(spark):
+    """Empty/whitespace docs keep a defined all-zero signature and can
+    pair with each other instead of vanishing."""
+    from dbcut_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df, "text", "doc_id")
+    got = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0 and got[3] == 0
+    pairs = {(r.doc_a, r.doc_b) for r in
+             simhash_pairs(sigs, "doc_id", max_hamming=0).collect()}
+    assert (2, 3) in pairs
+
+
+def test_kmv_ignores_nulls(spark):
+    from dbcut_spark.operators.sketches import kmv_distinct
+
+    vals = [(1, str(i)) for i in range(40)] + [(1, None)] * 5
+    df = spark.createDataFrame(vals, "g long, v string")
+    r = kmv_distinct(df, "g", "v", k=64).first()
+    assert r.est_distinct == 40.0  # exact below k; NULL adds nothing
+
+
+def test_hash_sample_full_fraction_is_identity(spark, sf_dir):
+    from dbcut_spark.operators.sampling import hash_sample
+    from dbcut_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    assert hash_sample(d, "doc_id", 1.0).count() == d.count()
+
+
+def test_lsh_band_divisibility_guards(spark, sf_dir):
+    import pytest
+
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from dbcut_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").limit(5)
+    sigs = minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=5)
+    e = read_table(spark, sf_dir, "embeddings").limit(5)
+    with pytest.raises(ValueError):
+        sim.lsh_ann_topk(e, e, n_planes=16, band_bits=5)
