@@ -92,7 +92,12 @@ class QuerySpec:
 def _parse_limit(value: Any, default: int | None) -> int | None:
     if value is None:
         return default
-    if value in ("no", "none", False):
+    # explicit type checks: `0 in ("no", "none", False)` is TRUE under
+    # Python's int/bool equality, which silently turned `limit: 0`
+    # (return nothing) into no-limit-at-all (return everything)
+    if value is False or (
+        isinstance(value, str) and value.lower() in ("no", "none")
+    ):
         return None
     return int(value)
 

@@ -81,7 +81,11 @@ def insert_ignore_jdbc(
         .options(**props)
         .load()
     )
-    out = df.dropDuplicates(pk).join(F.broadcast(existing), on=pk, how="left_anti")
+    # join strategy left to Spark/AQE: the existing-PK set is the WHOLE
+    # target table's keys — forcing a broadcast would push millions of
+    # rows through the driver (8 GB broadcast cap / driver OOM) on a
+    # large target, the same reasoning as the parquet variant above
+    out = df.dropDuplicates(pk).join(existing, on=pk, how="left_anti")
     out = out.cache()
     try:
         n = out.count()

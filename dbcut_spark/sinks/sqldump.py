@@ -55,7 +55,7 @@ def sql_type(dt: T.DataType) -> str:
     return _SPARK_TO_SQL.get(type(dt), "TEXT")
 
 
-def render_value(v) -> str:
+def render_value(v, dialect: str = "sqlite") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -66,7 +66,16 @@ def render_value(v) -> str:
         return f"'{v.isoformat(sep=' ') if isinstance(v, _dt.datetime) else v.isoformat()}'"
     if isinstance(v, (bytes, bytearray)):
         return "X'" + v.hex() + "'"
-    return "'" + str(v).replace("'", "''") + "'"
+    s = str(v).replace("'", "''")
+    if dialect == "mysql":
+        # MySQL's default sql_mode treats backslash as an escape
+        # character inside string literals: an unescaped trailing \
+        # would swallow the closing quote (the rest of the statement
+        # then parses as SQL — corruption or injection), and \n, \t…
+        # would be transformed on load. sqlite and modern postgres
+        # (standard_conforming_strings=on) take backslash literally.
+        s = s.replace("\\", "\\\\")
+    return "'" + s + "'"
 
 
 def create_table_sql(
@@ -162,7 +171,7 @@ def _insert_stmt(table: str, columns: list[str], row, dialect: str) -> str:
     d = DIALECTS[dialect]
     q = d["quote"]
     cols = ", ".join(q + c + q for c in columns)
-    vals = ", ".join(render_value(v) for v in row)
+    vals = ", ".join(render_value(v, dialect) for v in row)
     return f"{d['insert']} {q}{table}{q} ({cols}) VALUES ({vals}){d['suffix']};"
 
 
@@ -199,11 +208,27 @@ def dump_sql_distributed(
     the scale path: no driver funnel, one output file per partition."""
     columns = df.columns
     d = dialect
+    from pyspark.sql import types as _T
+
+    int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        )
+    ]
 
     def render_partition(rows):
         import pandas as pd
 
         for pdf in rows:
+            # Arrow→pandas widens nullable integer columns to float64
+            # (None→NaN, 3→3.0): without repair the dump would emit the
+            # invalid literal `nan` and rewrite ints as floats —
+            # restore object dtype, None for missing, int for ints
+            pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+            for c in int_cols:
+                pdf[c] = [None if v is None else int(v) for v in pdf[c]]
             stmts = [
                 _insert_stmt(table, columns, tuple(rec), d)
                 for rec in pdf.itertuples(index=False, name=None)

@@ -72,19 +72,28 @@ FK_QUERY = {
           AND table_schema = '{schema}'
         ORDER BY constraint_name, ordinal_position
     """,
+    # parent side resolved through referential_constraints →
+    # unique_constraint_name with ordinal matching on
+    # position_in_unique_constraint: constraint_column_usage has NO
+    # ordinal column, so joining it directly turns a composite FK
+    # (a,b)→(x,y) into a 4-row cartesian with corrupt column pairings
+    # (and PG constraint names are only unique per table, so two
+    # same-named constraints would cross-join each other's rows).
     "postgresql": """
         SELECT kcu.table_name AS child, kcu.column_name AS child_col,
-               ccu.table_name AS parent, ccu.column_name AS parent_col,
-               tc.constraint_name, kcu.ordinal_position
-        FROM information_schema.table_constraints tc
+               rel.table_name AS parent, rel.column_name AS parent_col,
+               kcu.table_name || '.' || rc.constraint_name AS constraint_name,
+               kcu.ordinal_position
+        FROM information_schema.referential_constraints rc
         JOIN information_schema.key_column_usage kcu
-          ON kcu.constraint_name = tc.constraint_name
-         AND kcu.table_schema = tc.table_schema
-        JOIN information_schema.constraint_column_usage ccu
-          ON ccu.constraint_name = tc.constraint_name
-         AND ccu.table_schema = tc.table_schema
-        WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '{schema}'
-        ORDER BY tc.constraint_name, kcu.ordinal_position
+          ON kcu.constraint_schema = rc.constraint_schema
+         AND kcu.constraint_name = rc.constraint_name
+        JOIN information_schema.key_column_usage rel
+          ON rel.constraint_schema = rc.unique_constraint_schema
+         AND rel.constraint_name = rc.unique_constraint_name
+         AND rel.ordinal_position = kcu.position_in_unique_constraint
+        WHERE rc.constraint_schema = '{schema}'
+        ORDER BY constraint_name, kcu.ordinal_position
     """,
     # fk.id numbers constraints within a table; the synthesized
     # constraint name keeps multi-column FKs grouped exactly like the
@@ -369,8 +378,18 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
         meta = conn.getMetaData()
+        # getTables takes a PATTERN: '_' is a single-char wildcard, so
+        # an unescaped 'my_table' would match 'myXtable' and a false
+        # positive routes Engine.load to insert-ignore against a table
+        # that doesn't exist. Escape with the driver's escape string.
+        esc = meta.getSearchStringEscape()
         for name in (table, table.upper(), table.lower()):
-            rs = meta.getTables(None, None, name, None)
+            pat = (
+                name.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+            rs = meta.getTables(None, None, pat, None)
             try:
                 if rs.next():
                     return True

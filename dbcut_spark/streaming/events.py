@@ -75,18 +75,28 @@ def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, df: DataFrame, name: str, timeout_s: int = 60
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    timeout_s: int = 60,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into an in-memory sink
-    (test/dev helper)."""
+    (test/dev helper). ``output_mode``: "complete" suits the windowed
+    aggregations (hourly_counts, session_aggregates); every stateful-
+    operator / join / dedup stream in this module requires "append".
+    A query still running at the timeout is stopped so the caller
+    never observes a live half-filled memory table."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
     return spark.table(name)
 
 
@@ -164,7 +174,11 @@ def stateful_sessionize(
                 closed["n_events"].append(n)
                 start, last, n = us, us, 1
             else:
-                last, n = us, n + 1
+                # max(): a late-but-within-watermark event arriving in a
+                # LATER batch has us < last; moving `last` backwards
+                # would shrink session_end and let a following event
+                # split the session spuriously
+                last, n = max(last, us), n + 1
         state.update((start, last, n))
         state.setTimeoutDuration(gap_s * 1000)
         if closed["user_id"]:
@@ -188,12 +202,16 @@ def dedup_stream(
 ) -> DataFrame:
     """Exactly-once-style streaming dedup: drop events whose key was
     already seen within the watermark horizon. State = one entry per
-    distinct key inside the watermark — ``dropDuplicates`` without the
-    watermark would grow state unboundedly; with it, Spark evicts keys
-    older than the horizon. This is the streaming twin of the batch
-    exact-dedup operator (operators/dedup.py)."""
+    distinct key inside the watermark. MUST be
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` only
+    honors the watermark for state cleanup when the event-time column
+    is part of the dedup key — with ``event_id`` alone the state store
+    would grow with every distinct key forever. This is the streaming
+    twin of the batch exact-dedup operator (operators/dedup.py)."""
     keys = key_cols or ["event_id"]
-    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def incremental_dedup_stream(
@@ -379,7 +397,11 @@ FUNNEL_OUT_SCHEMA = T.StructType(
 )
 
 
-def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def stateful_funnel(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 30 * 24,
+) -> DataFrame:
     """Streaming twin of the batch ``events_funnel``: per-user funnel
     progression view → click → purchase tracked incrementally with
     ``applyInPandasWithState``. A user's state is three timestamps
@@ -392,7 +414,14 @@ def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     handled; across batches the stage timestamps only ever advance
     (monotonic), matching the batch semantics whenever the replay is
     chronologically ordered per user — the watermark bounds how late an
-    event may arrive at all. State is O(active users) × 3 longs.
+    event may arrive at all. State is O(active users) × 3 longs,
+    BOUNDED by a processing-time TTL (``state_ttl_hours``, default 30
+    days): a user idle longer than the TTL is evicted — without it,
+    every user_id ever seen would keep a state entry forever and the
+    state store would outgrow checkpoints on a long-running ingest
+    (the watermark alone does NOT clean applyInPandasWithState state).
+    An evicted user who converts later restarts from stage 0 — the
+    attribution-window trade every production funnel makes explicit.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -400,7 +429,7 @@ def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+        if state.hasTimedOut:
             state.remove()
             return
         rows = []
@@ -422,6 +451,7 @@ def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
                 fp = ts
         stage_after = sum(x is not None for x in (fv, fc, fp))
         state.update((fv, fc, fp))
+        state.setTimeoutDuration(state_ttl_hours * 3_600_000)
         if stage_after > stage_before:
             yield pd.DataFrame(
                 {
@@ -442,7 +472,7 @@ def stateful_funnel(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             FUNNEL_OUT_SCHEMA,
             FUNNEL_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

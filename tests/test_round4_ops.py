@@ -1007,3 +1007,42 @@ def test_lsh_band_divisibility_guards(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings").limit(5)
     with pytest.raises(ValueError):
         sim.lsh_ann_topk(e, e, n_planes=16, band_bits=5)
+
+
+def test_parse_limit_zero_is_zero():
+    """`limit: 0` must return zero rows, not disable the limit (the
+    0 == False equality trap)."""
+    from dbcut_spark.config import normalize_query
+
+    spec = normalize_query({"from": "orders", "limit": 0})
+    assert spec.limit == 0
+    spec2 = normalize_query({"from": "orders", "backref_limit": 0})
+    assert spec2.backref_limit == 0
+    assert normalize_query({"from": "orders", "limit": "no"}).limit is None
+    assert normalize_query({"from": "orders", "limit": False}).limit is None
+
+
+def test_render_value_mysql_backslash():
+    from dbcut_spark.sinks.sqldump import render_value
+
+    assert render_value("a\\'", "mysql") == "'a\\\\'''"
+    assert render_value("path\\n", "mysql") == "'path\\\\n'"
+    # sqlite / postgres take backslash literally - unchanged
+    assert render_value("a\\", "sqlite") == "'a\\'"
+    assert render_value("a\\", "postgresql") == "'a\\'"
+
+
+def test_dump_sql_distributed_nullable_ints(spark, tmp_path):
+    """Nullable integer columns must render as NULL / integer literals,
+    never `nan` / floats (the Arrow->pandas float64 widening)."""
+    from dbcut_spark.sinks.sqldump import dump_sql_distributed
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, None, "y")], "id long, v long, s string"
+    )
+    out = str(tmp_path / "dump")
+    dump_sql_distributed(df, "t", out, dialect="sqlite")
+    stmts = sorted(r.value for r in spark.read.text(out).collect())
+    assert any("(1, 10, 'x')" in s for s in stmts), stmts
+    assert any("(2, NULL, 'y')" in s for s in stmts), stmts
+    assert not any("nan" in s or "10.0" in s for s in stmts), stmts
