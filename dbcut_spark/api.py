@@ -41,15 +41,9 @@ class Engine:
         self.source = source
         self.config = dict(config or {})
         if catalog is None:
-            if all(
-                os.path.exists(os.path.join(source, f"{t}.parquet"))
-                for t in ("region", "nation", "customer", "orders", "lineitem")
-            ):
-                catalog = TPCH_CATALOG
-            else:
-                from dbcut_spark.catalog import infer_catalog
+            from dbcut_spark.catalog import detect_catalog
 
-                catalog = infer_catalog(spark, source)
+            catalog = detect_catalog(spark, source)
         self.catalog = catalog
         self.executor = ClosureExecutor(spark, parquet_loader(spark, source))
 
@@ -59,20 +53,33 @@ class Engine:
         return build_plan(self.catalog, dict(query), self.config)
 
     def extract(self, query: dict) -> dict[str, DataFrame]:
-        """Referentially-consistent closure: {table: DataFrame}."""
+        """Referentially-consistent closure: {table: DataFrame}.
+
+        The returned frames share persisted frontier intermediates —
+        after materializing them (collect/count/write), call
+        :meth:`release` so a long-lived session doesn't accumulate
+        pinned storage; :meth:`load` and :meth:`sql_dump` release
+        automatically."""
         return self.executor.execute(self.plan(query))
+
+    def release(self) -> None:
+        """Unpersist the frontier intermediates pinned by extractions
+        (safe to call any time; frames stay valid, just lazily
+        recomputed if re-used)."""
+        from dbcut_spark.operators.pinning import release_pinned
+
+        release_pinned()
 
     def load(
         self, frames: dict[str, DataFrame], destination: str
     ) -> dict[str, int]:
         """Insert-ignore every frame into a parquet directory or a
         ``jdbc:`` URL (parents first). Returns inserted counts."""
-        from dbcut_spark.cli import topo_order
+        from dbcut_spark.catalog import topo_order
         from dbcut_spark.sinks.insert_ignore import (
-            insert_ignore_jdbc,
             insert_ignore_parquet,
+            jdbc_insert_auto,
         )
-        from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
 
         topo = {t: i for i, t in enumerate(topo_order(self.catalog))}
         out: dict[str, int] = {}
@@ -83,14 +90,9 @@ class Engine:
             df = frames[table]
             pk = list(self.catalog.table(table).pk)
             if jdbc:
-                if not jdbc_table_exists(self.spark, destination, table):
-                    deduped = df.dropDuplicates(pk)
-                    out[table] = deduped.count()
-                    write_append(deduped, destination, table)
-                else:
-                    out[table] = insert_ignore_jdbc(
-                        self.spark, df, destination, table, pk
-                    )
+                out[table] = jdbc_insert_auto(
+                    self.spark, df, destination, table, pk
+                )
             else:
                 out[table] = insert_ignore_parquet(
                     self.spark,
@@ -98,6 +100,7 @@ class Engine:
                     os.path.join(destination, f"{table}.parquet"),
                     pk,
                 )
+        self.release()
         return out
 
     def nested_json(self, query: dict) -> DataFrame:
@@ -115,3 +118,4 @@ class Engine:
         frames = self.extract(query)
         pks = {t: list(self.catalog.table(t).pk) for t in frames}
         yield from dump_sql(frames, pks, dialect)
+        self.release()

@@ -200,3 +200,38 @@ def infer_catalog(spark, sf_dir: str, tables: list[str] | None = None) -> Catalo
             if owner and owner != name:
                 cat.fks.append(ForeignKey(name, (col,), owner, (cat.tables[owner].pk[0],)))
     return cat
+
+
+def topo_order(catalog: "Catalog") -> list[str]:
+    """Parents before children (insert order); reverse for deletes.
+    Pure catalog logic shared by both front doors (CLI and Engine)."""
+    order: list[str] = []
+    pending = set(catalog.tables)
+    while pending:
+        progressed = False
+        for table in sorted(pending):
+            deps = {fk.parent for fk in catalog.fks_of(table)} - {table}
+            if deps <= set(order):
+                order.append(table)
+                pending.remove(table)
+                progressed = True
+                break
+        if not progressed:  # FK cycle: break deterministically
+            table = sorted(pending)[0]
+            order.append(table)
+            pending.remove(table)
+    return order
+
+
+def detect_catalog(spark, source: str) -> "Catalog":
+    """Catalog for a parquet-directory source: the curated static
+    TPC-H catalog when the harness tables are present, else schema
+    inference. One sniff, shared by CLI and Engine."""
+    import os as _os
+
+    if all(
+        _os.path.exists(_os.path.join(source, f"{t}.parquet"))
+        for t in ("region", "nation", "customer", "orders", "lineitem")
+    ):
+        return TPCH_CATALOG
+    return infer_catalog(spark, source)

@@ -17,7 +17,7 @@ import sys
 import click
 
 from dbcut_spark.cache import ResultCache, cache_key
-from dbcut_spark.catalog import Catalog, TPCH_CATALOG
+from dbcut_spark.catalog import Catalog, TPCH_CATALOG, topo_order
 from dbcut_spark.config import load_config, normalize_query
 from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
 from dbcut_spark.operators.pinning import release_pinned
@@ -92,15 +92,9 @@ class Ctx:
         if cat_path:
             with open(cat_path) as f:
                 return Catalog.from_json(f.read())
-        from dbcut_spark.catalog import infer_catalog
+        from dbcut_spark.catalog import detect_catalog
 
-        # harness testdata gets the curated static catalog
-        if all(
-            os.path.exists(os.path.join(self.source, f"{t}.parquet"))
-            for t in ("region", "nation", "customer", "orders", "lineitem")
-        ):
-            return TPCH_CATALOG
-        return infer_catalog(self.spark, self.source)
+        return detect_catalog(self.spark, self.source)
 
     @property
     def spark(self):
@@ -131,10 +125,20 @@ class Ctx:
     def executor(self) -> ClosureExecutor:
         return ClosureExecutor(self.spark, parquet_loader(self.spark, self.source))
 
+    def _catalog_info(self) -> dict:
+        """Catalog identity for cache keying: the reference keys its
+        cache on {source, TABLE INFO, query} (dbcut/query.py:108-131) —
+        without the catalog digest, editing the catalog (say, adding an
+        FK so the closure gains a child table) would still HIT the old
+        cache entry and silently serve a stale extraction."""
+        import json as _json
+
+        return _json.loads(self.catalog.to_json())
+
     def run_closure(self, plan):
         """Execute (or load from cache) the closure for a plan."""
         spec = plan.spec
-        key = cache_key(self.source, spec)
+        key = cache_key(self.source, spec, self._catalog_info())
         if not self.no_cache and not self.force_refresh and self.cache.exists(key):
             click.echo(f"  using cache {key[:12]} ({self.cache.counts(key)})")
             return self.cache.load(self.spark, key)
@@ -222,18 +226,11 @@ def load(ctx: Ctx):
 
 
 def _jdbc_insert(ctx: Ctx, df, table: str, pk: list[str]) -> int:
-    """Insert-ignore into a live JDBC destination, creating the table on
-    first contact (Spark's JDBC append-mode writer emits the dialect's
-    CREATE TABLE, mirroring the reference's ``create_all``)."""
-    from dbcut_spark.sinks.insert_ignore import insert_ignore_jdbc
-    from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
+    """Insert-ignore into a live JDBC destination (shared first-contact
+    auto-create + insert-ignore logic in sinks.insert_ignore)."""
+    from dbcut_spark.sinks.insert_ignore import jdbc_insert_auto
 
-    if not jdbc_table_exists(ctx.spark, ctx.dest, table):
-        out = df.dropDuplicates(pk)
-        n = out.count()
-        write_append(out, ctx.dest, table)
-        return n
-    return insert_ignore_jdbc(ctx.spark, df, ctx.dest, table, pk)
+    return jdbc_insert_auto(ctx.spark, df, ctx.dest, table, pk)
 
 
 @cli.command()
@@ -246,7 +243,7 @@ def dumpjson(ctx: Ctx):
     os.makedirs(ctx.dest, exist_ok=True)
     for i, plan in ctx.plans():
         _, frontiers = ctx.executor().execute_nodes(plan)
-        key = cache_key(ctx.source, plan.spec)
+        key = cache_key(ctx.source, plan.spec, ctx._catalog_info())
         out = os.path.join(ctx.dest, f"{plan.root_table}-{key[:12]}.json")
         nested_export(plan, frontiers, out)
         release_pinned()
@@ -394,24 +391,6 @@ def explain(ctx: Ctx, mode: str):
         )
 
 
-def topo_order(catalog: Catalog) -> list[str]:
-    """Parents before children (insert order); reverse for deletes."""
-    order: list[str] = []
-    pending = set(catalog.tables)
-    while pending:
-        progressed = False
-        for table in sorted(pending):
-            deps = {fk.parent for fk in catalog.fks_of(table)} - {table}
-            if deps <= set(order):
-                order.append(table)
-                pending.remove(table)
-                progressed = True
-                break
-        if not progressed:  # FK cycle: break deterministically
-            table = sorted(pending)[0]
-            order.append(table)
-            pending.remove(table)
-    return order
 
 
 @cli.command()

@@ -46,11 +46,13 @@ def shingles(col: str | Column, n: int = 5) -> Column:
 
 
 def ws_token_count(col: str | Column) -> Column:
-    """Whitespace token count; empty string counts 0."""
+    """Whitespace token count; empty string counts 0. Splits on \\s+
+    runs (space, tab, newline — the DuckDB oracles use the identical
+    RE2 class), so multi-line documents count words, not lines."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, " +"))
+        F.size(F.split(trimmed, "\\s+"))
     )
 
 
@@ -62,7 +64,10 @@ def bpe_token_count(col: str | Column) -> Column:
 
 def occurrence_count(col: Column, word: str) -> Column:
     """Non-overlapping occurrences of `` word `` (space-delimited) via the
-    length/replace trick — identical algorithm in the DuckDB oracle."""
+    length/replace trick — identical algorithm in the DuckDB oracle.
+    Matches only space-adjacent words: run multi-line text through
+    clean_text (whitespace-run collapse) first, or a word after a
+    newline won't match."""
     padded = F.concat(F.lit(" "), col, F.lit(" "))
     needle = f" {word} "
     return (

@@ -43,7 +43,13 @@ class ExtractionPlan:
         return keys
 
     def find_path(self, target: str) -> list[TreeNode]:
-        """Minimal-weight path root→target (nodes, excluding root)."""
+        """Minimal-weight path root→target (nodes, excluding root).
+
+        INVARIANT shared with graph._prune_to_includes: identical
+        (weight, table-name-tuple) tie-break — a change to path-weight
+        semantics (e.g. the ONETOMANY ×2 weighting) must update both,
+        or include-pruning and cross-table-predicate joins disagree.
+        Pinned by tests/test_graph.py::test_include_prunes."""
         candidates: list[tuple[int, tuple[str, ...], list[TreeNode]]] = []
 
         def rec(node: TreeNode, path: list[TreeNode]) -> None:

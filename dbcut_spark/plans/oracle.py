@@ -44,6 +44,10 @@ def _cmp_sql(field: str, op: str, value: Any) -> str:
     if op == "$like":
         return f"{field} LIKE {sql_literal(value)}"
     if op == "$in":
+        if not value:
+            # the DSL compiles isin([]) to an always-false predicate;
+            # `IN ()` would be a SQL parse error
+            return "FALSE"
         vals = ", ".join(sql_literal(v) for v in value)
         return f"{field} IN ({vals})"
     raise ValueError(f"unknown comparator {op!r}")
@@ -60,6 +64,8 @@ def where_to_sql(fragment: dict, root_table: str) -> str:
             else:
                 joiner = " OR " if key == "$or" else " AND "
                 subs = [where_to_sql({k: v}, root_table) for k, v in value.items()]
+                if not subs:
+                    continue  # DSL skips empty combinators; `(())` is a parse error
                 clauses.append("(" + joiner.join(subs) + ")")
         elif key in COMPARATORS:
             f_name, f_val = next(iter(value.items()))
@@ -164,7 +170,11 @@ def plan_oracle_sql(plan: ExtractionPlan, table: str) -> str:
     parts = [f"SELECT * FROM {c}" for c in per_table[table]]
     body = " UNION ALL ".join(parts)
     pk = plan.catalog.table(table).pk
-    order = ", ".join(f"{c} ASC" for c in pk)
+    # explicit NULLS FIRST: Spark asc() is nulls-first, DuckDB's bare
+    # ASC defaults nulls-LAST — synthesized PKs (first *_id column of a
+    # PK-less table) can be nullable, and the divergence would surface
+    # as a spurious parity mismatch
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in pk)
     return (
         "WITH " + ", ".join(ctes) + f" SELECT DISTINCT * FROM ({body}) ORDER BY {order}"
     )

@@ -278,7 +278,7 @@ FIXTURES: dict[str, dict] = {
         "order-by": "-c_custkey",
         "offset": 2,
         "limit": 20,
-        "backref_limit": None,
+        "backref_limit": "no",  # explicit: None would mean default-50
         "join_depth": 3,
         "backref_depth": 2,
         "exclude": ["events", "part", "supplier"],
@@ -329,8 +329,11 @@ FIXTURES: dict[str, dict] = {
                 "$in": {"customer.c_mktsegment": ["BUILDING", "MACHINERY"]},
             }
         },
-        "limit": None,
-        "backref_limit": None,
+        # "no", not None: a Python None means "unset -> default cap"
+        # (reference YAML parity), which would silently cap this
+        # uncapped-exploration fixture at limit 10 / backref 50
+        "limit": "no",
+        "backref_limit": "no",
         "exclude": ["events", "supplier"],
     },
 }

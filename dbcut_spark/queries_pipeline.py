@@ -59,7 +59,7 @@ sh AS (
     sql=f"""
     SELECT doc_id,
       CASE WHEN length(trim(text)) = 0 THEN 0
-           ELSE length(string_split_regex(trim(text), ' +')) END AS ws_tokens,
+           ELSE length(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
       length(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
       length(text) AS n_chars_obs
     FROM documents ORDER BY doc_id
@@ -93,13 +93,13 @@ def _quality_sql() -> str:
     FROM (
       SELECT doc_id,
         CASE WHEN length(trim(t)) = 0 THEN 0
-             ELSE length(string_split_regex(trim(t), ' +')) END AS word_count,
+             ELSE length(string_split_regex(trim(t), '\s+')) END AS word_count,
         length(text) AS n_chars_obs,
         {stop_terms} AS stop_hits,
         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_count,
         CASE WHEN length(trim(t)) = 0 THEN 0.0
-             ELSE (length(t) - (length(string_split_regex(trim(t), ' +')) - 1)) * 1.0
-                  / length(string_split_regex(trim(t), ' +')) END AS mean_word_len
+             ELSE (length(t) - (length(string_split_regex(trim(t), '\s+')) - 1)) * 1.0
+                  / length(string_split_regex(trim(t), '\s+')) END AS mean_word_len
       FROM (SELECT doc_id, text, lower(trim(text)) AS t FROM documents)
     ) ORDER BY doc_id
     """
@@ -1262,7 +1262,7 @@ from dbcut_spark.operators.sampling import weighted_hash_sample  # noqa: E402
     WITH toks AS (
       SELECT doc_id, source,
         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE length(string_split_regex(trim(text), ' +')) END AS BIGINT)
+             ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
           AS n_tokens
       FROM documents),
     o AS (
@@ -1297,7 +1297,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, source,
         CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE length(string_split_regex(trim(text), ' +')) END AS n_tokens
+             ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens
       FROM documents)
     SELECT doc_id, source, n_tokens
     FROM toks
@@ -1480,7 +1480,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT source,
         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE length(string_split_regex(trim(text), ' +')) END AS DOUBLE) AS nt
+             ELSE length(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS nt
       FROM documents)
     GROUP BY source ORDER BY source
     """,
@@ -2814,7 +2814,7 @@ def _gopher_sql() -> str:
                     / len(ws) END AS frac_alpha,
           {stop_terms} AS stop_hits
         FROM (SELECT doc_id, lower(trim(text)) AS t,
-                     string_split_regex(lower(trim(text)), ' +') AS ws
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
               FROM documents)
       )
     ) ORDER BY doc_id
@@ -2831,7 +2831,7 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference counterpart (beyond-reference §2.9 pipeline surface)."""
     d = tp(spark, sf_dir, "documents")
     t_ = norm_text("text")
-    ws = F.split(t_, " +")
+    ws = F.split(t_, "\\s+")
     wc = F.when(F.length(t_) == 0, F.lit(0)).otherwise(F.size(ws))
     mean_wlen = F.when(
         (F.length(t_) == 0) | (F.size(ws) == 0), F.lit(0.0)
@@ -2914,7 +2914,7 @@ def docs_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_ngram_novelty",
     sql="""
-    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                FROM documents WHERE length(trim(text)) > 0),
     g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
           FROM (SELECT doc_id, ws,
@@ -2940,7 +2940,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB."""
     d = tp(spark, sf_dir, "documents")
     t_ = norm_text("text")
-    ws = F.split(t_, " +")
+    ws = F.split(t_, "\\s+")
     grams = F.when(F.size(ws) >= 3, F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
@@ -3110,7 +3110,7 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_token_heavy_hitters",
     sql="""
-    WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+    WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
                FROM documents WHERE length(trim(text)) > 0)
     SELECT tok, COUNT(*) AS n_occurrences FROM w GROUP BY tok
     HAVING COUNT(*) > (SELECT COUNT(*) FROM w) / 1000.0
@@ -3132,7 +3132,7 @@ def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tp(spark, sf_dir, "documents")
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
-        .select(F.explode(F.split(norm_text("text"), " +")).alias("tok"))
+        .select(F.explode(F.split(norm_text("text"), "\\s+")).alias("tok"))
     )
     return frequent_items_exact(toks, "tok", threshold_fraction=0.001, k=1024)
 
@@ -3629,7 +3629,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE length(string_split_regex(trim(text), ' +')) END
+                  ELSE length(string_split_regex(trim(text), '\s+')) END
                   AS BIGINT) AS n_tokens
       FROM documents),
     ordered AS (
@@ -3688,7 +3688,7 @@ def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                < '80000000' AS is_ref,
              'tok_len' AS feature,
              CAST(least(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE length(string_split_regex(trim(text), ' +')) END
+                        ELSE length(string_split_regex(trim(text), '\s+')) END
                         // 10, 10) AS VARCHAR) AS bucket
       FROM documents
       UNION ALL

@@ -168,3 +168,24 @@ def delete_keys_parquet(
     os.rename(staged, path)
     spark.catalog.refreshByPath(path)
     return n_before - n_after
+
+
+def jdbc_insert_auto(spark, df, url: str, table: str, pk: list[str]) -> int:
+    """First-contact-aware JDBC insert, shared by the CLI and the
+    Engine facade: create-and-append when the table doesn't exist yet
+    (Spark's JDBC append-mode writer emits the dialect's CREATE TABLE,
+    mirroring the reference's ``create_all``), idempotent insert-ignore
+    after. The deduped frame is cached around count+write so the
+    closure DAG feeding it computes once, not once per action (the
+    same guard the insert_ignore_* primitives use)."""
+    from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
+
+    if not jdbc_table_exists(spark, url, table):
+        out = df.dropDuplicates(pk).cache()
+        try:
+            n = out.count()
+            write_append(out, url, table)
+        finally:
+            out.unpersist()
+        return n
+    return insert_ignore_jdbc(spark, df, url, table, pk)

@@ -415,11 +415,14 @@ def stateful_funnel(
     (monotonic), matching the batch semantics whenever the replay is
     chronologically ordered per user — the watermark bounds how late an
     event may arrive at all. State is O(active users) × 3 longs,
-    BOUNDED by a processing-time TTL (``state_ttl_hours``, default 30
-    days): a user idle longer than the TTL is evicted — without it,
-    every user_id ever seen would keep a state entry forever and the
-    state store would outgrow checkpoints on a long-running ingest
-    (the watermark alone does NOT clean applyInPandasWithState state).
+    BOUNDED by an EVENT-TIME TTL (``state_ttl_hours``, default 30
+    days): a user whose last activity falls ``state_ttl_hours`` behind
+    the watermark is evicted — without eviction, every user_id ever
+    seen would keep a state entry forever and the state store would
+    outgrow checkpoints on a long-running ingest (the watermark alone
+    does NOT clean applyInPandasWithState state). Event-time (not
+    processing-time) timeouts keep eviction deterministic and replay-
+    safe, and cost no wall-clock stalls under availableNow triggers.
     An evicted user who converts later restarts from stage 0 — the
     attribution-window trade every production funnel makes explicit.
     """
@@ -451,7 +454,18 @@ def stateful_funnel(
                 fp = ts
         stage_after = sum(x is not None for x in (fv, fc, fp))
         state.update((fv, fc, fp))
-        state.setTimeoutDuration(state_ttl_hours * 3_600_000)
+        # evict when the watermark passes last-activity + TTL (a user
+        # whose events never advanced the funnel — e.g. clicks with no
+        # view yet — has no stage timestamps; age them from the
+        # watermark instead)
+        stamps = [x for x in (fv, fc, fp) if x is not None]
+        last_ms = (
+            max(stamps) // 1000 if stamps else state.getCurrentWatermarkMs()
+        )
+        state.setTimeoutTimestamp(
+            max(last_ms, state.getCurrentWatermarkMs())
+            + state_ttl_hours * 3_600_000
+        )
         if stage_after > stage_before:
             yield pd.DataFrame(
                 {
@@ -472,7 +486,7 @@ def stateful_funnel(
             FUNNEL_OUT_SCHEMA,
             FUNNEL_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
