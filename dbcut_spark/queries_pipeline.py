@@ -328,6 +328,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_labels(d, extra_cols=()):
+    """(doc_id[, *extra_cols], cluster_id) — the shared near-dup
+    cluster labeling: MinHash(k=16) -> LSH(4 bands x 4 rows) ->
+    est_sim >= 0.5 -> connected components -> coalesce(component,
+    doc_id). ONE implementation for dedup_clusters, corpus_curate,
+    and docs_leakage_safe_split, so a threshold/banding change can't
+    silently drift the three apart (their oracles share the CTE
+    parameters the same way via _minhash_cand_ctes)."""
+    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=16, band_rows=4
+    ).filter(F.col("est_sim") >= 0.5)
+    comp = dd.connected_components(pairs, "doc_a", "doc_b")
+    return (
+        d.select("doc_id", *extra_cols)
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+
 def _dedup_clusters_sql(k: int = 16, band_rows: int = 4, threshold: float = 0.5) -> str:
     """Oracle for duplicate-cluster labeling: same LSH candidate pairs,
     then transitive closure by recursive CTE (min reachable doc_id =
@@ -373,19 +398,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/vectors never enter the iteration (see
     operators/dedup.py:connected_components)."""
     d = tp(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).filter(
-        F.col("est_sim") >= 0.5
-    )
-    comp = dd.connected_components(pairs, "doc_a", "doc_b")
-    labeled = pin(
-        d.select("doc_id")
-        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
+    labeled = pin(_cluster_labels(d))
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -976,6 +989,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple, list] = {}
 
 
+def _centroid_values_sql() -> str:
+    """VALUES rows for the committed IVF centroids, shared by every
+    centroid-literal oracle (_ivf_ann_sql, _ivf_profile_sql,
+    _semdedup_sql): (n_rows, sum_label fingerprint, index, components,
+    ||c||^2). float() on every scalar - numpy >= 2 reprs np.float64 as
+    'np.float64(x)', which would be a DuckDB parse error."""
+    import numpy as np
+
+    rows = []
+    for entry in sim.ivf_artifact():
+        arr = np.array(entry["centroids"], dtype=np.float64)
+        c2 = (arr * arr).sum(axis=1)
+        for i, comp in enumerate(entry["centroids"]):
+            comp_sql = "[" + ", ".join(repr(float(x)) for x in comp) + "]"
+            rows.append(
+                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
+                f"{comp_sql}, {float(c2[i])!r})"
+            )
+    return ", ".join(rows)
+
+
+
 def _ivf_ann_sql(k: int = 5, nprobe: int = 4) -> str:
     """Full oracle for the IVF ANN path. The coarse quantizer is the
     committed artifact from tools/fit_ivf_centroids.py, embedded as SQL
@@ -987,18 +1022,7 @@ def _ivf_ann_sql(k: int = 5, nprobe: int = 4) -> str:
     assignment UDF) so the only per-row FP difference vs Spark is the
     single -2·x·c dot product, whose ~1e-15 noise is far below
     inter-centroid distance gaps."""
-    import numpy as np
-
-    rows = []
-    for entry in sim.ivf_artifact():
-        arr = np.array(entry["centroids"], dtype=np.float64)
-        c2 = (arr * arr).sum(axis=1)
-        for i, comp in enumerate(entry["centroids"]):
-            rows.append(
-                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
-                f"{comp!r}, {c2[i]!r})".replace("'", "")
-            )
-    cent_values = ", ".join(rows)
+    cent_values = _centroid_values_sql()
     return f"""
     WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
     cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
@@ -1040,8 +1064,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the committed offline artifact (see :func:`sim.ivf_artifact`) — an
     IVF index is fit once and reused across queries (the persisted form
     is build_ivf_index); refitting per query would be wrong at any
-    scale. Unknown sf_dirs fall back to a memoized seed-fixed fit
-    (rows-only check in that case)."""
+    scale. Unknown sf_dirs fall back to a memoized seed-fixed fit —
+    note the ORACLE cannot follow (its fingerprint-selected centroid
+    CTE goes empty), so running the gate against an uncommitted
+    sf_dir FAILS loudly on row count rather than comparing; commit
+    centroids with tools/fit_ivf_centroids.py first (every harness
+    dir is committed). Same contract for ivf_cluster_profile and
+    embedding_semdedup."""
     e = tp(spark, sf_dir, "embeddings")
     cands = e.filter(F.col("vec_id") >= 10)
     centroids = sim.stored_centroids(sf_dir)
@@ -1412,18 +1441,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the COMPOSED pipeline in one SQL statement, proving stage wiring,
     not just stage outputs."""
     d = tp(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, band_rows=4).filter(
-        F.col("est_sim") >= 0.5
-    )
-    comp = dd.connected_components(pairs, "doc_a", "doc_b")
-    labeled = d.select("doc_id", "source").join(
-        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer"
-    ).select(
-        "doc_id",
-        "source",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
-    )
+    labeled = _cluster_labels(d, extra_cols=("source",))
     # only the duplicate-word fraction feeds the decision — computing it
     # directly skips repetition_stats' bigram explode + two aggregations
     # (Catalyst can't prune the bigram join away: it can't prove the
@@ -1595,7 +1613,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     → (doc, tok) agg → token-keyed df join (token table is small →
     broadcast under AQE) → per-doc windowed top-k."""
     d = tp(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # N from a 1-row aggregate crossJoined back in (the oracle's scalar
+    # subquery) - an eager d.count() here would run a whole extra scan
+    # job per invocation just to embed a literal
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs_d"))
     tf = (
         d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("tok"))
         .filter(F.length("tok") > 0)
@@ -1603,12 +1624,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs_d") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
@@ -1675,18 +1700,7 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_profile_sql() -> str:
     """Oracle for the IVF cluster profile — same embedded-centroid
     assignment CTE as :func:`_ivf_ann_sql`, rolled up per cluster."""
-    import numpy as np
-
-    rows = []
-    for entry in sim.ivf_artifact():
-        arr = np.array(entry["centroids"], dtype=np.float64)
-        c2 = (arr * arr).sum(axis=1)
-        for i, comp in enumerate(entry["centroids"]):
-            rows.append(
-                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
-                f"{comp!r}, {c2[i]!r})".replace("'", "")
-            )
-    cent_values = ", ".join(rows)
+    cent_values = _centroid_values_sql()
     return f"""
     WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
     cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
@@ -2044,18 +2058,7 @@ def _semdedup_sql(threshold: float = 0.35) -> str:
     _ivf_ann_sql pattern, fingerprint-selected centroids as literals),
     within-cluster pair cosine on the round(6) value, duplicate =
     has a lower-id partner at or above threshold."""
-    import numpy as np
-
-    rows = []
-    for entry in sim.ivf_artifact():
-        arr = np.array(entry["centroids"], dtype=np.float64)
-        c2 = (arr * arr).sum(axis=1)
-        for i, comp in enumerate(entry["centroids"]):
-            rows.append(
-                f"({entry['n_rows']}, {entry['sum_label']}, {i}, "
-                f"{comp!r}, {c2[i]!r})".replace("'", "")
-            )
-    cent_values = ", ".join(rows)
+    cent_values = _centroid_values_sql()
     return f"""
     WITH fp AS (SELECT count(*) AS n, sum(label) AS slab FROM embeddings),
     cent(n, slab, c_idx, comp, c2) AS (VALUES {cent_values}),
@@ -2466,8 +2469,8 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     SELECT a.o_custkey AS custkey,
            a.o_orderkey AS order_a, b.o_orderkey AS order_b,
-           CAST((least(a.e, b.e) - greatest(a.s, b.s)) / 86400000000
-                AS BIGINT) AS overlap_days
+           CAST(floor((least(a.e, b.e) - greatest(a.s, b.s))
+                      / 86400000000) AS BIGINT) AS overlap_days
     FROM w a JOIN w b
       ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
      AND a.s <= b.e AND b.s <= a.e
@@ -2512,7 +2515,10 @@ def orders_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey",
             "order_a",
             "order_b",
-            (
+            # floor, not bare cast: Spark double->long truncates but
+            # DuckDB CAST rounds-to-nearest; floor() first makes both
+            # exact for non-integral day overlaps
+            F.floor(
                 (
                     F.least(F.col("a_e"), F.col("b_e"))
                     - F.greatest(F.col("a_s"), F.col("b_s"))
@@ -2679,7 +2685,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail window is kept and empty docs still yield one (empty) chunk —
     identical arithmetic on both engines, no float floor."""
     d = tp(spark, sf_dir, "documents")
-    chunk = F.expr("substring(text, chunk_idx * 400 + 1, 600)")
+    chunk = F.expr("substring(text, chunk_idx0 * 400 + 1, 600)")
     return (
         d.select(
             "doc_id",
@@ -3589,19 +3595,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
 
     d = tp(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, "text", "doc_id", num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(
-        sigs, "doc_id", num_hashes=16, band_rows=4
-    ).filter(F.col("est_sim") >= 0.5)
-    comp = dd.connected_components(pairs, "doc_a", "doc_b")
-    labeled = pin(
-        d.select("doc_id")
-        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
+    labeled = pin(_cluster_labels(d))
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -38,7 +38,7 @@ def _rev_col(alias: str):
     "tpch_q4_late_orders",
     sql="""
     SELECT o.o_orderpriority, COUNT(*) AS order_count
-    FROM read_parquet('{sf}/orders.parquet') o
+    FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem l
@@ -46,7 +46,7 @@ def _rev_col(alias: str):
                     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
-    """.replace("read_parquet('{sf}/orders.parquet')", "orders"),
+    """,
 )
 def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-priority checking (TPC-H Q4 shape, late-shipment variant:
@@ -176,7 +176,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): who returned the most
     revenue last quarter. Quarter + returnflag filters push to the scans;
-    customer and nation broadcast; top-20 is TakeOrderedAndProject."""
+    customer and nation broadcast; top-20 is TakeOrderedAndProject.
+    The quarter-filtered orders side is NOT hinted: it scales with the
+    fact table (~1/8 of orders), so the orderkey join is left to
+    Spark/AQE, which still broadcasts it when it measures small."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = t(spark, sf_dir, "orders").filter(
@@ -187,7 +190,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -441,7 +444,9 @@ def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     l1 = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        # no broadcast hint: status-F orders are ~half the fact table,
+        # unbounded at scale - Spark/AQE picks the strategy
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
