@@ -4,7 +4,7 @@ etc.), operating on parquet-directory "databases" (and JDBC URLs for the
 reader/writer paths).
 
 Commands: load, dumpjson, dumpsql, inspect, clear, flush, purgecache,
-tree, explain, curate.
+tree, explain, curate, sql.
 """
 
 from __future__ import annotations
