@@ -54,3 +54,34 @@ def pack_sequences(
         F.floor(F.col("start_off") / budget).cast("long").alias("seq_id"),
         (F.col("start_off") % budget).cast("long").alias("off_in_seq"),
     )
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    shard_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Per-shard length-bucketed batching: within each shard,
+    documents are sorted by token count (desc, id tiebreak) and cut
+    into fixed-size batches, so same-batch documents have near-equal
+    lengths and padding waste is minimized — the dynamic-batching prep
+    every serving/training stack runs.
+
+    Same scale shape as :func:`pack_sequences`: the per-shard window
+    is one hash-partition shuffle on the shard key; no global sort, no
+    single-partition window. A 100 TB corpus is many shards, each a
+    single worker's unit of work. Returns one row per document with
+    its shard, in-shard rank, and batch id."""
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col(token_col).desc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn(
+        "batch_id", ((F.col("rn") - 1) / batch_size).cast("long")
+    )

@@ -56,7 +56,7 @@ sh AS (
 
 @register(
     "text_token_stats",
-    sql=f"""
+    sql=rf"""
     SELECT doc_id,
       CASE WHEN length(trim(text)) = 0 THEN 0
            ELSE length(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
@@ -83,7 +83,7 @@ def _quality_sql() -> str:
         f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
         for w in words
     )
-    return f"""
+    return rf"""
     SELECT doc_id, word_count, n_chars_obs, stop_hits, upper_count,
            round(mean_word_len, 6) AS mean_word_len,
            round(CASE WHEN word_count > 0 THEN stop_hits * 1.0 / word_count ELSE 0.0 END
@@ -1281,13 +1281,13 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence packing + weighted sampling (operators/packing.py, sampling.py)
 # ---------------------------------------------------------------------------
 
-from dbcut_spark.operators.packing import pack_sequences  # noqa: E402
+from dbcut_spark.operators.packing import length_batches, pack_sequences  # noqa: E402
 from dbcut_spark.operators.sampling import weighted_hash_sample  # noqa: E402
 
 
 @register(
     "docs_pack_sequences",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, source,
         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1322,7 +1322,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_weighted_sample",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, source,
         CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1488,7 +1488,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_stats",
-    sql="""
+    sql=r"""
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(nt) AS BIGINT) AS total_tokens,
@@ -1793,9 +1793,10 @@ def ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v)
     SELECT vec_id,
            round(scale, 9) AS scale,
-           CASE WHEN scale > 0
-                THEN list_transform(e, x -> CAST(round(x / scale) AS INT))
-                ELSE list_transform(e, x -> 0) END AS q
+           array_to_string(
+             CASE WHEN scale > 0
+                  THEN list_transform(e, x -> CAST(round(x / scale) AS INT))
+                  ELSE list_transform(e, x -> 0) END, ' ') AS q
     FROM s ORDER BY vec_id
     """,
 )
@@ -1803,8 +1804,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization of the embedding column
     (operators/similarity.py:quantize_int8) — the 4× compression step
     before ANN index storage. Both engines compute round-half-away on
-    identical doubles, so the oracle is value-exact."""
-    return sim.quantize_int8(tp(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    identical doubles, so the oracle is value-exact. The gate query
+    string-renders the int8 vector (`array_join`) because the driver's
+    pandas canonicalizer cannot sort raw array columns; API users get
+    the real `array<int>` from the operator itself."""
+    return (
+        sim.quantize_int8(tp(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(F.col("q").cast("array<string>"), " ").alias("q"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2797,7 +2809,7 @@ def _gopher_sql() -> str:
         f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
         for w in words
     )
-    return f"""
+    return rf"""
     SELECT doc_id, word_count, mean_word_len, frac_alpha_words, stop_hits,
            r_wordcount, r_meanlen, r_alpha, r_stop,
            (r_wordcount AND r_meanlen AND r_alpha AND r_stop) AS keep
@@ -2919,7 +2931,7 @@ def docs_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_ngram_novelty",
-    sql="""
+    sql=r"""
     WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                FROM documents WHERE length(trim(text)) > 0),
     g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
@@ -3115,7 +3127,7 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_token_heavy_hitters",
-    sql="""
+    sql=r"""
     WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
                FROM documents WHERE length(trim(text)) > 0)
     SELECT tok, COUNT(*) AS n_occurrences FROM w GROUP BY tok
@@ -3483,7 +3495,7 @@ def embedding_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_clean_text",
-    sql="""
+    sql=r"""
     WITH aug AS (
       SELECT doc_id,
              text ||
@@ -3619,46 +3631,47 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_length_batches",
-    sql="""
+    sql=r"""
     WITH toks AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE length(string_split_regex(trim(text), '\s+')) END
                   AS BIGINT) AS n_tokens
       FROM documents),
     ordered AS (
-      SELECT doc_id, n_tokens,
-             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
       FROM toks)
-    SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+    SELECT source,
+           CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            max(n_tokens) AS max_tokens,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
                      / (count(*) * max(n_tokens)), 6) AS pad_frac
-    FROM ordered GROUP BY 1 ORDER BY batch_id
+    FROM ordered GROUP BY 1, 2 ORDER BY source, batch_id
     """,
 )
 def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-bucketed inference batching: documents sorted by token
-    count (desc, id tiebreak) and cut into fixed-size batches of 32, so
-    same-batch documents have near-equal lengths and padding waste
-    (pad_frac = 1 - sum/len·max) is minimized — the dynamic-batching
-    prep every serving/training stack runs. The window sorts the tiny
-    (doc_id, n_tokens) pair frame, never the text; at 100 TB this
-    global numbering becomes per-shard batching exactly like
-    pack_sequences (same cumsum shape), trading global optimality for
-    a shuffle-free map stage."""
+    """Per-shard length-bucketed batching: within each source shard,
+    documents sorted by token count (desc, id tiebreak) and cut into
+    fixed-size batches of 32, so same-batch documents have near-equal
+    lengths and padding waste (pad_frac = 1 - sum/len·max) is
+    minimized — the dynamic-batching prep every serving/training stack
+    runs. Same scale shape as pack_sequences: the window partitions on
+    the shard key (one hash-partition shuffle, no global sort, no
+    single-partition WindowExec — a 100 TB corpus is many shards)
+    (operators/packing.py:length_batches)."""
     d = tp(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+        "doc_id",
+        "source",
+        ws_token_count("text").cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-    ordered = toks.withColumn("rn", F.row_number().over(w))
+    batched = length_batches(toks, "doc_id", "n_tokens", "source", 32)
     return (
-        ordered.groupBy(
-            ((F.col("rn") - 1) / 32).cast("long").alias("batch_id")
-        )
+        batched.groupBy("source", "batch_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("n_tokens").alias("max_tokens"),
@@ -3670,13 +3683,13 @@ def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pad_frac"),
         )
-        .orderBy("batch_id")
+        .orderBy("source", "batch_id")
     )
 
 
 @register(
     "corpus_drift_psi",
-    sql="""
+    sql=r"""
     WITH feats AS (
       SELECT substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 8)
                < '80000000' AS is_ref,
