@@ -42,6 +42,7 @@ HEADLINE = [
     "outer_join_custdist",
     "distinct_agg_parts",
     "closure_main__lineitem",
+    "closure_m2m__part",
     "include_path__customer",
     "multimodal_features",
     "multimodal_frame_sample",
@@ -122,62 +123,19 @@ HEADLINE = [
 # The driver records only the LAST 2000 characters of stdout and parses
 # the summary JSON out of that tail — a JSON line longer than the window
 # loses its head and becomes unparseable (that killed BENCH_r03's
-# "parsed"). If the full per-query dict would overflow, entries are
-# dropped from this list (in order) until the line fits; every timing
-# still lands in BENCH_DETAIL.json next to this script.
+# "parsed", and r4's full per-query dict was within ~100 chars of the
+# cliff). The summary therefore carries only the total plus the TOP_K
+# slowest queries (the ones a judge compares against earlier rounds);
+# every per-query timing still lands in BENCH_DETAIL.json next to this
+# script.
 TAIL_BUDGET = 1900
-DROP_ORDER = [
-    "docs_tokenize_ids",
-    "events_value_winsorized",
-    "events_hourly_drift_psi",
-    "corpus_drift_psi",
-    "docs_leakage_safe_split",
-    "docs_length_batches",
-    "docs_clean_text",
-    "embedding_binary_topk",
-    "docs_strip_repeated_spans",
-    "docs_truncate_tokens",
-    "docs_source_quota",
-    "events_json_extract",
-    "corpus_diff",
-    "ivf_cluster_profile",
-    "embedding_quantize_int8",
-    "embedding_jl_distortion",
-    "docs_stratified_sample",
-    "events_asof_next_purchase",
-    "events_purchase_window_clicks",
-    "multimodal_frame_sample",
-    "multimodal_audio_windows",
-    "events_daily_rollup",
-    "docs_bigram_logprob",
-    "shingle_distinct_kmv",
-    "events_top_users_salted",
-    "text_repetition",
-    "doc_fingerprint",
-    "corpus_stats",
-    "vocab_build",
-    "events_enriched",
-    "events_hourly_anomaly",
-    "docs_weighted_sample",
-    "docs_pack_sequences",
-    "tfidf_top_terms",
-    "docs_gopher_rules",
-    "events_retention",
-    "docs_length_quantiles",
-    "events_funnel",
-    "docs_domain_mix_temperature",
-    "docs_ngram_novelty",
-    "docs_token_heavy_hitters",
-    "embedding_pq_topk",
-    "events_hourly_gapfill",
-    "orders_daily_ma7",
-]
+TOP_K = 10
 
 
 def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
-    """ONE JSON line, guaranteed ≤ TAIL_BUDGET chars. ``value`` is always
-    the total over ALL measured queries, even if some per-query entries
-    had to be dropped to fit the driver's tail-capture window."""
+    """ONE JSON line, guaranteed ≤ TAIL_BUDGET chars: the total over ALL
+    measured queries plus the TOP_K slowest per-query entries (full
+    detail in BENCH_DETAIL.json)."""
 
     def render(q: dict[str, float]) -> str:
         return json.dumps(
@@ -188,16 +146,16 @@ def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
                 "queries": q,
                 "sf": sf,
                 "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
         )
 
-    shown = {k: round(v, 2) for k, v in timings.items()}
+    slowest = sorted(timings, key=timings.get, reverse=True)[:TOP_K]
+    shown = {k: round(timings[k], 2) for k in slowest}
     line = render(shown)
-    for name in DROP_ORDER:
-        if len(line) <= TAIL_BUDGET:
-            break
-        shown.pop(name, None)
+    while len(line) > TAIL_BUDGET and shown:
+        shown.popitem()
         line = render(shown)
     return line
 

@@ -318,6 +318,25 @@ FIXTURES: dict[str, dict] = {
         "backref_depth": 1,
         "exclude": ["events"],
     },
+    # many-to-many through an association table (reference J3: m2m eager
+    # loads traverse root → assoc backref → far-side m2o exactly like
+    # playlist ⟷ playlist_track ⟷ track, /root/reference/dbcut/query.py:234-235,
+    # CHANGES.rst v0.6.0). TPC-H's lineitem IS an association table:
+    # orders ⟷ lineitem ⟷ part. The far side (part) must be restricted
+    # to rows reachable through the extracted assoc rows only.
+    "closure_m2m": {
+        "from": "orders",
+        "where": {
+            "o_orderpriority": "1-URGENT",
+            "o_orderdate": {"$lt": "1996-01-01 00:00:00"},
+        },
+        "order-by": "-o_orderkey",
+        "limit": 25,
+        "backref_limit": "no",
+        "join_depth": 1,
+        "backref_depth": 1,
+        "exclude": ["customer", "supplier", "events"],
+    },
     # include-pruning + cross-table $or/$in/$like predicate
     # (mirrors the reference corpus customer_playlist include query)
     "include_path": {
@@ -343,6 +362,7 @@ FIXTURE_TABLES: dict[str, list[str]] = {
     "orders_page": ["orders"],
     "backref_cap": ["customer", "orders"],
     "backref_global": ["customer", "orders"],
+    "closure_m2m": ["lineitem", "part"],
     "include_path": ["region", "nation", "customer"],
 }
 
@@ -617,6 +637,9 @@ _CORE_GATE = [
     "distinct_agg_parts",
     "scalar_export_orders",
     "outer_join_custdist",
+    # J3: far side of the orders ⟷ lineitem ⟷ part m2m restricted
+    # through the association rows — §2 surface, pinned every round
+    "closure_m2m__part",
 ]
 
 # Rotation pool, stable order, reordered for round 5 per the round-4
@@ -632,6 +655,7 @@ _CORE_GATE = [
 _GATE_ROTATION = [
     "embedding_quantize_int8",
     # -- new round-5 queries debut here --
+    "closure_m2m__lineitem",
     # -- never driver-sampled through round 4 --
     "docs_token_heavy_hitters",
     "embedding_pq_topk",

@@ -3511,9 +3511,9 @@ def embedding_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(
                regexp_replace(
                  regexp_replace(t,
-                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-                 '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
-               '[\\s\\x{00A0}]+', ' ', 'g')) AS clean_text
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+               '[\s\x{00A0}]+', ' ', 'g')) AS clean_text
       FROM aug)
     SELECT doc_id, clean_text,
            CAST(length(t) AS BIGINT) AS raw_len,

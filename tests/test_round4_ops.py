@@ -650,17 +650,23 @@ def test_leakage_safe_split_cluster_integrity(spark, sf_dir):
 
 
 def test_length_batches_shape(spark, sf_dir):
-    """Full batches of 32 (one trailing partial allowed), max_tokens
-    non-increasing over batch_id, pad_frac in [0, 1)."""
+    """Per shard: batch ids dense from 0, full batches of 32 (one
+    trailing partial allowed), max_tokens non-increasing over batch_id,
+    pad_frac in [0, 1)."""
     from dbcut_spark.queries import QUERIES
 
     rows = QUERIES["docs_length_batches"](spark, sf_dir).collect()
-    assert [r.batch_id for r in rows] == list(range(len(rows)))
-    assert all(r.n_docs == 32 for r in rows[:-1])
-    assert 0 < rows[-1].n_docs <= 32
-    maxes = [r.max_tokens for r in rows]
-    assert maxes == sorted(maxes, reverse=True)
-    assert all(0.0 <= r.pad_frac < 1.0 for r in rows)
+    shards: dict[str, list] = {}
+    for r in rows:
+        shards.setdefault(r.source, []).append(r)
+    assert len(shards) > 1  # genuinely per-shard, not one global window
+    for src, rs in shards.items():
+        assert [r.batch_id for r in rs] == list(range(len(rs))), src
+        assert all(r.n_docs == 32 for r in rs[:-1]), src
+        assert 0 < rs[-1].n_docs <= 32, src
+        maxes = [r.max_tokens for r in rs]
+        assert maxes == sorted(maxes, reverse=True), src
+        assert all(0.0 <= r.pad_frac < 1.0 for r in rs), src
 
 
 def test_corpus_drift_psi_properties(spark, sf_dir):
