@@ -117,5 +117,10 @@ class Engine:
 
         frames = self.extract(query)
         pks = {t: list(self.catalog.table(t).pk) for t in frames}
-        yield from dump_sql(frames, pks, dialect)
-        self.release()
+        try:
+            yield from dump_sql(frames, pks, dialect)
+        finally:
+            # release even when the consumer stops early (islice, an
+            # exception mid-dump) — otherwise the pinned frontier
+            # intermediates leak for the life of the session
+            self.release()

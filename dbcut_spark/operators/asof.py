@@ -90,17 +90,16 @@ def _asof_join(
     tolerance_us: int | None = None,
 ) -> DataFrame:
     lcols = [c for c in left.columns]
-    # NULL timestamps would otherwise corrupt the window traversal:
-    # asc() sorts NULL __t first, so a null-time RIGHT row's non-null
-    # __pick would be carried into every left row that precedes all
-    # real right rows (and desc() mirrors it for the forward
-    # direction). A null-time right row can never legitimately match
-    # (the ≤/≥ comparison is undefined), so drop it; null-time LEFT
-    # rows keep left-outer semantics — they bypass the union and come
-    # back with NULL picks at the end.
+    # NULL timestamps would otherwise corrupt the window traversal: a
+    # null-time RIGHT row can never legitimately match (the ≤/≥
+    # comparison is undefined), so drop it. Null-time LEFT rows keep
+    # left-outer semantics INSIDE the same window pass: the traversal
+    # order is explicitly nulls-FIRST, so they sort before every right
+    # row in their partition and the carried pick is still null when
+    # they are emitted — no second scan of the left side, no tail-end
+    # union (a prior version split them into a separate branch, which
+    # read the left fact table twice).
     right = right.filter(F.col(right_time).isNotNull())
-    left_null = left.filter(F.col(left_time).isNull())
-    left = left.filter(F.col(left_time).isNotNull())
     # ALL picked columns travel as ONE struct so they always come from
     # the same right row: carrying each column independently through
     # last(ignorenulls=True) would backfill a NULL field from an OLDER
@@ -135,8 +134,13 @@ def _asof_join(
     # ordering puts right rows BEFORE left rows at equal time (inclusive
     # ≤ / ≥), and the max-tiebreak right row last among its time-ties so
     # the carried value is deterministic. Forward direction = identical
-    # traversal over descending time.
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    # traversal over descending time. Nulls-first in BOTH directions so
+    # null-time left rows are emitted before any right value is carried.
+    t_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(
@@ -159,15 +163,7 @@ def _asof_join(
         matched = matched.withColumn(
             "__pick", F.when(dist <= F.lit(tolerance_us), F.col("__pick"))
         )
-    out = matched.select(
+    return matched.select(
         *lcols,
         *[F.col("__pick")[dst].alias(dst) for dst in pick.values()],
     )
-    null_picks = left_null.select(
-        *lcols,
-        *[
-            F.lit(None).cast(pick_type[dst].dataType).alias(dst)
-            for dst in pick.values()
-        ],
-    )
-    return out.unionByName(null_picks)

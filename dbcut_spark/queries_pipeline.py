@@ -3867,8 +3867,8 @@ def events_hourly_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH q AS (
       SELECT event_type,
-             quantile_cont(value, 0.01) AS p01,
-             quantile_cont(value, 0.99) AS p99
+             round(quantile_cont(value, 0.01), 6) AS p01,
+             round(quantile_cont(value, 0.99), 6) AS p99
       FROM events GROUP BY event_type),
     c AS (
       SELECT e.event_type, e.value, q.p01, q.p99,
@@ -3876,8 +3876,8 @@ def events_hourly_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN q USING (event_type))
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(any_value(p01), 6) AS p01,
-           round(any_value(p99), 6) AS p99,
+           any_value(p01) AS p01,
+           any_value(p99) AS p99,
            CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_low,
            CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3898,11 +3898,15 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame broadcast back; at 100 TB swap `percentile` for
     `percentile_approx` exactly as docs_length_quantiles documents.
     Means go through round(6) + DECIMAL sums so cross-engine float
-    summation order can't move the hash."""
+    summation order can't move the hash, and the clip/count boundaries
+    use the round(6)-stabilized quantiles on BOTH engines — Spark
+    percentile vs DuckDB quantile_cont interpolate in different
+    arithmetic orders, and a value within 1 ulp of an unrounded
+    boundary would otherwise flip the clip counts."""
     d = tp(spark, sf_dir, "events")
     q = d.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01D)").alias("p01"),
-        F.expr("percentile(value, 0.99D)").alias("p99"),
+        F.round(F.expr("percentile(value, 0.01D)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
     )
     c = d.join(F.broadcast(q), "event_type").withColumn(
         "clipped", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
@@ -3912,8 +3916,8 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.first("p01"), 6).alias("p01"),
-            F.round(F.first("p99"), 6).alias("p99"),
+            F.first("p01").alias("p01"),
+            F.first("p99").alias("p99"),
             F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
             .cast("long")
             .alias("n_clipped_low"),

@@ -78,12 +78,37 @@ def render_value(v, dialect: str = "sqlite") -> str:
     return "'" + s + "'"
 
 
+# Source-DBMS spellings of the "current timestamp" server default, all
+# rewritten to the portable bare CURRENT_TIMESTAMP on every target —
+# the reference's cross-dialect server_default rewrite
+# (``/root/reference/dbcut/compiler.py:12-18,58-63`` rewrites MySQL's
+# ``current_timestamp()`` default when compiling for sqlite).
+_CURRENT_TS_SPELLINGS = {
+    "current_timestamp",
+    "current_timestamp()",
+    "now()",
+    "getdate()",
+    "sysdate",
+}
+
+
+def default_sql(value, dialect: str) -> str:
+    """Render a column DEFAULT clause value. Strings spelling a
+    current-timestamp function (any casing, with or without parens) are
+    rewritten to the target-portable ``CURRENT_TIMESTAMP``; everything
+    else renders as a literal via :func:`render_value`."""
+    if isinstance(value, str) and value.strip().lower() in _CURRENT_TS_SPELLINGS:
+        return "CURRENT_TIMESTAMP"
+    return render_value(value, dialect)
+
+
 def create_table_sql(
     table: str,
     df: DataFrame,
     pk: list[str],
     dialect: str = "sqlite",
     fks: list[tuple[list[str], str, list[str]]] | None = None,
+    defaults: dict[str, object] | None = None,
 ) -> str:
     """CREATE TABLE with portable, target-unique constraint names.
 
@@ -93,9 +118,23 @@ def create_table_sql(
     convention so a dump taken from one DBMS loads into another where
     constraint names must be schema-unique (PostgreSQL) — here
     ``pk_<table>`` / ``fk_<table>_<cols>_<i>``. ``fks`` entries are
-    ``(child_cols, parent_table, parent_cols)``."""
+    ``(child_cols, parent_table, parent_cols)``.
+
+    Nullability carries over from the DataFrame schema (``NOT NULL``
+    for non-nullable fields), and ``defaults`` maps column names to
+    server defaults — literals, or a current-timestamp spelling that is
+    rewritten cross-dialect (:func:`default_sql`) so a schema dumped
+    from one DBMS reloads under another with the same DB-side defaults
+    the application relies on."""
     q = DIALECTS[dialect]["quote"]
-    cols = [f"{q}{f.name}{q} {sql_type(f.dataType)}" for f in df.schema.fields]
+    cols = []
+    for f in df.schema.fields:
+        col = f"{q}{f.name}{q} {sql_type(f.dataType)}"
+        if not f.nullable:
+            col += " NOT NULL"
+        if defaults and f.name in defaults:
+            col += f" DEFAULT {default_sql(defaults[f.name], dialect)}"
+        cols.append(col)
     if pk:
         cols.append(
             f"CONSTRAINT {q}pk_{table}{q} PRIMARY KEY "
@@ -181,16 +220,25 @@ def dump_sql(
     dialect: str = "sqlite",
     include_ddl: bool = True,
     indexes: dict[str, list[tuple[list[str], bool]]] | None = None,
+    defaults: dict[str, dict[str, object]] | None = None,
 ) -> Iterator[str]:
     """Stream the dump statement-by-statement (reference output shape:
     BEGIN → DDL → INSERT... → COMMIT). ``indexes`` maps table →
     ``[(columns, unique)]``; index names are regenerated target-unique
-    across the whole dump (reference ``database.py:188-195``)."""
+    across the whole dump (reference ``database.py:188-195``);
+    ``defaults`` maps table → {column: server default} (see
+    :func:`create_table_sql`)."""
     yield "BEGIN;"
     seen_index_names: set[str] = set()
     for table, df in tables.items():
         if include_ddl:
-            yield create_table_sql(table, df, pks.get(table, []), dialect)
+            yield create_table_sql(
+                table,
+                df,
+                pks.get(table, []),
+                dialect,
+                defaults=(defaults or {}).get(table),
+            )
             for cols, unique in (indexes or {}).get(table, []):
                 name = index_name(table, cols, unique, seen_index_names)
                 seen_index_names.add(name)

@@ -72,28 +72,33 @@ FK_QUERY = {
           AND table_schema = '{schema}'
         ORDER BY constraint_name, ordinal_position
     """,
-    # parent side resolved through referential_constraints →
-    # unique_constraint_name with ordinal matching on
-    # position_in_unique_constraint: constraint_column_usage has NO
-    # ordinal column, so joining it directly turns a composite FK
-    # (a,b)→(x,y) into a 4-row cartesian with corrupt column pairings
-    # (and PG constraint names are only unique per table, so two
-    # same-named constraints would cross-join each other's rows).
+    # Resolved through pg_catalog keyed on oids, NOT information_schema:
+    # PG constraint names are unique per TABLE, not per schema, so any
+    # (constraint_schema, constraint_name) join cross-matches two
+    # same-named FK constraints on different tables and emits corrupt
+    # child/parent column pairings. pg_constraint.conrelid/confrelid
+    # are unambiguous, and subscripting conkey/confkey with the same
+    # generate_subscripts index keeps composite-FK columns paired in
+    # order (no cartesian — information_schema's
+    # constraint_column_usage has no ordinal column at all).
     "postgresql": """
-        SELECT kcu.table_name AS child, kcu.column_name AS child_col,
-               rel.table_name AS parent, rel.column_name AS parent_col,
-               kcu.table_name || '.' || rc.constraint_name AS constraint_name,
-               kcu.ordinal_position
-        FROM information_schema.referential_constraints rc
-        JOIN information_schema.key_column_usage kcu
-          ON kcu.constraint_schema = rc.constraint_schema
-         AND kcu.constraint_name = rc.constraint_name
-        JOIN information_schema.key_column_usage rel
-          ON rel.constraint_schema = rc.unique_constraint_schema
-         AND rel.constraint_name = rc.unique_constraint_name
-         AND rel.ordinal_position = kcu.position_in_unique_constraint
-        WHERE rc.constraint_schema = '{schema}'
-        ORDER BY constraint_name, kcu.ordinal_position
+        SELECT c.relname AS child,
+               a.attname AS child_col,
+               pc.relname AS parent,
+               pa.attname AS parent_col,
+               c.relname || '.' || con.conname AS constraint_name,
+               s.i AS ordinal_position
+        FROM pg_constraint con
+        JOIN pg_class c ON c.oid = con.conrelid
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+        JOIN pg_class pc ON pc.oid = con.confrelid
+        CROSS JOIN LATERAL generate_subscripts(con.conkey, 1) AS s(i)
+        JOIN pg_attribute a
+          ON a.attrelid = con.conrelid AND a.attnum = con.conkey[s.i]
+        JOIN pg_attribute pa
+          ON pa.attrelid = con.confrelid AND pa.attnum = con.confkey[s.i]
+        WHERE con.contype = 'f' AND n.nspname = '{schema}'
+        ORDER BY constraint_name, ordinal_position
     """,
     # fk.id numbers constraints within a table; the synthesized
     # constraint name keeps multi-column FKs grouped exactly like the

@@ -331,6 +331,55 @@ def test_ddl_dump_loads_into_sqlite(spark):
     con.close()
 
 
+def test_ddl_not_null_and_defaults(spark):
+    """Nullability and server defaults survive the dump (reference
+    carries reflected column defaults and rewrites current_timestamp()
+    cross-dialect, /root/reference/dbcut/compiler.py:12-18,58-63): a
+    NOT NULL + default-bearing table loads into sqlite and the DB-side
+    defaults fire on insert; the mysql-dialect output spells the same
+    rewritten CURRENT_TIMESTAMP."""
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from dbcut_spark.sinks.sqldump import create_table_sql
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("status", T.StringType(), nullable=False),
+            T.StructField("note", T.StringType(), nullable=True),
+            T.StructField("created_at", T.TimestampType(), nullable=True),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    defaults = {"status": "new", "created_at": "current_timestamp()"}
+
+    lite = create_table_sql("jobs", df, ["id"], "sqlite", defaults=defaults)
+    assert '"id" BIGINT NOT NULL' in lite
+    assert "\"status\" TEXT NOT NULL DEFAULT 'new'" in lite
+    assert '"note" TEXT,' in lite  # nullable: no NOT NULL
+    # MySQL's current_timestamp() spelling rewritten to the portable form
+    assert '"created_at" TIMESTAMP DEFAULT CURRENT_TIMESTAMP' in lite
+
+    my = create_table_sql("jobs", df, ["id"], "mysql", defaults=defaults)
+    assert "`id` BIGINT NOT NULL" in my
+    assert "DEFAULT CURRENT_TIMESTAMP" in my and "current_timestamp()" not in my
+
+    con = sqlite3.connect(":memory:")
+    con.execute(lite)
+    con.execute('INSERT INTO "jobs" ("id") VALUES (1);')
+    status, created = con.execute(
+        "SELECT status, created_at FROM jobs"
+    ).fetchone()
+    assert status == "new" and created is not None  # DB defaults fired
+    import pytest
+
+    with pytest.raises(sqlite3.IntegrityError):  # NOT NULL enforced
+        con.execute('INSERT INTO "jobs" ("id", "status") VALUES (2, NULL);')
+    con.close()
+
+
 def test_nested_json_golden_reference_shape(spark, tmp_path):
     """Byte-stable golden parity for the nested JSON export against the
     reference's documented output (/root/reference/README.rst:320-361):
