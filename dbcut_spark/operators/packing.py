@@ -72,15 +72,16 @@ def length_batches(
     Same scale shape as :func:`pack_sequences`: the per-shard window
     is one hash-partition shuffle on the shard key; no global sort, no
     single-partition window. A 100 TB corpus is many shards, each a
-    single worker's unit of work. Returns one row per document with
-    its shard, in-shard rank, and batch id."""
+    single worker's unit of work. Returns one row per document keeping
+    the caller's id/shard/token column names, plus the in-shard rank
+    ``rn`` (1-based) and ``batch_id``."""
     w = Window.partitionBy(shard_col).orderBy(
         F.col(token_col).desc(), F.col(id_col).asc()
     )
     return df.select(
         F.col(id_col),
         F.col(shard_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        F.col(token_col).cast("long").alias(token_col),
         F.row_number().over(w).cast("long").alias("rn"),
     ).withColumn(
         "batch_id", ((F.col("rn") - 1) / batch_size).cast("long")

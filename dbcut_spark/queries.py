@@ -362,7 +362,7 @@ FIXTURE_TABLES: dict[str, list[str]] = {
     "orders_page": ["orders"],
     "backref_cap": ["customer", "orders"],
     "backref_global": ["customer", "orders"],
-    "closure_m2m": ["lineitem", "part"],
+    "closure_m2m": ["orders", "lineitem", "part"],
     "include_path": ["region", "nation", "customer"],
 }
 
@@ -655,6 +655,7 @@ _CORE_GATE = [
 _GATE_ROTATION = [
     "embedding_quantize_int8",
     # -- new round-5 queries debut here --
+    "closure_m2m__orders",
     "closure_m2m__lineitem",
     # -- never driver-sampled through round 4 --
     "docs_token_heavy_hitters",

@@ -129,11 +129,23 @@ def create_table_sql(
     q = DIALECTS[dialect]["quote"]
     cols = []
     for f in df.schema.fields:
-        col = f"{q}{f.name}{q} {sql_type(f.dataType)}"
+        ftype = sql_type(f.dataType)
+        col = f"{q}{f.name}{q} {ftype}"
         if not f.nullable:
             col += " NOT NULL"
         if defaults and f.name in defaults:
-            col += f" DEFAULT {default_sql(defaults[f.name], dialect)}"
+            rendered = default_sql(defaults[f.name], dialect)
+            if (
+                dialect == "mysql"
+                and ftype in ("TEXT", "BLOB")
+                and rendered != "CURRENT_TIMESTAMP"
+            ):
+                # MySQL rejects literal defaults on TEXT/BLOB (error
+                # 1101); 8.0.13+ accepts them as parenthesized
+                # expression defaults — same portability family as the
+                # TEXT(128) index-prefix cap below
+                rendered = f"({rendered})"
+            col += f" DEFAULT {rendered}"
         cols.append(col)
     if pk:
         cols.append(

@@ -48,3 +48,28 @@ def test_oracle_output_types_spark_representable(duck_views, name, sql):
         f"oracle '{name}' produces Spark-unrepresentable DuckDB types {bad}; "
         "CAST the offending expression (usually SUM → BIGINT)"
     )
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """No registered query may emit array/map/struct output columns:
+    the DRIVER's canonicalizer sorts results with pandas, which raises
+    `unhashable type: 'list'` on complex columns (round-4's only red
+    gate row, embedding_quantize_int8). Gate queries string-render
+    arrays (array_join / md5) and keep raw collections in the operator
+    API. Schema-only check — builds every plan, runs no jobs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "complex-typed output columns break the driver's pandas "
+        f"canonicalizer — string-render them: {offenders}"
+    )

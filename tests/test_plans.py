@@ -303,3 +303,25 @@ def test_binary_hamming_query_side_broadcast(spark, sf_dir):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_m2m_closure_frontier_broadcast(spark, sf_dir):
+    """The m2m far side (part) is reached through two frontier
+    semi-joins (assoc←root, far←assoc); with a bounded root (limit 25)
+    both frontiers are small and must broadcast — never a full-table
+    shuffle of lineitem or part."""
+    plan = plan_of(spark, sf_dir, "closure_m2m__part")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_batches_per_shard_window(spark, sf_dir):
+    """Per-shard batching must never move all rows to one partition:
+    one hash shuffle on the shard key (plus aggregation/presentation
+    exchanges), no Exchange SinglePartition anywhere (the r4 global
+    row_number form was the repo's one scale-killer)."""
+    df = QUERIES["docs_length_batches"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan

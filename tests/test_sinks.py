@@ -365,6 +365,9 @@ def test_ddl_not_null_and_defaults(spark):
     my = create_table_sql("jobs", df, ["id"], "mysql", defaults=defaults)
     assert "`id` BIGINT NOT NULL" in my
     assert "DEFAULT CURRENT_TIMESTAMP" in my and "current_timestamp()" not in my
+    # MySQL rejects bare literal defaults on TEXT — must be the
+    # parenthesized expression form (8.0.13+)
+    assert "`status` TEXT NOT NULL DEFAULT ('new')" in my
 
     con = sqlite3.connect(":memory:")
     con.execute(lite)
