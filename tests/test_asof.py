@@ -177,3 +177,43 @@ def test_asof_differential_vs_pandas_merge_asof(spark):
             )
             got = {r["lid"]: r["match_id"] for r in got_df.collect()}
             assert got == exp, f"direction={direction} tol={tol}"
+
+
+def test_asof_null_timestamps(spark):
+    """Null-time LEFT rows keep left-outer semantics (null picks) in
+    BOTH directions — they ride the single window pass sorted
+    nulls-first, never inheriting a carried right value; null-time
+    RIGHT rows are dropped and can never match."""
+    from dbcut_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, None), (3, 2, None)],
+        "lid long, key long, lts string",
+    ).select("lid", "key", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 09:00:00"),
+            (101, 1, None),  # null right time: never a match
+            (102, 2, "2024-01-01 08:00:00"),
+        ],
+        "rid long, key long, rts string",
+    ).select("rid", "key", F.col("rts").cast("timestamp").alias("rts"))
+
+    for fn in (asof_join_backward, asof_join_forward):
+        got = {
+            r["lid"]: r["match_id"]
+            for r in fn(
+                left, right, ["key"], "lts", "rts",
+                {"rid": "match_id"}, tiebreak="rid",
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3}  # every left row survives
+        assert got[2] is None and got[3] is None  # null-time left: no pick
+    # the non-null left row still matches normally (backward: 09:00)
+    back = {
+        r["lid"]: r["match_id"]
+        for r in asof_join_backward(
+            left, right, ["key"], "lts", "rts", {"rid": "match_id"}, tiebreak="rid"
+        ).collect()
+    }
+    assert back[1] == 100
