@@ -632,3 +632,161 @@ def drift_psi_stream(
         F.round(term_sum.cast("double"), 6).alias("psi"),
         n_other.cast("long").alias("n_unseen"),
     )
+
+
+ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("last_click_id", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        # latest click at-or-before the watermark (one survivor is
+        # enough: every still-unflushed purchase is above the watermark,
+        # so only the max of the sub-watermark clicks can ever win)
+        T.StructField("best_old_us", T.LongType()),
+        T.StructField("best_old_id", T.LongType()),
+        # clicks still above the watermark (bounded by rate x horizon)
+        T.StructField("click_us", T.ArrayType(T.LongType())),
+        T.StructField("click_id", T.ArrayType(T.LongType())),
+        # purchases awaiting the watermark (same bound)
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_id", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def asof_attribution_stream(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 30 * 24,
+) -> DataFrame:
+    """Streaming twin of the oracle-checked batch
+    ``events_asof_attribution`` (``operators/asof.py``): every purchase
+    attributed to the same user's most recent click at-or-before it
+    (inclusive; ties broken by max click id — identical to the batch
+    tie-break), as a watermark-GATED exact stream.
+
+    Unlike emit-on-arrival designs, a purchase is held in state until
+    the watermark passes its event time — at that point every click
+    that could legally match (click_ts <= purchase_ts, within the
+    lateness contract) has arrived, so the emitted attribution is FINAL
+    and exactly equals the batch as-of join over the same events; no
+    retraction channel is needed. Emission order inside a user follows
+    purchase time.
+
+    State per user is bounded: the pending purchases and
+    above-watermark clicks live only within the watermark horizon, and
+    the sub-watermark click history collapses to its single maximum
+    (any future purchase is above the watermark, so among clicks below
+    it only the latest can win). An event-time TTL
+    (``state_ttl_hours``) evicts idle users entirely — the same
+    explicit attribution-window trade as ``stateful_funnel``; a user
+    who returns after eviction starts with no click history.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            b_us, b_id, c_us, c_id, p_us, p_id = state.get
+            clicks = sorted(zip(c_us, c_id))
+            pend = sorted(zip(p_us, p_id))
+            best_old = (b_us, b_id) if b_us is not None else None
+        else:
+            clicks, pend, best_old = [], [], None
+
+        for pdf in pdf_iter:
+            for ts, et, eid in zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),
+                pdf["event_type"].tolist(),
+                pdf["event_id"].tolist(),
+            ):
+                if et == "click":
+                    clicks.append((ts, int(eid)))
+                elif et == "purchase":
+                    pend.append((ts, int(eid)))
+        clicks.sort()
+        pend.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_rows = []
+        still = []
+        for pts, pid in pend:
+            if pts > wm_us:
+                still.append((pts, pid))
+                continue
+            # best click at-or-before the purchase: max (ts, id) among
+            # buffered clicks <= pts, else the sub-watermark survivor
+            cand = max(
+                (c for c in clicks if c[0] <= pts), default=best_old
+            )
+            if cand is not None and best_old is not None:
+                cand = max(cand, best_old)
+            out_rows.append(
+                (
+                    user_id,
+                    pid,
+                    pts,
+                    cand[1] if cand else None,
+                    pts - cand[0] if cand else None,
+                )
+            )
+        # collapse clicks the watermark has passed into the one survivor
+        old = [c for c in clicks if c[0] <= wm_us]
+        if old:
+            best_old = max(max(old), best_old) if best_old else max(old)
+        clicks = [c for c in clicks if c[0] > wm_us]
+
+        if state.hasTimedOut and not still and not clicks:
+            state.remove()
+        else:
+            state.update(
+                (
+                    best_old[0] if best_old else None,
+                    best_old[1] if best_old else None,
+                    [c[0] for c in clicks],
+                    [c[1] for c in clicks],
+                    [p[0] for p in still],
+                    [p[1] for p in still],
+                )
+            )
+            wm_ms = state.getCurrentWatermarkMs()
+            if still:
+                # wake when the watermark can flush the oldest pending
+                # purchase (must be strictly above the current watermark)
+                state.setTimeoutTimestamp(max(still[0][0] // 1000, wm_ms + 1))
+            else:
+                state.setTimeoutTimestamp(wm_ms + state_ttl_hours * 3_600_000)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "user_id",
+                    "purchase_id",
+                    "purchase_us",
+                    "last_click_id",
+                    "gap_us",
+                ],
+            )
+
+    return (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            ASOF_OUT_SCHEMA,
+            ASOF_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

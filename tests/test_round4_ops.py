@@ -1052,3 +1052,94 @@ def test_dump_sql_distributed_nullable_ints(spark, tmp_path):
     assert any("(1, 10, 'x')" in s for s in stmts), stmts
     assert any("(2, NULL, 'y')" in s for s in stmts), stmts
     assert not any("nan" in s or "10.0" in s for s in stmts), stmts
+
+
+def test_asof_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The watermark-gated streaming as-of join must emit EXACTLY the
+    oracle-checked batch events_asof_attribution rows once the
+    watermark passes every purchase: chronological 3-file replay plus a
+    far-future sentinel click that drags the watermark past all real
+    events and flushes the pending tail."""
+    import time as _time
+
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        asof_attribution_stream,
+        read_event_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    src = tmp_path / "asof_stream"
+    src.mkdir()
+    lo, hi = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(0.34D, 0.67D)) AS q"
+    ).first().q
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= lo),
+        ev.filter(
+            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
+        ),
+        ev.filter(F.col("ts").cast("double") > hi),
+    ]
+    sentinel = spark.createDataFrame(
+        [(99_999_999, -1, "click", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit("2031-01-01 00:00:00"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    for i, p in enumerate(parts + [sentinel.select(*parts[0].columns)]):
+        p.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        asof_attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.user_id): (r.last_click_id, r.gap_us)
+        for r in spark.table("asof_stream_test").collect()
+    }
+
+    from dbcut_spark.operators.asof import asof_join_backward
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("click_us")
+    )
+    j = asof_join_backward(
+        p, c, on=["user_id"], left_time="ts", right_time="ts",
+        pick={"event_id": "last_click_id", "click_us": "last_click_us"},
+        tiebreak="event_id",
+    )
+    want = {
+        (r.purchase_id, r.user_id): (
+            r.last_click_id,
+            None
+            if r.last_click_us is None
+            else r.gap_us,
+        )
+        for r in j.select(
+            "purchase_id",
+            "user_id",
+            "last_click_id",
+            "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
