@@ -702,6 +702,13 @@ def asof_attribution_stream(
             best_old = (b_us, b_id) if b_us is not None else None
         else:
             clicks, pend, best_old = [], [], None
+        # Two kinds of timeout share one channel: a FLUSH timeout (set
+        # while purchases were pending) must keep the state — its
+        # best_old click history serves future purchases; only a TTL
+        # timeout (set when nothing was pending) evicts the user. A
+        # timeout invocation carries no new rows, so pending-at-entry
+        # distinguishes them.
+        ttl_expired = state.hasTimedOut and not pend
 
         for pdf in pdf_iter:
             for ts, et, eid in zip(
@@ -745,7 +752,7 @@ def asof_attribution_stream(
             best_old = max(max(old), best_old) if best_old else max(old)
         clicks = [c for c in clicks if c[0] > wm_us]
 
-        if state.hasTimedOut and not still and not clicks:
+        if ttl_expired:
             state.remove()
         else:
             state.update(

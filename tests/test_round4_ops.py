@@ -1143,3 +1143,94 @@ def test_asof_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_asof_attribution_stream_checkpoint_restart(spark, sf_dir, tmp_path):
+    """As-of stream state (pending purchases + click history) must
+    survive a stop/restart from the same checkpoint: purchases buffered
+    before the stop flush after it with the correct click, including
+    clicks that arrived before the stop — the state store owns both
+    buffers. Exactly-once: no purchase is emitted twice across runs."""
+    from dbcut_spark.operators.asof import asof_join_backward
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        asof_attribution_stream,
+        read_event_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    mid = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5D) AS q"
+    ).first().q
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+    ev.filter(F.col("ts").cast("double") <= mid).orderBy("ts").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+
+    def run_once():
+        q = (
+            asof_attribution_stream(
+                read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.catalog.refreshByPath(str(sink))
+    n1 = spark.read.parquet(str(sink)).count()
+
+    # second half plus a far-future sentinel click to flush the tail
+    late = ev.filter(F.col("ts").cast("double") > mid)
+    sentinel = spark.range(1).select(
+        F.lit(99_999_999).alias("event_id"),
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    late.orderBy("ts").coalesce(1).write.parquet(str(src / "b1"))
+    sentinel.select(*late.columns).coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    spark.catalog.refreshByPath(str(sink))
+    out = spark.read.parquet(str(sink)).collect()
+
+    # exactly-once: every purchase emitted exactly once across both runs
+    ids = [r.purchase_id for r in out]
+    assert len(ids) == len(set(ids))
+    assert len(out) > n1  # the restart actually emitted the buffered tail
+
+    got = {
+        (r.purchase_id, r.user_id): (r.last_click_id, r.gap_us) for r in out
+    }
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("click_us")
+    )
+    j = asof_join_backward(
+        p, c, on=["user_id"], left_time="ts", right_time="ts",
+        pick={"event_id": "last_click_id", "click_us": "last_click_us"},
+        tiebreak="event_id",
+    )
+    want = {
+        (r.purchase_id, r.user_id): (
+            r.last_click_id,
+            None if r.last_click_us is None else r.gap_us,
+        )
+        for r in j.select(
+            "purchase_id", "user_id", "last_click_id", "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+        ).collect()
+    }
+    assert got == want
