@@ -112,13 +112,20 @@ class Engine:
         return nested_documents(plan, frontiers)
 
     def sql_dump(self, query: dict, dialect: str = "sqlite"):
-        """Yield CREATE TABLE + INSERT statements (reference dumpsql)."""
-        from dbcut_spark.sinks.sqldump import dump_sql
+        """Yield CREATE TABLE + INSERT statements (reference dumpsql).
+        Reflected server defaults from the catalog ride into the DDL
+        (cross-dialect current-timestamp rewrite applied)."""
+        from dbcut_spark.sinks.sqldump import RawDefault, dump_sql
 
         frames = self.extract(query)
         pks = {t: list(self.catalog.table(t).pk) for t in frames}
+        defaults = {
+            t: {c: RawDefault(expr) for c, expr in self.catalog.table(t).defaults.items()}
+            for t in frames
+            if self.catalog.table(t).defaults
+        }
         try:
-            yield from dump_sql(frames, pks, dialect)
+            yield from dump_sql(frames, pks, dialect, defaults=defaults)
         finally:
             # release even when the consumer stops early (islice, an
             # exception mid-dump) — otherwise the pinned frontier

@@ -45,6 +45,12 @@ class TableSpec:
     columns: tuple[str, ...] = ()
     # True when the PK was synthesized (no declared PK in the source)
     synthetic_pk: bool = False
+    # column -> server-default SQL expression as reflected from the
+    # source (e.g. "'new'", "CURRENT_TIMESTAMP", "now()") — carried
+    # into the dump DDL with the cross-dialect current-timestamp
+    # rewrite (sinks/sqldump.py:default_sql; reference
+    # /root/reference/dbcut/compiler.py:12-18,58-63)
+    defaults: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -69,7 +75,12 @@ class Catalog:
         return json.dumps(
             {
                 "tables": {
-                    n: {"pk": list(t.pk), "columns": list(t.columns), "synthetic_pk": t.synthetic_pk}
+                    n: {
+                        "pk": list(t.pk),
+                        "columns": list(t.columns),
+                        "synthetic_pk": t.synthetic_pk,
+                        **({"defaults": dict(sorted(t.defaults.items()))} if t.defaults else {}),
+                    }
                     for n, t in sorted(self.tables.items())
                 },
                 "fks": [
@@ -92,7 +103,11 @@ class Catalog:
         cat = cls()
         for n, t in raw["tables"].items():
             cat.tables[n] = TableSpec(
-                n, tuple(t["pk"]), tuple(t.get("columns", ())), t.get("synthetic_pk", False)
+                n,
+                tuple(t["pk"]),
+                tuple(t.get("columns", ())),
+                t.get("synthetic_pk", False),
+                dict(t.get("defaults", {})),
             )
         for fk in raw["fks"]:
             cat.fks.append(

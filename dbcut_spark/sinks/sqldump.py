@@ -82,23 +82,35 @@ def render_value(v, dialect: str = "sqlite") -> str:
 # rewritten to the portable bare CURRENT_TIMESTAMP on every target —
 # the reference's cross-dialect server_default rewrite
 # (``/root/reference/dbcut/compiler.py:12-18,58-63`` rewrites MySQL's
-# ``current_timestamp()`` default when compiling for sqlite).
-_CURRENT_TS_SPELLINGS = {
-    "current_timestamp",
-    "current_timestamp()",
-    "now()",
-    "getdate()",
-    "sysdate",
-}
+# ``current_timestamp()`` default when compiling for sqlite). The
+# optional parenthesized precision covers MySQL/MariaDB
+# fractional-second forms (``current_timestamp(6)``, ``now(3)``).
+import re as _re
+
+_CURRENT_TS_RE = _re.compile(
+    r"^(current_timestamp|now|getdate|sysdate|localtimestamp)(\(\d*\))?$"
+)
+
+
+class RawDefault(str):
+    """A server default that is ALREADY a SQL expression — the form
+    reflection returns (sqlite ``dflt_value`` / information_schema
+    ``column_default`` hand back e.g. ``'new'`` with its quotes, or
+    ``CURRENT_TIMESTAMP``). Rendered verbatim after the cross-dialect
+    current-timestamp rewrite, never re-quoted as a literal."""
 
 
 def default_sql(value, dialect: str) -> str:
     """Render a column DEFAULT clause value. Strings spelling a
-    current-timestamp function (any casing, with or without parens) are
-    rewritten to the target-portable ``CURRENT_TIMESTAMP``; everything
-    else renders as a literal via :func:`render_value`."""
-    if isinstance(value, str) and value.strip().lower() in _CURRENT_TS_SPELLINGS:
+    current-timestamp function (any casing, with or without parens or a
+    fractional-second precision suffix) are rewritten to the
+    target-portable ``CURRENT_TIMESTAMP``; a :class:`RawDefault` passes
+    through verbatim; everything else renders as a literal via
+    :func:`render_value`."""
+    if isinstance(value, str) and _CURRENT_TS_RE.match(value.strip().lower()):
         return "CURRENT_TIMESTAMP"
+    if isinstance(value, RawDefault):
+        return str(value)
     return render_value(value, dialect)
 
 

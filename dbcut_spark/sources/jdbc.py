@@ -158,14 +158,43 @@ ESTIMATE_QUERY = {
 }
 
 
+# Column server defaults (table, column, default SQL expression) — the
+# reference carries reflected defaults into the dump DDL and rewrites
+# current_timestamp() cross-dialect (/root/reference/dbcut/compiler.py:
+# 12-18,58-63); sinks/sqldump.py:default_sql does the rewrite here.
+DEFAULTS_QUERY = {
+    "mysql": """
+        SELECT table_name, column_name, column_default
+        FROM information_schema.columns
+        WHERE table_schema = '{schema}' AND column_default IS NOT NULL
+        ORDER BY table_name, ordinal_position
+    """,
+    "postgresql": """
+        SELECT table_name, column_name, column_default
+        FROM information_schema.columns
+        WHERE table_schema = '{schema}' AND column_default IS NOT NULL
+        ORDER BY table_name, ordinal_position
+    """,
+    "sqlite": """
+        SELECT m.name AS table_name, ti.name AS column_name,
+               ti.dflt_value AS column_default
+        FROM sqlite_master m, pragma_table_info(m.name) ti
+        WHERE m.type = 'table' AND m.name NOT LIKE 'sqlite_%'
+          AND ti.dflt_value IS NOT NULL
+        ORDER BY m.name, ti.cid
+    """,
+}
+
+
 def reflection_sql(kind: str, dialect: str, schema: str) -> str:
     """The reflection query to push through JDBC. ``kind`` is one of
-    pk / fk / tables / estimate."""
+    pk / fk / tables / estimate / defaults."""
     table = {
         "pk": PK_QUERY,
         "fk": FK_QUERY,
         "tables": TABLES_QUERY,
         "estimate": ESTIMATE_QUERY,
+        "defaults": DEFAULTS_QUERY,
     }[kind]
     if dialect not in table:
         raise ValueError(f"no {kind} reflection query for dialect {dialect!r}")
@@ -177,15 +206,22 @@ def catalog_from_rows(
     columns_by_table: dict[str, list[str]],
     pk_rows: list[tuple[str, str, int]],
     fk_rows: list[tuple[str, str, str, str, str, int]],
+    default_rows: list[tuple[str, str, str]] | None = None,
 ) -> Catalog:
     """Assemble a :class:`Catalog` from reflection-query result rows —
     pure, so it is unit-testable without a database. Tables with no
     declared PK get the synthetic-PK heuristic (reference behavior,
-    ``/root/reference/dbcut/database.py:411-428``)."""
+    ``/root/reference/dbcut/database.py:411-428``). ``default_rows``
+    (table, column, default SQL expression) carry server defaults into
+    :attr:`TableSpec.defaults` for the dump DDL."""
     cat = Catalog()
     pks: dict[str, list[tuple[int, str]]] = {}
     for tbl, col, pos in pk_rows:
         pks.setdefault(tbl, []).append((pos, col))
+    defaults: dict[str, dict[str, str]] = {}
+    for tbl, col, expr in default_rows or []:
+        if expr is not None:
+            defaults.setdefault(tbl, {})[col] = str(expr)
     for name in table_names:
         cols = columns_by_table.get(name, [])
         if name in pks:
@@ -193,7 +229,9 @@ def catalog_from_rows(
             synthetic = False
         else:
             pk, synthetic = synthesize_pk(cols)
-        cat.tables[name] = TableSpec(name, pk, tuple(cols), synthetic)
+        cat.tables[name] = TableSpec(
+            name, pk, tuple(cols), synthetic, defaults.get(name, {})
+        )
     # group multi-column FKs by constraint name, ordered by position
     by_constraint: dict[tuple[str, str], list[tuple[int, str, str, str]]] = {}
     for child, child_col, parent, parent_col, constraint, pos in fk_rows:

@@ -731,12 +731,15 @@ def asof_attribution_stream(
                 still.append((pts, pid))
                 continue
             # best click at-or-before the purchase: max (ts, id) among
-            # buffered clicks <= pts, else the sub-watermark survivor
+            # buffered clicks <= pts and the sub-watermark survivor
+            # (best_old <= wm < pts for every still-pending purchase,
+            # so it is always a legal candidate)
             cand = max(
-                (c for c in clicks if c[0] <= pts), default=best_old
+                (c for c in clicks if c[0] <= pts),
+                default=None,
             )
-            if cand is not None and best_old is not None:
-                cand = max(cand, best_old)
+            if best_old is not None:
+                cand = best_old if cand is None else max(cand, best_old)
             out_rows.append(
                 (
                     user_id,

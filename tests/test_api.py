@@ -37,3 +37,21 @@ def test_engine_extract_load_roundtrip(spark, sf_dir, tmp_path):
     stmts = list(eng.sql_dump(QUERY))
     assert stmts[0] == "BEGIN;" and stmts[-1] == "COMMIT;"
     assert any("INSERT OR IGNORE" in s for s in stmts)
+
+
+def test_engine_sql_dump_carries_catalog_defaults(spark, sf_dir):
+    """Reflected server defaults in the catalog must reach the dump DDL
+    (verbatim SQL expressions, current-timestamp rewritten) — the
+    end-to-end path for the reference's server_default preservation."""
+    eng = Engine(sf_dir, spark=spark)
+    eng.catalog.table("customer").defaults = {
+        "c_mktsegment": "'BUILDING'",
+        "c_acctbal": "0.0",
+    }
+    eng.catalog.table("nation").defaults = {"n_name": "current_timestamp()"}
+    stmts = list(eng.sql_dump(QUERY))
+    ddl = {s.split('"')[1]: s for s in stmts if s.startswith("CREATE TABLE")}
+    assert "\"c_mktsegment\" TEXT DEFAULT 'BUILDING'" in ddl["customer"]
+    assert '"c_acctbal" DOUBLE PRECISION DEFAULT 0.0' in ddl["customer"]
+    assert '"n_name" TEXT DEFAULT CURRENT_TIMESTAMP' in ddl["nation"]
+    assert "current_timestamp()" not in ddl["nation"]

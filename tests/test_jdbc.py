@@ -17,14 +17,19 @@ from dbcut_spark.sources.jdbc import (
 
 def test_reflection_sql_dialects():
     for dialect in ("mysql", "postgresql"):
-        for kind in ("pk", "fk", "tables", "estimate"):
+        for kind in ("pk", "fk", "tables", "estimate", "defaults"):
             sql = reflection_sql(kind, dialect, "mydb")
             assert "mydb" in sql
-            assert "information_schema" in sql or "pg_class" in sql
+            assert (
+                "information_schema" in sql
+                or "pg_class" in sql
+                or "pg_constraint" in sql
+            )
     assert "sqlite_master" in reflection_sql("tables", "sqlite", "")
     assert "pragma_table_info" in reflection_sql("pk", "sqlite", "")
     assert "pragma_foreign_key_list" in reflection_sql("fk", "sqlite", "")
     assert "sqlite_stat1" in reflection_sql("estimate", "sqlite", "")
+    assert "dflt_value" in reflection_sql("defaults", "sqlite", "")
     with pytest.raises(ValueError):
         reflection_sql("pk", "oracle", "x")
 
@@ -49,7 +54,10 @@ def _sqlite_fixture():
             disc INTEGER, no INTEGER, album_id INTEGER, name TEXT,
             PRIMARY KEY (disc, no),
             FOREIGN KEY (album_id) REFERENCES album (album_id));
-        CREATE TABLE log (entry_id INTEGER, msg TEXT);  -- no PK -> synthetic
+        CREATE TABLE log (
+            entry_id INTEGER, msg TEXT,
+            status TEXT DEFAULT 'new',
+            created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP);  -- no PK -> synthetic
         INSERT INTO artist VALUES (1, 'a'), (2, 'b');
         INSERT INTO album VALUES (10, 1, 't1'), (11, 2, 't2');
         ANALYZE;
@@ -67,10 +75,23 @@ def test_sqlite_reflection_roundtrip():
     }
     pk_rows = list(con.execute(reflection_sql("pk", "sqlite", "")))
     fk_rows = list(con.execute(reflection_sql("fk", "sqlite", "")))
-    cat = catalog_from_rows(tables, cols, pk_rows, fk_rows)
+    default_rows = list(con.execute(reflection_sql("defaults", "sqlite", "")))
+    cat = catalog_from_rows(tables, cols, pk_rows, fk_rows, default_rows)
     assert cat.table("artist").pk == ("artist_id",)
     assert cat.table("track").pk == ("disc", "no")  # composite, ordered
     assert cat.table("log").synthetic_pk
+    # server defaults reflected as SQL expressions (quotes preserved)
+    assert cat.table("log").defaults == {
+        "status": "'new'",
+        "created_at": "CURRENT_TIMESTAMP",
+    }
+    assert cat.table("artist").defaults == {}
+    # and they survive the catalog JSON round-trip (cache keying)
+    from dbcut_spark.catalog import Catalog
+
+    assert Catalog.from_json(cat.to_json()).table("log").defaults == cat.table(
+        "log"
+    ).defaults
     fks = {(fk.child, fk.parent): fk for fk in cat.fks}
     assert fks[("track", "album")].child_cols == ("album_id",)
     assert fks[("track", "album")].parent_cols == ("album_id",)

@@ -369,6 +369,17 @@ def test_ddl_not_null_and_defaults(spark):
     # parenthesized expression form (8.0.13+)
     assert "`status` TEXT NOT NULL DEFAULT ('new')" in my
 
+    from dbcut_spark.sinks.sqldump import RawDefault, default_sql
+
+    # fractional-second spellings rewrite too (MySQL DATETIME(6))
+    for spelling in ("CURRENT_TIMESTAMP(6)", "now(3)", "Now()", "sysdate"):
+        assert default_sql(spelling, "postgresql") == "CURRENT_TIMESTAMP"
+    # reflected defaults are SQL expressions: pass through verbatim,
+    # never re-quoted (sqlite dflt_value hands back 'new' WITH quotes)
+    assert default_sql(RawDefault("'new'"), "sqlite") == "'new'"
+    assert default_sql(RawDefault("42"), "sqlite") == "42"
+    assert default_sql("plain literal", "sqlite") == "'plain literal'"
+
     con = sqlite3.connect(":memory:")
     con.execute(lite)
     con.execute('INSERT INTO "jobs" ("id") VALUES (1);')
