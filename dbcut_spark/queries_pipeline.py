@@ -29,13 +29,19 @@ from dbcut_spark.queries import ORACLES, QUERIES, register, t
 
 
 def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table scan repartitioned to the session's parallelism — the
-    harness tables are single parquet files (1 input split), which would
-    serialize per-row-heavy operators (md5 shingling, dot products) onto
-    one core. On a real multi-file/100 TB table the scan parallelism is
-    natural and this repartition is a no-op to omit."""
+    """Table scan repartitioned to the session's parallelism ONLY when
+    the scan itself is under-parallel — the harness tables are single
+    small parquet files (1 input split), which would serialize
+    per-row-heavy operators (md5 shingling, dot products) onto one
+    core. On a real multi-file/100 TB table the scan already yields
+    more splits than cores, so the guard makes the repartition (a full
+    shuffle of the input) genuinely disappear instead of being a
+    documented-but-unconditional cost."""
     df = t(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 # shared DuckDB shingle CTE (matches functions.text.shingles: distinct
 # lowercase-trimmed 5-grams)
