@@ -115,15 +115,11 @@ class Engine:
         """Yield CREATE TABLE + INSERT statements (reference dumpsql).
         Reflected server defaults from the catalog ride into the DDL
         (cross-dialect current-timestamp rewrite applied)."""
-        from dbcut_spark.sinks.sqldump import RawDefault, dump_sql
+        from dbcut_spark.sinks.sqldump import catalog_raw_defaults, dump_sql
 
         frames = self.extract(query)
         pks = {t: list(self.catalog.table(t).pk) for t in frames}
-        defaults = {
-            t: {c: RawDefault(expr) for c, expr in self.catalog.table(t).defaults.items()}
-            for t in frames
-            if self.catalog.table(t).defaults
-        }
+        defaults = catalog_raw_defaults(self.catalog, frames)
         try:
             yield from dump_sql(frames, pks, dialect, defaults=defaults)
         finally:

@@ -256,16 +256,12 @@ def dumpjson(ctx: Ctx):
 def dumpsql(ctx: Ctx, dialect: str):
     """Print the extraction as CREATE TABLE + INSERT statements
     (reference ``cmd_dumpsql``)."""
-    from dbcut_spark.sinks.sqldump import RawDefault, dump_sql
+    from dbcut_spark.sinks.sqldump import catalog_raw_defaults, dump_sql
 
     for _, plan in ctx.plans():
         frames = ctx.run_closure(plan)
         pks = {t: list(ctx.catalog.table(t).pk) for t in frames}
-        defaults = {
-            t: {c: RawDefault(e) for c, e in ctx.catalog.table(t).defaults.items()}
-            for t in frames
-            if ctx.catalog.table(t).defaults
-        }
+        defaults = catalog_raw_defaults(ctx.catalog, frames)
         for stmt in dump_sql(frames, pks, dialect, defaults=defaults):
             click.echo(stmt)
         release_pinned()

@@ -18,6 +18,7 @@ Two modes:
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -85,10 +86,13 @@ def render_value(v, dialect: str = "sqlite") -> str:
 # ``current_timestamp()`` default when compiling for sqlite). The
 # optional parenthesized precision covers MySQL/MariaDB
 # fractional-second forms (``current_timestamp(6)``, ``now(3)``).
-import re as _re
-
+# ``now``/``getdate`` REQUIRE parens: the bare words are plausible
+# string literals (a column defaulting to the text 'now'), while
+# current_timestamp/localtimestamp/sysdate are SQL keywords that are
+# never bare literals by accident.
 _CURRENT_TS_RE = _re.compile(
-    r"^(current_timestamp|now|getdate|sysdate|localtimestamp)(\(\d*\))?$"
+    r"^(current_timestamp|localtimestamp|sysdate)(\(\d*\))?$"
+    r"|^(now|getdate)\(\d*\)$"
 )
 
 
@@ -112,6 +116,19 @@ def default_sql(value, dialect: str) -> str:
     if isinstance(value, RawDefault):
         return str(value)
     return render_value(value, dialect)
+
+
+def catalog_raw_defaults(catalog, tables) -> dict[str, dict[str, "RawDefault"]]:
+    """Per-table RawDefault maps from a catalog's reflected server
+    defaults — the one shared bridge both dump front doors
+    (``Engine.sql_dump`` and the CLI ``dumpsql`` command) use, so the
+    expression handling can never diverge between them."""
+    out: dict[str, dict[str, RawDefault]] = {}
+    for t in tables:
+        d = catalog.table(t).defaults
+        if d:
+            out[t] = {c: RawDefault(expr) for c, expr in d.items()}
+    return out
 
 
 def create_table_sql(
@@ -147,15 +164,12 @@ def create_table_sql(
             col += " NOT NULL"
         if defaults and f.name in defaults:
             rendered = default_sql(defaults[f.name], dialect)
-            if (
-                dialect == "mysql"
-                and ftype in ("TEXT", "BLOB")
-                and rendered != "CURRENT_TIMESTAMP"
-            ):
-                # MySQL rejects literal defaults on TEXT/BLOB (error
-                # 1101); 8.0.13+ accepts them as parenthesized
-                # expression defaults — same portability family as the
-                # TEXT(128) index-prefix cap below
+            if dialect == "mysql" and ftype in ("TEXT", "BLOB"):
+                # MySQL rejects ANY plain default on TEXT/BLOB (error
+                # 1101 for literals, 1067 for CURRENT_TIMESTAMP on a
+                # non-temporal column); 8.0.13+ accepts them as
+                # parenthesized expression defaults — same portability
+                # family as the TEXT(128) index-prefix cap below
                 rendered = f"({rendered})"
             col += f" DEFAULT {rendered}"
         cols.append(col)

@@ -22,6 +22,7 @@ is pure and unit-tested; the two functions that actually touch a DB
 from __future__ import annotations
 
 import math
+import re as _re
 from dataclasses import dataclass
 
 from dbcut_spark.catalog import Catalog, ForeignKey, TableSpec, synthesize_pk
@@ -201,27 +202,73 @@ def reflection_sql(kind: str, dialect: str, schema: str) -> str:
     return table[dialect].format(schema=schema).strip()
 
 
+_NUMERIC_RE = _re.compile(r"^-?\d+(\.\d+)?$")
+_QUOTED_RE = _re.compile(r"^'.*'$", _re.S)
+_PG_CAST_RE = _re.compile(r"::[A-Za-z_][\w ]*(\(\d+(,\s*\d+)?\))?(\[\])?")
+_CURRENT_TS_REFLECT_RE = _re.compile(
+    r"^(current_timestamp|localtimestamp|sysdate)(\(\d*\))?$"
+    r"|^(now|getdate)\(\d*\)$",
+    _re.I,
+)
+
+
+def normalize_reflected_default(expr, source_dialect: str) -> str | None:
+    """Canonicalize a reflected ``column_default`` into a PORTABLE SQL
+    expression string, because each dialect's catalog spells defaults
+    differently:
+
+    - MySQL ``information_schema.columns`` returns string literals
+      WITHOUT their quotes (``new``, not ``'new'``) — re-quote anything
+      that is not a current-timestamp spelling or a numeric literal.
+    - PostgreSQL appends cast suffixes (``'new'::character varying``)
+      — strip them; sequence defaults (``nextval(...)``) are DROPPED:
+      the dump inserts explicit ids and never creates the sequence, so
+      carrying them over would fail on every target.
+    - sqlite ``dflt_value`` is already quoted SQL — verbatim.
+
+    Returns None when the default cannot be carried portably."""
+    if expr is None:
+        return None
+    s = str(expr).strip()
+    if not s:
+        return None
+    if source_dialect == "postgresql":
+        if "nextval(" in s.lower():
+            return None
+        s = _PG_CAST_RE.sub("", s).strip()
+    if _CURRENT_TS_REFLECT_RE.match(s):
+        return s
+    if source_dialect == "mysql" and not (
+        _NUMERIC_RE.match(s) or _QUOTED_RE.match(s) or s.startswith("(")
+    ):
+        return "'" + s.replace("'", "''") + "'"
+    return s
+
+
 def catalog_from_rows(
     table_names: list[str],
     columns_by_table: dict[str, list[str]],
     pk_rows: list[tuple[str, str, int]],
     fk_rows: list[tuple[str, str, str, str, str, int]],
     default_rows: list[tuple[str, str, str]] | None = None,
+    dialect: str = "sqlite",
 ) -> Catalog:
     """Assemble a :class:`Catalog` from reflection-query result rows —
     pure, so it is unit-testable without a database. Tables with no
     declared PK get the synthetic-PK heuristic (reference behavior,
     ``/root/reference/dbcut/database.py:411-428``). ``default_rows``
     (table, column, default SQL expression) carry server defaults into
-    :attr:`TableSpec.defaults` for the dump DDL."""
+    :attr:`TableSpec.defaults` for the dump DDL, normalized per the
+    SOURCE ``dialect`` (:func:`normalize_reflected_default`)."""
     cat = Catalog()
     pks: dict[str, list[tuple[int, str]]] = {}
     for tbl, col, pos in pk_rows:
         pks.setdefault(tbl, []).append((pos, col))
     defaults: dict[str, dict[str, str]] = {}
     for tbl, col, expr in default_rows or []:
-        if expr is not None:
-            defaults.setdefault(tbl, {})[col] = str(expr)
+        norm = normalize_reflected_default(expr, dialect)
+        if norm is not None:
+            defaults.setdefault(tbl, {})[col] = norm
     for name in table_names:
         cols = columns_by_table.get(name, [])
         if name in pks:

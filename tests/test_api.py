@@ -44,14 +44,23 @@ def test_engine_sql_dump_carries_catalog_defaults(spark, sf_dir):
     (verbatim SQL expressions, current-timestamp rewritten) — the
     end-to-end path for the reference's server_default preservation."""
     eng = Engine(sf_dir, spark=spark)
-    eng.catalog.table("customer").defaults = {
-        "c_mktsegment": "'BUILDING'",
-        "c_acctbal": "0.0",
+    # the Engine shares the module-level TPCH_CATALOG singleton —
+    # restore the mutated specs so no defaults leak into later tests
+    saved = {
+        t: dict(eng.catalog.table(t).defaults) for t in ("customer", "nation")
     }
-    eng.catalog.table("nation").defaults = {"n_name": "current_timestamp()"}
-    stmts = list(eng.sql_dump(QUERY))
-    ddl = {s.split('"')[1]: s for s in stmts if s.startswith("CREATE TABLE")}
-    assert "\"c_mktsegment\" TEXT DEFAULT 'BUILDING'" in ddl["customer"]
-    assert '"c_acctbal" DOUBLE PRECISION DEFAULT 0.0' in ddl["customer"]
-    assert '"n_name" TEXT DEFAULT CURRENT_TIMESTAMP' in ddl["nation"]
-    assert "current_timestamp()" not in ddl["nation"]
+    try:
+        eng.catalog.table("customer").defaults = {
+            "c_mktsegment": "'BUILDING'",
+            "c_acctbal": "0.0",
+        }
+        eng.catalog.table("nation").defaults = {"n_name": "current_timestamp()"}
+        stmts = list(eng.sql_dump(QUERY))
+        ddl = {s.split('"')[1]: s for s in stmts if s.startswith("CREATE TABLE")}
+        assert "\"c_mktsegment\" TEXT DEFAULT 'BUILDING'" in ddl["customer"]
+        assert '"c_acctbal" DOUBLE PRECISION DEFAULT 0.0' in ddl["customer"]
+        assert '"n_name" TEXT DEFAULT CURRENT_TIMESTAMP' in ddl["nation"]
+        assert "current_timestamp()" not in ddl["nation"]
+    finally:
+        for t, d in saved.items():
+            eng.catalog.table(t).defaults = d

@@ -300,3 +300,39 @@ def test_cli_load_inspect_clear_flush_against_derby(spark, sf_dir, tmp_path):
     res4 = runner.invoke(cli, ["-c", cfg_path, "flush"], catch_exceptions=False)
     assert res4.exit_code == 0, res4.output
     assert not jdbc_table_exists(spark, url, "customer")
+
+
+def test_normalize_reflected_default_per_dialect():
+    """Each dialect's catalog spells column_default differently; the
+    normalizer must hand back a PORTABLE SQL expression or None."""
+    from dbcut_spark.sources.jdbc import normalize_reflected_default as norm
+
+    # MySQL: string literals come back WITHOUT quotes — re-quote them
+    assert norm("new", "mysql") == "'new'"
+    assert norm("it's", "mysql") == "'it''s'"
+    assert norm("0", "mysql") == "0"
+    assert norm("-1.5", "mysql") == "-1.5"
+    assert norm("CURRENT_TIMESTAMP", "mysql") == "CURRENT_TIMESTAMP"
+    assert norm("current_timestamp(6)", "mysql") == "current_timestamp(6)"
+    # PostgreSQL: cast suffixes stripped, sequence defaults dropped
+    assert norm("'new'::character varying", "postgresql") == "'new'"
+    assert norm("0.0::double precision", "postgresql") == "0.0"
+    assert norm("now()", "postgresql") == "now()"
+    assert norm("nextval('t_id_seq'::regclass)", "postgresql") is None
+    # sqlite: dflt_value is already quoted SQL — verbatim
+    assert norm("'new'", "sqlite") == "'new'"
+    assert norm("CURRENT_TIMESTAMP", "sqlite") == "CURRENT_TIMESTAMP"
+    assert norm(None, "sqlite") is None
+    assert norm("  ", "mysql") is None
+
+
+def test_mysql_text_defaults_parenthesized_even_for_current_timestamp():
+    """MySQL rejects ANY plain default on TEXT (error 1101/1067); both
+    literal and CURRENT_TIMESTAMP defaults must emit the 8.0.13+
+    parenthesized expression form on TEXT columns."""
+    from dbcut_spark.sinks.sqldump import RawDefault, default_sql
+
+    # bare 'now' is a plausible string literal, NOT a timestamp function
+    assert default_sql("now", "sqlite") == "'now'"
+    assert default_sql("now()", "sqlite") == "CURRENT_TIMESTAMP"
+    assert default_sql(RawDefault("'now'"), "sqlite") == "'now'"
