@@ -82,6 +82,7 @@ HEADLINE = [
     "vocab_build",
     "tfidf_top_terms",
     "substring_dup_frac",
+    "docs_cdc_chunks",
     "ivf_cluster_profile",
     "embedding_quantize_int8",
     "embedding_jl_distortion",

@@ -68,6 +68,59 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataF
     )
 
 
+def cdc_chunk_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    mask: int = 32,
+) -> DataFrame:
+    """Content-defined chunking: (id, chunk) rows where chunk
+    boundaries are the positions whose trailing ``window``-gram hashes
+    to 0 mod ``mask`` (mean chunk ≈ ``mask`` chars), plus the document
+    end. Unlike fixed-stride windows, CDC boundaries are SHIFT-ROBUST:
+    inserting one character early in a document moves every fixed
+    window but only the chunks around the edit — the property chunk-
+    level dedup at corpus scale depends on (same signal family as
+    rsync/LBFS anchoring; public technique).
+
+    Plan shape: the per-character boundary scan runs INSIDE
+    higher-order Column functions (filter/zip_with over a position
+    sequence — whole-stage codegen, no per-character row explosion);
+    only the ~len/mask chunks per document are exploded. Chunks are
+    distinct per document (set semantics, like :func:`shingle_rows`)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    ln = F.length(t)
+    gram = lambda i: t.substr(i - (window - 1), F.lit(window))
+    is_cut = lambda i: (
+        F.conv(F.substring(F.md5(gram(i)), 1, 4), 16, 10).cast("int")
+        % mask
+        == 0
+    )
+    positions = F.when(
+        ln >= window, F.sequence(F.lit(window), ln)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.array_sort(
+        F.array_union(
+            F.filter(positions, is_cut).cast("array<int>"),
+            F.array(ln.cast("int")),
+        )
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.slice(cuts, 1, F.greatest(F.size(cuts) - 1, F.lit(0))),
+            lambda c: c + 1,
+        ),
+    )
+    chunks = F.zip_with(starts, cuts, lambda s, e: t.substr(s, e - s + 1))
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("chunk"))
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n: int = 5
 ) -> DataFrame:

@@ -699,6 +699,10 @@ _GATE_ROTATION = [
     "events_hourly_drift_psi",
     "events_value_winsorized",
     "docs_tokenize_ids",
+    # -- round-5 late additions: behind the never-sampled block so the
+    # round-5 window (already computed above) keeps its 24 debut rows;
+    # these land in round 6's spare slots --
+    "docs_cdc_chunks",
     # -- driver-green in rounds 1-4 --
     "dedup_incremental",
     "pii_scan",

@@ -1703,6 +1703,76 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_cdc_chunks",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS t, length(trim(text)) AS len
+      FROM documents WHERE length(trim(text)) > 0),
+    cutpos AS (
+      SELECT doc_id, i AS cut FROM (
+        SELECT doc_id, t, unnest(range(8, len + 1)) AS i FROM d)
+      WHERE CAST('0x' || substr(md5(substr(t, i - 7, 8)), 1, 4) AS INT)
+            % 32 = 0
+      UNION
+      SELECT doc_id, len FROM d),
+    ordered AS (
+      SELECT doc_id, cut,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+               + 1 AS start
+      FROM cutpos),
+    chunks AS (
+      SELECT DISTINCT o.doc_id, substr(d.t, o.start, o.cut - o.start + 1) AS c
+      FROM ordered o JOIN d USING (doc_id)),
+    freq AS (SELECT c, count(*) AS n_docs FROM chunks GROUP BY c)
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(max(length(ch.c)) AS BIGINT) AS max_chunk_len,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM chunks ch JOIN freq f USING (c)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup signal: each document split at
+    hash-anchored boundaries (trailing 8-gram md5 ≡ 0 mod 32, mean
+    chunk ≈ 32 chars — operators/dedup.py:cdc_chunk_rows), then per
+    doc the fraction of its distinct chunks appearing in at least one
+    OTHER document. The shift-robust upgrade of substring_dup_frac:
+    an insertion moves every fixed-stride window but only the chunks
+    around the edit, so shared boilerplate still matches after small
+    edits (rsync/LBFS anchoring, public technique). The boundary scan
+    runs inside higher-order Column functions (codegen, no
+    per-character explode); only ~len/32 chunk rows per doc are
+    exploded, hashed to 64-bit keys for the frequency join. The oracle
+    recomputes on the raw chunk strings, so a hash collision would
+    surface as a value mismatch."""
+    d = tp(spark, sf_dir, "documents")
+    ch = pin(
+        dd.cdc_chunk_rows(d, "text", "doc_id").select(
+            "doc_id",
+            F.xxhash64("chunk").alias("h"),
+            F.length("chunk").alias("clen"),
+        )
+    )
+    freq = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("clen").cast("long").alias("max_chunk_len"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _ivf_profile_sql() -> str:
     """Oracle for the IVF cluster profile — same embedded-centroid
     assignment CTE as :func:`_ivf_ann_sql`, rolled up per cluster."""

@@ -1234,3 +1234,35 @@ def test_asof_attribution_stream_checkpoint_restart(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The property CDC exists for: inserting characters near the start
+    of a near-duplicate moves every fixed-stride window but only the
+    chunks around the edit, so most chunks still match across the two
+    versions — while a fixed-stride 20-char window signal on the same
+    pair collapses."""
+    import hashlib
+
+    from dbcut_spark.operators.dedup import cdc_chunk_rows
+
+    base = " ".join(
+        hashlib.md5(f"w{i}".encode()).hexdigest()[:6] for i in range(400)
+    )
+    edited = "zzz " + base  # 4-char insertion at the front
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_rows(df, "text", "doc_id").collect()
+    by_doc = {1: set(), 2: set()}
+    for r in ch:
+        by_doc[r.doc_id].add(r.chunk)
+    shared = by_doc[1] & by_doc[2]
+    # most chunks survive the shift (only the chunks around the edit
+    # differ); a fixed-stride window would share ~0 of its windows
+    assert len(shared) / len(by_doc[1]) > 0.8, (
+        len(shared), len(by_doc[1]), len(by_doc[2]))
+    # chunks tile the document exactly (the md5-word corpus makes every
+    # chunk unique, so the distinct set covers the full text)
+    assert sum(len(c) for c in by_doc[1]) == len(base)
+    assert all(c in base.lower() for c in by_doc[1])
