@@ -1266,3 +1266,86 @@ def test_cdc_chunks_shift_robust(spark):
     # chunk unique, so the distinct set covers the full text)
     assert sum(len(c) for c in by_doc[1]) == len(base)
     assert all(c in base.lower() for c in by_doc[1])
+
+
+def test_asof_attribution_stream_out_of_order_within_batches(spark, sf_dir, tmp_path):
+    """The watermark-gating claim under DISORDER: rows shuffled inside
+    each replay file (the watermark only advances between batches, so
+    every in-batch ordering is admitted) must still produce exactly the
+    batch as-of result — no emit-on-arrival shortcut can pass this."""
+    import time as _time
+
+    from dbcut_spark.operators.asof import asof_join_backward
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        asof_attribution_stream,
+        read_event_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    src = tmp_path / "asof_ooo"
+    src.mkdir()
+    lo, hi = ev.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(0.34D, 0.67D)) AS q"
+    ).first().q
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= lo),
+        ev.filter(
+            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
+        ),
+        ev.filter(F.col("ts").cast("double") > hi),
+    ]
+    sentinel = spark.range(1).select(
+        F.lit(99_999_999).alias("event_id"),
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    for i, p in enumerate(parts + [sentinel.select(*parts[0].columns)]):
+        # deterministic SHUFFLE inside the file: order by a hash of the
+        # id, not by time — maximal in-batch disorder
+        p.orderBy(F.md5(F.col("event_id").cast("string"))).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(src) + "/b*", max_files_per_trigger=1)
+    q = (
+        asof_attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_ooo_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.user_id): (r.last_click_id, r.gap_us)
+        for r in spark.table("asof_ooo_test").collect()
+    }
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("click_us")
+    )
+    j = asof_join_backward(
+        p, c, on=["user_id"], left_time="ts", right_time="ts",
+        pick={"event_id": "last_click_id", "click_us": "last_click_us"},
+        tiebreak="event_id",
+    )
+    want = {
+        (r.purchase_id, r.user_id): (
+            r.last_click_id,
+            None if r.last_click_us is None else r.gap_us,
+        )
+        for r in j.select(
+            "purchase_id", "user_id", "last_click_id", "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
