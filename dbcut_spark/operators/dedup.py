@@ -87,9 +87,10 @@ def cdc_chunk_rows(
     Plan shape: the per-character boundary scan runs INSIDE
     higher-order Column functions (filter/zip_with over a position
     sequence — whole-stage codegen, no per-character row explosion);
-    only the ~len/mask chunks per document are exploded. Chunks are
-    distinct per document (set semantics, like :func:`shingle_rows`)."""
-    t = F.lower(F.trim(F.col(text_col)))
+    only the ~len/mask chunks per document are exploded, deduped
+    IN-ARRAY before the explode so no raw chunk strings are ever
+    shuffled for the dedup (set semantics, like :func:`shingle_rows`)."""
+    t = norm_text(text_col)
     ln = F.length(t)
     gram = lambda i: t.substr(i - (window - 1), F.lit(window))
     is_cut = lambda i: (
@@ -114,10 +115,8 @@ def cdc_chunk_rows(
         ),
     )
     chunks = F.zip_with(starts, cuts, lambda s, e: t.substr(s, e - s + 1))
-    return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.explode(chunks).alias("chunk"))
-        .distinct()
+    return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(F.array_distinct(chunks)).alias("chunk")
     )
 
 
