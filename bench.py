@@ -83,6 +83,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "substring_dup_frac",
     "docs_cdc_chunks",
+    "embedding_centroid_drift",
+    "docs_pmi_bigrams",
     "ivf_cluster_profile",
     "embedding_quantize_int8",
     "embedding_jl_distortion",

@@ -703,6 +703,8 @@ _GATE_ROTATION = [
     # round-5 window (already computed above) keeps its 24 debut rows;
     # these land in round 6's spare slots --
     "docs_cdc_chunks",
+    "embedding_centroid_drift",
+    "docs_pmi_bigrams",
     # -- driver-green in rounds 1-4 --
     "dedup_incremental",
     "pii_scan",

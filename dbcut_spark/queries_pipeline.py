@@ -1773,6 +1773,222 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_centroid_drift",
+    sql="""
+    WITH v AS (
+      SELECT label,
+             substr(md5('edrift:' || CAST(vec_id AS VARCHAR)), 1, 8)
+               < '80000000' AS is_ref,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+    x AS (
+      SELECT label, is_ref, i AS pos, e[i] AS val
+      FROM (SELECT label, is_ref, e,
+                   unnest(range(1, len(e) + 1)) AS i FROM v)),
+    per_pos AS (
+      SELECT label, pos,
+             SUM(CASE WHEN is_ref THEN CAST(round(val, 6) AS DECIMAL(25,6))
+                      ELSE CAST(0 AS DECIMAL(25,6)) END) AS ref_sum,
+             SUM(CASE WHEN is_ref THEN CAST(0 AS DECIMAL(25,6))
+                      ELSE CAST(round(val, 6) AS DECIMAL(25,6)) END) AS new_sum,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      FROM x GROUP BY 1, 2),
+    means AS (
+      SELECT label, n_ref, n_new,
+             CAST(ref_sum AS DOUBLE) / n_ref AS rm,
+             CAST(new_sum AS DOUBLE) / n_new AS nm
+      FROM per_pos),
+    agg AS (
+      SELECT label, any_value(n_ref) AS n_ref, any_value(n_new) AS n_new,
+             CAST(SUM(CAST(round(rm * nm, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS dot,
+             CAST(SUM(CAST(round(rm * rm, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS r2,
+             CAST(SUM(CAST(round(nm * nm, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS n2
+      FROM means GROUP BY label)
+    SELECT label, n_ref, n_new,
+           round(dot / sqrt(r2 * n2), 6) AS centroid_cos,
+           round(sqrt(r2), 6) AS ref_norm,
+           round(sqrt(n2), 6) AS new_norm
+    FROM agg ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the corpus is split
+    into a reference and a current half by content hash of vec_id (the
+    corpus_drift_psi convention), the per-half mean embedding
+    (centroid) is computed element-wise, and the cosine between the
+    two centroids plus their norms is reported — the vector-space
+    analogue of PSI. Read the cosine AGAINST the norms: when the
+    class direction is real (centroid norm well above the 1/sqrt(n)
+    isotropic-noise floor), cosine near 1 means the embedding
+    distribution is stable and a drop is the earliest cheap signal of
+    upstream encoder or data drift; when the norms sit AT the noise
+    floor (as on this isotropic synthetic corpus), the cosine is
+    sampling noise and the norms themselves are the signal — a norm
+    that suddenly RISES above the floor means the class acquired a
+    direction it did not have. Plan: one posexplode to
+    (label, half, pos, val) and two keyed aggregations — shuffle keys
+    are (label, pos) then label, so state is 10x64 rows regardless of
+    corpus size; at 100 TB the centroid aggregation is the textbook
+    map-side-combine sum. Determinism: element sums route through
+    round(6)+DECIMAL(25,6) and the 64-term dot/norm sums through
+    round(12)+DECIMAL(30,12), so partial-aggregation order cannot
+    perturb the value-hash in either engine."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+
+    e = tp(spark, sf_dir, "embeddings")
+    is_ref = hash_bucket(F.col("vec_id"), "edrift:") < hash_threshold(0.5)
+    x = e.select(
+        "label",
+        is_ref.alias("is_ref"),
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos", "val"),
+    )
+    z6 = F.lit(0).cast("decimal(25,6)")
+    dsum6 = lambda cond: F.sum(
+        F.when(cond, F.round(F.col("val"), 6).cast("decimal(25,6)")).otherwise(z6)
+    )
+    per_pos = x.groupBy("label", "pos").agg(
+        dsum6(F.col("is_ref")).alias("ref_sum"),
+        dsum6(~F.col("is_ref")).alias("new_sum"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_new"),
+    )
+    means = per_pos.select(
+        "label",
+        "n_ref",
+        "n_new",
+        (F.col("ref_sum").cast("double") / F.col("n_ref")).alias("rm"),
+        (F.col("new_sum").cast("double") / F.col("n_new")).alias("nm"),
+    )
+    dsum12 = lambda c: F.sum(F.round(c, 12).cast("decimal(30,12)")).cast(
+        "double"
+    )
+    agg = means.groupBy("label").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_new").alias("n_new"),
+        dsum12(F.col("rm") * F.col("nm")).alias("dot"),
+        dsum12(F.col("rm") * F.col("rm")).alias("r2"),
+        dsum12(F.col("nm") * F.col("nm")).alias("n2"),
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_new",
+        F.round(F.col("dot") / F.sqrt(F.col("r2") * F.col("n2")), 6).alias(
+            "centroid_cos"
+        ),
+        F.round(F.sqrt("r2"), 6).alias("ref_norm"),
+        F.round(F.sqrt("n2"), 6).alias("new_norm"),
+    ).orderBy("label")
+
+
+@register(
+    "docs_pmi_bigrams",
+    sql=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) > 0) AS ws
+      FROM documents WHERE length(trim(text)) > 0),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+    tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS t FROM uni),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks))
+      GROUP BY w1, w2),
+    btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS bt FROM bi),
+    scored AS (
+      SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.n_ab,
+             u1.n_w AS n_a, u2.n_w AS n_b,
+             (CAST(bi.n_ab AS DOUBLE) / u1.n_w) / u2.n_w AS score
+      FROM bi
+      JOIN uni u1 ON u1.w = bi.w1
+      JOIN uni u2 ON u2.w = bi.w2
+      WHERE bi.n_ab >= 5)
+    SELECT bigram, n_ab, n_a, n_b,
+           round(ln(((score * t) / bt) * t), 6) AS pmi
+    FROM scored, tot, btot
+    ORDER BY score DESC, bigram LIMIT 50
+    """,
+)
+def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 50 word bigrams with the highest
+    pointwise mutual information, PMI = ln(p(ab) / (p(a)p(b))), among
+    those occurring ≥5 times — the classic phrase-mining signal
+    (multiword expressions to protect during tokenization/dedup).
+    Plan: ONE token explode feeds the unigram counts, one zip_with
+    bigram explode feeds the pair counts; totals are broadcast 1-row
+    aggregates (the tfidf pattern) and the rank is a
+    TakeOrderedAndProject top-k. Determinism: the ORDER is by the
+    exact double (n_ab/n_a)/n_b — two correctly-rounded IEEE divides
+    of exact integers, bit-identical in both engines (overflow-safe,
+    unlike n_a*n_b which exceeds int64 at corpus scale) — with a
+    lexical tie-break; only the displayed pmi goes through ln, guarded
+    by round(6)."""
+    d = tp(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ws = F.filter(
+        F.split(norm_text("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    toks = pin(d.select(ws.alias("ws")))
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, n1),
+                    F.slice(F.col("ws"), 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("long").alias("t"))
+    btot = bi.agg(F.sum("n_ab").cast("long").alias("bt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    score = (F.col("n_ab").cast("double") / F.col("n_a")) / F.col("n_b")
+    return (
+        bi.filter(F.col("n_ab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            score.alias("score"),
+            F.round(
+                F.log(((score * F.col("t")) / F.col("bt")) * F.col("t")), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("score").desc(), F.col("bigram").asc())
+        .limit(50)
+        .drop("score")
+    )
+
+
 def _ivf_profile_sql() -> str:
     """Oracle for the IVF cluster profile — same embedded-centroid
     assignment CTE as :func:`_ivf_ann_sql`, rolled up per cluster."""

@@ -1349,3 +1349,63 @@ def test_asof_attribution_stream_out_of_order_within_batches(spark, sf_dir, tmp_
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_centroid_drift_calibration(spark, sf_dir):
+    """Null-hypothesis calibration on the hash-split corpus: the
+    synthetic per-label embeddings are near-isotropic, so each half's
+    centroid is sampling noise with norm ≈ 1/sqrt(n) and the cosine
+    between two independent noise vectors is small — the norms are
+    what tell a reader whether the cosine is even informative. A
+    CONSTRUCTED clustered frame (center + small noise) must instead
+    report cosine ≈ 1: that is the drift-detection regime."""
+    import hashlib
+    import math
+
+    rows = QUERIES["embedding_centroid_drift"](spark, sf_dir).collect()
+    assert len(rows) == 10 and [r.label for r in rows] == sorted(
+        r.label for r in rows
+    )
+    for r in rows:
+        assert r.n_ref > 0 and r.n_new > 0
+        # isotropic null: centroid norm within ~3x of the 1/sqrt(n)
+        # noise floor, cosine well inside (-1, 1) noise band
+        for norm, n in ((r.ref_norm, r.n_ref), (r.new_norm, r.n_new)):
+            assert 0 < norm < 3.0 / math.sqrt(n), (r.label, norm, n)
+        assert abs(r.centroid_cos) < 0.9
+
+    # clustered regime: unit center direction + 5% noise -> cos ~ 1
+    def vec(i):
+        h = hashlib.md5(f"n{i}".encode()).digest()
+        noise = [(b - 127.5) / 127.5 * 0.05 for b in h]
+        return [1.0 + noise[j % 16] for j in range(64)]
+
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.queries_pipeline import embedding_centroid_drift
+
+    df = spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(60)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/embeddings.parquet")
+        out = embedding_centroid_drift(spark, tmp).collect()
+    [r] = out
+    assert r.centroid_cos > 0.999, r
+    assert r.ref_norm > 5  # far above the 1/sqrt(n) noise floor
+
+
+def test_pmi_bigrams_properties(spark, sf_dir):
+    """Every reported bigram meets min support, counts are consistent
+    (pair count cannot exceed either unigram count), and the PMI of a
+    reported top collocation is positive (it co-occurs more than
+    independence predicts)."""
+    rows = QUERIES["docs_pmi_bigrams"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.n_ab >= 5
+        assert r.n_ab <= r.n_a and r.n_ab <= r.n_b
+        assert " " in r.bigram
+    assert rows[0].pmi > 0  # the top collocation beats independence
