@@ -1850,12 +1850,14 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "val"),
     )
     z6 = F.lit(0).cast("decimal(25,6)")
-    dsum6 = lambda cond: F.sum(
-        F.when(cond, F.round(F.col("val"), 6).cast("decimal(25,6)")).otherwise(z6)
-    )
+    v6 = F.round(F.col("val"), 6).cast("decimal(25,6)")
+    # branch shapes mirror the oracle's CASE WHEN is_ref THEN .. ELSE ..
+    # exactly: a NULL is_ref (NULL vec_id) falls into the ELSE/new arm
+    # in BOTH engines (when(~is_ref, ...) would silently drop it here
+    # while DuckDB's ELSE kept it)
     per_pos = x.groupBy("label", "pos").agg(
-        dsum6(F.col("is_ref")).alias("ref_sum"),
-        dsum6(~F.col("is_ref")).alias("new_sum"),
+        F.sum(F.when(F.col("is_ref"), v6).otherwise(z6)).alias("ref_sum"),
+        F.sum(F.when(F.col("is_ref"), z6).otherwise(v6)).alias("new_sum"),
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
         .cast("long")
         .alias("n_ref"),
@@ -1944,8 +1946,10 @@ def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(norm_text("text"), r"\s+"), lambda x: F.length(x) > 0
     )
     toks = pin(d.select(ws.alias("ws")))
-    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_w")
+    uni = pin(
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     )
     n1 = F.greatest(F.size("ws") - 1, F.lit(0))
     bi = (
@@ -1962,8 +1966,11 @@ def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
-    tot = uni.agg(F.sum("n_w").cast("long").alias("t"))
-    btot = bi.agg(F.sum("n_ab").cast("long").alias("bt"))
+    # totals derive from the pinned token arrays directly — identical
+    # values to summing the aggregates, without re-running the unigram
+    # and bigram shuffles just to count their inputs
+    tot = toks.agg(F.sum(F.size("ws")).cast("long").alias("t"))
+    btot = toks.agg(F.sum(n1).cast("long").alias("bt"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
     score = (F.col("n_ab").cast("double") / F.col("n_a")) / F.col("n_b")

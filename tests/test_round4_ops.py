@@ -1380,7 +1380,6 @@ def test_centroid_drift_calibration(spark, sf_dir):
         noise = [(b - 127.5) / 127.5 * 0.05 for b in h]
         return [1.0 + noise[j % 16] for j in range(64)]
 
-    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
     from dbcut_spark.queries_pipeline import embedding_centroid_drift
 
     df = spark.createDataFrame(
