@@ -64,3 +64,13 @@ def test_engine_sql_dump_carries_catalog_defaults(spark, sf_dir):
     finally:
         for t, d in saved.items():
             eng.catalog.table(t).defaults = d
+
+
+def test_load_tables_helper(spark, sf_dir):
+    """session.load_tables loads the harness tables as a name->frame
+    dict and silently skips absent files."""
+    from dbcut_spark.session import load_tables
+
+    frames = load_tables(spark, sf_dir, ["region", "nation", "no_such"])
+    assert set(frames) == {"region", "nation"}
+    assert frames["region"].count() == 5

@@ -336,3 +336,16 @@ def test_mysql_text_defaults_parenthesized_even_for_current_timestamp():
     assert default_sql("now", "sqlite") == "'now'"
     assert default_sql("now()", "sqlite") == "CURRENT_TIMESTAMP"
     assert default_sql(RawDefault("'now'"), "sqlite") == "'now'"
+
+
+def test_bounds_query_executes():
+    """bounds_query is the companion of plan_partitioned_read: callers
+    fetch MIN/MAX of the partition column with it before planning a
+    range-partitioned scan — execute it for real on sqlite."""
+    from dbcut_spark.sources.jdbc import bounds_query
+
+    con = _sqlite_fixture()
+    lo, hi = con.execute(bounds_query("album", "album_id")).fetchone()
+    assert (lo, hi) == (10, 11)
+    plan = plan_partitioned_read(("album_id",), lo, hi, row_estimate=2)
+    assert plan.partition_column == "album_id"
