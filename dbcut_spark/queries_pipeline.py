@@ -1797,8 +1797,8 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x GROUP BY 1, 2),
     means AS (
       SELECT label, n_ref, n_new,
-             CAST(ref_sum AS DOUBLE) / n_ref AS rm,
-             CAST(new_sum AS DOUBLE) / n_new AS nm
+             CAST(ref_sum AS DOUBLE) / NULLIF(n_ref, 0) AS rm,
+             CAST(new_sum AS DOUBLE) / NULLIF(n_new, 0) AS nm
       FROM per_pos),
     agg AS (
       SELECT label, any_value(n_ref) AS n_ref, any_value(n_new) AS n_new,
@@ -1865,12 +1865,22 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_new"),
     )
+    # nullif guard: a label whose hash split leaves one half empty must
+    # yield NULL (not a div-by-zero artifact) in BOTH engines — DuckDB's
+    # float x/0 behavior varies by version, so the oracle divides by
+    # NULLIF(n, 0) and this side matches with an explicit when()
     means = per_pos.select(
         "label",
         "n_ref",
         "n_new",
-        (F.col("ref_sum").cast("double") / F.col("n_ref")).alias("rm"),
-        (F.col("new_sum").cast("double") / F.col("n_new")).alias("nm"),
+        (
+            F.col("ref_sum").cast("double")
+            / F.when(F.col("n_ref") > 0, F.col("n_ref"))
+        ).alias("rm"),
+        (
+            F.col("new_sum").cast("double")
+            / F.when(F.col("n_new") > 0, F.col("n_new"))
+        ).alias("nm"),
     )
     dsum12 = lambda c: F.sum(F.round(c, 12).cast("decimal(30,12)")).cast(
         "double"

@@ -99,6 +99,7 @@ FK_QUERY = {
         JOIN pg_attribute pa
           ON pa.attrelid = con.confrelid AND pa.attnum = con.confkey[s.i]
         WHERE con.contype = 'f' AND n.nspname = '{schema}'
+          AND con.conparentid = 0
         ORDER BY constraint_name, ordinal_position
     """,
     # fk.id numbers constraints within a table; the synthesized
@@ -164,8 +165,13 @@ ESTIMATE_QUERY = {
 # current_timestamp() cross-dialect (/root/reference/dbcut/compiler.py:
 # 12-18,58-63); sinks/sqldump.py:default_sql does the rewrite here.
 DEFAULTS_QUERY = {
+    # extra = 'DEFAULT_GENERATED' marks MySQL 8 expression defaults
+    # (uuid(), curdate(), ...), which column_default reports UNQUOTED
+    # and otherwise indistinguishable from bare string literals —
+    # normalize_reflected_default needs it to avoid re-quoting an
+    # expression into a string literal
     "mysql": """
-        SELECT table_name, column_name, column_default
+        SELECT table_name, column_name, column_default, extra
         FROM information_schema.columns
         WHERE table_schema = '{schema}' AND column_default IS NOT NULL
         ORDER BY table_name, ordinal_position
@@ -204,7 +210,11 @@ def reflection_sql(kind: str, dialect: str, schema: str) -> str:
 
 _NUMERIC_RE = _re.compile(r"^-?\d+(\.\d+)?$")
 _QUOTED_RE = _re.compile(r"^'.*'$", _re.S)
-_PG_CAST_RE = _re.compile(r"::[A-Za-z_][\w ]*(\(\d+(,\s*\d+)?\))?(\[\])?")
+# Anchored to the END of the expression so casts inside quoted literals
+# survive: 'a::b'::text must normalize to 'a::b', not 'a'. PG spells
+# reflected defaults as <literal><cast-chain>, so stripping only the
+# trailing chain is both sufficient and safe.
+_PG_CAST_RE = _re.compile(r"(::[A-Za-z_][\w ]*(\(\d+(,\s*\d+)?\))?(\[\])?)+$")
 _CURRENT_TS_REFLECT_RE = _re.compile(
     r"^(current_timestamp|localtimestamp|sysdate)(\(\d*\))?$"
     r"|^(now|getdate)\(\d*\)$",
@@ -212,7 +222,9 @@ _CURRENT_TS_REFLECT_RE = _re.compile(
 )
 
 
-def normalize_reflected_default(expr, source_dialect: str) -> str | None:
+def normalize_reflected_default(
+    expr, source_dialect: str, extra: str | None = None
+) -> str | None:
     """Canonicalize a reflected ``column_default`` into a PORTABLE SQL
     expression string, because each dialect's catalog spells defaults
     differently:
@@ -238,6 +250,17 @@ def normalize_reflected_default(expr, source_dialect: str) -> str | None:
         s = _PG_CAST_RE.sub("", s).strip()
     if _CURRENT_TS_REFLECT_RE.match(s):
         return s
+    if (
+        source_dialect == "mysql"
+        and extra is not None
+        and "DEFAULT_GENERATED" in extra.upper()
+    ):
+        # MySQL 8 expression default (uuid(), curdate(), (expr), ...)
+        # reported unquoted — re-quoting it would turn the expression
+        # into a string literal, and no portable cross-dialect spelling
+        # exists outside the current-timestamp family handled above, so
+        # drop it rather than corrupt it
+        return None
     if source_dialect == "mysql" and not (
         _NUMERIC_RE.match(s) or _QUOTED_RE.match(s) or s.startswith("(")
     ):
@@ -265,8 +288,12 @@ def catalog_from_rows(
     for tbl, col, pos in pk_rows:
         pks.setdefault(tbl, []).append((pos, col))
     defaults: dict[str, dict[str, str]] = {}
-    for tbl, col, expr in default_rows or []:
-        norm = normalize_reflected_default(expr, dialect)
+    for row in default_rows or []:
+        # mysql rows carry a 4th `extra` field (DEFAULT_GENERATED
+        # marker); the other dialects stay 3-wide
+        tbl, col, expr = row[0], row[1], row[2]
+        extra = row[3] if len(row) > 3 else None
+        norm = normalize_reflected_default(expr, dialect, extra)
         if norm is not None:
             defaults.setdefault(tbl, {})[col] = norm
     for name in table_names:

@@ -319,11 +319,32 @@ def test_normalize_reflected_default_per_dialect():
     assert norm("0.0::double precision", "postgresql") == "0.0"
     assert norm("now()", "postgresql") == "now()"
     assert norm("nextval('t_id_seq'::regclass)", "postgresql") is None
+    # PG cast-strip is anchored to the END: casts inside the quoted
+    # literal must survive (a default of the literal string "a::b")
+    assert norm("'a::b'::text", "postgresql") == "'a::b'"
+    assert norm("'a::b'::text::character varying", "postgresql") == "'a::b'"
+    # MySQL 8 expression defaults arrive unquoted with
+    # extra=DEFAULT_GENERATED — indistinguishable from string literals
+    # without the marker; drop them instead of quoting them into
+    # literals (current-timestamp family still carried)
+    assert norm("uuid()", "mysql", extra="DEFAULT_GENERATED") is None
+    assert norm("curdate()", "mysql", extra="DEFAULT_GENERATED") is None
+    assert (
+        norm("CURRENT_TIMESTAMP", "mysql", extra="DEFAULT_GENERATED")
+        == "CURRENT_TIMESTAMP"
+    )
+    assert norm("new", "mysql", extra="") == "'new'"
     # sqlite: dflt_value is already quoted SQL — verbatim
     assert norm("'new'", "sqlite") == "'new'"
     assert norm("CURRENT_TIMESTAMP", "sqlite") == "CURRENT_TIMESTAMP"
     assert norm(None, "sqlite") is None
     assert norm("  ", "mysql") is None
+    # the mysql defaults reflection carries the marker column, and the
+    # PG FK reflection skips partition-cloned constraints (PG >= 11)
+    from dbcut_spark.sources.jdbc import reflection_sql
+
+    assert "extra" in reflection_sql("defaults", "mysql", "s")
+    assert "conparentid = 0" in reflection_sql("fk", "postgresql", "s")
 
 
 def test_mysql_text_defaults_parenthesized_even_for_current_timestamp():
