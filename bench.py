@@ -120,6 +120,8 @@ HEADLINE = [
     "events_hourly_drift_psi",
     "events_value_winsorized",
     "docs_tokenize_ids",
+    "tpch_rf_refresh",
+    "ann_recall_eval",
 ]
 
 
@@ -163,9 +165,90 @@ def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
     return line
 
 
+def _run_one(spark, sf_dir: str, name: str, repeats: int = 3):
+    """Best-of-N timing for one query on an already-warm session.
+    Returns (best, all runs, rowcount)."""
+    from dbcut_spark.operators.pinning import release_pinned
+    from dbcut_spark.queries import QUERIES
+
+    fn = QUERIES[name]
+    runs, n = [], 0
+    for _ in range(repeats):
+        start = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        runs.append(round(time.perf_counter() - start, 4))
+    release_pinned()
+    spark.catalog.clearCache()
+    return min(runs), runs, n
+
+
+def isolate_child(name: str, sf_dir: str) -> None:
+    """Child process for --isolate: fresh JVM + fresh Arrow workers, one
+    query, best-of-8 after a warm-up scan (a fresh JVM is still JIT-
+    compiling at run 3 — observed 7.5s → 1.33s → 1.23s sequences — so
+    the steady state needs more repeats than the in-suite best-of-3,
+    where earlier queries already warmed the JVM). Prints one JSON
+    line."""
+    from dbcut_spark.session import get_spark
+
+    spark = get_spark(f"bench-isolate-{name}")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    best, runs, n = _run_one(spark, sf_dir, name, repeats=8)
+    print(json.dumps({"query": name, "best": best, "runs": runs, "rows": n}))
+
+
+def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
+    """--isolate triage mode: each named query runs in its OWN fresh
+    JVM (subprocess), so suite-level heap/GC/Arrow-worker state from
+    earlier queries cannot bleed into its timing. This is the artifact
+    mode for adjudicating full-suite regressions: if the isolated
+    best-of-8 matches the historical number, the suite figure was load
+    noise, not a plan regression. (Round-6 triage of the r5 regression
+    did exactly this: dedup_simhash_pairs 1.70s suite → 0.91s isolated
+    vs 0.82s r4; ann_lsh_topk 2.20s → 1.43s vs 1.41s; ann_ivf_topk
+    1.33s → 1.13s vs 1.06s; dedup_ngram_jaccard 1.11s → 0.72s vs 0.76s
+    — plans unchanged, regression was suite-level JVM/GC load.)"""
+    import subprocess
+
+    out = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_isolate-child", name],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            out[name] = {"error": proc.stderr[-500:]}
+            print(f"# {name}: FAILED", file=sys.stderr)
+            continue
+        rec = json.loads(line[-1])
+        out[name] = rec
+        print(f"# {name}: best={rec['best']:.3f}s runs={rec['runs']} "
+              f"rows={rec['rows']}", file=sys.stderr)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ISOLATE.json")
+    with open(path, "w") as f:
+        json.dump({"metric": "isolated_best_of_8", "unit": "sec",
+                   "sf": sf, "queries": out}, f, indent=2)
+    print(json.dumps({"metric": "isolated_best_of_8", "unit": "sec",
+                      "sf": sf,
+                      "queries": {k: v.get("best") for k, v in out.items()}},
+                     separators=(",", ":")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--_isolate-child":
+        isolate_child(sys.argv[2], sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        names = sys.argv[2:] or HEADLINE
+        isolate_main(names, sf_dir, sf)
+        return
 
     from dbcut_spark.operators.pinning import release_pinned
     from dbcut_spark.queries import QUERIES

@@ -705,6 +705,14 @@ _GATE_ROTATION = [
     "docs_cdc_chunks",
     "embedding_centroid_drift",
     "docs_pmi_bigrams",
+    # -- round-6 additions: behind the never-sampled block (pool slots
+    # 24..46 = the 23 remaining never-sampled queries, all still inside
+    # gate_window_for_round(6)). tpch_rf_refresh takes the window's
+    # last slot (47) from dedup_incremental — which already has a green
+    # r4 driver row, so no coverage is lost and the new query debuts in
+    # round 6; later additions land in round 7's rotation. --
+    "tpch_rf_refresh",
+    "ann_recall_eval",
     # -- driver-green in rounds 1-4 --
     "dedup_incremental",
     "pii_scan",

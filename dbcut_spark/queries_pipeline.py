@@ -4317,3 +4317,85 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (approximate paths vs the exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def _recall_eval_sql(k: int = 5) -> str:
+    """Oracle composed from the ALREADY-REGISTERED ANN oracles: each
+    approximate path's full pipeline (planes/centroids/codebooks as
+    literals) runs as a subquery, the exact baseline likewise, and the
+    recall join is plain SQL on top — so the recall numbers are
+    verified against the same bit-identical reconstructions the
+    individual gate rows use, not a re-derivation."""
+    methods = [
+        ("lsh", ORACLES["ann_lsh_topk"]),
+        ("ivf", ORACLES["ann_ivf_topk"]),
+        ("pq", ORACLES["embedding_pq_topk"]),
+        ("binary", ORACLES["embedding_binary_topk"]),
+    ]
+    union = "\n      UNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, cand_id FROM ({sql}) t_{m}"
+        for m, sql in methods
+    )
+    return f"""
+    WITH exact AS (
+      SELECT query_id, cand_id FROM ({ORACLES['ann_cosine_topk']}) t_exact),
+    approx AS (
+      {union})
+    SELECT a.method, a.query_id,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(count(e.cand_id) AS BIGINT) AS n_hits,
+           round(count(e.cand_id) / {k}.0, 6) AS recall_at_{k}
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY a.method, a.query_id
+    ORDER BY a.method, a.query_id
+    """
+
+
+@register("ann_recall_eval", sql=_recall_eval_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate ANN path (hyperplane LSH, IVF
+    nprobe=4, PQ ADC + re-rank, binary sign-bit) against the exact
+    brute-force cosine top-5 — the number a user tuning
+    nprobe/bands/shortlist actually needs. Per (method, query) the
+    approximate top-k is left-joined to the exact top-k and hits are
+    counted; recall@k = hits / k (denominator k even when a method
+    returns fewer candidates, the standard definition).
+
+    Scale: each approximate path keeps its own bucketed plan; the exact
+    side here is the k·|queries| result rows (50 rows), NOT the O(n²)
+    scoring — it is broadcast into the hit join, so recall evaluation
+    adds only a broadcast-join + tiny agg on top of plans that already
+    hold at 100 TB. In production the exact answers come from a
+    committed labeled query set, which this models."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", embedding_pq_topk),
+        ("binary", embedding_binary_topk),
+    ]
+    approx = None
+    for m, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "cand_id"
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    joined = approx.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("method", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall_at_5", F.round(F.col("n_hits") / 5.0, 6))
+        .orderBy("method", "query_id")
+    )
