@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from dbcut_spark.queries import register, t
 
+# tpch_rf_refresh scratch-dir bookkeeping: dirs whose result frames may
+# still be lazily read (see the reaping comment in tpch_rf_refresh)
+import threading as _threading_mod
+
+_RF_LOCK = _threading_mod.Lock()
+_RF_LIVE: set[str] = set()
+_RF_TLOCAL = _threading_mod.local()
+
 # Shared money-sum fragment: exact decimal accumulation, rounded to
 # cents, surfaced as DOUBLE (identical arithmetic in both engines).
 _REV = "CAST(round(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(25,8))), 2) AS DOUBLE)"
@@ -1003,7 +1011,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE substr(md5('rfu:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
             < '0ccccccc'),
     ins AS (
-      SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+      SELECT -o_orderkey AS o_orderkey, o_custkey,
              'N' AS o_orderstatus, o_totalprice * 0.5 AS o_totalprice,
              o_orderdate, o_orderpriority
       FROM orders
@@ -1035,7 +1043,9 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     RF2 delete) over the REAL parquet sink path: the orders table is
     materialized to a scratch target, a deterministic hash-derived delta
     (5% updates with o_orderstatus='U' and +1000 price, 10% inserts under
-    shifted keys with 'N' status and halved price) is applied via
+    NEGATED keys with 'N' status and halved price — negation keeps the
+    insert keys outside the base o_orderkey domain at ANY scale factor,
+    where a fixed +1M shift would collide with base keys at sf>=~0.17) is applied via
     :func:`sinks.insert_ignore.upsert_parquet`, an 8% hash-derived key
     set is removed via :func:`delete_keys_parquet`, and the POST-REFRESH
     state is read back from disk and aggregated by status. The oracle
@@ -1063,13 +1073,41 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_parquet,
     )
 
-    # scratch target: previous invocations' dirs are dead (each call's
-    # result is consumed before the next call in every harness path) —
-    # reap them so best-of-N benching doesn't accumulate copies
+    # scratch target: this THREAD's previous invocation's dir is dead
+    # (its result DataFrame was consumed before the next call in every
+    # harness path) — reap stale dirs so best-of-N benching doesn't
+    # accumulate copies, without ever touching a LIVE target:
+    # - the prefix embeds the PID, so a concurrent session (e.g. a
+    #   bench --isolate child racing a parity run) never reaps a dir it
+    #   doesn't own; other PIDs' leftovers reap only once >1h old;
+    # - within this process, _RF_LIVE tracks dirs whose result frames
+    #   may still be lazily read (concurrent threads), and reaping
+    #   skips them; a thread retires its own previous dir on re-entry.
+    import os as _os
+    import threading as _threading
+    import time as _time
+
     tmp_root = _tempfile.gettempdir()
-    for stale in _glob.glob(f"{tmp_root}/dbcut_rf_refresh_*"):
-        _shutil.rmtree(stale, ignore_errors=True)
-    target = _tempfile.mkdtemp(prefix="dbcut_rf_refresh_") + "/orders"
+    pid = _os.getpid()
+    with _RF_LOCK:
+        prev = getattr(_RF_TLOCAL, "scratch", None)
+        if prev is not None:
+            _RF_LIVE.discard(prev)
+        own_prefix = f"dbcut_rf_refresh_{pid}_"
+        for stale in _glob.glob(f"{tmp_root}/dbcut_rf_refresh_*"):
+            if stale in _RF_LIVE:
+                continue
+            own = _os.path.basename(stale).startswith(own_prefix)
+            try:
+                aged = _time.time() - _os.path.getmtime(stale) > 3600
+            except OSError:
+                aged = False
+            if own or aged:
+                _shutil.rmtree(stale, ignore_errors=True)
+        scratch = _tempfile.mkdtemp(prefix=own_prefix)
+        _RF_LIVE.add(scratch)
+        _RF_TLOCAL.scratch = scratch
+    target = scratch + "/orders"
 
     base = t(spark, sf_dir, "orders")
     base.write.parquet(target)
@@ -1087,7 +1125,7 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = base.filter(
         hash_bucket(F.col("o_orderkey"), "rfi:") < hash_threshold(0.1)
     ).select(
-        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         (F.col("o_totalprice") * 0.5).alias("o_totalprice"),

@@ -104,23 +104,138 @@ def insert_ignore_jdbc(
     return n
 
 
+def detect_partition_cols(path: str) -> list[str]:
+    """Detect hive-style partition columns from the directory layout:
+    each nesting level whose child directories are all ``col=value``
+    with one shared column name contributes one partition column, root
+    down. Returns [] for an unpartitioned target."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subdirs = [
+                e for e in os.scandir(cur) if e.is_dir() and "=" in e.name
+            ]
+        except OSError:
+            break
+        if not subdirs:
+            break
+        col = subdirs[0].name.split("=", 1)[0]
+        if not col or any(e.name.split("=", 1)[0] != col for e in subdirs):
+            break
+        cols.append(col)
+        cur = subdirs[0].path
+    return cols
+
+
+def _escape_partition_value(value) -> str:
+    """Hive/Spark partition-path encoding for one value (mirrors the
+    behavior of Hive's ``FileUtils.escapePathName`` / Spark's
+    ``ExternalCatalogUtils`` — both public code): NULL maps to the
+    default-partition sentinel; unsafe path characters percent-encode
+    as ``%XX``. Used only as the SECONDARY mechanism (locating a target
+    dir that became empty); the primary swap walks the staged dirs
+    Spark itself wrote, so an encoding mismatch on an exotic value can
+    at worst leave an empty partition behind, never corrupt data."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    unsafe = set('"#%\'*/:=?\\{[]^')
+    out = []
+    for ch in str(value):
+        if ch in unsafe or ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _partition_reldir(part_cols: list[str], row) -> str:
+    return "/".join(
+        f"{c}={_escape_partition_value(row[c])}" for c in part_cols
+    )
+
+
+def _partition_filter(part_cols: list[str], rows):
+    """Disjunction of per-partition conjunctions over LITERALS on the
+    partition columns — exactly the shape Catalyst's partition pruning
+    folds into a pruned file listing (PartitionFilters in the scan)."""
+    cond = F.lit(False)
+    for r in rows:
+        sub = F.lit(True)
+        for c in part_cols:
+            v = r[c]
+            sub = sub & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
+        cond = cond | sub
+    return cond
+
+
+def _staged_partition_dirs(staged: str, depth: int) -> list[str]:
+    """Relative ``col=value[/col=value...]`` dirs of exactly ``depth``
+    levels under the staged output root."""
+    rels: list[str] = []
+
+    def walk(base: str, rel: str, level: int) -> None:
+        for e in os.scandir(base):
+            if e.is_dir() and "=" in e.name:
+                sub = os.path.join(rel, e.name) if rel else e.name
+                if level + 1 == depth:
+                    rels.append(sub)
+                else:
+                    walk(e.path, sub, level + 1)
+
+    walk(staged, "", 0)
+    return rels
+
+
+def _swap_touched_partitions(
+    staged: str, path: str, part_cols: list[str], touched_rows
+) -> None:
+    """Replace in ``path`` exactly the partition dirs present in the
+    staged output, and remove touched target partitions the staged
+    output has no rows for (they became empty). Untouched partition
+    dirs are never opened, moved, or rewritten."""
+    import shutil
+
+    staged_rels = set(_staged_partition_dirs(staged, len(part_cols)))
+    for rel in staged_rels:
+        dst = os.path.join(path, rel)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(staged, rel), dst)
+    for row in touched_rows:
+        rel = _partition_reldir(part_cols, row)
+        if rel not in staged_rels:
+            dst = os.path.join(path, rel)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+    shutil.rmtree(staged)  # leftover _SUCCESS + emptied value dirs
+
+
 def upsert_parquet(
     spark: SparkSession, df: DataFrame, path: str, pk: list[str]
 ) -> tuple[int, int]:
     """MERGE semantics for a parquet target: incoming rows replace
     existing rows with the same PK (update) or append (insert).
     Implemented as existing-minus-incoming (left-anti on the PK) union
-    incoming, written to a staging directory then atomically swapped —
-    the standard rewrite shape for formats without row-level updates.
+    incoming, written to a staging directory then swapped — the
+    standard rewrite shape for formats without row-level updates.
     Returns (updated, inserted) counts.
 
-    Scale note: this rewrites the table; on a partitioned 100 TB target
-    restrict the rewrite to the partitions the incoming keys touch
-    (dynamic partition overwrite) — same plan, pruned scan. Not atomic
-    under concurrent writers (same caveat as insert-ignore), and like
-    any rewrite-based format, DataFrames built over the old files are
-    invalid after the swap (the session's own listing cache is
-    refreshed here)."""
+    Scale: on a hive-partitioned target (layout auto-detected) the
+    rewrite is restricted to TOUCHED partitions — the partitions the
+    incoming rows land in, plus the partitions holding the old row of
+    any matching PK (an update may move a row across partitions). The
+    existing-side scan carries a literal partition predicate, so
+    Catalyst prunes the file listing (PartitionFilters), and the swap
+    replaces only those partition dirs — a 0.1% delta on a 100 TB
+    target rewrites ~0.1%, not 100 TB. The touched-partition collect is
+    bounded by the number of distinct touched partitions, not rows.
+    Unpartitioned targets fall back to the full staging-swap rewrite.
+    Not atomic under concurrent writers (same caveat as insert-ignore),
+    and like any rewrite-based format, DataFrames built over the old
+    files are invalid after the swap (the session's own listing cache
+    is refreshed here)."""
     import shutil
 
     df = df.dropDuplicates(pk)
@@ -128,16 +243,39 @@ def upsert_parquet(
         n = df.count()
         df.write.parquet(path)
         return 0, n
+    part_cols = detect_partition_cols(path)
     existing = spark.read.parquet(path)
-    keep = anti_new_rows(existing, df, pk)
     df = df.cache()
     try:
         incoming = df.count()
-        updated = incoming - anti_new_rows(df, existing, pk).count()
-        staged = path + ".__staging__"
-        keep.unionByName(df).write.mode("overwrite").parquet(staged)
-        shutil.rmtree(path)
-        os.rename(staged, path)
+        if part_cols and set(part_cols) <= set(df.columns):
+            inc_parts = df.select(*part_cols).distinct()
+            old_parts = (
+                existing.join(df.select(*pk), on=pk, how="left_semi")
+                .select(*part_cols)
+                .distinct()
+            )
+            touched = inc_parts.unionByName(old_parts).distinct().collect()
+            scoped = existing.filter(_partition_filter(part_cols, touched))
+            keep = anti_new_rows(scoped, df, pk)
+            updated = incoming - anti_new_rows(df, scoped, pk).count()
+            staged = path + ".__staging__"
+            (
+                keep.unionByName(df.select(*keep.columns))
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(staged)
+            )
+            _swap_touched_partitions(staged, path, part_cols, touched)
+        else:
+            keep = anti_new_rows(existing, df, pk)
+            updated = incoming - anti_new_rows(df, existing, pk).count()
+            staged = path + ".__staging__"
+            keep.unionByName(df.select(*keep.columns)).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            shutil.rmtree(path)
+            os.rename(staged, path)
         # the session caches file listings per path; the swap invalidated them
         spark.catalog.refreshByPath(path)
         return updated, incoming - updated
@@ -150,14 +288,44 @@ def delete_keys_parquet(
 ) -> int:
     """Row-level delete for a parquet target: rewrite the table minus
     the rows whose PK appears in ``df_keys`` (left-anti join). Returns
-    the number of rows deleted. Same staging-swap and partition-pruning
-    caveats as :func:`upsert_parquet`."""
+    the number of rows deleted.
+
+    Scale: on a hive-partitioned target, the partitions containing the
+    doomed keys are found with a key-semi-join over a column-pruned
+    (pk + partition cols only) scan, and ONLY those partitions are
+    rewritten/swapped; a partition whose rows are all deleted is
+    removed. Same staging-swap caveats as :func:`upsert_parquet`."""
     import shutil
 
     if not os.path.exists(path):
         return 0
+    part_cols = detect_partition_cols(path)
     existing = spark.read.parquet(path)
     keys = df_keys.select(*pk).dropDuplicates(pk)
+    if part_cols:
+        touched = (
+            existing.join(keys, on=pk, how="left_semi")
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return 0
+        scoped = existing.filter(_partition_filter(part_cols, touched))
+        remaining = anti_new_rows(scoped, keys, pk)
+        n_before = scoped.count()
+        staged = path + ".__staging__"
+        remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(staged)
+        # every touched partition emptied ⇒ staged holds only _SUCCESS,
+        # which parquet cannot infer a schema from
+        n_after = (
+            spark.read.parquet(staged).count()
+            if _staged_partition_dirs(staged, len(part_cols))
+            else 0
+        )
+        _swap_touched_partitions(staged, path, part_cols, touched)
+        spark.catalog.refreshByPath(path)
+        return n_before - n_after
     remaining = anti_new_rows(existing, keys, pk)
     n_before = existing.count()
     staged = path + ".__staging__"

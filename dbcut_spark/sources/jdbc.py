@@ -222,6 +222,31 @@ _CURRENT_TS_REFLECT_RE = _re.compile(
 )
 
 
+def _mask_quoted(s: str) -> str:
+    """Blank out single-quoted spans (with '' escaping) so syntax checks
+    don't trip on characters inside string literals."""
+    out: list[str] = []
+    in_quote = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_quote:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_quote = False
+            i += 1
+            continue
+        if ch == "'":
+            in_quote = True
+            out.append("'")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def normalize_reflected_default(
     expr, source_dialect: str, extra: str | None = None
 ) -> str | None:
@@ -248,6 +273,12 @@ def normalize_reflected_default(
         if "nextval(" in s.lower():
             return None
         s = _PG_CAST_RE.sub("", s).strip()
+        # Casts can survive end-anchored stripping when PG parenthesized
+        # the default — ('now'::text)::timestamp strips to ('now'::text).
+        # A '::' outside quoted literals is PG-only syntax; no portable
+        # spelling exists, so drop the default rather than emit it.
+        if "::" in _mask_quoted(s):
+            return None
     if _CURRENT_TS_REFLECT_RE.match(s):
         return s
     if (

@@ -323,6 +323,13 @@ def test_normalize_reflected_default_per_dialect():
     # literal must survive (a default of the literal string "a::b")
     assert norm("'a::b'::text", "postgresql") == "'a::b'"
     assert norm("'a::b'::text::character varying", "postgresql") == "'a::b'"
+    # parenthesized defaults defeat end-anchored stripping —
+    # ('now'::text)::timestamp strips to ('now'::text), which is
+    # PG-only syntax; any residual cast outside quotes → dropped
+    assert norm("('now'::text)::timestamp without time zone", "postgresql") is None
+    assert norm("(('a'::text || 'b'::text))::character varying", "postgresql") is None
+    # ...but residual '::' INSIDE a quoted literal is data, not syntax
+    assert norm("('a::b')::text", "postgresql") == "('a::b')"
     # MySQL 8 expression defaults arrive unquoted with
     # extra=DEFAULT_GENERATED — indistinguishable from string literals
     # without the marker; drop them instead of quoting them into

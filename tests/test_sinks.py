@@ -614,3 +614,108 @@ def test_cli_sql_adhoc_statement(spark, sf_dir, tmp_path):
     assert lines[0] == "r_name\tn"
     assert len(lines) == 6  # 5 regions + header
     assert all("\t" in ln for ln in lines[1:])
+
+
+def _file_census(root):
+    """{relative parquet-file path: (size, mtime_ns)} under root."""
+    out = {}
+    for base, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(base, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """The 100 TB shape: a hive-partitioned target's upsert must leave
+    every untouched partition's files byte-identical ON DISK (same
+    names, sizes, mtimes) — only partitions the delta touches are
+    rewritten/swapped."""
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        detect_partition_cols,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    rows = [(i, i % 4, float(i)) for i in range(40)]  # partitions p=0..3
+    base = spark.createDataFrame(rows, ["id", "p", "v"])
+    base.repartition(2).write.partitionBy("p").parquet(path)
+    assert detect_partition_cols(path) == ["p"]
+
+    before = _file_census(path)
+
+    # delta: update id=1 (stays in p=1), insert id=100 into new p=9
+    delta = spark.createDataFrame([(1, 1, -1.0), (100, 9, 9.0)], ["id", "p", "v"])
+    upd, ins = upsert_parquet(spark, delta, path, ["id"])
+    assert (upd, ins) == (1, 1)
+
+    after = _file_census(path)
+    untouched_before = {k: v for k, v in before.items() if not k.startswith("p=1/")}
+    untouched_after = {k: v for k, v in after.items() if not (k.startswith("p=1/") or k.startswith("p=9/"))}
+    assert untouched_before == untouched_after  # names, sizes, mtimes
+    assert any(k.startswith("p=9/") for k in after)
+
+    got = {(r.id, r.p, r.v) for r in spark.read.parquet(path).collect()}
+    expect = {(i, i % 4, float(i)) for i in range(40) if i != 1}
+    expect |= {(1, 1, -1.0), (100, 9, 9.0)}
+    assert got == expect
+
+    # cross-partition move: id=2 moves p=2 -> p=3; both partitions are
+    # touched, the old p=2 copy must disappear, p=0/p=1/p=9 untouched
+    before = _file_census(path)
+    mover = spark.createDataFrame([(2, 3, 2.5)], ["id", "p", "v"])
+    upd, ins = upsert_parquet(spark, mover, path, ["id"])
+    assert (upd, ins) == (1, 0)
+    after = _file_census(path)
+    for keep_prefix in ("p=0/", "p=1/", "p=9/"):
+        assert {k: v for k, v in before.items() if k.startswith(keep_prefix)} == {
+            k: v for k, v in after.items() if k.startswith(keep_prefix)
+        }
+    got = {(r.id, r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert (2, 3, 2.5) in got and not any(t[0] == 2 and t[1] == 2 for t in got)
+
+    # partitioned delete: kill all of p=9 plus one row of p=0;
+    # p=1/p=2/p=3 files stay byte-identical, p=9's dir is gone
+    before = _file_census(path)
+    victims = spark.createDataFrame([(100,), (4,)], ["id"])
+    n = delete_keys_parquet(spark, victims, path, ["id"])
+    assert n == 2
+    after = _file_census(path)
+    for keep_prefix in ("p=1/", "p=2/", "p=3/"):
+        assert {k: v for k, v in before.items() if k.startswith(keep_prefix)} == {
+            k: v for k, v in after.items() if k.startswith(keep_prefix)
+        }
+    assert not any(k.startswith("p=9/") for k in after)
+    assert not os.path.exists(os.path.join(path, "p=9"))
+    got = {(r.id, r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert not any(t[0] in (100, 4) for t in got)
+    assert len(got) == 39  # 41 rows before the delete, minus 2
+    # deleting absent keys on a partitioned target is a no-op
+    assert delete_keys_parquet(spark, spark.createDataFrame([(555,)], ["id"]), path, ["id"]) == 0
+
+
+def test_upsert_partitioned_multilevel_and_null(spark, tmp_path):
+    """Two-level partitioning and a NULL partition value (hive default
+    sentinel) both prune correctly."""
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "m.parquet")
+    rows = [(1, "a", 1, 1.0), (2, "a", 2, 2.0), (3, "b", 1, 3.0), (4, None, 1, 4.0)]
+    spark.createDataFrame(rows, ["id", "k1", "k2", "v"]).write.partitionBy(
+        "k1", "k2"
+    ).parquet(path)
+    before = _file_census(path)
+    delta = spark.createDataFrame([(3, "b", 1, -3.0)], ["id", "k1", "k2", "v"])
+    upd, ins = upsert_parquet(spark, delta, path, ["id"])
+    assert (upd, ins) == (1, 0)
+    after = _file_census(path)
+    for keep_prefix in ("k1=a/", "k1=__HIVE_DEFAULT_PARTITION__/"):
+        assert {k: v for k, v in before.items() if k.startswith(keep_prefix)} == {
+            k: v for k, v in after.items() if k.startswith(keep_prefix)
+        }
+    got = {(r.id, r.k1, r.k2, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 1, 1.0), (2, "a", 2, 2.0), (3, "b", 1, -3.0), (4, None, 1, 4.0)}
