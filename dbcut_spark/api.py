@@ -41,9 +41,19 @@ class Engine:
         self.source = source
         self.config = dict(config or {})
         if catalog is None:
+            # automatic reflection cache, same path as the CLI (see
+            # catalog_cache module docstring). config keys: "cache"
+            # (dir), "no_cache" / "force_refresh" (booleans)
             from dbcut_spark.catalog import detect_catalog
+            from dbcut_spark.catalog_cache import cached_catalog
 
-            catalog = detect_catalog(spark, source)
+            catalog = cached_catalog(
+                source,
+                self.config.get("cache", "~/.cache/dbcut_spark"),
+                lambda: detect_catalog(spark, source),
+                enabled=not self.config.get("no_cache", False),
+                force_refresh=self.config.get("force_refresh", False),
+            )
         self.catalog = catalog
         self.executor = ClosureExecutor(spark, parquet_loader(spark, source))
 

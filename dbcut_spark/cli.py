@@ -92,9 +92,19 @@ class Ctx:
         if cat_path:
             with open(cat_path) as f:
                 return Catalog.from_json(f.read())
+        # automatic reflection cache (reference database.py:131-143):
+        # repeat constructions against the same source skip reflection
+        # entirely; --no-cache bypasses, --force-refresh re-reflects
         from dbcut_spark.catalog import detect_catalog
+        from dbcut_spark.catalog_cache import cached_catalog
 
-        return detect_catalog(self.spark, self.source)
+        return cached_catalog(
+            self.source,
+            self.config.get("cache", "~/.cache/dbcut_spark"),
+            lambda: detect_catalog(self.spark, self.source),
+            enabled=not self.no_cache,
+            force_refresh=self.force_refresh,
+        )
 
     @property
     def spark(self):

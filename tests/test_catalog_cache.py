@@ -1,0 +1,168 @@
+"""Automatic catalog/reflection cache (reference
+/root/reference/dbcut/database.py:131-143,207-209: reflected metadata is
+persisted per cache key and loaded instead of re-reflecting)."""
+
+import json
+import os
+
+from dbcut_spark.catalog import Catalog, ForeignKey, TableSpec
+from dbcut_spark.catalog_cache import CatalogCache, cached_catalog, source_digest
+
+
+def _toy_catalog() -> Catalog:
+    cat = Catalog()
+    cat.tables["a"] = TableSpec("a", ("id",), ("id", "b_id"))
+    cat.tables["b"] = TableSpec("b", ("id",), ("id",), defaults={"id": "0"})
+    cat.fks = [ForeignKey("a", ("b_id",), "b", ("id",))]
+    return cat
+
+
+def _mk_source(tmp_path, names=("a", "b")):
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    for n in names:
+        (src / f"{n}.parquet").write_bytes(b"PAR1")
+    return str(src)
+
+
+def test_second_construction_reads_cache(tmp_path):
+    src = _mk_source(tmp_path)
+    cache_dir = str(tmp_path / "cache")
+    calls = []
+
+    def reflect():
+        calls.append(1)
+        return _toy_catalog()
+
+    c1 = cached_catalog(src, cache_dir, reflect)
+    assert len(calls) == 1
+    c2 = cached_catalog(src, cache_dir, reflect)
+    assert len(calls) == 1  # served from cache — no second reflection
+    assert c2.to_json() == c1.to_json()
+    # round-trip fidelity includes FKs, synthetic-PK flag, defaults
+    assert c2.fks == c1.fks
+    assert c2.tables["b"].defaults == {"id": "0"}
+
+
+def test_digest_change_invalidates(tmp_path):
+    src = _mk_source(tmp_path)
+    cache_dir = str(tmp_path / "cache")
+    calls = []
+
+    def reflect():
+        calls.append(1)
+        return _toy_catalog()
+
+    cached_catalog(src, cache_dir, reflect)
+    d0 = source_digest(src)
+    # schema drift: a table is rewritten (mtime bumps) → digest changes
+    target = os.path.join(src, "a.parquet")
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    assert source_digest(src) != d0
+    cached_catalog(src, cache_dir, reflect)
+    assert len(calls) == 2  # re-reflected
+    # ...and a new table appearing also invalidates
+    (  # noqa: SIM115
+        open(os.path.join(src, "c.parquet"), "wb")
+    ).write(b"PAR1")
+    cached_catalog(src, cache_dir, reflect)
+    assert len(calls) == 3
+
+
+def test_force_refresh_and_no_cache(tmp_path):
+    src = _mk_source(tmp_path)
+    cache_dir = str(tmp_path / "cache")
+    calls = []
+
+    def reflect():
+        calls.append(1)
+        return _toy_catalog()
+
+    cached_catalog(src, cache_dir, reflect)
+    cached_catalog(src, cache_dir, reflect, force_refresh=True)
+    assert len(calls) == 2  # --force-refresh busts a fresh entry
+    cached_catalog(src, cache_dir, reflect)
+    assert len(calls) == 2  # ...but rewrote it, so the next run hits
+    # --no-cache: neither reads nor writes
+    cache = CatalogCache(cache_dir)
+    cache.purge()
+    cached_catalog(src, cache_dir, reflect, enabled=False)
+    assert cache.load(src) is None
+
+
+def test_corrupt_or_foreign_entry_is_a_miss(tmp_path):
+    src = _mk_source(tmp_path)
+    cache_dir = str(tmp_path / "cache")
+    cache = CatalogCache(cache_dir)
+    cache.save(src, _toy_catalog())
+    path = cache._path(src)
+    with open(path, "w") as f:
+        f.write("{not json")
+    calls = []
+    cached_catalog(src, cache_dir, lambda: (calls.append(1), _toy_catalog())[1])
+    assert calls  # corrupt entry → silent re-reflect + overwrite
+    with open(path) as f:
+        assert json.load(f)["catalog"]["tables"]["a"]["pk"] == ["id"]
+
+
+def test_jdbc_source_is_uri_trusted(tmp_path):
+    """No cheap digest exists for a live database — the entry is keyed
+    by URI alone and busted explicitly (reference behavior)."""
+    url = "jdbc:postgresql://db/prod"
+    assert source_digest(url) is None
+    cache_dir = str(tmp_path / "cache")
+    calls = []
+
+    def reflect():
+        calls.append(1)
+        return _toy_catalog()
+
+    cached_catalog(url, cache_dir, reflect)
+    cached_catalog(url, cache_dir, reflect)
+    assert len(calls) == 1
+    CatalogCache(cache_dir).purge(url)
+    cached_catalog(url, cache_dir, reflect)
+    assert len(calls) == 2
+
+
+def test_engine_uses_catalog_cache_transparently(spark, sf_dir, tmp_path, monkeypatch):
+    """Second Engine construction against the same source must not
+    reflect again — the e2e form of the reference's cached_metadata."""
+    import shutil
+
+    import dbcut_spark.catalog as catmod
+    from dbcut_spark.api import Engine
+
+    src = tmp_path / "db"
+    src.mkdir()
+    for t in ("region", "nation"):
+        shutil.copytree(
+            f"{sf_dir}/{t}.parquet", src / f"{t}.parquet"
+        ) if os.path.isdir(f"{sf_dir}/{t}.parquet") else shutil.copy(
+            f"{sf_dir}/{t}.parquet", src / f"{t}.parquet"
+        )
+    cfg = {"cache": str(tmp_path / "cache")}
+    real = catmod.detect_catalog
+    calls = []
+
+    def spy(spark_, source_):
+        calls.append(1)
+        return real(spark_, source_)
+
+    monkeypatch.setattr(catmod, "detect_catalog", spy)
+    e1 = Engine(str(src), spark=spark, config=cfg)
+    assert len(calls) == 1
+    e2 = Engine(str(src), spark=spark, config=cfg)
+    assert len(calls) == 1  # cache hit — no re-reflection
+    assert e2.catalog.to_json() == e1.catalog.to_json()
+    # extraction still works off the cached catalog
+    frames = e2.extract({"from": "nation", "limit": 3})
+    # the 2-table source doesn't match the TPC-H detection set, so the
+    # catalog is INFERRED; inference can't name-match n_regionkey to
+    # r_regionkey, so the closure is the root table alone
+    assert "nation" in frames and frames["nation"].count() == 3
+    e2.release()
+    e3 = Engine(str(src), spark=spark, config={**cfg, "force_refresh": True})
+    assert len(calls) == 2
+    assert e3.catalog.to_json() == e1.catalog.to_json()
