@@ -325,3 +325,30 @@ def test_length_batches_per_shard_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_partitioned_upsert_plan_prunes_and_anti_joins(spark, tmp_path):
+    """The partition-pruned upsert's existing-side scan must carry
+    PartitionFilters (literal partition predicate folded into the file
+    listing) and remove matching PKs via a LEFT ANTI join — never a
+    cartesian, never a Python eval. The on-disk effect (untouched
+    partitions byte-identical) is pinned in test_sinks; this pins the
+    plan shape that makes it cheap at 100 TB."""
+    from dbcut_spark.sinks.insert_ignore import (
+        _partition_filter,
+        anti_new_rows,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    rows = [(i, i % 4, float(i)) for i in range(40)]
+    spark.createDataFrame(rows, ["id", "p", "v"]).write.partitionBy("p").parquet(path)
+    existing = spark.read.parquet(path)
+    delta = spark.createDataFrame([(1, 1, -1.0), (100, 9, 9.0)], ["id", "p", "v"])
+    touched = [{"p": 1}, {"p": 9}]
+    scoped = existing.filter(_partition_filter(["p"], touched))
+    keep = anti_new_rows(scoped, delta, ["id"])
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(p#" in plan.split("PartitionFilters", 1)[1][:120]
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan

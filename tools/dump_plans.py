@@ -38,6 +38,12 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # keep the final plan section only (drop AQE's initial-plan echo)
         plan = plan.split("+- == Initial Plan ==")[0].rstrip()
+        # text-cleaning queries carry raw control chars in literals —
+        # escape them so the artifact stays a text file
+        plan = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 0x20 else f"\\x{ord(ch):02x}"
+            for ch in plan
+        )
         out.append(f"## {name}\n\n```\n{plan}\n```\n")
         spark.catalog.clearCache()
 
