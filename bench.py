@@ -232,6 +232,7 @@ def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
     with open(path, "w") as f:
         json.dump({"metric": "isolated_best_of_8", "unit": "sec",
                    "sf": sf, "queries": out}, f, indent=2)
+        f.write("\n")
     print(json.dumps({"metric": "isolated_best_of_8", "unit": "sec",
                       "sf": sf,
                       "queries": {k: v.get("best") for k, v in out.items()}},

@@ -1,0 +1,134 @@
+"""Bloom-filter semi-join pre-filter for the closure frontier.
+
+Problem shape: ``child ⋉ frontier_keys`` where the frontier is too
+large to broadcast (``backref_limit: no`` closures — a 100-row root can
+fan into millions of frontier keys). Spark then picks a shuffle semi
+join, which moves EVERY child row (the 100 TB side) to the shuffle.
+
+Fix, entirely JVM-side Column algebra (no UDF, no driver collect):
+
+1. build a Bloom bitmap from the keys as a tiny DataFrame of
+   ``(word_idx, bits)`` longs — k hash positions per key via seeded
+   ``xxhash64 % m``, OR-folded per 64-bit word with ``bit_or``; the
+   bitmap is ≤ m/64 rows regardless of key count;
+2. pre-filter the child with k BROADCAST inner joins on
+   ``word_idx_i`` + a bit test — each is a map-side hash-lookup, so the
+   child is scanned once and never shuffled;
+3. the caller runs the EXACT semi join on the survivors only — Bloom
+   false positives (~1% at 10 bits/key) are removed there, and the
+   shuffle now carries survivors instead of the whole table.
+
+False negatives are impossible by construction (every true key set all
+its bits), so ``bloom_semi_join`` is result-identical to a plain left
+semi join — pinned by a differential test.
+
+This mirrors what Spark's own runtime-bloom-filter injection
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) does for selective
+shuffle joins, but deterministically and for the semi-join shape the
+closure executor emits. Reference parity: the reference never meets
+this problem (its per-batch ``IN (...)`` lists cap at the DB's
+parameter limit); this is the 100 TB generalization of the same
+frontier-restriction step (/root/reference/dbcut/query.py:352-445).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 4  # hash functions
+BITS_PER_KEY = 10  # m/n ≈ 10, k=4 → ~1.2% false-positive rate
+MAX_BITS = 1 << 28  # 32 MB bitmap → ≤ 4M broadcast rows, driver-safe
+
+
+def _positions(cols: list[str], seed: int, m: int):
+    """Bloom position for one seeded hash: xxhash64 over the key columns
+    plus a seed literal, folded into [0, m)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(m))
+
+
+def bloom_bitmap(keys: DataFrame, cols: list[str], m: int, k: int = DEFAULT_K) -> DataFrame:
+    """(word_idx: long, bits: long) rows — the Bloom filter as data.
+    Size is ≤ m/64 rows however many keys went in."""
+    pos = F.explode(
+        F.array(*[_positions(cols, seed, m) for seed in range(k)])
+    ).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # pyspark's shiftleft() helper takes a literal shift only —
+            # a column shift needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_size(n_keys: int) -> int:
+    """Bitmap bits for n keys: ~10 bits/key, power of two, capped so the
+    word table stays comfortably broadcastable. Past the cap the filter
+    stays correct — the false-positive rate just rises, and the exact
+    semi join after absorbs it."""
+    m = 64
+    while m < n_keys * BITS_PER_KEY and m < MAX_BITS:
+        m <<= 1
+    return m
+
+
+def bloom_prefilter(
+    child: DataFrame,
+    keys: DataFrame,
+    cols: list[str],
+    m: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Child rows that pass the Bloom membership test on ``cols``
+    (superset of the true semi-join result). k broadcast inner joins on
+    the word index + a bit test — map-side only; the child never
+    shuffles."""
+    bitmap = bloom_bitmap(keys, cols, m, k)
+    out = child
+    for seed in range(k):
+        pcol, wcol, bcol = f"__bp{seed}", f"__bw{seed}", f"__bb{seed}"
+        out = out.withColumn(pcol, _positions(cols, seed, m))
+        bm = bitmap.select(
+            F.col("word_idx").alias(wcol), F.col("bits").alias(bcol)
+        )
+        out = (
+            out.join(
+                F.broadcast(bm),
+                (F.col(pcol) / 64).cast("long") == F.col(wcol),
+                "inner",
+            )
+            .filter(
+                F.col(bcol).bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pcol} % 64 AS INT))")
+                )
+                != 0
+            )
+            .drop(pcol, wcol, bcol)
+        )
+    return out
+
+
+def bloom_semi_join(
+    child: DataFrame,
+    keys: DataFrame,
+    on_cols: list[str],
+    n_keys: int | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Exact ``child ⋉ keys`` with a Bloom pre-filter in front: the
+    shuffle the semi join needs moves only Bloom survivors. ``n_keys``
+    sizes the bitmap (counted from ``keys`` when absent — cheap when
+    the frontier frame is pinned, which the closure executor
+    guarantees)."""
+    if n_keys is None:
+        n_keys = keys.count()
+    if n_keys == 0:
+        return child.limit(0)
+    m = bloom_size(n_keys)
+    pre = bloom_prefilter(child, keys, on_cols, m, k)
+    return pre.join(keys, on=on_cols, how="left_semi")

@@ -137,9 +137,23 @@ class ClosureExecutor:
                 ).dropna().distinct()
                 if bounded:
                     keys = F.broadcast(keys)
-                child_df = self.load(rel.target).join(
-                    keys, on=list(rel.target_cols), how="left_semi"
-                )
+                    child_df = self.load(rel.target).join(
+                        keys, on=list(rel.target_cols), how="left_semi"
+                    )
+                else:
+                    # unbounded frontier (limit:no / backref_limit:no):
+                    # a forced broadcast could OOM the driver and a
+                    # plain semi join shuffles the WHOLE child table —
+                    # Bloom-prefilter the child (map-side broadcast
+                    # word lookups, no child shuffle) so the exact semi
+                    # join only shuffles survivors. Result-identical:
+                    # Bloom has false positives only, and the semi join
+                    # removes those (operators/bloom.py).
+                    from dbcut_spark.operators.bloom import bloom_semi_join
+
+                    child_df = bloom_semi_join(
+                        self.load(rel.target), keys, list(rel.target_cols)
+                    )
                 if (
                     rel.direction is Direction.ONETOMANY
                     and plan.spec.backref_limit is not None

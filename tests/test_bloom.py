@@ -1,0 +1,117 @@
+"""Bloom semi-join pre-filter (operators/bloom.py): result-identical to
+a plain LEFT SEMI join (false positives only, removed by the exact join
+behind it), bitmap bounded, child side never shuffled before the
+pre-filter."""
+
+from pyspark.sql import functions as F
+
+from dbcut_spark.operators.bloom import (
+    DEFAULT_K,
+    bloom_bitmap,
+    bloom_prefilter,
+    bloom_semi_join,
+    bloom_size,
+)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    """Differential on real data, single- and multi-column keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    ).distinct()
+
+    exact = li.join(keys, on=["l_orderkey"], how="left_semi")
+    bloomy = bloom_semi_join(li, keys, ["l_orderkey"])
+    a = sorted(tuple(r) for r in exact.select("l_orderkey", "l_linenumber").collect())
+    b = sorted(tuple(r) for r in bloomy.select("l_orderkey", "l_linenumber").collect())
+    assert a == b and a  # identical and non-empty
+
+    # multi-column key (composite PK shape)
+    k2 = li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct().limit(500)
+    exact2 = li.join(k2, on=["l_orderkey", "l_linenumber"], how="left_semi")
+    bloomy2 = bloom_semi_join(li, k2, ["l_orderkey", "l_linenumber"])
+    assert exact2.count() == bloomy2.count() > 0
+    assert (
+        exact2.exceptAll(bloomy2).count() == 0
+        and bloomy2.exceptAll(exact2).count() == 0
+    )
+
+
+def test_bloom_prefilter_is_selective_superset(spark, sf_dir):
+    """The pre-filter must pass every true match (no false negatives —
+    the correctness contract) while dropping the bulk of non-matching
+    rows at ~10 bits/key (the efficiency contract)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (
+        li.select(F.col("l_orderkey")).distinct().limit(20)
+    )
+    n_keys = keys.count()
+    m = bloom_size(n_keys)
+    pre = bloom_prefilter(li, keys, ["l_orderkey"], m)
+    true_rows = li.join(keys, on=["l_orderkey"], how="left_semi")
+    n_pre, n_true, n_all = pre.count(), true_rows.count(), li.count()
+    assert n_pre >= n_true  # superset
+    # selective: survivors are a small fraction of the table (FP rate
+    # ~1.2% at 10 bits/key; allow generous slack for tiny-m rounding)
+    assert n_pre <= n_true + max(50, int(0.05 * n_all))
+
+
+def test_bloom_bitmap_bounded_and_empty_keys(spark):
+    df = spark.range(100000).select(F.col("id").alias("k"))
+    m = bloom_size(100000)
+    bm = bloom_bitmap(df, ["k"], m)
+    assert bm.count() <= m // 64
+    # empty frontier short-circuits to an empty result without a scan
+    child = spark.range(10).select(F.col("id").alias("k"))
+    empty = df.filter(F.lit(False)).select("k")
+    assert bloom_semi_join(child, empty, ["k"]).count() == 0
+
+
+def test_bloom_prefilter_plan_no_child_shuffle(spark, sf_dir):
+    """Plan pin: the pre-filter is k broadcast hash joins — the child
+    scan reaches the bit tests without an Exchange on its side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select("l_orderkey").distinct().limit(10)
+    pre = bloom_prefilter(li, keys, ["l_orderkey"], bloom_size(10))
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == DEFAULT_K
+    assert "SortMergeJoin" not in plan
+    # exchanges may exist on the BUILD (bitmap/keys) side — tiny by
+    # construction; the streamed child spine (':-' branches) must be
+    # shuffle-free: scan → project(position) → broadcast join, k deep
+    child_spine = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":-")]
+    assert child_spine and not any("Exchange" in ln for ln in child_spine)
+
+
+def test_unbounded_closure_uses_bloom_and_matches(spark, sf_dir):
+    """An unbounded (limit: no) closure must route frontier expansion
+    through the Bloom path and still produce the exact closure."""
+    from dbcut_spark.catalog import TPCH_CATALOG
+    from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+    from dbcut_spark.plans.extraction import build_plan
+
+    raw = {
+        "from": "customer",
+        "where": {"c_mktsegment": "BUILDING"},
+        "limit": "no",
+        "backref_limit": "no",
+        "join_depth": 1,
+        "backref_depth": 1,
+        "exclude": ["events", "part", "supplier", "lineitem"],
+    }
+    ex = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
+    frames = ex.execute(build_plan(TPCH_CATALOG, raw))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").join(
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        on=["o_custkey"],
+        how="left_semi",
+    )
+    assert frames["customer"].count() == cust.count()
+    assert frames["orders"].count() == orders.count()

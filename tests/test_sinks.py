@@ -719,3 +719,32 @@ def test_upsert_partitioned_multilevel_and_null(spark, tmp_path):
         }
     got = {(r.id, r.k1, r.k2, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a", 1, 1.0), (2, "a", 2, 2.0), (3, "b", 1, -3.0), (4, None, 1, 4.0)}
+
+
+def test_rf_refresh_concurrent_invocations(spark, sf_dir):
+    """Two concurrent tpch_rf_refresh calls (same process, different
+    threads — the shape of a bench child racing a parity run) must not
+    reap each other's live scratch targets: each result must read back
+    its own post-refresh state intact."""
+    import threading
+
+    from dbcut_spark.queries_relational import tpch_rf_refresh
+
+    results, errors = {}, {}
+
+    def run(tag):
+        try:
+            rows = tpch_rf_refresh(spark, sf_dir).collect()
+            results[tag] = sorted((r.o_orderstatus, r.n_orders) for r in rows)
+        except Exception as exc:  # noqa: BLE001
+            errors[tag] = exc
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # deterministic delta derivation ⇒ both threads compute the same state
+    assert results[0] == results[1]
+    assert sum(n for _, n in results[0]) > 0
