@@ -122,6 +122,15 @@ HEADLINE = [
     "docs_tokenize_ids",
     "tpch_rf_refresh",
     "ann_recall_eval",
+    "tpcds_rollup_priority",
+    "tpcds_cube_lineitem",
+    "tpcds_yoy_nation",
+    "tpcds_moving_avg",
+    "tpcds_intersect_buyers",
+    "tpcds_except_browsers",
+    "tpcds_top_spenders",
+    "tpcds_above_avg_orders",
+    "tpcds_channel_rollup",
 ]
 
 

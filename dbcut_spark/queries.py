@@ -598,6 +598,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES
 import dbcut_spark.queries_pipeline  # noqa: E402,F401  isort:skip
 import dbcut_spark.queries_relational  # noqa: E402,F401  isort:skip
+import dbcut_spark.queries_tpcds  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # Gate-window ordering
@@ -762,6 +763,20 @@ _GATE_ROTATION = [
     "ann_ivf_topk",
     "text_repetition",
     "decontaminate_ngrams",
+    # -- round-7 additions (TPC-DS-shaped pack): appended at the END of
+    # the rotation pool on purpose — round 7's offset is 48 and its
+    # slice covers pool indices 48..71, so entries landing at index 97+
+    # leave the already-published round-7 window byte-identical; they
+    # debut in a later round's slice (judge parity covers them now) --
+    "tpcds_rollup_priority",
+    "tpcds_cube_lineitem",
+    "tpcds_yoy_nation",
+    "tpcds_moving_avg",
+    "tpcds_intersect_buyers",
+    "tpcds_except_browsers",
+    "tpcds_top_spenders",
+    "tpcds_above_avg_orders",
+    "tpcds_channel_rollup",
 ]
 
 GATE_WINDOW = 50

@@ -352,3 +352,30 @@ def test_partitioned_upsert_plan_prunes_and_anti_joins(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "Cartesian" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_pack_plan_shapes(spark, sf_dir):
+    """The TPC-DS-shaped pack's scale contracts: grouping lattices are
+    ONE Expand + one aggregate exchange (not a union of per-set scans),
+    star dims broadcast, set ops compile to broadcast semi/anti joins,
+    and nothing falls out of codegen into Python."""
+    plan = plan_of(spark, sf_dir, "tpcds_rollup_priority")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the lattice agg
+    assert plan.count("BroadcastHashJoin") == 2  # customer + nation dims
+    assert "Python" not in plan
+
+    plan = plan_of(spark, sf_dir, "tpcds_cube_lineitem")
+    assert "Expand" in plan and plan.count("Exchange hashpartitioning") == 1
+
+    plan = plan_of(spark, sf_dir, "tpcds_intersect_buyers")
+    assert "LeftSemi" in plan and "Cartesian" not in plan
+
+    plan = plan_of(spark, sf_dir, "tpcds_except_browsers")
+    assert "LeftAnti" in plan and "Cartesian" not in plan
+
+    # windows ride one pre-aggregated exchange; no extra self-join scan
+    plan = plan_of(spark, sf_dir, "tpcds_yoy_nation")
+    assert "Window" in plan and plan.count("FileScan") == 3  # o + c + n
+    plan = plan_of(spark, sf_dir, "tpcds_above_avg_orders")
+    assert "Window" in plan and plan.count("FileScan") == 1
