@@ -777,6 +777,7 @@ _GATE_ROTATION = [
     "tpcds_top_spenders",
     "tpcds_above_avg_orders",
     "tpcds_channel_rollup",
+    "docs_mixture_weights",
 ]
 
 GATE_WINDOW = 50

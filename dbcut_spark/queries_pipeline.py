@@ -4399,3 +4399,80 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall_at_5", F.round(F.col("n_hits") / 5.0, 6))
         .orderBy("method", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights (temperature-smoothed source sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_mixture_weights",
+    sql=r"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(string_split_regex(trim(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    shares AS (
+      SELECT source, n_docs, n_tokens,
+             round(n_tokens * 1.0 /
+                   SUM(n_tokens) OVER (), 6) AS token_share
+      FROM per_src),
+    smoothed AS (
+      SELECT source, n_docs, n_tokens, token_share,
+             power(token_share, 0.3) AS smooth_raw
+      FROM shares)
+    SELECT source, n_docs, n_tokens, token_share,
+           round(smooth_raw / SUM(smooth_raw) OVER (), 6) AS sample_prob,
+           round((smooth_raw / SUM(smooth_raw) OVER ()) / token_share, 6)
+             AS boost
+    FROM smoothed ORDER BY source
+    """,
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain sampling weights (the multilingual /
+    data-mixing recipe popularized by XLM-R, alpha=0.3): per source,
+    token share p_s, smoothed sampling probability q_s = p_s^a / sum
+    p^a, and the boost factor q_s/p_s that up-weights small domains.
+    This is the number a mixture-aware training loader consumes.
+
+    Scale: one codegen'd token-count aggregation by source (map-side
+    partial), then two window sums over the per-source frame — rows =
+    |sources|, so the windows are driver-trivial at any corpus size.
+    Cross-engine floats: p is rounded to 6dp BEFORE pow on both
+    engines, and outputs round(6), the same discipline as the ln/cos
+    oracles."""
+    from dbcut_spark.functions.text import ws_token_count
+
+    d = tp(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    shares = per_src.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6),
+    )
+    smoothed = shares.withColumn("smooth_raw", F.pow("token_share", F.lit(0.3)))
+    return (
+        smoothed.withColumn(
+            "sample_prob",
+            F.round(F.col("smooth_raw") / F.sum("smooth_raw").over(w_all), 6),
+        )
+        .withColumn(
+            "boost",
+            F.round(
+                (F.col("smooth_raw") / F.sum("smooth_raw").over(w_all))
+                / F.col("token_share"),
+                6,
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "token_share", "sample_prob", "boost"
+        )
+        .orderBy("source")
+    )
