@@ -38,6 +38,12 @@ from dbcut_spark.plans.extraction import ExtractionPlan
 
 TableLoader = Callable[[str], DataFrame]
 
+# Unbounded-frontier routing: key sets up to this size broadcast (4M
+# bigint keys ≈ 32 MB — comfortably under the broadcast limit with
+# headroom for multi-column keys); larger frontiers take the Bloom
+# pre-filtered semi join (operators/bloom.py).
+BLOOM_MIN_KEYS = 4_000_000
+
 
 def parquet_loader(spark: SparkSession, sf_dir: str) -> TableLoader:
     from dbcut_spark.sources.parquet import read_table
@@ -142,18 +148,35 @@ class ClosureExecutor:
                     )
                 else:
                     # unbounded frontier (limit:no / backref_limit:no):
-                    # a forced broadcast could OOM the driver and a
-                    # plain semi join shuffles the WHOLE child table —
-                    # Bloom-prefilter the child (map-side broadcast
-                    # word lookups, no child shuffle) so the exact semi
-                    # join only shuffles survivors. Result-identical:
-                    # Bloom has false positives only, and the semi join
-                    # removes those (operators/bloom.py).
+                    # measure it (cheap — the parent frame is pinned),
+                    # then route adaptively. Small key sets broadcast
+                    # exactly like the bounded path (a blanket Bloom
+                    # here measured 3-4x overhead on tiny frontiers:
+                    # five extra operators per edge for nothing). Past
+                    # the threshold a forced broadcast could OOM the
+                    # driver and a plain semi join would shuffle the
+                    # WHOLE child table — so Bloom-prefilter the child
+                    # (map-side broadcast word lookups, no child
+                    # shuffle) and let the exact semi join move only
+                    # survivors. Result-identical either way: Bloom has
+                    # false positives only, and the semi join removes
+                    # those (operators/bloom.py).
                     from dbcut_spark.operators.bloom import bloom_semi_join
 
-                    child_df = bloom_semi_join(
-                        self.load(rel.target), keys, list(rel.target_cols)
-                    )
+                    n_keys = keys.count()
+                    if n_keys <= BLOOM_MIN_KEYS:
+                        child_df = self.load(rel.target).join(
+                            F.broadcast(keys),
+                            on=list(rel.target_cols),
+                            how="left_semi",
+                        )
+                    else:
+                        child_df = bloom_semi_join(
+                            self.load(rel.target),
+                            keys,
+                            list(rel.target_cols),
+                            n_keys=n_keys,
+                        )
                 if (
                     rel.direction is Direction.ONETOMANY
                     and plan.spec.backref_limit is not None

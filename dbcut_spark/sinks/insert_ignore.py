@@ -268,6 +268,14 @@ def upsert_parquet(
             )
             _swap_touched_partitions(staged, path, part_cols, touched)
         else:
+            if part_cols:
+                # fail loudly instead of a cryptic unionByName error /
+                # silently flattening the partitioned layout
+                missing = [c for c in part_cols if c not in df.columns]
+                raise ValueError(
+                    f"upsert into partitioned target {path!r} requires the "
+                    f"partition column(s) {missing} in the incoming frame"
+                )
             keep = anti_new_rows(existing, df, pk)
             updated = incoming - anti_new_rows(df, existing, pk).count()
             staged = path + ".__staging__"

@@ -87,13 +87,17 @@ def test_bloom_prefilter_plan_no_child_shuffle(spark, sf_dir):
     assert child_spine and not any("Exchange" in ln for ln in child_spine)
 
 
-def test_unbounded_closure_uses_bloom_and_matches(spark, sf_dir):
-    """An unbounded (limit: no) closure must route frontier expansion
-    through the Bloom path and still produce the exact closure."""
+def test_unbounded_closure_uses_bloom_and_matches(spark, sf_dir, monkeypatch):
+    """An unbounded (limit: no) closure above the key threshold must
+    route frontier expansion through the Bloom path and still produce
+    the exact closure (threshold forced to 0 so the tiny fixture takes
+    the large-frontier route)."""
+    import dbcut_spark.operators.closure as closure_mod
     from dbcut_spark.catalog import TPCH_CATALOG
     from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
     from dbcut_spark.plans.extraction import build_plan
 
+    monkeypatch.setattr(closure_mod, "BLOOM_MIN_KEYS", 0)
     raw = {
         "from": "customer",
         "where": {"c_mktsegment": "BUILDING"},

@@ -33,6 +33,17 @@ def all_query_names():
     return sorted(e.queries())
 
 
+# Queries allowed to return 0 rows at sf0.001 ONLY — TPC-H shapes whose
+# selective predicates genuinely have no qualifying rows at that tiny
+# scale (all three are non-empty at sf>=0.01). Everything else must be
+# non-empty: an empty gate row matches any engine and verifies nothing.
+EMPTY_OK_SF0001 = {
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_shippers",
+}
+
+
 @pytest.mark.parametrize("name", all_query_names())
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     import __spark_entry__ as e
@@ -40,10 +51,11 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = e.queries()[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    if name not in EMPTY_OK_SF0001:
+        assert s_rows, f"{name} returned 0 rows — gate row verifies nothing"
     oracles = e.oracle_sql()
     if name not in oracles:
-        assert len(s_rows) >= 0  # rows-only check for non-SQL ops
-        return
+        return  # rows-only check for non-SQL ops
     cur = duck.execute(oracles[name])
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()

@@ -748,3 +748,19 @@ def test_rf_refresh_concurrent_invocations(spark, sf_dir):
     # deterministic delta derivation ⇒ both threads compute the same state
     assert results[0] == results[1]
     assert sum(n for _, n in results[0]) > 0
+
+
+def test_upsert_partitioned_requires_partition_cols(spark, tmp_path):
+    """Incoming rows missing the target's partition columns must fail
+    loudly, not flatten the layout or die in unionByName."""
+    import pytest as _pytest
+
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1.0), (2, 2, 2.0)], ["id", "p", "v"]
+    ).write.partitionBy("p").parquet(path)
+    bad = spark.createDataFrame([(1, -1.0)], ["id", "v"])
+    with _pytest.raises(ValueError, match="partition column"):
+        upsert_parquet(spark, bad, path, ["id"])
