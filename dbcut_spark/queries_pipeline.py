@@ -4438,6 +4438,11 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     token share p_s, smoothed sampling probability q_s = p_s^a / sum
     p^a, and the boost factor q_s/p_s that up-weights small domains.
     This is the number a mixture-aware training loader consumes.
+    Companion to :func:`docs_domain_mix_temperature`, which goes the
+    other way: doc-COUNT-based quotas (alpha=0.5) materialized into an
+    actual deterministic member sample; this one emits the
+    TOKEN-weighted probabilities themselves — tokens being the unit
+    training budgets care about.
 
     Scale: one codegen'd token-count aggregation by source (map-side
     partial), then two window sums over the per-source frame — rows =

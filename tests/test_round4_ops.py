@@ -1408,3 +1408,26 @@ def test_pmi_bigrams_properties(spark, sf_dir):
         assert r.n_ab <= r.n_a and r.n_ab <= r.n_b
         assert " " in r.bigram
     assert rows[0].pmi > 0  # the top collocation beats independence
+
+
+def test_round7_gate_window_pinned():
+    """The round-7 window was published when CORRECTNESS_r06 landed;
+    later edits to the gate lists must not reorder it (new queries are
+    append-only at the rotation tail — see the comment in queries.py).
+    This literal pin turns an accidental mid-list insert into a test
+    failure instead of a silently shifted driver gate."""
+    from dbcut_spark.queries import gate_window_for_round
+
+    window = gate_window_for_round(7)
+    assert window[26:] == [
+        "ann_recall_eval", "dedup_incremental", "pii_scan",
+        "docs_pack_sequences", "docs_weighted_sample", "corpus_curate",
+        "corpus_stats", "vocab_build", "tfidf_top_terms",
+        "substring_dup_frac", "ivf_cluster_profile", "events_enriched",
+        "events_json_extract", "docs_truncate_tokens",
+        "docs_source_quota", "embedding_jl_distortion",
+        "multimodal_frame_sample", "embedding_semdedup",
+        "shingle_distinct_kmv", "events_hourly_anomaly",
+        "docs_bigram_logprob", "corpus_diff", "events_top_users_salted",
+        "events_asof_next_purchase",
+    ]
