@@ -131,6 +131,7 @@ HEADLINE = [
     "tpcds_top_spenders",
     "tpcds_above_avg_orders",
     "tpcds_channel_rollup",
+    "tpcds_grouping_sets",
     "docs_mixture_weights",
 ]
 

@@ -778,6 +778,7 @@ _GATE_ROTATION = [
     "tpcds_above_avg_orders",
     "tpcds_channel_rollup",
     "docs_mixture_weights",
+    "tpcds_grouping_sets",
 ]
 
 GATE_WINDOW = 50

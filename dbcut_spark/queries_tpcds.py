@@ -434,3 +434,42 @@ def tpcds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "yr")
     )
+
+
+@register(
+    "tpcds_grouping_sets",
+    sql=f"""
+    SELECT COALESCE(n_name, '{ALL}') AS nation,
+           COALESCE(o_orderstatus, '{ALL}') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice', 'total_price')}
+    FROM {_ORDERS_NATION_SQL}
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+    ORDER BY nation, status
+    """,
+)
+def tpcds_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular lattice neither ROLLUP
+    nor CUBE expresses: per-nation, per-status, and the cross, WITHOUT
+    the grand total. Uses the first-class DataFrame.groupingSets
+    operator (Spark 4); same Expand + single-aggregate-exchange plan
+    as the rollup/cube queries."""
+    return (
+        _orders_nation(spark, sf_dir)
+        .groupingSets(
+            [["n_name"], ["o_orderstatus"], ["n_name", "o_orderstatus"]],
+            "n_name",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit(ALL)).alias("nation"),
+            F.coalesce(F.col("o_orderstatus"), F.lit(ALL)).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("nation", "status")
+    )

@@ -368,6 +368,9 @@ def test_tpcds_pack_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpcds_cube_lineitem")
     assert "Expand" in plan and plan.count("Exchange hashpartitioning") == 1
 
+    plan = plan_of(spark, sf_dir, "tpcds_grouping_sets")
+    assert "Expand" in plan and plan.count("Exchange hashpartitioning") == 1
+
     plan = plan_of(spark, sf_dir, "tpcds_intersect_buyers")
     assert "LeftSemi" in plan and "Cartesian" not in plan
 
