@@ -132,6 +132,7 @@ HEADLINE = [
     "tpcds_above_avg_orders",
     "tpcds_channel_rollup",
     "tpcds_grouping_sets",
+    "tpcds_pivot_status",
     "docs_mixture_weights",
 ]
 

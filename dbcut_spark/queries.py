@@ -779,6 +779,7 @@ _GATE_ROTATION = [
     "tpcds_channel_rollup",
     "docs_mixture_weights",
     "tpcds_grouping_sets",
+    "tpcds_pivot_status",
 ]
 
 GATE_WINDOW = 50

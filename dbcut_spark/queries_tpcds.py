@@ -473,3 +473,52 @@ def tpcds_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "status")
     )
+
+
+@register(
+    "tpcds_pivot_status",
+    sql=f"""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 'price_F')},
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 'price_O')},
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", 'price_P')}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def tpcds_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab / PIVOT (the TPC-DS q88-style one-scan multi-bucket
+    report): order counts and price totals per priority, pivoted wide
+    by status. Uses Spark's first-class ``pivot`` operator with
+    EXPLICIT pivot values — omitting them costs an extra
+    distinct-values pass and makes the output schema data-dependent,
+    both wrong at scale. Compiles to ONE scan + one hash aggregate of
+    CASE-gated partials (no join, no union of per-bucket scans); the
+    oracle spells the same thing as FILTER/CASE conditional
+    aggregation."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("price"),
+        )
+    )
+    return piv.select(
+        "priority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_P"),
+        F.coalesce(F.col("F_price"), F.lit(0.0)).alias("price_F"),
+        F.coalesce(F.col("O_price"), F.lit(0.0)).alias("price_O"),
+        F.coalesce(F.col("P_price"), F.lit(0.0)).alias("price_P"),
+    ).orderBy("priority")
