@@ -119,3 +119,29 @@ def test_unbounded_closure_uses_bloom_and_matches(spark, sf_dir, monkeypatch):
     )
     assert frames["customer"].count() == cust.count()
     assert frames["orders"].count() == orders.count()
+
+
+def test_bloom_randomized_differential(spark):
+    """Seeded randomized differential: adversarial key domains (negative
+    keys, sparse + dense ranges, sizes straddling word boundaries) must
+    all produce exactly the plain semi-join result — no false negatives
+    under any hash alignment."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n_child = rng.randint(50, 3000)
+        child_keys = [rng.randint(-(10**9), 10**9) for _ in range(n_child)]
+        picked = rng.sample(child_keys, k=rng.randint(0, min(63, n_child)))
+        noise = [rng.randint(-(10**9), 10**9) for _ in range(rng.randint(0, 40))]
+        child = spark.createDataFrame([(k, trial) for k in child_keys], ["k", "tag"])
+        keys = spark.createDataFrame(
+            [(k,) for k in picked + noise] or [(0,)], ["k"]
+        )
+        if not picked and not noise:
+            keys = keys.filter("k <> 0")
+        exact = child.join(keys.distinct(), on=["k"], how="left_semi")
+        got = bloom_semi_join(child, keys.distinct(), ["k"])
+        a = sorted(tuple(r) for r in exact.collect())
+        b = sorted(tuple(r) for r in got.collect())
+        assert a == b, f"trial {trial}: {len(a)} vs {len(b)}"
