@@ -91,7 +91,11 @@ def bloom_prefilter(
     bitmap = bloom_bitmap(keys, cols, m, k)
     out = child
     for seed in range(k):
-        pcol, wcol, bcol = f"__bp{seed}", f"__bw{seed}", f"__bb{seed}"
+        pcol, wcol, bcol = (
+            f"__dbcut_bp{seed}",
+            f"__dbcut_bw{seed}",
+            f"__dbcut_bb{seed}",
+        )
         out = out.withColumn(pcol, _positions(cols, seed, m))
         bm = bitmap.select(
             F.col("word_idx").alias(wcol), F.col("bits").alias(bcol)

