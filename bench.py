@@ -133,6 +133,7 @@ HEADLINE = [
     "tpcds_channel_rollup",
     "tpcds_grouping_sets",
     "tpcds_pivot_status",
+    "tpch_rf_refresh_partitioned",
     "docs_mixture_weights",
 ]
 

@@ -780,6 +780,7 @@ _GATE_ROTATION = [
     "docs_mixture_weights",
     "tpcds_grouping_sets",
     "tpcds_pivot_status",
+    "tpch_rf_refresh_partitioned",
 ]
 
 GATE_WINDOW = 50

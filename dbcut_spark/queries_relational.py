@@ -30,6 +30,47 @@ _RF_LOCK = _threading_mod.Lock()
 _RF_LIVE: set[str] = set()
 _RF_TLOCAL = _threading_mod.local()
 
+
+def _rf_scratch() -> str:
+    """Fresh scratch dir for a refresh-function query; reaps this
+    THREAD's previous invocation's dir (its result DataFrame was
+    consumed before the next call in every harness path) so best-of-N
+    benching doesn't accumulate copies, without ever touching a LIVE
+    target:
+    - the prefix embeds the PID, so a concurrent session (e.g. a bench
+      --isolate child racing a parity run) never reaps a dir it doesn't
+      own; other PIDs' leftovers reap only once >1h old;
+    - within this process, _RF_LIVE tracks dirs whose result frames may
+      still be lazily read (concurrent threads), and reaping skips
+      them; a thread retires its own previous dir on re-entry."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    tmp_root = _tempfile.gettempdir()
+    pid = _os.getpid()
+    with _RF_LOCK:
+        prev = getattr(_RF_TLOCAL, "scratch", None)
+        if prev is not None:
+            _RF_LIVE.discard(prev)
+        own_prefix = f"dbcut_rf_refresh_{pid}_"
+        for stale in _glob.glob(f"{tmp_root}/dbcut_rf_refresh_*"):
+            if stale in _RF_LIVE:
+                continue
+            own = _os.path.basename(stale).startswith(own_prefix)
+            try:
+                aged = _time.time() - _os.path.getmtime(stale) > 3600
+            except OSError:
+                aged = False
+            if own or aged:
+                _shutil.rmtree(stale, ignore_errors=True)
+        scratch = _tempfile.mkdtemp(prefix=own_prefix)
+        _RF_LIVE.add(scratch)
+        _RF_TLOCAL.scratch = scratch
+    return scratch
+
 # Shared money-sum fragment: exact decimal accumulation, rounded to
 # cents, surfaced as DOUBLE (identical arithmetic in both engines).
 _REV = "CAST(round(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(25,8))), 2) AS DOUBLE)"
@@ -1063,51 +1104,13 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to touched partitions (see upsert_parquet's scale note).
     Arithmetic stays exact (+1000, *0.5 are exact in IEEE double; sums
     route through DECIMAL), so the cross-engine hash is stable."""
-    import glob as _glob
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
     from dbcut_spark.sinks.insert_ignore import (
         delete_keys_parquet,
         upsert_parquet,
     )
 
-    # scratch target: this THREAD's previous invocation's dir is dead
-    # (its result DataFrame was consumed before the next call in every
-    # harness path) — reap stale dirs so best-of-N benching doesn't
-    # accumulate copies, without ever touching a LIVE target:
-    # - the prefix embeds the PID, so a concurrent session (e.g. a
-    #   bench --isolate child racing a parity run) never reaps a dir it
-    #   doesn't own; other PIDs' leftovers reap only once >1h old;
-    # - within this process, _RF_LIVE tracks dirs whose result frames
-    #   may still be lazily read (concurrent threads), and reaping
-    #   skips them; a thread retires its own previous dir on re-entry.
-    import os as _os
-    import threading as _threading
-    import time as _time
-
-    tmp_root = _tempfile.gettempdir()
-    pid = _os.getpid()
-    with _RF_LOCK:
-        prev = getattr(_RF_TLOCAL, "scratch", None)
-        if prev is not None:
-            _RF_LIVE.discard(prev)
-        own_prefix = f"dbcut_rf_refresh_{pid}_"
-        for stale in _glob.glob(f"{tmp_root}/dbcut_rf_refresh_*"):
-            if stale in _RF_LIVE:
-                continue
-            own = _os.path.basename(stale).startswith(own_prefix)
-            try:
-                aged = _time.time() - _os.path.getmtime(stale) > 3600
-            except OSError:
-                aged = False
-            if own or aged:
-                _shutil.rmtree(stale, ignore_errors=True)
-        scratch = _tempfile.mkdtemp(prefix=own_prefix)
-        _RF_LIVE.add(scratch)
-        _RF_TLOCAL.scratch = scratch
-    target = scratch + "/orders"
+    target = _rf_scratch() + "/orders"
 
     base = t(spark, sf_dir, "orders")
     base.write.parquet(target)
@@ -1148,6 +1151,128 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_price"),
             F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "tpch_rf_refresh_partitioned",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders),
+    recent AS (SELECT * FROM base WHERE year(o_orderdate) >= 2000),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM recent
+      WHERE substr(md5('rfpu:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+            < '0ccccccc'),
+    ins AS (
+      SELECT -o_orderkey AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice * 0.5 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM recent
+      WHERE substr(md5('rfpi:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+            < '19999999'),
+    delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT * FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                        WHERE d.o_orderkey = b.o_orderkey)
+      UNION ALL SELECT * FROM delta),
+    final AS (
+      SELECT * FROM merged m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM base b
+        WHERE substr(md5('rfpd:' || CAST(b.o_orderkey AS VARCHAR)), 1, 8)
+              < '147ae147'
+          AND b.o_orderkey = m.o_orderkey))
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT CAST(year(o_orderdate) AS INT)) AS BIGINT)
+             AS n_years
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def tpch_rf_refresh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONED twin of :func:`tpch_rf_refresh` — the same
+    RF1/RF2 merge semantics, but the scratch target is hive-partitioned
+    by order year, so the hash gate verifies the PARTITION-PRUNED
+    upsert/delete path end-to-end (touched-partition scan predicate,
+    per-partition staged swap, emptied-partition removal, listing-cache
+    refresh), not just the full-rewrite path. The update/insert delta
+    is restricted to years >= 2000, so the upsert genuinely prunes:
+    only ~2 of the ~7 year partitions are touched (the on-disk
+    untouched-files property is mtime-pinned in tests/test_sinks.py;
+    this query pins the VALUES). Partitioning is physical layout only —
+    the oracle recomputes the identical merge declaratively with no
+    notion of partitions, which is exactly the point: same answer,
+    pruned I/O.
+
+    Scale: identical plan shapes to tpch_rf_refresh plus partition
+    pruning — at 100 TB a year-partitioned orders table upserting one
+    year rewrites ~1/years of the table and scans existing rows only
+    under the touched-partition predicate."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        upsert_parquet,
+    )
+
+    target = _rf_scratch() + "/orders_part"
+
+    base = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    base.write.partitionBy("o_year").parquet(target)
+
+    recent = base.filter(F.col("o_year") >= 2000)
+    upd = recent.filter(
+        hash_bucket(F.col("o_orderkey"), "rfpu:") < hash_threshold(0.05)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        "o_year",
+    )
+    ins = recent.filter(
+        hash_bucket(F.col("o_orderkey"), "rfpi:") < hash_threshold(0.1)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        "o_year",
+    )
+    upsert_parquet(spark, upd.unionByName(ins), target, ["o_orderkey"])
+
+    dels = base.filter(
+        hash_bucket(F.col("o_orderkey"), "rfpd:") < hash_threshold(0.08)
+    ).select("o_orderkey")
+    delete_keys_parquet(spark, dels, target, ["o_orderkey"])
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_year").alias("n_years"),
         )
         .orderBy("o_orderstatus")
     )
