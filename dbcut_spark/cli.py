@@ -362,6 +362,35 @@ def purgecache(ctx: Ctx):
 
 
 @cli.command()
+@click.option(
+    "--target-file-mb",
+    default=128,
+    show_default=True,
+    help="target output file size",
+)
+@click.pass_obj
+def compact(ctx: Ctx, target_file_mb: int):
+    """Compact fragmented destination parquet tables (small-files
+    maintenance: incremental loads leave many tiny files; this rewrites
+    each table into size-targeted files, preserving any partition
+    layout). Parquet destinations only."""
+    from dbcut_spark.sinks.compact import compact_parquet
+
+    if ctx.dest.startswith("jdbc:"):
+        raise click.UsageError("compact applies to parquet destinations only")
+    for table in topo_order(ctx.catalog):
+        path = os.path.join(ctx.dest, f"{table}.parquet")
+        if os.path.exists(path):
+            stats = compact_parquet(
+                ctx.spark, path, target_file_mb=target_file_mb
+            )
+            click.echo(
+                f"compacted {table}: {stats['files_before']} -> "
+                f"{stats['files_after']} files"
+            )
+
+
+@cli.command()
 @click.pass_obj
 def tree(ctx: Ctx):
     """Render each query's extraction tree without executing."""

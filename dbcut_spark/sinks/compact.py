@@ -1,0 +1,81 @@
+"""Small-files compaction for parquet targets — the maintenance
+operator every long-lived 100 TB table needs: repeated incremental
+appends (insert-ignore batches, streaming micro-batches, per-delta
+upserts) fragment a table into thousands of KB-scale files, and scan
+cost becomes dominated by file-open/footer overhead instead of bytes.
+
+Spark-first shape, no driver-side per-partition loops:
+
+- unpartitioned target: one ``repartition(target_n)`` rewrite where
+  ``target_n = ceil(total_bytes / target_file_bytes)`` from the actual
+  on-disk footprint — one shuffle, then the staging-swap used by the
+  other rewrite sinks;
+- hive-partitioned target: ``repartition(partition_cols)`` then
+  ``partitionBy(partition_cols)`` — the hash repartition co-locates
+  each partition value on one task, so every partition dir compacts to
+  ONE file in a single distributed job (``maxRecordsPerFile`` caps
+  pathological partitions). No loop over partition dirs: a 10k-partition
+  table compacts in one Spark job, not 10k sequential ones.
+
+Compaction never changes row content — pinned by a count+content test.
+Not atomic under concurrent writers (same caveat as every
+rewrite-based sink here).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from dbcut_spark.sinks.insert_ignore import detect_partition_cols
+
+DEFAULT_TARGET_FILE_MB = 128
+
+
+def data_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a parquet target, ignoring
+    _SUCCESS/hidden files."""
+    n, total = 0, 0
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            n += 1
+            total += os.stat(os.path.join(base, f)).st_size
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Rewrite the table at ``path`` into size-targeted files,
+    preserving any hive partition layout. Returns a stats dict
+    {files_before, files_after, bytes}."""
+    n_before, total = data_file_stats(path)
+    part_cols = detect_partition_cols(path)
+    df = spark.read.parquet(path)
+    staged = path + ".__compact__"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    if part_cols:
+        out = df.repartition(*part_cols)
+        writer = out.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.partitionBy(*part_cols).parquet(staged)
+    else:
+        target_n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        writer = df.repartition(target_n).write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    spark.catalog.refreshByPath(path)
+    n_after, _ = data_file_stats(path)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}

@@ -764,3 +764,95 @@ def test_upsert_partitioned_requires_partition_cols(spark, tmp_path):
     bad = spark.createDataFrame([(1, -1.0)], ["id", "v"])
     with _pytest.raises(ValueError, match="partition column"):
         upsert_parquet(spark, bad, path, ["id"])
+
+
+def test_compact_parquet_unpartitioned(spark, sf_dir, tmp_path):
+    """Fragmented table compacts to the size-targeted file count with
+    identical content."""
+    from dbcut_spark.sinks.compact import compact_parquet, data_file_stats
+
+    path = str(tmp_path / "frag.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(16).write.parquet(path)
+    n0, _ = data_file_stats(path)
+    assert n0 == 16
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # tiny table << 128 MB target
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_parquet_partitioned(spark, sf_dir, tmp_path):
+    """Partitioned target: every partition dir compacts to ONE file in
+    a single job, layout preserved, content identical."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.sinks.compact import compact_parquet
+    from dbcut_spark.sinks.insert_ignore import detect_partition_cols
+
+    path = str(tmp_path / "fragp.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F2.year("o_orderdate").cast("int")
+    )
+    orders.repartition(8).write.partitionBy("o_year").parquet(path)
+    # fragmented: several files per partition dir
+    some_part = next(
+        e.path for e in _os.scandir(path) if e.is_dir() and "=" in e.name
+    )
+    n_files_in_part = sum(
+        1 for f in _os.listdir(some_part) if not f.startswith(("_", "."))
+    )
+    assert n_files_in_part > 1
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_parquet(spark, path)
+    assert detect_partition_cols(path) == ["o_year"]
+    for e in _os.scandir(path):
+        if e.is_dir() and "=" in e.name:
+            files = [f for f in _os.listdir(e.path) if not f.startswith(("_", "."))]
+            assert len(files) == 1, (e.name, files)
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_cli_compact_command(spark, sf_dir, tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sinks.compact import data_file_stats
+
+    dest = str(tmp_path / "target")
+    cfg = {
+        "databases": {"source_uri": sf_dir, "destination_uri": dest},
+        "cache": str(tmp_path / "cache"),
+        "queries": [PLAN_RAW],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = CliRunner()
+    res = runner.invoke(cli, ["-c", cfg_path, "load"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    # fragment one loaded table, then compact the destination
+    path = os.path.join(dest, "customer.parquet")
+    df = spark.read.parquet(path)
+    rows = {tuple(r) for r in df.collect()}
+    import shutil as _shutil
+
+    _shutil.rmtree(path)
+    df2 = spark.createDataFrame(sorted(rows), df.schema)
+    df2.repartition(6).write.parquet(path)
+    assert data_file_stats(path)[0] >= 2
+    res2 = runner.invoke(
+        cli, ["-c", cfg_path, "compact"], catch_exceptions=False
+    )
+    assert res2.exit_code == 0, res2.output
+    assert "compacted customer" in res2.output
+    assert data_file_stats(path)[0] == 1
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
