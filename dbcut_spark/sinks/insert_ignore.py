@@ -346,6 +346,168 @@ def delete_keys_parquet(
     return n_before - n_after
 
 
+def upsert_sql(
+    dialect: str,
+    table: str,
+    cols: list[str],
+    pk: list[str],
+    stage: str,
+    quote: str = '"',
+) -> list[str]:
+    """Server-side upsert statement(s) moving every staging-table row
+    into ``table`` with MERGE semantics, per dialect (each is the
+    documented public syntax: PG ``ON CONFLICT DO UPDATE``, MySQL
+    ``ON DUPLICATE KEY UPDATE``, SQLite upsert, ANSI ``MERGE`` for
+    everything else — Derby/Oracle/DB2/SQL Server). Pure string
+    builder, unit-testable without a database."""
+    q = quote
+    qc = lambda c: f"{q}{c}{q}"  # noqa: E731
+    col_list = ", ".join(qc(c) for c in cols)
+    non_pk = [c for c in cols if c not in pk]
+    if dialect == "postgresql":
+        conflict = ", ".join(qc(c) for c in pk)
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f"{qc(c)} = EXCLUDED.{qc(c)}" for c in non_pk)
+            if non_pk
+            else "DO NOTHING"
+        )
+        return [
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {stage} "
+            f"ON CONFLICT ({conflict}) {action}"
+        ]
+    if dialect == "mysql":
+        if non_pk:
+            action = "ON DUPLICATE KEY UPDATE " + ", ".join(
+                f"{qc(c)} = VALUES({qc(c)})" for c in non_pk
+            )
+            return [
+                f"INSERT INTO {table} ({col_list}) "
+                f"SELECT {col_list} FROM {stage} {action}"
+            ]
+        return [
+            f"INSERT IGNORE INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {stage}"
+        ]
+    if dialect == "sqlite":
+        conflict = ", ".join(qc(c) for c in pk)
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f"{qc(c)} = excluded.{qc(c)}" for c in non_pk)
+            if non_pk
+            else "DO NOTHING"
+        )
+        return [
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {stage} WHERE true "
+            f"ON CONFLICT ({conflict}) {action}"
+        ]
+    # ANSI MERGE (Derby 10.11+, Oracle, DB2, SQL Server)
+    on = " AND ".join(f"t.{qc(c)} = s.{qc(c)}" for c in pk)
+    stmts = [
+        f"MERGE INTO {table} t USING {stage} s ON ({on}) "
+        + (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{qc(c)} = s.{qc(c)}" for c in non_pk)
+            + " "
+            if non_pk
+            else ""
+        )
+        + f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
+        + "VALUES (" + ", ".join(f"s.{qc(c)}" for c in cols) + ")"
+    ]
+    return stmts
+
+
+def jdbc_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    pk: list[str],
+    dialect: str = "ansi",
+    quote: str = '"',
+    batchsize: int = 5000,
+) -> tuple[int, int]:
+    """MERGE semantics against a live JDBC target — the JDBC twin of
+    :func:`upsert_parquet`, completing the row-level mutation matrix.
+    The delta lands in a staging table via Spark's batched JDBC writer
+    (distributed), then ONE server-side set statement merges it into
+    the target (:func:`upsert_sql`) — the incoming rows cross the wire
+    once and the merge itself runs where the indexes are, instead of a
+    row-at-a-time driver loop. Returns (updated, inserted).
+
+    Scale: staging-write is the same parallel path as insert-ignore;
+    the merge is one server-side statement, so the bottleneck is the
+    target database (exactly where it must be — Spark cannot outrun
+    the target's write path for row-level upserts)."""
+    from dbcut_spark.sources.jdbc import jdbc_count, jdbc_execute, write_append
+
+    out = df.dropDuplicates(pk).cache()
+    try:
+        stage = f"{table}__stage"
+        n_stage = out.count()
+        if not n_stage:
+            return 0, 0
+        try:
+            jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        except Exception:
+            pass  # stage did not exist
+        write_append(out, url, stage, batchsize=batchsize)
+        n_before = jdbc_count(spark, url, table)
+        jdbc_execute(
+            spark, url, upsert_sql(dialect, table, out.columns, pk, stage, quote)
+        )
+        n_after = jdbc_count(spark, url, table)
+        jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        inserted = n_after - n_before
+        return n_stage - inserted, inserted
+    finally:
+        out.unpersist()
+
+
+def jdbc_delete_keys(
+    spark: SparkSession,
+    df_keys: DataFrame,
+    url: str,
+    table: str,
+    pk: list[str],
+    quote: str = '"',
+    batchsize: int = 5000,
+) -> int:
+    """Row-level delete against a live JDBC target (twin of
+    :func:`delete_keys_parquet`): stage the doomed keys, one
+    ``DELETE ... WHERE EXISTS`` (ANSI, every dialect), drop staging.
+    Returns rows deleted."""
+    from dbcut_spark.sources.jdbc import jdbc_execute, write_append
+
+    q = quote
+    keys = df_keys.select(*pk).dropDuplicates(pk).cache()
+    try:
+        if not keys.count():
+            return 0
+        stage = f"{table}__delkeys"
+        try:
+            jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        except Exception:
+            pass
+        write_append(keys, url, stage, batchsize=batchsize)
+        on = " AND ".join(f"s.{q}{c}{q} = {table}.{q}{c}{q}" for c in pk)
+        (n,) = jdbc_execute(
+            spark,
+            url,
+            [
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {stage} s WHERE {on})"
+            ],
+        )
+        jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        return n
+    finally:
+        keys.unpersist()
+
+
 def jdbc_insert_auto(spark, df, url: str, table: str, pk: list[str]) -> int:
     """First-contact-aware JDBC insert, shared by the CLI and the
     Engine facade: create-and-append when the table doesn't exist yet

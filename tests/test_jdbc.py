@@ -377,3 +377,81 @@ def test_bounds_query_executes():
     assert (lo, hi) == (10, 11)
     plan = plan_partitioned_read(("album_id",), lo, hi, row_estimate=2)
     assert plan.partition_column == "album_id"
+
+
+def test_upsert_sql_per_dialect():
+    """Each dialect's documented upsert syntax from one pure builder."""
+    from dbcut_spark.sinks.insert_ignore import upsert_sql
+
+    cols, pk = ["id", "name", "price"], ["id"]
+    (pg,) = upsert_sql("postgresql", "t", cols, pk, "t__stage")
+    assert 'ON CONFLICT ("id") DO UPDATE SET' in pg
+    assert '"name" = EXCLUDED."name"' in pg
+    (my,) = upsert_sql("mysql", "t", cols, pk, "t__stage", quote="`")
+    assert "ON DUPLICATE KEY UPDATE" in my and "`name` = VALUES(`name`)" in my
+    (sq,) = upsert_sql("sqlite", "t", cols, pk, "t__stage")
+    assert "WHERE true" in sq and 'DO UPDATE SET "name" = excluded."name"' in sq
+    (ansi,) = upsert_sql("ansi", "t", cols, pk, "t__stage")
+    assert ansi.startswith("MERGE INTO t t USING t__stage s ON")
+    assert "WHEN MATCHED THEN UPDATE SET" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT" in ansi
+    # all-PK table: no UPDATE clause anywhere
+    (pg2,) = upsert_sql("postgresql", "t", ["id"], ["id"], "s")
+    assert pg2.endswith("DO NOTHING")
+    (ansi2,) = upsert_sql("ansi", "t", ["id"], ["id"], "s")
+    assert "WHEN MATCHED" not in ansi2
+    # composite PK rides through the MERGE ON
+    (m2,) = upsert_sql("ansi", "li", ["a", "b", "v"], ["a", "b"], "s")
+    assert 't."a" = s."a" AND t."b" = s."b"' in m2
+
+
+def test_live_jdbc_upsert_delete_derby(spark, tmp_path):
+    """The JDBC row-level mutation twins against a REAL database:
+    Derby's ANSI MERGE upsert + the EXISTS delete, completing the
+    mutation matrix (parquet upsert/delete are gate-verified by
+    tpch_rf_refresh*)."""
+    import pytest
+
+    from dbcut_spark.sinks.insert_ignore import jdbc_delete_keys, jdbc_upsert
+    from dbcut_spark.sources.jdbc import write_append
+
+    url = f"jdbc:derby:{tmp_path}/updb;create=true"
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+    except Exception:
+        pytest.skip("Derby driver not on the Spark classpath")
+
+    base = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    write_append(base, url, "t", batchsize=50)
+
+    # delta: update keys 0-9 (v -> -1), insert keys 100-119
+    from pyspark.sql import functions as F2
+
+    delta = (
+        spark.range(0, 10).selectExpr("id AS k").withColumn("v", F2.lit(-1.0))
+    ).unionByName(
+        spark.range(100, 120).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
+    upd, ins = jdbc_upsert(spark, delta, url, "t", ["k"], dialect="ansi")
+    assert (upd, ins) == (10, 20)
+    got = (
+        spark.read.format("jdbc").option("url", url)
+        .option("query", 'SELECT COUNT(*) AS n FROM t WHERE "v" = -1.0')
+        .load().first().N
+    )
+    assert got == 10
+
+    # delete 15 keys (5 of them just-updated, 5 nonexistent)
+    dels = spark.createDataFrame([(i,) for i in range(5)] + [(200 + i,) for i in range(5)] + [(100 + i,) for i in range(10)], ["k"])
+    n = jdbc_delete_keys(spark, dels, url, "t", ["k"])
+    assert n == 15
+    from dbcut_spark.sources.jdbc import jdbc_count
+
+    assert jdbc_count(spark, url, "t") == 100 + 20 - 15
+    # absent keys delete 0; empty delta upserts (0, 0)
+    assert jdbc_delete_keys(spark, dels.filter("k >= 1000"), url, "t", ["k"]) == 0
+    assert jdbc_upsert(spark, delta.filter("k < -5"), url, "t", ["k"]) == (0, 0)
