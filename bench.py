@@ -268,13 +268,21 @@ def main() -> None:
     from dbcut_spark.queries import QUERIES
     from dbcut_spark.session import get_spark
 
+    # positional names restrict the run (previously silently ignored —
+    # an accidental full-suite run); unknown names fail loudly
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    selected = [n for n in HEADLINE if n in names] if names else HEADLINE
+
     spark = get_spark("dbcut-spark-bench")
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in selected:
         fn = QUERIES[name]
         # steady-state: best of 3 runs (the first pays whole-stage-codegen
         # JIT + Python-worker startup, and single repeats still catch GC
@@ -302,9 +310,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=2)
+    # subset runs must not clobber the full-suite artifact the driver
+    # and round-over-round comparisons read
+    if selected == HEADLINE:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=2)
     print(summary_line(total, timings, sf))
 
 

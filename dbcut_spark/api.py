@@ -113,6 +113,69 @@ class Engine:
         self.release()
         return out
 
+    def upsert(
+        self, frames: dict[str, DataFrame], destination: str, dialect: str = "ansi"
+    ) -> dict[str, tuple[int, int]]:
+        """MERGE every frame into a parquet directory or ``jdbc:`` URL
+        (parents first): rows replace same-PK rows or append. Returns
+        {table: (updated, inserted)}. Parquet targets get the
+        partition-pruned rewrite; JDBC targets the staged server-side
+        MERGE (``dialect`` picks the upsert syntax)."""
+        from dbcut_spark.catalog import topo_order
+        from dbcut_spark.sinks.insert_ignore import jdbc_upsert, upsert_parquet
+
+        topo = {t: i for i, t in enumerate(topo_order(self.catalog))}
+        jdbc = destination.startswith("jdbc:")
+        if not jdbc:
+            os.makedirs(destination, exist_ok=True)
+        out: dict[str, tuple[int, int]] = {}
+        for table in sorted(frames, key=lambda t: topo.get(t, len(topo))):
+            pk = list(self.catalog.table(table).pk)
+            if jdbc:
+                out[table] = jdbc_upsert(
+                    self.spark, frames[table], destination, table, pk, dialect
+                )
+            else:
+                out[table] = upsert_parquet(
+                    self.spark,
+                    frames[table],
+                    os.path.join(destination, f"{table}.parquet"),
+                    pk,
+                )
+        self.release()
+        return out
+
+    def delete_keys(
+        self, keys: dict[str, DataFrame], destination: str
+    ) -> dict[str, int]:
+        """Row-level delete by PK from a parquet directory or ``jdbc:``
+        URL — children FIRST (reverse topological), so FK-checked
+        targets never see a dangling parent. Returns {table: deleted}."""
+        from dbcut_spark.catalog import topo_order
+        from dbcut_spark.sinks.insert_ignore import (
+            delete_keys_parquet,
+            jdbc_delete_keys,
+        )
+
+        order = {t: i for i, t in enumerate(reversed(topo_order(self.catalog)))}
+        jdbc = destination.startswith("jdbc:")
+        out: dict[str, int] = {}
+        for table in sorted(keys, key=lambda t: order.get(t, len(order))):
+            pk = list(self.catalog.table(table).pk)
+            if jdbc:
+                out[table] = jdbc_delete_keys(
+                    self.spark, keys[table], destination, table, pk
+                )
+            else:
+                out[table] = delete_keys_parquet(
+                    self.spark,
+                    keys[table],
+                    os.path.join(destination, f"{table}.parquet"),
+                    pk,
+                )
+        self.release()
+        return out
+
     def nested_json(self, query: dict) -> DataFrame:
         """One nested document per root row (reference dumpjson)."""
         from dbcut_spark.sinks.json_export import nested_documents

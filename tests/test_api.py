@@ -74,3 +74,33 @@ def test_load_tables_helper(spark, sf_dir):
     frames = load_tables(spark, sf_dir, ["region", "nation", "no_such"])
     assert set(frames) == {"region", "nation"}
     assert frames["region"].count() == 5
+
+
+def test_engine_upsert_and_delete_keys(spark, sf_dir, tmp_path):
+    """The beyond-reference mutation surface through the Engine facade:
+    MERGE parents-first, delete children-first, per-table counts."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.api import Engine
+
+    eng = Engine(sf_dir, spark=spark, config={"cache": str(tmp_path / "c")})
+    dest = str(tmp_path / "tgt")
+    frames = eng.extract({"from": "nation", "limit": 10, "join_depth": 1,
+                          "backref_depth": 0})
+    eng.load(frames, dest)
+
+    loaded = spark.read.parquet(f"{dest}/nation.parquet")
+    delta = {
+        "nation": loaded.orderBy("n_nationkey")
+        .limit(3)
+        .withColumn("n_name", F2.lit("PATCHED"))
+    }
+    res = eng.upsert(delta, dest)
+    assert res["nation"] == (3, 0)
+    got = spark.read.parquet(f"{dest}/nation.parquet")
+    assert got.filter(F2.col("n_name") == "PATCHED").count() == 3
+
+    keys = {"nation": got.limit(2).select("n_nationkey")}
+    deleted = eng.delete_keys(keys, dest)
+    assert deleted["nation"] == 2
+    assert spark.read.parquet(f"{dest}/nation.parquet").count() == 8
