@@ -1,0 +1,96 @@
+"""Streaming CDC merge: continuously upsert / delete a parquet target
+from a change stream — the ``foreachBatch`` + MERGE pattern every
+lakehouse pipeline uses for change-data-capture ingestion (the
+streaming twin of the batch refresh surface gate-verified by
+``tpch_rf_refresh`` / ``tpch_rf_refresh_partitioned``).
+
+Structured Streaming has no row-level-mutation sink for parquet, and
+none is expressible as a streaming query — MERGE needs the TARGET as a
+join side, which would make the stream self-referential. The public
+answer is ``foreachBatch``: each micro-batch is handed to batch code,
+here :func:`dbcut_spark.sinks.insert_ignore.upsert_parquet` /
+``delete_keys_parquet`` — so the streaming path reuses the exact
+partition-pruned, staging-swapped rewrite the batch path is verified
+on (one code path, two arrival modes).
+
+Semantics: each micro-batch is deduped on the PK before the merge
+(last-writer-wins WITHIN a batch needs an ordering column — pass
+``order_within_batch`` for deterministic intra-batch resolution);
+an optional ``op_col`` carrying 'D' rows routes deletes. Micro-batch
+boundaries are checkpointed by Structured Streaming, and
+``upsert_parquet`` is idempotent for identical replayed batches, so a
+restart re-applying the last uncommitted batch converges to the same
+table.
+
+Scale: state lives in the target table, not the stream (no watermark
+needed); per-batch cost is the partition-pruned rewrite — on a
+date-partitioned 100 TB target a CDC batch touching today's partition
+rewrites only that partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_cdc_batch(
+    batch: DataFrame,
+    path: str,
+    pk: list[str],
+    op_col: str | None = None,
+    order_within_batch: str | None = None,
+) -> tuple[int, int, int]:
+    """Merge ONE change batch into the parquet target. Returns
+    (updated, inserted, deleted). Pure batch function — used by the
+    streaming sink below and directly testable."""
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        upsert_parquet,
+    )
+
+    spark = batch.sparkSession
+    if order_within_batch is not None:
+        # deterministic intra-batch last-writer-wins: keep the max
+        # ordering row per PK (ties broken by the ordering value only —
+        # callers needing total order should pass a unique sequence col)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*pk).orderBy(F.col(order_within_batch).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    deleted = 0
+    if op_col is not None:
+        dels = batch.filter(F.col(op_col) == "D").select(*pk)
+        batch = batch.filter(
+            F.col(op_col).isNull() | (F.col(op_col) != "D")
+        ).drop(op_col)
+        deleted = delete_keys_parquet(spark, dels, path, pk)
+    updated, inserted = upsert_parquet(spark, batch, path, pk)
+    return updated, inserted, deleted
+
+
+def stream_upsert_parquet(
+    stream: DataFrame,
+    path: str,
+    pk: list[str],
+    checkpoint: str,
+    op_col: str | None = None,
+    order_within_batch: str | None = None,
+):
+    """Start a streaming query that continuously merges the change
+    stream into the parquet table at ``path``. Returns the
+    StreamingQuery (caller owns trigger/stop policy)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(batch, path, pk, op_col, order_within_batch)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

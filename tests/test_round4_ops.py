@@ -1431,3 +1431,79 @@ def test_round7_gate_window_pinned():
         "docs_bigram_logprob", "corpus_diff", "events_top_users_salted",
         "events_asof_next_purchase",
     ]
+
+
+def test_stream_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC merge (foreachBatch + partition-pruned upsert)
+    must land the same final table as applying the change batches in
+    batch mode — including intra-batch last-writer-wins, deletes via
+    the op column, and convergence across micro-batch boundaries."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.streaming.merge import apply_cdc_batch, stream_upsert_parquet
+
+    target = str(tmp_path / "t.parquet")
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(200)
+    )
+    base.write.parquet(target)
+    expected_target = str(tmp_path / "expected.parquet")
+    base.write.parquet(expected_target)
+
+    # three CDC batches: updates, inserts, deletes + a conflicting pair
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    keys = [r.o_orderkey for r in base.orderBy("o_orderkey").limit(30).collect()]
+    b1 = spark.createDataFrame(
+        [(k, 1, 111.0, "U", 1) for k in keys[:10]]
+        + [(-1, 1, 1.0, "U", 1), (-1, 1, 2.0, "U", 2)],  # conflict: seq 2 wins
+        ["o_orderkey", "o_custkey", "o_totalprice", "op", "seq"],
+    )
+    b2 = spark.createDataFrame(
+        [(-100 - i, 2, 5.0, "U", 1) for i in range(5)]
+        + [(k, 0, 0.0, "D", 1) for k in keys[10:20]],
+        ["o_orderkey", "o_custkey", "o_totalprice", "op", "seq"],
+    )
+    b1.coalesce(1).write.parquet(str(cdc_dir / "b1"))
+    b2.coalesce(1).write.parquet(str(cdc_dir / "b2"))
+
+    # batch-mode expected state
+    for b in (b1, b2):
+        apply_cdc_batch(
+            b, expected_target, ["o_orderkey"], op_col="op",
+            order_within_batch="seq",
+        )
+    expected = {
+        tuple(r)
+        for r in spark.read.parquet(expected_target)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    }
+    assert (-1, 1, 2.0) in expected  # last-writer-wins took seq=2
+
+    # streaming mode over the same files as micro-batches
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(cdc_dir) + "/b*")
+    )
+    q = stream_upsert_parquet(
+        stream, target, ["o_orderkey"],
+        checkpoint=str(tmp_path / "ckpt"),
+        op_col="op", order_within_batch="seq",
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    }
+    assert got == expected
+    assert _os.path.exists(str(tmp_path / "ckpt"))
