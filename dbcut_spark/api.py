@@ -176,6 +176,25 @@ class Engine:
         self.release()
         return out
 
+    def compact(
+        self, destination: str, target_file_mb: int = 128
+    ) -> dict[str, dict]:
+        """Small-files maintenance on a parquet destination previously
+        written by :meth:`load`/:meth:`upsert`: every table rewrites to
+        size-targeted files (partition layout preserved). Returns
+        {table: stats}."""
+        from dbcut_spark.catalog import topo_order
+        from dbcut_spark.sinks.compact import compact_parquet
+
+        out: dict[str, dict] = {}
+        for table in topo_order(self.catalog):
+            path = os.path.join(destination, f"{table}.parquet")
+            if os.path.exists(path):
+                out[table] = compact_parquet(
+                    self.spark, path, target_file_mb=target_file_mb
+                )
+        return out
+
     def nested_json(self, query: dict) -> DataFrame:
         """One nested document per root row (reference dumpjson)."""
         from dbcut_spark.sinks.json_export import nested_documents

@@ -104,3 +104,19 @@ def test_engine_upsert_and_delete_keys(spark, sf_dir, tmp_path):
     deleted = eng.delete_keys(keys, dest)
     assert deleted["nation"] == 2
     assert spark.read.parquet(f"{dest}/nation.parquet").count() == 8
+
+
+def test_engine_compact(spark, sf_dir, tmp_path):
+    from dbcut_spark.api import Engine
+    from dbcut_spark.sinks.compact import data_file_stats
+
+    eng = Engine(sf_dir, spark=spark, config={"cache": str(tmp_path / "c")})
+    dest = str(tmp_path / "tgt")
+    frames = eng.extract({"from": "nation", "limit": 25, "join_depth": 0,
+                          "backref_depth": 0})
+    eng.load({"nation": frames["nation"].repartition(5)}, dest)
+    path = f"{dest}/nation.parquet"
+    assert data_file_stats(path)[0] >= 2
+    stats = eng.compact(dest)
+    assert stats["nation"]["files_after"] == 1
+    assert spark.read.parquet(path).count() == 25
