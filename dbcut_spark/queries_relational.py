@@ -1231,7 +1231,11 @@ def tpch_rf_refresh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    base.write.partitionBy("o_year").parquet(target)
+    # co-locate each year before partitionBy: otherwise every shuffle
+    # partition emits a file into every year dir (tasks x years small
+    # files), tripling downstream scan/listing cost — the same layout
+    # rule sinks/compact.py enforces
+    base.repartition("o_year").write.partitionBy("o_year").parquet(target)
 
     recent = base.filter(F.col("o_year") >= 2000)
     upd = recent.filter(
