@@ -10,12 +10,16 @@ Spark-first shape, no driver-side per-partition loops:
   ``target_n = ceil(total_bytes / target_file_bytes)`` from the actual
   on-disk footprint — one shuffle, then the staging-swap used by the
   other rewrite sinks;
-- hive-partitioned target: ``repartition(partition_cols)`` then
-  ``partitionBy(partition_cols)`` — the hash repartition co-locates
-  each partition value on one task, so every partition dir compacts to
-  ONE file in a single distributed job (``maxRecordsPerFile`` caps
-  pathological partitions). No loop over partition dirs: a 10k-partition
-  table compacts in one Spark job, not 10k sequential ones.
+- hive-partitioned target: each partition's target file count is
+  derived from its actual row share of the on-disk footprint
+  (``ceil(rows_i x bytes_per_row / target)``), a deterministic salt in
+  ``[0, n_files_i)`` spreads the rows, and ONE
+  ``repartition(partition_cols + salt)`` feeds ``partitionBy`` — so a
+  small partition compacts to one file while a skewed giant partition
+  still fans across tasks instead of serializing into one
+  (``maxRecordsPerFile`` remains the belt-and-braces cap). No loop
+  over partition dirs: a 10k-partition table compacts in one Spark
+  job, not 10k sequential ones.
 
 Compaction never changes row content — pinned by a count+content test.
 Not atomic under concurrent writers (same caveat as every
@@ -63,7 +67,43 @@ def compact_parquet(
     if os.path.exists(staged):
         shutil.rmtree(staged)
     if part_cols:
-        out = df.repartition(*part_cols)
+        from pyspark.sql import functions as F
+
+        rows_total = df.count()
+        bpr = total / max(rows_total, 1)
+        target_bytes = target_file_mb * 1024 * 1024
+        per = (
+            df.groupBy(*part_cols)
+            .agg(F.count(F.lit(1)).alias("__rows"))
+            .select(
+                *[F.col(c).alias(f"__pv_{c}") for c in part_cols],
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__rows") * F.lit(bpr) / F.lit(target_bytes)),
+                )
+                .cast("int")
+                .alias("__nfiles"),
+            )
+        )
+        # null-safe partition-value join (NULL partition values are the
+        # hive default partition, and plain equality would drop them)
+        cond = None
+        for c in part_cols:
+            eq = df[c].eqNullSafe(per[f"__pv_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        data_cols = [c for c in df.columns if c not in part_cols]
+        out = (
+            df.join(F.broadcast(per), cond)
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in data_cols]),
+                    F.col("__nfiles"),
+                ).cast("int"),
+            )
+            .repartition(*part_cols, "__salt")
+            .drop("__salt", "__nfiles", *[f"__pv_{c}" for c in part_cols])
+        )
         writer = out.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -856,3 +856,40 @@ def test_cli_compact_command(spark, sf_dir, tmp_path):
     assert "compacted customer" in res2.output
     assert data_file_stats(path)[0] == 1
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
+
+
+def test_compact_partitioned_skew_fans_out(spark, tmp_path):
+    """A skewed giant partition must compact into MULTIPLE files (no
+    single-task serialization) while small partitions still compact to
+    one; content identical."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.sinks.compact import compact_parquet
+
+    path = str(tmp_path / "skew.parquet")
+    big = spark.range(0, 200_000).select(
+        F2.lit(1).alias("p"), F2.col("id").alias("k"),
+        F2.concat(F2.lit("x" * 200), F2.col("id").cast("string")).alias("pad"),
+    )
+    small = spark.range(0, 100).select(
+        F2.lit(2).alias("p"), F2.col("id").alias("k"),
+        F2.lit("y").alias("pad"),
+    )
+    big.unionByName(small).repartition(8).write.partitionBy("p").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    # tiny target file size forces the big partition to fan out
+    compact_parquet(spark, path, target_file_mb=1)
+    files = {}
+    for e in _os.scandir(path):
+        if e.is_dir() and "=" in e.name:
+            files[e.name] = [
+                f for f in _os.listdir(e.path) if not f.startswith(("_", "."))
+            ]
+    assert len(files["p=2"]) == 1
+    assert len(files["p=1"]) > 1  # skewed partition fanned across salts
+    got = spark.read.parquet(path)
+    assert got.count() == before_rows
+    assert got.filter("p = 2").count() == 100
