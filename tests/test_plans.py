@@ -382,3 +382,29 @@ def test_tpcds_pack_plan_shapes(spark, sf_dir):
     assert "Window" in plan and plan.count("FileScan") == 3  # o + c + n
     plan = plan_of(spark, sf_dir, "tpcds_above_avg_orders")
     assert "Window" in plan and plan.count("FileScan") == 1
+
+
+def test_closure_frontier_shape_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The closure docstring claims partitioned children get DPP-style
+    pruning when the FK is the partition column. Pin the primitive: a
+    broadcast LEFT SEMI against a derived (filtered) key set — the
+    frontier shape — injects dynamicpruningexpression into the child
+    scan's PartitionFilters, so only the frontier's partitions are
+    listed/read."""
+    from pyspark.sql import functions as F2
+
+    child_path = str(tmp_path / "child.parquet")
+    spark.range(0, 100_000).select(
+        (F2.col("id") % 50).alias("fk"), F2.col("id").alias("v")
+    ).write.partitionBy("fk").parquet(child_path)
+    dim_path = str(tmp_path / "dim.parquet")
+    spark.range(0, 50).select(
+        F2.col("id").alias("fk"), (F2.col("id") % 7).alias("grp")
+    ).write.parquet(dim_path)
+
+    child = spark.read.parquet(child_path)
+    keys = spark.read.parquet(dim_path).filter(F2.col("grp") == 0).select("fk")
+    j = child.join(F2.broadcast(keys), on=["fk"], how="left_semi")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
