@@ -274,7 +274,9 @@ def main() -> None:
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
-    selected = [n for n in HEADLINE if n in names] if names else HEADLINE
+    # any registered query may be benched, headline or not — selecting
+    # by intersecting HEADLINE would silently drop valid names
+    selected = names if names else HEADLINE
 
     spark = get_spark("dbcut-spark-bench")
     # warm the JVM + parquet footers once

@@ -26,11 +26,18 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 import dbcut_spark
 from dbcut_spark.catalog import Catalog
 
 _FORMAT = 1  # bump to orphan all existing entries on layout change
+
+_SECRET_RE = re.compile(r"(?i)\b(password|pwd|secret|token)=([^&;]*)")
+
+
+def _redact(source: str) -> str:
+    return _SECRET_RE.sub(lambda m: f"{m.group(1)}=***", source)
 
 
 def source_digest(source: str) -> str | None:
@@ -89,7 +96,10 @@ class CatalogCache:
         path = self._path(source)
         entry = {
             "version": dbcut_spark.__version__,
-            "source": source,
+            # debugging breadcrumb only (load() keys by path, not this
+            # field) — redact credentials a jdbc: URL may embed so they
+            # never land in a plaintext cache file
+            "source": _redact(source),
             "digest": source_digest(source),
             "catalog": json.loads(catalog.to_json()),
         }

@@ -87,7 +87,20 @@ def bloom_prefilter(
     """Child rows that pass the Bloom membership test on ``cols``
     (superset of the true semi-join result). k broadcast inner joins on
     the word index + a bit test — map-side only; the child never
-    shuffles."""
+    shuffles.
+
+    Type alignment is part of the correctness contract: xxhash64 hashes
+    an INT 5 and a BIGINT 5 differently, so a parent/child key-type
+    mismatch (INT FK referencing a BIGINT PK, common in reflected
+    catalogs) would produce FALSE NEGATIVES — rows the exact semi
+    join's coercing equality would keep. The key side is therefore cast
+    to the CHILD's column types before hashing (a key that overflows
+    the child's narrower type casts to NULL, which can never match the
+    child anyway)."""
+    child_types = dict(zip(child.schema.names, [f.dataType for f in child.schema.fields]))
+    keys = keys.select(
+        *[F.col(c).cast(child_types[c]).alias(c) if c in child_types else F.col(c) for c in keys.columns]
+    )
     bitmap = bloom_bitmap(keys, cols, m, k)
     out = child
     for seed in range(k):

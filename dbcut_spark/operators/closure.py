@@ -38,11 +38,37 @@ from dbcut_spark.plans.extraction import ExtractionPlan
 
 TableLoader = Callable[[str], DataFrame]
 
-# Unbounded-frontier routing: key sets up to this size broadcast (4M
-# bigint keys ≈ 32 MB — comfortably under the broadcast limit with
-# headroom for multi-column keys); larger frontiers take the Bloom
-# pre-filtered semi join (operators/bloom.py).
+# Unbounded-frontier routing: key sets estimated up to this many BYTES
+# broadcast; larger frontiers take the Bloom pre-filtered semi join
+# (operators/bloom.py). Byte-based, not row-based: 4M single-bigint
+# keys (~32 MB) should broadcast while 4M wide composite string keys
+# (~400 MB) must not — a row-count threshold would force-broadcast the
+# latter past Spark's own size safety (driver/executor OOM).
+BLOOM_MAX_BROADCAST_BYTES = 64 * 1024 * 1024
+# retained for tests/tuning: rows threshold derived per-frontier from
+# the estimated key row width (see _estimated_key_bytes)
 BLOOM_MIN_KEYS = 4_000_000
+
+_TYPE_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "date": 4,
+    "float": 4,
+    "long": 8,
+    "double": 8,
+    "timestamp": 8,
+}
+
+
+def _estimated_key_bytes(df: DataFrame) -> int:
+    """Estimated serialized bytes per key row from the schema: fixed
+    widths for primitives, a conservative 32 B for strings/other."""
+    total = 0
+    for f in df.schema.fields:
+        total += _TYPE_BYTES.get(f.dataType.typeName(), 32)
+    return max(total, 1)
 
 
 def parquet_loader(spark: SparkSession, sf_dir: str) -> TableLoader:
@@ -164,7 +190,11 @@ class ClosureExecutor:
                     from dbcut_spark.operators.bloom import bloom_semi_join
 
                     n_keys = keys.count()
-                    if n_keys <= BLOOM_MIN_KEYS:
+                    max_rows = min(
+                        BLOOM_MIN_KEYS,
+                        BLOOM_MAX_BROADCAST_BYTES // _estimated_key_bytes(keys),
+                    )
+                    if n_keys <= max_rows:
                         child_df = self.load(rel.target).join(
                             F.broadcast(keys),
                             on=list(rel.target_cols),

@@ -139,6 +139,11 @@ def _escape_partition_value(value) -> str:
     at worst leave an empty partition behind, never corrupt data."""
     if value is None:
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        # Spark renders booleans lowercase in partition paths; Python's
+        # str() capitalizes — mismatch would miss (or on case-insensitive
+        # filesystems, wrongly hit) the emptied-partition cleanup
+        return "true" if value else "false"
     unsafe = set('"#%\'*/:=?\\{[]^')
     out = []
     for ch in str(value):
@@ -156,17 +161,38 @@ def _partition_reldir(part_cols: list[str], row) -> str:
 
 
 def _partition_filter(part_cols: list[str], rows):
-    """Disjunction of per-partition conjunctions over LITERALS on the
-    partition columns — exactly the shape Catalyst's partition pruning
-    folds into a pruned file listing (PartitionFilters in the scan)."""
-    cond = F.lit(False)
+    """Predicate over LITERALS on the partition columns — exactly the
+    shape Catalyst's partition pruning folds into a pruned file listing
+    (PartitionFilters in the scan). Single-column layouts compile to a
+    flat ``IN`` list; multi-column to a BALANCED disjunction of
+    conjunctions — a left-leaning 10k-term Or chain would be 10k
+    expression-tree levels deep and overflow Catalyst's recursive
+    processing, while the balanced tree stays at log2 depth."""
+    rows = list(rows)
+    if not rows:
+        return F.lit(False)
+    if len(part_cols) == 1:
+        c = part_cols[0]
+        vals = [r[c] for r in rows]
+        non_null = [v for v in vals if v is not None]
+        cond = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) != len(vals):
+            cond = cond | F.col(c).isNull()
+        return cond
+    terms = []
     for r in rows:
-        sub = F.lit(True)
+        sub = None
         for c in part_cols:
             v = r[c]
-            sub = sub & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
-        cond = cond | sub
-    return cond
+            eq = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            sub = eq if sub is None else (sub & eq)
+        terms.append(sub)
+    while len(terms) > 1:
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
 
 def _staged_partition_dirs(staged: str, depth: int) -> list[str]:
@@ -209,6 +235,17 @@ def _swap_touched_partitions(
             dst = os.path.join(path, rel)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
+            # prune now-empty ancestor value dirs (multi-level layouts):
+            # a leftover empty k1=a/ would later make detect_partition_cols
+            # misread the partition depth
+            parent = os.path.dirname(dst)
+            while (
+                len(parent) > len(path)
+                and os.path.isdir(parent)
+                and not os.listdir(parent)
+            ):
+                os.rmdir(parent)
+                parent = os.path.dirname(parent)
     shutil.rmtree(staged)  # leftover _SUCCESS + emptied value dirs
 
 
@@ -248,6 +285,10 @@ def upsert_parquet(
     df = df.cache()
     try:
         incoming = df.count()
+        if incoming == 0:
+            # nothing to merge — don't rewrite the table (a delete-only
+            # CDC micro-batch reaches here with an empty upsert side)
+            return 0, 0
         if part_cols and set(part_cols) <= set(df.columns):
             inc_parts = df.select(*part_cols).distinct()
             old_parts = (
@@ -332,6 +373,17 @@ def delete_keys_parquet(
             else 0
         )
         _swap_touched_partitions(staged, path, part_cols, touched)
+        if not any(
+            e.is_dir() and "=" in e.name for e in os.scandir(path)
+        ):
+            # every partition emptied — a dir holding only _SUCCESS is
+            # unreadable ("unable to infer schema"); leave a readable
+            # empty table carrying the full schema instead (the
+            # unpartitioned branch's behavior for the same case)
+            empty_staged = path + ".__empty__"
+            remaining.limit(0).write.mode("overwrite").parquet(empty_staged)
+            shutil.rmtree(path)
+            os.rename(empty_staged, path)
         spark.catalog.refreshByPath(path)
         return n_before - n_after
     remaining = anti_new_rows(existing, keys, pk)

@@ -80,10 +80,22 @@ def stream_upsert_parquet(
     checkpoint: str,
     op_col: str | None = None,
     order_within_batch: str | None = None,
+    trigger: dict | None = None,
 ):
-    """Start a streaming query that continuously merges the change
-    stream into the parquet table at ``path``. Returns the
-    StreamingQuery (caller owns trigger/stop policy)."""
+    """Start a streaming query that merges the change stream into the
+    parquet table at ``path``. Returns the StreamingQuery.
+
+    ``trigger`` passes straight to ``DataStreamWriter.trigger`` —
+    default ``{"availableNow": True}`` drains what exists and stops
+    (batch-drain/test mode); a continuously-running CDC merge passes
+    e.g. ``{"processingTime": "30 seconds"}``.
+
+    Note ``order_within_batch`` names a data column used for
+    intra-batch last-writer-wins (e.g. ``updated_at``); it is KEPT in
+    the merged rows (the target's schema wins once the table exists —
+    a transport-only sequence column should be dropped upstream, or it
+    becomes part of the schema when the first batch creates the
+    table)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(batch, path, pk, op_col, order_within_batch)
@@ -91,6 +103,6 @@ def stream_upsert_parquet(
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -165,3 +165,22 @@ def test_bloom_at_routing_scale(spark):
     assert m <= MAX_BITS
     got = bloom_semi_join(child, keys, ["k"], n_keys=5_000_000)
     assert got.count() == 5_000_000
+
+
+def test_bloom_key_type_mismatch_no_false_negatives(spark):
+    """INT frontier keys against a BIGINT child column (the reflected
+    FK/PK type-mismatch case): the exact semi join coerces and matches,
+    so the Bloom path must too — the key side is cast to the child's
+    types before hashing."""
+    from pyspark.sql import functions as F2
+
+    child = spark.range(0, 1000).select(F2.col("id").alias("k"))  # bigint
+    keys = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 3)], "k int"  # int
+    )
+    exact = child.join(keys, on=["k"], how="left_semi")
+    got = bloom_semi_join(child, keys, ["k"])
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in exact.collect()
+    )
+    assert got.count() == 34  # 0,3,...,99

@@ -166,3 +166,21 @@ def test_engine_uses_catalog_cache_transparently(spark, sf_dir, tmp_path, monkey
     e3 = Engine(str(src), spark=spark, config={**cfg, "force_refresh": True})
     assert len(calls) == 2
     assert e3.catalog.to_json() == e1.catalog.to_json()
+
+
+def test_cache_entry_redacts_credentials(tmp_path):
+    """jdbc: URLs may embed credentials; the cache entry's breadcrumb
+    field must not persist them in plaintext."""
+    import json as _json
+
+    from dbcut_spark.catalog_cache import CatalogCache
+
+    url = "jdbc:postgresql://h/db?user=app&password=s3cret&ssl=true"
+    cache = CatalogCache(str(tmp_path / "c"))
+    cache.save(url, _toy_catalog())
+    with open(cache._path(url)) as f:
+        entry = _json.load(f)
+    assert "s3cret" not in _json.dumps(entry)
+    assert entry["source"].endswith("password=***&ssl=true")
+    # redaction doesn't affect cache hits (keying is by the raw URL)
+    assert cache.load(url) is not None

@@ -893,3 +893,69 @@ def test_compact_partitioned_skew_fans_out(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == before_rows
     assert got.filter("p = 2").count() == 100
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row of every partition must leave a READABLE
+    empty table (schema preserved), not a dir holding only _SUCCESS —
+    and a follow-up upsert must work against it."""
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    rows = [(1, 1, 1.0), (2, 2, 2.0), (3, 2, 3.0)]
+    spark.createDataFrame(rows, ["id", "p", "v"]).write.partitionBy("p").parquet(path)
+    victims = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    assert delete_keys_parquet(spark, victims, path, ["id"]) == 3
+    back = spark.read.parquet(path)  # must not raise
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "p", "v"}
+    # the table is still usable as an upsert target
+    fresh = spark.createDataFrame([(9, 5, 9.0)], ["id", "p", "v"])
+    upd, ins = upsert_parquet(spark, fresh, path, ["id"])
+    assert (upd, ins) == (0, 1)
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_multilevel_emptied_leaf_prunes_ancestors(spark, tmp_path):
+    """Emptying the only leaf of a two-level partition must remove the
+    now-empty intermediate dir too — a leftover empty k1=a/ would make
+    detect_partition_cols misread the partition depth."""
+    import os as _os
+
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        detect_partition_cols,
+    )
+
+    path = str(tmp_path / "m.parquet")
+    rows = [(1, "a", 1, 1.0), (2, "b", 1, 2.0), (3, "b", 2, 3.0)]
+    spark.createDataFrame(rows, ["id", "k1", "k2", "v"]).write.partitionBy(
+        "k1", "k2"
+    ).parquet(path)
+    # delete the single row under k1=a -> leaf k1=a/k2=1 AND k1=a must go
+    assert delete_keys_parquet(
+        spark, spark.createDataFrame([(1,)], ["id"]), path, ["id"]
+    ) == 1
+    assert not _os.path.exists(_os.path.join(path, "k1=a"))
+    assert detect_partition_cols(path) == ["k1", "k2"]
+    got = {
+        (r.id, r.k1, r.k2, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(2, "b", 1, 2.0), (3, "b", 2, 3.0)}
+
+
+def test_upsert_empty_incoming_is_noop(spark, tmp_path):
+    """A delete-only CDC micro-batch reaches upsert with zero rows —
+    the table must not be rewritten (files untouched)."""
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 1.0)], ["id", "v"]).write.parquet(path)
+    before = _file_census(path)
+    empty = spark.createDataFrame([], "id bigint, v double")
+    assert upsert_parquet(spark, empty, path, ["id"]) == (0, 0)
+    assert _file_census(path) == before
