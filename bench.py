@@ -134,6 +134,7 @@ HEADLINE = [
     "tpcds_grouping_sets",
     "tpcds_pivot_status",
     "tpch_rf_refresh_partitioned",
+    "docs_quantile_sketch",
     "docs_mixture_weights",
 ]
 

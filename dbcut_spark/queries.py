@@ -781,6 +781,7 @@ _GATE_ROTATION = [
     "tpcds_grouping_sets",
     "tpcds_pivot_status",
     "tpch_rf_refresh_partitioned",
+    "docs_quantile_sketch",
 ]
 
 GATE_WINDOW = 50

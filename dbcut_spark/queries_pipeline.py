@@ -4481,3 +4481,56 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_quantile_sketch",
+    sql="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('qsk:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS sample_n,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90
+    FROM ranked WHERE rn <= 128
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile SKETCH: per-source percentiles estimated from
+    the 128 docs with the smallest content hash (bottom-k-by-md5 — the
+    deterministic cousin of reservoir sampling, same family as the KMV
+    cardinality sketch). Shards can each keep their local bottom-128
+    and merge by re-taking the global bottom-128, so the sketch
+    distributes like KMV; and because membership is content-hash
+    ranked, not RNG, the estimate is bit-identical across engines,
+    partitionings, and cluster sizes — the oracle recomputes the exact
+    same sample. The exact twin (``docs_length_quantiles``) bounds the
+    approximation error; at 100 TB the sketch reads everything once but
+    sorts/carries only k rows per group."""
+    d = tp(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("qsk:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 128)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sample_n"), pct.alias("q"))
+        .select(
+            "source",
+            "sample_n",
+            F.round(F.col("q")[0], 6).alias("p25"),
+            F.round(F.col("q")[1], 6).alias("p50"),
+            F.round(F.col("q")[2], 6).alias("p90"),
+        )
+        .orderBy("source")
+    )
