@@ -804,20 +804,63 @@ def _detect_round() -> int:
     return (max(rounds) + 1) if rounds else 4
 
 
-def gate_window_for_round(round_no: int) -> list[str]:
+def _driver_sampled_before(round_no: int) -> set[str]:
+    """Union of query names holding a driver CORRECTNESS row in any
+    round BEFORE ``round_no`` — read from the CORRECTNESS_r*.json
+    artifacts committed at the repo root. Deterministic per round: the
+    artifacts for rounds < N are frozen by the time round N's window is
+    computed."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) >= round_no:
+            continue
+        try:
+            with open(p) as fh:
+                sampled.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return sampled
+
+
+def gate_window_for_round(
+    round_no: int, sampled: set[str] | None = None
+) -> list[str]:
     """The first-GATE_WINDOW queries the driver's gate will sample in
     ``round_no``: the core §2 surface plus this round's rotation slice.
     Shared by :func:`_reorder_for_gate` and the coverage guard test so
-    the rotation arithmetic exists in exactly one place."""
+    the rotation arithmetic exists in exactly one place.
+
+    Rounds <= 7 use the pure rotation (pinned by the published-window
+    tests). Rounds >= 8 add a never-sampled-first rule (round-7 verdict
+    item 1): pool queries with no driver row in ANY earlier round's
+    CORRECTNESS artifact take the rotation slots before the rotation
+    slice continues — so a query appended at the pool tail debuts in
+    the NEXT round's window instead of waiting a full rotation lap.
+    ``sampled`` overrides the artifact-derived sampled set (used by the
+    coverage guard test to simulate future rounds)."""
     core = [q for q in _CORE_GATE if q in QUERIES]
     pool = [q for q in _GATE_ROTATION if q in QUERIES and q not in core]
     slots = max(GATE_WINDOW - len(core), 0)
     if not pool or slots == 0:
         return core
     off = ((round_no - 5) * slots) % len(pool)
-    return core + [
+    rotation = [
         pool[(off + i) % len(pool)] for i in range(min(slots, len(pool)))
     ]
+    if round_no < 8:
+        return core + rotation
+    if sampled is None:
+        sampled = _driver_sampled_before(round_no)
+    pending = [q for q in pool if q not in sampled]
+    fill = [q for q in rotation if q not in pending]
+    return core + (pending + fill)[:slots]
 
 
 def _reorder_for_gate() -> None:

@@ -710,19 +710,33 @@ def test_every_query_reachable_by_gate_rotation():
     dead = reachable - set(QUERIES)
     assert not dead, f"gate lists reference unknown queries: {sorted(dead)}"
 
-    from dbcut_spark.queries import gate_window_for_round
+    from dbcut_spark.queries import (
+        _driver_sampled_before,
+        gate_window_for_round,
+    )
 
     core = [q for q in _CORE_GATE if q in QUERIES]
     pool = [q for q in _GATE_ROTATION if q in QUERIES and q not in core]
     slots = GATE_WINDOW - len(core)
     assert slots > 0
-    # drive the PRODUCTION window computation across rounds
+    # drive the PRODUCTION window computation across rounds: pure
+    # rotation through round 7, never-sampled-first from round 8 on.
+    # Simulate the driver feedback loop — each simulated round's window
+    # joins the sampled set — and require full registry coverage within
+    # a small horizon (pending-first converges in ceil(pool/slots)).
     seen = set()
-    rounds = math.ceil(len(pool) / slots)
-    for r in range(4, 4 + rounds):
+    for r in range(4, 8):
         window = gate_window_for_round(r)
         assert len(window) == min(GATE_WINDOW, len(QUERIES))
         seen.update(window)
+    sampled = _driver_sampled_before(8) | seen
+    for r in range(8, 8 + math.ceil(len(pool) / slots) + 1):
+        window = gate_window_for_round(r, sampled=sampled)
+        assert len(window) == min(GATE_WINDOW, len(QUERIES))
+        seen.update(window)
+        sampled |= set(window)
+        if seen == set(QUERIES):
+            break
     assert seen == set(QUERIES), sorted(set(QUERIES) - seen)
 
 
@@ -1431,6 +1445,43 @@ def test_round7_gate_window_pinned():
         "docs_bigram_logprob", "corpus_diff", "events_top_users_salted",
         "events_asof_next_purchase",
     ]
+
+
+def test_round8_gate_window_pinned():
+    """Round 8 switches to the never-sampled-first rule (round-7
+    verdict item 1): the 14 queries with no driver row in r01-r07 take
+    the rotation slots first, the round-8 rotation slice (offset 72)
+    fills the rest. Literal pin — published once CORRECTNESS_r07
+    landed; later gate-list edits must keep this window byte-identical
+    (new queries append at the rotation tail AND debut via the pending
+    rule, so this round-8 window itself is only valid while the pool
+    additions stay behind the fill slice)."""
+    from dbcut_spark.queries import gate_window_for_round
+
+    window = gate_window_for_round(8)
+    assert window[26:40] == [
+        "tpcds_rollup_priority", "tpcds_cube_lineitem",
+        "tpcds_yoy_nation", "tpcds_moving_avg", "tpcds_intersect_buyers",
+        "tpcds_except_browsers", "tpcds_top_spenders",
+        "tpcds_above_avg_orders", "tpcds_channel_rollup",
+        "docs_mixture_weights", "tpcds_grouping_sets",
+        "tpcds_pivot_status", "tpch_rf_refresh_partitioned",
+        "docs_quantile_sketch",
+    ]
+    # round-8 additions debut right after the round-7 backlog; any
+    # remaining slots continue the rotation slice
+    tail = window[40:]
+    assert len(window) == 50
+    from dbcut_spark.queries import _GATE_ROTATION
+
+    r8_new = [q for q in _GATE_ROTATION if q in _ROUND8_ADDITIONS]
+    assert tail[: len(r8_new)] == r8_new
+
+
+# queries first registered in round 8 (kept in sync with the
+# _GATE_ROTATION tail; the pin above proves they debut in round 8's
+# driver window instead of waiting a rotation lap)
+_ROUND8_ADDITIONS: list[str] = []
 
 
 def test_stream_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
