@@ -18,7 +18,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from dbcut_spark.catalog import TPCH_CATALOG, Catalog
-from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.operators.closure import (
+    ClosureExecutor,
+    parquet_loader,
+    parquet_table_rows,
+)
 from dbcut_spark.plans.extraction import ExtractionPlan, build_plan
 
 
@@ -55,7 +59,10 @@ class Engine:
                 force_refresh=self.config.get("force_refresh", False),
             )
         self.catalog = catalog
-        self.executor = ClosureExecutor(spark, parquet_loader(spark, source))
+        self.executor = ClosureExecutor(
+            spark, parquet_loader(spark, source),
+            table_rows=parquet_table_rows(source),
+        )
 
     def plan(self, query: dict) -> ExtractionPlan:
         """YAML-shaped query dict → extraction plan (inspect

@@ -19,7 +19,11 @@ import click
 from dbcut_spark.cache import ResultCache, cache_key
 from dbcut_spark.catalog import Catalog, TPCH_CATALOG, topo_order
 from dbcut_spark.config import load_config, normalize_query
-from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.operators.closure import (
+    ClosureExecutor,
+    parquet_loader,
+    parquet_table_rows,
+)
 from dbcut_spark.operators.pinning import release_pinned
 from dbcut_spark.plans.extraction import build_plan
 
@@ -133,7 +137,11 @@ class Ctx:
             yield i, build_plan(self.catalog, raw, self.config)
 
     def executor(self) -> ClosureExecutor:
-        return ClosureExecutor(self.spark, parquet_loader(self.spark, self.source))
+        return ClosureExecutor(
+            self.spark,
+            parquet_loader(self.spark, self.source),
+            table_rows=parquet_table_rows(self.source),
+        )
 
     def _catalog_info(self) -> dict:
         """Catalog identity for cache keying: the reference keys its

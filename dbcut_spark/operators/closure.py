@@ -80,14 +80,52 @@ def parquet_loader(spark: SparkSession, sf_dir: str) -> TableLoader:
     return load
 
 
+def parquet_table_rows(sf_dir: str) -> Callable[[str], int | None]:
+    """Table-level row counts from parquet footer metadata (no Spark
+    job) — the cheapest tier of the unbounded-frontier routing bound: a
+    frontier over table T holds ≤ rows(T) keys, so a small dim table
+    proves broadcastability without ANY job. Returns None on missing /
+    unreadable tables (routing then falls back to counting)."""
+    import os
+
+    from dbcut_spark.sources.parquet import estimate_row_count
+
+    def rows(table: str) -> int | None:
+        try:
+            return estimate_row_count(
+                os.path.join(sf_dir, f"{table}.parquet")
+            )
+        except Exception:
+            return None
+
+    return rows
+
+
 def _prefixed(df: DataFrame, table: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{table}__{c}") for c in df.columns])
 
 
 class ClosureExecutor:
-    def __init__(self, spark: SparkSession, loader: TableLoader):
+    def __init__(
+        self,
+        spark: SparkSession,
+        loader: TableLoader,
+        table_rows: Callable[[str], int | None] | None = None,
+    ):
         self.spark = spark
         self.load = loader
+        # optional source-metadata row counts (parquet footers / JDBC
+        # statistics) used as free frontier upper bounds when routing
+        # unbounded edges; memoized — footer walks cost O(files)
+        self.table_rows = table_rows
+        self._table_rows_memo: dict[str, int | None] = {}
+
+    def _source_rows(self, table: str) -> int | None:
+        if self.table_rows is None:
+            return None
+        if table not in self._table_rows_memo:
+            self._table_rows_memo[table] = self.table_rows(table)
+        return self._table_rows_memo[table]
 
     # -- root ---------------------------------------------------------------
     def root_frame(self, plan: ExtractionPlan) -> DataFrame:
@@ -208,10 +246,14 @@ class ClosureExecutor:
                     )
                     n_bound = bounds.get(id(node))
                     if n_bound is None:
-                        # no static bound — count the PINNED parent
-                        # frame once (single cached stage, no shuffle)
-                        # and share it across this node's edges
-                        n_bound = parent_df.count()
+                        # no static bound — try source metadata (free:
+                        # the frontier is a subset of its table), else
+                        # count the PINNED parent frame once (single
+                        # cached stage, no shuffle), shared across this
+                        # node's edges
+                        n_bound = self._source_rows(node.table)
+                        if n_bound is None:
+                            n_bound = parent_df.count()
                         bounds[id(node)] = n_bound
                     if n_bound <= max_rows:
                         child_df = self.load(rel.target).join(

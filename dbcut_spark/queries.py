@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbcut_spark.catalog import TPCH_CATALOG
-from dbcut_spark.operators.closure import ClosureExecutor, parquet_loader
+from dbcut_spark.operators.closure import (
+    ClosureExecutor,
+    parquet_loader,
+    parquet_table_rows,
+)
 from dbcut_spark.plans.extraction import build_plan
 from dbcut_spark.plans.oracle import plan_oracle_sql
 
@@ -370,7 +374,11 @@ FIXTURE_TABLES: dict[str, list[str]] = {
 def _closure_fn(fixture: str, table: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = build_plan(TPCH_CATALOG, FIXTURES[fixture])
-        ex = ClosureExecutor(spark, parquet_loader(spark, sf_dir))
+        ex = ClosureExecutor(
+            spark,
+            parquet_loader(spark, sf_dir),
+            table_rows=parquet_table_rows(sf_dir),
+        )
         return ex.closure_table(plan, table)
 
     run.__name__ = f"{fixture}__{table}"
