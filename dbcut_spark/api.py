@@ -121,13 +121,20 @@ class Engine:
         return out
 
     def upsert(
-        self, frames: dict[str, DataFrame], destination: str, dialect: str = "ansi"
+        self,
+        frames: dict[str, DataFrame],
+        destination: str,
+        dialect: str = "ansi",
+        schema_evolution: str = "strict",
     ) -> dict[str, tuple[int, int]]:
         """MERGE every frame into a parquet directory or ``jdbc:`` URL
         (parents first): rows replace same-PK rows or append. Returns
         {table: (updated, inserted)}. Parquet targets get the
         partition-pruned rewrite; JDBC targets the staged server-side
-        MERGE (``dialect`` picks the upsert syntax)."""
+        MERGE (``dialect`` picks the upsert syntax).
+        ``schema_evolution`` ("strict" | "add", parquet targets only)
+        controls what an extra incoming column does: raise, or widen
+        the target with NULL backfill."""
         from dbcut_spark.catalog import topo_order
         from dbcut_spark.sinks.insert_ignore import jdbc_upsert, upsert_parquet
 
@@ -148,6 +155,7 @@ class Engine:
                     frames[table],
                     os.path.join(destination, f"{table}.parquet"),
                     pk,
+                    schema_evolution=schema_evolution,
                 )
         self.release()
         return out

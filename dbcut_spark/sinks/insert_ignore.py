@@ -250,7 +250,11 @@ def _swap_touched_partitions(
 
 
 def upsert_parquet(
-    spark: SparkSession, df: DataFrame, path: str, pk: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    pk: list[str],
+    schema_evolution: str = "strict",
 ) -> tuple[int, int]:
     """MERGE semantics for a parquet target: incoming rows replace
     existing rows with the same PK (update) or append (insert).
@@ -272,9 +276,24 @@ def upsert_parquet(
     Not atomic under concurrent writers (same caveat as insert-ignore),
     and like any rewrite-based format, DataFrames built over the old
     files are invalid after the swap (the session's own listing cache
-    is refreshed here)."""
+    is refreshed here).
+
+    Schema drift (round-7 verdict item 3): an incoming column the
+    target lacks previously vanished silently — a data-loss-shaped
+    default for CDC sources that add columns. ``schema_evolution``:
+
+    - ``"strict"`` (default): raise on extra incoming columns (a
+      MISSING incoming column already fails loudly in the select);
+    - ``"add"``: widen the target — existing rows get NULL backfill
+      for the new columns (``unionByName(allowMissingColumns=True)``).
+    """
     import shutil
 
+    if schema_evolution not in ("strict", "add"):
+        raise ValueError(
+            f"schema_evolution must be 'strict' or 'add', got "
+            f"{schema_evolution!r}"
+        )
     df = df.dropDuplicates(pk)
     if not os.path.exists(path):
         n = df.count()
@@ -282,6 +301,25 @@ def upsert_parquet(
         return 0, n
     part_cols = detect_partition_cols(path)
     existing = spark.read.parquet(path)
+    extra_cols = [c for c in df.columns if c not in existing.columns]
+    if extra_cols and schema_evolution == "strict":
+        raise ValueError(
+            f"incoming frame has column(s) {extra_cols} the target "
+            f"{path!r} lacks; pass schema_evolution='add' to widen the "
+            "target (existing rows backfill NULL) or drop them upstream"
+        )
+    missing_cols = [c for c in existing.columns if c not in df.columns]
+    if missing_cols:
+        raise ValueError(
+            f"incoming frame lacks target column(s) {missing_cols} "
+            f"of {path!r} — upserts must carry the full row"
+        )
+
+    def _merged(keep: DataFrame) -> DataFrame:
+        if extra_cols:  # schema_evolution == "add" (strict raised above)
+            return keep.unionByName(df, allowMissingColumns=True)
+        return keep.unionByName(df.select(*keep.columns))
+
     df = df.cache()
     try:
         incoming = df.count()
@@ -289,7 +327,23 @@ def upsert_parquet(
             # nothing to merge — don't rewrite the table (a delete-only
             # CDC micro-batch reaches here with an empty upsert side)
             return 0, 0
-        if part_cols and set(part_cols) <= set(df.columns):
+        if part_cols and extra_cols:
+            # widening is table-wide: a pruned rewrite would leave
+            # untouched partition files without the new column, and an
+            # unmerged read (Spark defaults to one footer's schema)
+            # would drop or break on it — so evolve with a FULL rewrite
+            keep = anti_new_rows(existing, df, pk)
+            updated = incoming - anti_new_rows(df, existing, pk).count()
+            staged = path + ".__staging__"
+            (
+                _merged(keep)
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(staged)
+            )
+            shutil.rmtree(path)
+            os.rename(staged, path)
+        elif part_cols and set(part_cols) <= set(df.columns):
             inc_parts = df.select(*part_cols).distinct()
             old_parts = (
                 existing.join(df.select(*pk), on=pk, how="left_semi")
@@ -302,7 +356,7 @@ def upsert_parquet(
             updated = incoming - anti_new_rows(df, scoped, pk).count()
             staged = path + ".__staging__"
             (
-                keep.unionByName(df.select(*keep.columns))
+                _merged(keep)
                 .write.mode("overwrite")
                 .partitionBy(*part_cols)
                 .parquet(staged)
@@ -320,9 +374,7 @@ def upsert_parquet(
             keep = anti_new_rows(existing, df, pk)
             updated = incoming - anti_new_rows(df, existing, pk).count()
             staged = path + ".__staging__"
-            keep.unionByName(df.select(*keep.columns)).write.mode(
-                "overwrite"
-            ).parquet(staged)
+            _merged(keep).write.mode("overwrite").parquet(staged)
             shutil.rmtree(path)
             os.rename(staged, path)
         # the session caches file listings per path; the swap invalidated them

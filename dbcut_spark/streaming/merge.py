@@ -40,6 +40,7 @@ def apply_cdc_batch(
     pk: list[str],
     op_col: str | None = None,
     order_within_batch: str | None = None,
+    schema_evolution: str = "strict",
 ) -> tuple[int, int, int]:
     """Merge ONE change batch into the parquet target. Returns
     (updated, inserted, deleted). Pure batch function — used by the
@@ -62,6 +63,17 @@ def apply_cdc_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        import os
+
+        if os.path.exists(path) and order_within_batch not in (
+            spark.read.parquet(path).columns
+        ):
+            # the ordering column is transport metadata when the target
+            # lacks it — drop it DELIBERATELY here (upsert_parquet's
+            # strict schema-drift guard would otherwise reject it, and
+            # silently widening the target with a sequence column is
+            # never what a CDC pipeline wants)
+            batch = batch.drop(order_within_batch)
     deleted = 0
     if op_col is not None:
         dels = batch.filter(F.col(op_col) == "D").select(*pk)
@@ -69,7 +81,9 @@ def apply_cdc_batch(
             F.col(op_col).isNull() | (F.col(op_col) != "D")
         ).drop(op_col)
         deleted = delete_keys_parquet(spark, dels, path, pk)
-    updated, inserted = upsert_parquet(spark, batch, path, pk)
+    updated, inserted = upsert_parquet(
+        spark, batch, path, pk, schema_evolution=schema_evolution
+    )
     return updated, inserted, deleted
 
 
@@ -81,6 +95,7 @@ def stream_upsert_parquet(
     op_col: str | None = None,
     order_within_batch: str | None = None,
     trigger: dict | None = None,
+    schema_evolution: str = "strict",
 ):
     """Start a streaming query that merges the change stream into the
     parquet table at ``path``. Returns the StreamingQuery.
@@ -91,14 +106,19 @@ def stream_upsert_parquet(
     e.g. ``{"processingTime": "30 seconds"}``.
 
     Note ``order_within_batch`` names a data column used for
-    intra-batch last-writer-wins (e.g. ``updated_at``); it is KEPT in
-    the merged rows (the target's schema wins once the table exists —
-    a transport-only sequence column should be dropped upstream, or it
-    becomes part of the schema when the first batch creates the
-    table)."""
+    intra-batch last-writer-wins (e.g. ``updated_at``); when the
+    existing target lacks that column it is treated as transport
+    metadata and dropped after resolution (deliberately — see
+    ``apply_cdc_batch``), otherwise it merges like any data column. It
+    still becomes part of the schema when the FIRST batch creates the
+    table. Any other incoming column the target lacks follows
+    ``schema_evolution``: ``"strict"`` (default) fails the batch,
+    ``"add"`` widens the target with NULL backfill."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        apply_cdc_batch(batch, path, pk, op_col, order_within_batch)
+        apply_cdc_batch(
+            batch, path, pk, op_col, order_within_batch, schema_evolution
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -762,7 +762,9 @@ def test_upsert_partitioned_requires_partition_cols(spark, tmp_path):
         [(1, 1, 1.0), (2, 2, 2.0)], ["id", "p", "v"]
     ).write.partitionBy("p").parquet(path)
     bad = spark.createDataFrame([(1, -1.0)], ["id", "v"])
-    with _pytest.raises(ValueError, match="partition column"):
+    # the missing-column guard (schema-drift check) catches this first:
+    # partition cols are target cols, and upserts must carry full rows
+    with _pytest.raises(ValueError, match="lacks target column.*'p'"):
         upsert_parquet(spark, bad, path, ["id"])
 
 
@@ -959,3 +961,89 @@ def test_upsert_empty_incoming_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "id bigint, v double")
     assert upsert_parquet(spark, empty, path, ["id"]) == (0, 0)
     assert _file_census(path) == before
+
+
+def test_upsert_schema_drift_strict_raises(spark, tmp_path):
+    """Round-7 verdict item 3: an incoming column the target lacks must
+    FAIL LOUDLY by default (it used to vanish silently — data loss for
+    CDC sources that add columns), and a missing incoming column must
+    keep failing loudly too."""
+    import pytest
+
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"]).write.parquet(path)
+
+    wide = spark.createDataFrame([(1, 9.0, "x")], ["id", "v", "extra"])
+    with pytest.raises(ValueError, match="extra"):
+        upsert_parquet(spark, wide, path, ["id"])
+    narrow = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="lacks target column"):
+        upsert_parquet(spark, narrow, path, ["id"])
+    # target untouched by the rejected upserts
+    assert sorted(
+        (r.id, r.v) for r in spark.read.parquet(path).collect()
+    ) == [(1, 1.0), (2, 2.0)]
+    with pytest.raises(ValueError, match="schema_evolution"):
+        upsert_parquet(spark, wide, path, ["id"], schema_evolution="bogus")
+
+
+def test_upsert_schema_evolution_add(spark, tmp_path):
+    """schema_evolution='add' widens the target: new columns land, rows
+    not in the batch backfill NULL; a second normal upsert against the
+    widened schema still works."""
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"]).write.parquet(path)
+    wide = spark.createDataFrame([(2, 20.0, "x"), (3, 3.0, "y")],
+                                 ["id", "v", "extra"])
+    upd, ins = upsert_parquet(spark, wide, path, ["id"],
+                              schema_evolution="add")
+    assert (upd, ins) == (1, 1)
+    got = {r.id: (r.v, r.extra) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1.0, None), 2: (20.0, "x"), 3: (3.0, "y")}
+
+
+def test_upsert_schema_evolution_add_partitioned_full_rewrite(
+    spark, tmp_path
+):
+    """On a partitioned target a widening upsert must rewrite EVERY
+    partition (mixed per-file schemas would break unmerged reads):
+    untouched-partition rows survive with NULL backfill and the whole
+    table reads back with the new column."""
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "p.parquet")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], ["id", "part", "v"]
+    )
+    base.write.partitionBy("part").parquet(path)
+    wide = spark.createDataFrame(
+        [(3, "b", 30.0, "z"), (4, "c", 4.0, "w")],
+        ["id", "part", "v", "extra"],
+    )
+    upd, ins = upsert_parquet(spark, wide, path, ["id"],
+                              schema_evolution="add")
+    assert (upd, ins) == (1, 1)
+    got = {
+        r.id: (r.part, r.v, r.extra)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 1.0, None),
+        2: ("a", 2.0, None),
+        3: ("b", 30.0, "z"),
+        4: ("c", 4.0, "w"),
+    }
+    # every data file carries the evolved schema (no mixed footers)
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in __import__("os").walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                names = pq.ParquetFile(
+                    __import__("os").path.join(root, f)
+                ).schema_arrow.names
+                assert "extra" in names, (root, f)
