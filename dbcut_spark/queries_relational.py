@@ -39,7 +39,10 @@ def _rf_scratch() -> str:
     target:
     - the prefix embeds the PID, so a concurrent session (e.g. a bench
       --isolate child racing a parity run) never reaps a dir it doesn't
-      own; other PIDs' leftovers reap only once >1h old;
+      own; other PIDs' leftovers reap only once >1h old AND the owning
+      process is dead (a legitimately long-running or idle session's
+      live scratch must never be deleted from under its lazily-read
+      result frame);
     - within this process, _RF_LIVE tracks dirs whose result frames may
       still be lazily read (concurrent threads), and reaping skips
       them; a thread retires its own previous dir on re-entry."""
@@ -56,15 +59,34 @@ def _rf_scratch() -> str:
         if prev is not None:
             _RF_LIVE.discard(prev)
         own_prefix = f"dbcut_rf_refresh_{pid}_"
+
+        def owner_dead(name: str) -> bool:
+            # dbcut_rf_refresh_<pid>_<rand>: reap another process's dir
+            # only if that pid no longer exists (kill -0 probe).
+            # Unparseable names (or pid-reuse making a dead owner look
+            # alive) stay on disk — leak-towards-safety.
+            try:
+                owner = int(name[len("dbcut_rf_refresh_"):].split("_", 1)[0])
+            except ValueError:
+                return False
+            try:
+                _os.kill(owner, 0)
+                return False
+            except ProcessLookupError:
+                return True
+            except OSError:  # e.g. EPERM: alive but not ours
+                return False
+
         for stale in _glob.glob(f"{tmp_root}/dbcut_rf_refresh_*"):
             if stale in _RF_LIVE:
                 continue
-            own = _os.path.basename(stale).startswith(own_prefix)
+            base = _os.path.basename(stale)
+            own = base.startswith(own_prefix)
             try:
                 aged = _time.time() - _os.path.getmtime(stale) > 3600
             except OSError:
                 aged = False
-            if own or aged:
+            if own or (aged and owner_dead(base)):
                 _shutil.rmtree(stale, ignore_errors=True)
         scratch = _tempfile.mkdtemp(prefix=own_prefix)
         _RF_LIVE.add(scratch)

@@ -12,7 +12,7 @@ Spark-first shape, no driver-side per-partition loops:
   other rewrite sinks;
 - hive-partitioned target: each partition's target file count is
   derived from its actual row share of the on-disk footprint
-  (``ceil(rows_i x bytes_per_row / target)``), a deterministic salt in
+  (``ceil(rows_i x bytes_per_row / target)``), a rand-free salt in
   ``[0, n_files_i)`` spreads the rows, and ONE
   ``repartition(partition_cols + salt)`` feeds ``partitionBy`` — so a
   small partition compacts to one file while a skewed giant partition
@@ -92,14 +92,30 @@ def compact_parquet(
             eq = df[c].eqNullSafe(per[f"__pv_{c}"])
             cond = eq if cond is None else (cond & eq)
         data_cols = [c for c in df.columns if c not in part_cols]
+        if not data_cols:
+            # only external writers can produce this layout — Spark's
+            # own writer rejects partitioning on every column
+            # (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so the compaction
+            # rewrite cannot re-emit it either; fail with the reason
+            raise ValueError(
+                f"cannot compact {path!r}: every column is a partition "
+                "column, and Spark's writer requires at least one data "
+                "column to rewrite the layout"
+            )
+        # salt = hash(data columns + a per-row id): the row id keeps the
+        # spread working when every column is a partition column
+        # (xxhash64 with zero args is an error) and when a skewed
+        # partition is made of IDENTICAL rows (pure column hashing would
+        # land them all in one bucket, serializing the write). Rand-free,
+        # but layout depends on scan order — content never does.
+        salt_src = [F.col(c) for c in data_cols] + [
+            F.monotonically_increasing_id()
+        ]
         out = (
             df.join(F.broadcast(per), cond)
             .withColumn(
                 "__salt",
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in data_cols]),
-                    F.col("__nfiles"),
-                ).cast("int"),
+                F.pmod(F.xxhash64(*salt_src), F.col("__nfiles")).cast("int"),
             )
             .repartition(*part_cols, "__salt")
             .drop("__salt", "__nfiles", *[f"__pv_{c}" for c in part_cols])

@@ -154,6 +154,25 @@ def _escape_partition_value(value) -> str:
     return "".join(out)
 
 
+# Partition-column types whose Python rendering in _escape_partition_value
+# provably matches Spark's path encoding: strings (escaped), integrals,
+# booleans (lowercased), dates (ISO yyyy-MM-dd), NULL (sentinel). Floats
+# ('1e+20' vs '1.0E20'), timestamps (fractional-second formatting), and
+# decimals (scale rendering) can drift — a drifted path would miss the
+# emptied-partition cleanup and leave stale duplicate-PK rows, so those
+# layouts take the full-rewrite path instead of the pruned swap.
+_SWAP_SAFE_PARTITION_TYPES = {
+    "string", "integer", "long", "short", "byte", "boolean", "date",
+}
+
+
+def _pruned_swap_safe(schema, part_cols: list[str]) -> bool:
+    types = {f.name: f.dataType.typeName() for f in schema.fields}
+    return all(
+        types.get(c) in _SWAP_SAFE_PARTITION_TYPES for c in part_cols
+    )
+
+
 def _partition_reldir(part_cols: list[str], row) -> str:
     return "/".join(
         f"{c}={_escape_partition_value(row[c])}" for c in part_cols
@@ -327,11 +346,17 @@ def upsert_parquet(
             # nothing to merge — don't rewrite the table (a delete-only
             # CDC micro-batch reaches here with an empty upsert side)
             return 0, 0
-        if part_cols and extra_cols:
-            # widening is table-wide: a pruned rewrite would leave
-            # untouched partition files without the new column, and an
-            # unmerged read (Spark defaults to one footer's schema)
-            # would drop or break on it — so evolve with a FULL rewrite
+        if part_cols and (
+            extra_cols or not _pruned_swap_safe(existing.schema, part_cols)
+        ):
+            # full partitioned rewrite, two cases: (a) widening is
+            # table-wide — a pruned rewrite would leave untouched
+            # partition files without the new column, and an unmerged
+            # read (Spark defaults to one footer's schema) would drop
+            # or break on it; (b) float/timestamp/decimal partition
+            # values, whose Python path rendering can drift from
+            # Spark's encoding (the emptied-partition cleanup would
+            # miss, leaving stale duplicate-PK rows)
             keep = anti_new_rows(existing, df, pk)
             updated = incoming - anti_new_rows(df, existing, pk).count()
             staged = path + ".__staging__"
@@ -343,7 +368,7 @@ def upsert_parquet(
             )
             shutil.rmtree(path)
             os.rename(staged, path)
-        elif part_cols and set(part_cols) <= set(df.columns):
+        elif part_cols:  # full rows guaranteed by the missing-col guard
             inc_parts = df.select(*part_cols).distinct()
             old_parts = (
                 existing.join(df.select(*pk), on=pk, how="left_semi")
@@ -363,14 +388,6 @@ def upsert_parquet(
             )
             _swap_touched_partitions(staged, path, part_cols, touched)
         else:
-            if part_cols:
-                # fail loudly instead of a cryptic unionByName error /
-                # silently flattening the partitioned layout
-                missing = [c for c in part_cols if c not in df.columns]
-                raise ValueError(
-                    f"upsert into partitioned target {path!r} requires the "
-                    f"partition column(s) {missing} in the incoming frame"
-                )
             keep = anti_new_rows(existing, df, pk)
             updated = incoming - anti_new_rows(df, existing, pk).count()
             staged = path + ".__staging__"
@@ -403,6 +420,28 @@ def delete_keys_parquet(
     part_cols = detect_partition_cols(path)
     existing = spark.read.parquet(path)
     keys = df_keys.select(*pk).dropDuplicates(pk)
+    if part_cols and not _pruned_swap_safe(existing.schema, part_cols):
+        # float/timestamp/decimal partition values: Python path
+        # rendering can drift from Spark's encoding, so the pruned
+        # swap could miss an emptied partition — full rewrite
+        # (layout preserved) instead of risking stale rows
+        remaining = anti_new_rows(existing, keys, pk)
+        n_before = existing.count()
+        staged = path + ".__staging__"
+        remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            staged
+        )
+        has_rows = bool(_staged_partition_dirs(staged, len(part_cols)))
+        n_after = spark.read.parquet(staged).count() if has_rows else 0
+        if not has_rows:
+            # all rows deleted: a dir of only _SUCCESS is unreadable —
+            # leave a readable empty table carrying the full schema
+            shutil.rmtree(staged)
+            remaining.limit(0).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(path)
+        os.rename(staged, path)
+        spark.catalog.refreshByPath(path)
+        return n_before - n_after
     if part_cols:
         touched = (
             existing.join(keys, on=pk, how="left_semi")
@@ -548,23 +587,35 @@ def jdbc_upsert(
     the target's write path for row-level upserts)."""
     from dbcut_spark.sources.jdbc import jdbc_count, jdbc_execute, write_append
 
+    import uuid
+
     out = df.dropDuplicates(pk).cache()
     try:
-        stage = f"{table}__stage"
+        # pid+uuid suffix: concurrent runs against the same target get
+        # disjoint staging tables (a fixed name let two runs drop or
+        # overwrite each other's stage mid-merge); dropped in `finally`
+        # so a failed merge doesn't leak it. The (updated, inserted)
+        # split derives from before/after COUNT(*) and is therefore
+        # reliable only without CONCURRENT writers on the target —
+        # concurrent merges still apply correctly (server-side MERGE),
+        # only the returned split can misattribute.
+        stage = f"{table}__stg_{os.getpid():x}_{uuid.uuid4().hex[:6]}"
         n_stage = out.count()
         if not n_stage:
             return 0, 0
-        try:
-            jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
-        except Exception:
-            pass  # stage did not exist
         write_append(out, url, stage, batchsize=batchsize)
-        n_before = jdbc_count(spark, url, table)
-        jdbc_execute(
-            spark, url, upsert_sql(dialect, table, out.columns, pk, stage, quote)
-        )
-        n_after = jdbc_count(spark, url, table)
-        jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        try:
+            n_before = jdbc_count(spark, url, table)
+            jdbc_execute(
+                spark, url,
+                upsert_sql(dialect, table, out.columns, pk, stage, quote),
+            )
+            n_after = jdbc_count(spark, url, table)
+        finally:
+            try:
+                jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+            except Exception:
+                pass  # cleanup best-effort; stage name is unique per run
         inserted = n_after - n_before
         return n_stage - inserted, inserted
     finally:
@@ -586,27 +637,32 @@ def jdbc_delete_keys(
     Returns rows deleted."""
     from dbcut_spark.sources.jdbc import jdbc_execute, write_append
 
+    import uuid
+
     q = quote
     keys = df_keys.select(*pk).dropDuplicates(pk).cache()
     try:
         if not keys.count():
             return 0
-        stage = f"{table}__delkeys"
-        try:
-            jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
-        except Exception:
-            pass
+        # unique per run + finally-drop: same concurrency/leak
+        # rationale as jdbc_upsert's staging table
+        stage = f"{table}__dk_{os.getpid():x}_{uuid.uuid4().hex[:6]}"
         write_append(keys, url, stage, batchsize=batchsize)
-        on = " AND ".join(f"s.{q}{c}{q} = {table}.{q}{c}{q}" for c in pk)
-        (n,) = jdbc_execute(
-            spark,
-            url,
-            [
-                f"DELETE FROM {table} WHERE EXISTS "
-                f"(SELECT 1 FROM {stage} s WHERE {on})"
-            ],
-        )
-        jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+        try:
+            on = " AND ".join(f"s.{q}{c}{q} = {table}.{q}{c}{q}" for c in pk)
+            (n,) = jdbc_execute(
+                spark,
+                url,
+                [
+                    f"DELETE FROM {table} WHERE EXISTS "
+                    f"(SELECT 1 FROM {stage} s WHERE {on})"
+                ],
+            )
+        finally:
+            try:
+                jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+            except Exception:
+                pass
         return n
     finally:
         keys.unpersist()
