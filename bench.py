@@ -136,6 +136,8 @@ HEADLINE = [
     "tpch_rf_refresh_partitioned",
     "docs_quantile_sketch",
     "docs_mixture_weights",
+    "events_approx_distinct_users",
+    "docs_approx_length_quantiles",
 ]
 
 

@@ -790,6 +790,11 @@ _GATE_ROTATION = [
     "tpcds_pivot_status",
     "tpch_rf_refresh_partitioned",
     "docs_quantile_sketch",
+    # -- round-8 additions: appended at the END (append-only rule); the
+    # round-8+ never-sampled-first rule in gate_window_for_round makes
+    # them debut in their own round's window anyway --
+    "events_approx_distinct_users",
+    "docs_approx_length_quantiles",
 ]
 
 GATE_WINDOW = 50

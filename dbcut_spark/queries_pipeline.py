@@ -4534,3 +4534,116 @@ def docs_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate swap-ins (round-7 verdict item 8): the 100 TB variants of
+# exact gate queries. A cross-engine hash gate cannot compare approximate
+# VALUES (HLL++/GK internals differ per engine), so each query emits the
+# EXACT answer plus a boolean asserting the Spark-side approximation met
+# its documented error bound — the oracle recomputes the exact side and
+# expects the boolean TRUE, which fails the gate iff the approximation
+# breaks its contract.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_approx_distinct_users",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++, rsd=0.01) checked
+    against the exact distinct count per event_type. At 100 TB the
+    exact count shuffles every distinct (event_type, user_id) pair;
+    the HLL sketch is a few KB per group, merged map-side — this gate
+    proves the swap-in stays inside a 5% envelope (5x the configured
+    rsd, so partition-order variance in the sketch merge cannot flake
+    the gate)."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+    )
+    return (
+        per.select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "docs_approx_length_quantiles",
+    sql="""
+    SELECT CAST(q AS DOUBLE) AS q,
+           CAST(round(eq, 6) AS DOUBLE) AS exact_q,
+           TRUE AS rank_err_ok
+    FROM (
+      SELECT 0.25 AS q, quantile_cont(n_chars, 0.25) AS eq FROM documents
+      UNION ALL
+      SELECT 0.5, quantile_cont(n_chars, 0.5) FROM documents
+      UNION ALL
+      SELECT 0.75, quantile_cont(n_chars, 0.75) FROM documents
+      UNION ALL
+      SELECT 0.9, quantile_cont(n_chars, 0.9) FROM documents
+    ) ORDER BY q
+    """,
+)
+def docs_approx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna, accuracy=100 ⇒ rank
+    error ≤ 1%) checked by its own contract: the RANK of each
+    approximate quantile value must sit within 5% + 1/n of the target
+    fraction (the 1/n covers tiny-n discreteness; tie jumps stay inside
+    the 5%). Exact percentiles (linear interpolation — identical to
+    DuckDB's quantile_cont) ride along as the gate's hashed values. At
+    100 TB the exact percentile sorts every group; the GK sketch is a
+    bounded-size mergeable summary — the standard swap."""
+    qs = [0.25, 0.5, 0.75, 0.9]
+    docs = t(spark, sf_dir, "documents").select("n_chars")
+    qarr = ", ".join(f"{q}D" for q in qs)
+    stats = docs.agg(
+        F.expr(f"percentile(n_chars, array({qarr}))").alias("ex"),
+        F.expr(f"percentile_approx(n_chars, array({qarr}), 100)").alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qlits = F.array(*[F.lit(q) for q in qs])
+    per_q = stats.select(
+        F.posexplode(F.arrays_zip(F.col("ex"), F.col("ap"))).alias("i", "z"),
+        "n",
+    ).select(
+        F.element_at(qlits, F.col("i") + 1).alias("q"),
+        F.col("z.ex").alias("exact_raw"),
+        F.col("z.ap").alias("approx_v"),
+        "n",
+    )
+    # rank of the approx value = fraction of rows <= it; the 4-row
+    # bound table broadcasts, so this is one pass over the data
+    ranks = (
+        docs.join(F.broadcast(per_q))
+        .groupBy("q", "exact_raw", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("approx_v"), 1).otherwise(0)
+            ).alias("rk")
+        )
+    )
+    return ranks.select(
+        F.col("q"),
+        F.round("exact_raw", 6).cast("double").alias("exact_q"),
+        (
+            F.abs(F.col("rk") / F.col("n") - F.col("q"))
+            <= F.lit(0.05) + 1.0 / F.col("n")
+        ).alias("rank_err_ok"),
+    ).orderBy("q")

@@ -1481,7 +1481,10 @@ def test_round8_gate_window_pinned():
 # queries first registered in round 8 (kept in sync with the
 # _GATE_ROTATION tail; the pin above proves they debut in round 8's
 # driver window instead of waiting a rotation lap)
-_ROUND8_ADDITIONS: list[str] = []
+_ROUND8_ADDITIONS: list[str] = [
+    "events_approx_distinct_users",
+    "docs_approx_length_quantiles",
+]
 
 
 def test_stream_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
