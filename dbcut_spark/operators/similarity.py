@@ -560,6 +560,128 @@ def ivf_topk_indexed(
     )
 
 
+def corpus_mean(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Element-wise mean embedding — the cheap distribution fingerprint
+    the IVF drift gate compares across index generations. One
+    posexplode + pos-keyed aggregation: shuffle state is ``dim`` rows
+    regardless of corpus size (the same map-side-combine shape as the
+    ``embedding_centroid_drift`` gate query)."""
+    rows = (
+        df.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r.m for r in rows]
+
+
+def update_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Assign-only index refresh: rewrite the inverted file with the
+    STORED coarse quantizer (no KMeans refit) — the cheap maintenance
+    path for append-mostly corpora. Correct while the distribution
+    holds; after real drift the stale centroids misroute vectors into
+    the wrong buckets and probe recall decays, which is exactly what
+    :func:`ivf_maintain`'s drift gate exists to catch."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    stats_path = os.path.join(path, "_corpus_stats.json")
+    stats = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = f.read()
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    (
+        candidates.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+        )
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # the overwrite wiped the sidecars — restore both (assign-only
+    # refresh keeps the quantizer AND its snapshot era)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    if stats is not None:
+        with open(stats_path, "w") as f:
+            f.write(stats)
+    return centroids
+
+
+def ivf_maintain(
+    spark,
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    drift_cos_threshold: float = 0.98,
+) -> dict:
+    """Drift-triggered IVF maintenance (round-7 verdict item 5): the
+    loop a production ANN index runs as its corpus evolves.
+
+    - no index at ``path`` → fit + build, snapshot the corpus mean;
+    - corpus mean cosine vs the snapshot ≥ threshold → distribution
+      held: ASSIGN-ONLY refresh (stored quantizer, no KMeans);
+    - below threshold (or missing snapshot) → REFIT the coarse
+      quantizer on the current corpus and rebuild, new snapshot.
+
+    Returns {"action": "built"|"kept"|"rebuilt", "mean_cos": float|None}.
+
+    The detector is the centroid-drift signal of the
+    ``embedding_centroid_drift`` gate query: a mean-direction move is
+    the earliest cheap sign the bucketing no longer fits. Caveat (same
+    as that query's docstring): on a corpus whose mean sits at the
+    isotropic noise floor the cosine is sampling noise — spurious
+    rebuilds are wasted compute, never wrong results, since every path
+    re-ranks with exact cosine inside the probed buckets."""
+    import json
+    import math
+    import os
+
+    cur = corpus_mean(candidates, vec_col)
+    stats_path = os.path.join(path, "_corpus_stats.json")
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        build_ivf_index(candidates, path, id_col, vec_col, n_centroids, seed)
+        with open(stats_path, "w") as f:
+            json.dump({"mean": cur}, f)
+        return {"action": "built", "mean_cos": None}
+    stored = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stored = json.load(f)["mean"]
+    cos = None
+    if stored is not None:
+        num = sum(a * b for a, b in zip(stored, cur))
+        den = math.sqrt(sum(a * a for a in stored)) * math.sqrt(
+            sum(b * b for b in cur)
+        )
+        cos = num / den if den else 0.0
+    if cos is not None and cos >= drift_cos_threshold:
+        update_ivf_index(candidates, path, id_col, vec_col)
+        with open(stats_path, "w") as f:
+            json.dump({"mean": stored}, f)  # snapshot unchanged: same era
+        return {"action": "kept", "mean_cos": cos}
+    build_ivf_index(candidates, path, id_col, vec_col, n_centroids, seed)
+    with open(stats_path, "w") as f:
+        json.dump({"mean": cur}, f)
+    return {"action": "rebuilt", "mean_cos": cos}
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -887,3 +887,78 @@ def test_dedup_events_stream(spark, tmp_path):
     rows = spark.table("dedup_stream_test").collect()
     ids = [r["event_id"] for r in rows]
     assert sorted(ids) == list(range(120))  # every id exactly once
+
+
+def test_ivf_maintain_drift_refit_recovers_recall(spark, tmp_path):
+    """Round-7 verdict item 5 — the IVF maintenance loop: build on
+    corpus A, 'kept' (assign-only) while the distribution holds, and
+    after an injected drift (clusters move to disjoint dimensions) the
+    drift gate fires, the quantizer refits, and probe-1 recall recovers
+    from the stale-centroid level back to ~exact."""
+    import random
+
+    dim, per = 16, 80
+
+    def corpus(center_dims, id0, rng):
+        rows = []
+        for ci, cd in enumerate(center_dims):
+            for j in range(per):
+                v = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+                v[cd] += 10.0
+                rows.append((id0 + ci * per + j, v))
+        return rows
+
+    rng = random.Random(42)
+    a = spark.createDataFrame(corpus([0, 1, 2, 3], 100, rng),
+                              "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf_idx")
+    r1 = sim.ivf_maintain(spark, a, idx, n_centroids=4,
+                          drift_cos_threshold=0.9)
+    assert r1["action"] == "built"
+
+    # same distribution, new sample: gate must NOT fire (assign-only)
+    a2 = spark.createDataFrame(corpus([0, 1, 2, 3], 100, rng),
+                               "vec_id long, embedding array<double>")
+    r2 = sim.ivf_maintain(spark, a2, idx, n_centroids=4,
+                          drift_cos_threshold=0.9)
+    assert r2["action"] == "kept" and r2["mean_cos"] > 0.9
+
+    # drift: clusters move to disjoint dimensions; queries live near
+    # the NEW cluster centers
+    b = spark.createDataFrame(corpus([8, 9, 10, 11], 100, rng),
+                              "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, [0.0] * dim) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    ).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == F.col("vec_id") + 8, 10.0).otherwise(0.0),
+        ).alias("embedding"),
+    )
+
+    def recall(topk, exact):
+        got, want = {}, {}
+        for r in topk.collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        for r in exact.collect():
+            want.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(
+            len(got.get(q, set()) & w) / len(w) for q, w in want.items()
+        ) / len(want)
+
+    exact = sim.cosine_topk(queries, b, k=5)
+    # stale path: assign-only refresh with the OLD quantizer — the
+    # production mistake the drift gate prevents
+    sim.update_ivf_index(b, idx)
+    rec_stale = recall(sim.ivf_topk_indexed(spark, idx, queries, k=5,
+                                            nprobe=1), exact)
+
+    r3 = sim.ivf_maintain(spark, b, idx, n_centroids=4,
+                          drift_cos_threshold=0.9)
+    assert r3["action"] == "rebuilt" and r3["mean_cos"] < 0.9
+    rec_fresh = recall(sim.ivf_topk_indexed(spark, idx, queries, k=5,
+                                            nprobe=1), exact)
+    assert rec_fresh >= 0.9, (rec_stale, rec_fresh)
+    assert rec_fresh > rec_stale + 0.2, (rec_stale, rec_fresh)
