@@ -118,6 +118,28 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(dest, "customer.parquet"))
     assert spark.read.parquet(os.path.join(dest, "customer.parquet")).count() == 5
 
+    # fragmentation column (round-7 verdict item 7): the loaded target
+    # shows (files x avg MB); a deliberately fragmented table below the
+    # --frag-mb threshold is flagged FRAG, above it is not
+    frag_path = os.path.join(dest, "customer.parquet")
+    n_files = len(
+        [f for f in os.listdir(frag_path) if f.endswith(".parquet")]
+    )
+    res_f = runner.invoke(
+        cli, ["-c", cfg_path, "inspect"], catch_exceptions=False
+    )
+    assert res_f.exit_code == 0, res_f.output
+    cust_line = [l for l in res_f.output.splitlines()
+                 if l.startswith("customer")][0]
+    assert f"{n_files} x " in cust_line and "FRAG" in cust_line  # tiny files
+    res_nf = runner.invoke(
+        cli, ["-c", cfg_path, "inspect", "--frag-mb", "0.000001"],
+        catch_exceptions=False,
+    )
+    cust_line2 = [l for l in res_nf.output.splitlines()
+                  if l.startswith("customer")][0]
+    assert "FRAG" not in cust_line2
+
     # cache hit on second run; chained clear+load still works
     res2 = runner.invoke(
         cli, ["-c", cfg_path, "clear", "load"], catch_exceptions=False
