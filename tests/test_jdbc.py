@@ -276,11 +276,16 @@ def test_cli_load_inspect_clear_flush_against_derby(spark, sf_dir, tmp_path):
     n_orders = jdbc_count(spark, url, "orders")
     assert n_cust == 5
     assert n_orders > 0
-    # inspect printed live destination counts
+    # inspect printed live destination counts (3rd column; the 4th is
+    # the fragmentation column, "-" for JDBC destinations)
     assert any(
-        line.split()[0] == "customer" and line.split()[-1] == "5"
-        for line in res.output.splitlines()
-        if line.strip().startswith("customer")
+        parts[:1] == ["customer"] and parts[2] == "5" and parts[3] == "-"
+        for parts in (
+            line.split()
+            for line in res.output.splitlines()
+            if line.strip().startswith("customer")
+        )
+        if len(parts) >= 4
     )
 
     # idempotent: second load inserts nothing new
