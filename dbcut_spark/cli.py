@@ -403,26 +403,44 @@ def purgecache(ctx: Ctx):
     show_default=True,
     help="target output file size",
 )
+@click.option(
+    "--min-frag-mb",
+    default=0.0,
+    show_default=True,
+    help="skip tables whose average data file is already at least this "
+    "big (pair with `inspect --frag-mb` to compact only what it flags; "
+    "0 compacts everything)",
+)
 @click.pass_obj
-def compact(ctx: Ctx, target_file_mb: int):
+def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
     """Compact fragmented destination parquet tables (small-files
     maintenance: incremental loads leave many tiny files; this rewrites
     each table into size-targeted files, preserving any partition
-    layout). Parquet destinations only."""
-    from dbcut_spark.sinks.compact import compact_parquet
+    layout). Parquet destinations only. With ``--min-frag-mb`` the
+    rewrite is paid only for tables ``inspect`` would flag FRAG at the
+    same threshold — a single-file table is never rewritten for
+    nothing."""
+    from dbcut_spark.sinks.compact import compact_parquet, data_file_stats
 
     if ctx.dest.startswith("jdbc:"):
         raise click.UsageError("compact applies to parquet destinations only")
     for table in topo_order(ctx.catalog):
         path = os.path.join(ctx.dest, f"{table}.parquet")
-        if os.path.exists(path):
-            stats = compact_parquet(
-                ctx.spark, path, target_file_mb=target_file_mb
-            )
-            click.echo(
-                f"compacted {table}: {stats['files_before']} -> "
-                f"{stats['files_after']} files"
-            )
+        if not os.path.exists(path):
+            continue
+        if min_frag_mb:
+            n, total = data_file_stats(path)
+            if n and total / n / (1024 * 1024) >= min_frag_mb:
+                click.echo(f"skipped {table}: not fragmented "
+                           f"({n} x {total / n / (1024 * 1024):.1f}MB)")
+                continue
+        stats = compact_parquet(
+            ctx.spark, path, target_file_mb=target_file_mb
+        )
+        click.echo(
+            f"compacted {table}: {stats['files_before']} -> "
+            f"{stats['files_after']} files"
+        )
 
 
 @cli.command()

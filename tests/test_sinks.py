@@ -873,6 +873,18 @@ def test_cli_compact_command(spark, sf_dir, tmp_path):
     df2 = spark.createDataFrame(sorted(rows), df.schema)
     df2.repartition(6).write.parquet(path)
     assert data_file_stats(path)[0] >= 2
+    # threshold mode first: a fragmented-but-above-threshold table is
+    # skipped (tiny files → far below any sane avg, so use a micro
+    # threshold to exercise the skip branch)
+    res_skip = runner.invoke(
+        cli,
+        ["-c", cfg_path, "compact", "--min-frag-mb", "0.0000001"],
+        catch_exceptions=False,
+    )
+    assert res_skip.exit_code == 0, res_skip.output
+    assert "skipped customer: not fragmented" in res_skip.output
+    assert data_file_stats(path)[0] >= 2  # untouched
+
     res2 = runner.invoke(
         cli, ["-c", cfg_path, "compact"], catch_exceptions=False
     )
