@@ -192,22 +192,36 @@ class Engine:
         return out
 
     def compact(
-        self, destination: str, target_file_mb: int = 128
+        self,
+        destination: str,
+        target_file_mb: int = 128,
+        min_frag_mb: float = 0.0,
     ) -> dict[str, dict]:
         """Small-files maintenance on a parquet destination previously
         written by :meth:`load`/:meth:`upsert`: every table rewrites to
-        size-targeted files (partition layout preserved). Returns
+        size-targeted files (partition layout preserved). With
+        ``min_frag_mb`` tables whose average data file already meets
+        the threshold are skipped ({"skipped": True} in their stats) —
+        pay the rewrite only where `inspect` flags FRAG. Returns
         {table: stats}."""
         from dbcut_spark.catalog import topo_order
-        from dbcut_spark.sinks.compact import compact_parquet
+        from dbcut_spark.sinks.compact import compact_parquet, data_file_stats
 
         out: dict[str, dict] = {}
         for table in topo_order(self.catalog):
             path = os.path.join(destination, f"{table}.parquet")
-            if os.path.exists(path):
-                out[table] = compact_parquet(
-                    self.spark, path, target_file_mb=target_file_mb
-                )
+            if not os.path.exists(path):
+                continue
+            if min_frag_mb:
+                n, total = data_file_stats(path)
+                if n and total / n / (1024 * 1024) >= min_frag_mb:
+                    out[table] = {
+                        "skipped": True, "files_before": n, "bytes": total,
+                    }
+                    continue
+            out[table] = compact_parquet(
+                self.spark, path, target_file_mb=target_file_mb
+            )
         return out
 
     def nested_json(self, query: dict) -> DataFrame:

@@ -117,6 +117,10 @@ def test_engine_compact(spark, sf_dir, tmp_path):
     eng.load({"nation": frames["nation"].repartition(5)}, dest)
     path = f"{dest}/nation.parquet"
     assert data_file_stats(path)[0] >= 2
+    # threshold mode: already-healthy average skips the rewrite
+    skip = eng.compact(dest, min_frag_mb=0.0000001)
+    assert skip["nation"]["skipped"] is True
+    assert data_file_stats(path)[0] >= 2
     stats = eng.compact(dest)
     assert stats["nation"]["files_after"] == 1
     assert spark.read.parquet(path).count() == 25
