@@ -138,6 +138,7 @@ HEADLINE = [
     "docs_mixture_weights",
     "events_approx_distinct_users",
     "docs_approx_length_quantiles",
+    "include_multi__customer",
 ]
 
 

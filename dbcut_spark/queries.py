@@ -341,6 +341,20 @@ FIXTURES: dict[str, dict] = {
         "backref_depth": 1,
         "exclude": ["customer", "supplier", "events"],
     },
+    # MULTI-target include pruning (reference `include:` accepts a list,
+    # /root/reference/dbcut/query.py:183-221 picks a minimal path PER
+    # target and keeps their union): region → nation forks into customer
+    # AND supplier, sharing the nation prefix — exercises path-union
+    # dedup plus a branching frontier, which the linear include_path
+    # fixture cannot
+    "include_multi": {
+        "from": "region",
+        "include": ["customer", "supplier"],
+        "where": {"r_name": {"$in": ["ASIA", "EUROPE", "AFRICA"]}},
+        "limit": "no",
+        "backref_limit": "no",
+        "exclude": ["events"],
+    },
     # include-pruning + cross-table $or/$in/$like predicate
     # (mirrors the reference corpus customer_playlist include query)
     "include_path": {
@@ -368,6 +382,7 @@ FIXTURE_TABLES: dict[str, list[str]] = {
     "backref_global": ["customer", "orders"],
     "closure_m2m": ["orders", "lineitem", "part"],
     "include_path": ["region", "nation", "customer"],
+    "include_multi": ["region", "nation", "customer", "supplier"],
 }
 
 
@@ -795,6 +810,10 @@ _GATE_ROTATION = [
     # them debut in their own round's window anyway --
     "events_approx_distinct_users",
     "docs_approx_length_quantiles",
+    "include_multi__region",
+    "include_multi__nation",
+    "include_multi__customer",
+    "include_multi__supplier",
 ]
 
 GATE_WINDOW = 50

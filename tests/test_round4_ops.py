@@ -1484,6 +1484,10 @@ def test_round8_gate_window_pinned():
 _ROUND8_ADDITIONS: list[str] = [
     "events_approx_distinct_users",
     "docs_approx_length_quantiles",
+    "include_multi__region",
+    "include_multi__nation",
+    "include_multi__customer",
+    "include_multi__supplier",
 ]
 
 
