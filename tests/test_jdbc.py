@@ -460,3 +460,18 @@ def test_live_jdbc_upsert_delete_derby(spark, tmp_path):
     # absent keys delete 0; empty delta upserts (0, 0)
     assert jdbc_delete_keys(spark, dels.filter("k >= 1000"), url, "t", ["k"]) == 0
     assert jdbc_upsert(spark, delta.filter("k < -5"), url, "t", ["k"]) == (0, 0)
+
+    # no staging tables leaked (pid+uuid names, dropped in finally —
+    # ADVICE r7: a failure between write and drop used to leak them)
+    stages = (
+        spark.read.format("jdbc").option("url", url)
+        .option(
+            "query",
+            "SELECT tablename AS tn FROM sys.systables "
+            "WHERE tabletype = 'T' AND (tablename LIKE '%__STG_%' "
+            "OR tablename LIKE '%__DK_%')",
+        )
+        .load()
+        .collect()
+    )
+    assert stages == [], stages
