@@ -247,11 +247,15 @@ class ClosureExecutor:
                     n_bound = bounds.get(id(node))
                     if n_bound is None:
                         # no static bound — try source metadata (free:
-                        # the frontier is a subset of its table), else
-                        # count the PINNED parent frame once (single
-                        # cached stage, no shuffle), shared across this
-                        # node's edges
+                        # the frontier is a subset of its table). A big
+                        # TABLE does not mean a big FRONTIER (selective
+                        # `where` + limit:no), so a too-big metadata
+                        # bound falls through to ONE count of the
+                        # PINNED parent frame (single cached stage, no
+                        # shuffle), shared across this node's edges.
                         n_bound = self._source_rows(node.table)
+                        if n_bound is not None and n_bound > max_rows:
+                            n_bound = None
                         if n_bound is None:
                             n_bound = parent_df.count()
                         bounds[id(node)] = n_bound
