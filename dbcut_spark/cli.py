@@ -444,12 +444,26 @@ def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
 
 
 @cli.command()
+@click.option(
+    "--cost",
+    is_flag=True,
+    help="annotate with footer-derived scan sizes and the predicted "
+    "frontier routing (broadcast / runtime count) per edge — no Spark "
+    "jobs, parquet sources only",
+)
 @click.pass_obj
-def tree(ctx: Ctx):
-    """Render each query's extraction tree without executing."""
+def tree(ctx: Ctx, cost: bool):
+    """Render each query's extraction tree without executing; with
+    --cost, also the static scan-bytes / routing preview
+    (plans/cost.py) so an operator sees what a 100 TB extraction
+    would touch before paying for it."""
     for i, plan in ctx.plans():
         click.echo(f"query {i}:")
         click.echo(plan.tree.render())
+        if cost:
+            from dbcut_spark.plans.cost import estimate_plan
+
+            click.echo(estimate_plan(plan, ctx.source).render())
 
 
 @cli.command()

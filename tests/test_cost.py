@@ -1,0 +1,181 @@
+"""Static cost estimator (plans/cost.py): footer accuracy, bound
+propagation lockstep with the executor, and the no-Spark guarantee."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from dbcut_spark.catalog import TPCH_CATALOG
+from dbcut_spark.plans import build_plan
+from dbcut_spark.plans.cost import estimate_plan, footer_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(raw: dict):
+    return build_plan(TPCH_CATALOG, raw)
+
+
+def test_footer_stats_match_pyarrow():
+    path = os.path.join(SF_DIR, "orders.parquet")
+    stats = footer_stats(path)
+    assert stats is not None
+    assert stats.rows == pq.ParquetFile(path).metadata.num_rows
+    assert stats.compressed_bytes > 0
+    assert stats.uncompressed_bytes >= stats.compressed_bytes // 2
+    # per-column totals partition the whole-file total
+    assert sum(stats.col_uncompressed.values()) == stats.uncompressed_bytes
+    assert "o_orderkey" in stats.col_uncompressed
+
+
+def test_footer_stats_missing_table_is_none():
+    assert footer_stats(os.path.join(SF_DIR, "no_such.parquet")) is None
+
+
+def test_bounded_plan_all_edges_broadcast():
+    plan = _plan({"from": "customer", "limit": 20, "backref_limit": 5})
+    est = estimate_plan(plan, SF_DIR)
+    assert est.root_rows is not None and est.root_rows > 0
+    assert est.edges, "customer tree has edges"
+    assert {e.route for e in est.edges} == {"broadcast"}
+    assert est.total_scan_bytes is not None and est.total_scan_bytes > 0
+
+
+def test_unbounded_small_tables_still_broadcast():
+    # limit:no over sf0.001 — every table's footer row count is far
+    # under the byte-derived broadcast threshold, so the metadata tier
+    # proves broadcastability without any runtime count
+    plan = _plan({"from": "customer", "limit": "no", "backref_limit": "no"})
+    est = estimate_plan(plan, SF_DIR)
+    assert {e.route for e in est.edges} == {"broadcast"}
+    # unbounded root: no static frontier bound on the root's edges
+    root_edges = [e for e in est.edges if e.parent == "customer"]
+    assert all(e.frontier_bound is None for e in root_edges)
+
+
+def test_bounds_match_executor_rules():
+    """Propagation rules are the executor's (closure.py:309-331):
+    root ≤ limit; m2o through the child's full PK keeps the bound;
+    capped o2m multiplies by backref_limit."""
+    plan = _plan({"from": "customer", "limit": 20, "backref_limit": 5})
+    est = estimate_plan(plan, SF_DIR)
+    by_edge = {(e.parent, e.table): e for e in est.edges}
+    # root frontier bound = limit on every edge out of customer
+    assert by_edge[("customer", "orders")].frontier_bound == 20
+    assert by_edge[("customer", "nation")].frontier_bound == 20
+    # orders frontier came through a capped o2m: 20 parents × 5
+    assert by_edge[("orders", "lineitem")].frontier_bound == 100
+    # lineitem→part is m2o through part's full PK: bound carries from
+    # lineitem's (o2m, 100 × 5 = 500)
+    assert by_edge[("lineitem", "part")].frontier_bound == 500
+
+
+def test_global_backref_mode_caps_child_bound():
+    plan = _plan(
+        {
+            "from": "customer",
+            "limit": 20,
+            "backref_limit": 7,
+            "backref_limit_mode": "global",
+        }
+    )
+    est = estimate_plan(plan, SF_DIR)
+    by_edge = {(e.parent, e.table): e for e in est.edges}
+    # global mode: ONE limit over the whole child fetch, so the orders
+    # frontier is ≤ 7 regardless of parent count
+    assert by_edge[("orders", "lineitem")].frontier_bound == 7
+
+
+def test_huge_synthetic_bound_routes_runtime(tmp_path):
+    """A frontier bound past the broadcast threshold → 'runtime' (the
+    executor would count, then pick broadcast or Bloom)."""
+    plan = _plan(
+        {"from": "customer", "limit": 50_000_000, "backref_limit": "no"}
+    )
+    est = estimate_plan(plan, SF_DIR)
+    by_edge = {(e.parent, e.table): e for e in est.edges}
+    edge = by_edge[("customer", "orders")]
+    # bound known (50M) but over the threshold, and customer's footer
+    # rows don't help once a static bound exists — mixed spec
+    # (limit set, backref_limit:no) is NOT 'bounded', so routing runs
+    assert edge.frontier_bound == 50_000_000
+    assert edge.route == "runtime" or edge.broadcast_max_rows >= 50_000_000
+
+
+def test_missing_table_degrades_not_raises(tmp_path):
+    # point at an empty dir: every table lacks stats; estimator still
+    # returns a render-able report with unknown costs
+    plan = _plan({"from": "customer", "limit": 10, "backref_limit": 5})
+    est = estimate_plan(plan, str(tmp_path))
+    assert est.root_rows is None
+    assert est.total_scan_bytes is None
+    assert "customer" in est.stats_missing
+    out = est.render()
+    assert "no footer stats" in out
+
+
+def test_render_mentions_routes_and_totals():
+    plan = _plan({"from": "customer", "limit": 20, "backref_limit": 5})
+    out = estimate_plan(plan, SF_DIR).render()
+    assert "route=broadcast" in out
+    assert "total scan:" in out
+    assert "customer" in out.splitlines()[0]
+
+
+def test_no_spark_session_needed():
+    """The estimator is pure driver-side metadata — prove it by running
+    in a subprocess with pyspark's JVM never started."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from dbcut_spark.catalog import TPCH_CATALOG\n"
+        "from dbcut_spark.plans import build_plan\n"
+        "from dbcut_spark.plans.cost import estimate_plan\n"
+        "plan = build_plan(TPCH_CATALOG, {'from': 'customer', 'limit': 20, 'backref_limit': 5})\n"
+        f"est = estimate_plan(plan, {SF_DIR!r})\n"
+        "assert est.total_scan_bytes > 0\n"
+        "from pyspark.sql import SparkSession\n"
+        "assert SparkSession.getActiveSession() is None\n"
+        "print('OK', est.total_scan_bytes)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.startswith("OK")
+
+
+def test_cli_tree_cost(tmp_path):
+    """`tree --cost` renders the estimate under each query's tree —
+    and, on a parquet TPC-H source, without starting Spark."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {
+            "source_uri": SF_DIR,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [{"from": "customer", "limit": 20, "backref_limit": 5}],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "tree", "--cost"], catch_exceptions=False
+    )
+    assert res.exit_code == 0, res.output
+    assert "route=broadcast" in res.output
+    assert "total scan:" in res.output
