@@ -139,6 +139,8 @@ HEADLINE = [
     "events_approx_distinct_users",
     "docs_approx_length_quantiles",
     "include_multi__customer",
+    "docs_hybrid_rrf",
+    "events_scd2_state",
 ]
 
 

@@ -814,6 +814,8 @@ _GATE_ROTATION = [
     "include_multi__nation",
     "include_multi__customer",
     "include_multi__supplier",
+    "docs_hybrid_rrf",
+    "events_scd2_state",
 ]
 
 GATE_WINDOW = 50

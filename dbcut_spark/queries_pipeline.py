@@ -4647,3 +4647,256 @@ def docs_approx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) + 1.0 / F.col("n")
         ).alias("rank_err_ok"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 session-2 additions: hybrid retrieval (RRF) and SCD2 history
+# ---------------------------------------------------------------------------
+
+_HYBRID_RRF_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+    FROM documents) t
+  WHERE length(tok) > 0),
+df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+kept AS (SELECT tok.doc_id, tok.tok FROM tok JOIN df USING (tok) WHERE df.df <= 250),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS shared
+  FROM kept q JOIN kept c ON q.tok = c.tok
+  WHERE q.doc_id < 10 AND c.doc_id >= 10
+  GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, cand_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY shared * 1.0 / (sq.n_tok + sc.n_tok - shared) DESC, cand_id
+         ) AS INT) AS r_lex
+  FROM shared
+  JOIN sizes sq ON sq.doc_id = query_id
+  JOIN sizes sc ON sc.doc_id = cand_id
+  QUALIFY r_lex <= 20),
+nrm AS (
+  SELECT vec_id, sqrt(SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dot
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q,
+       (SELECT * FROM embeddings WHERE vec_id >= 10) c,
+       generate_series(1, 64) g(i)
+  GROUP BY 1, 2),
+sem AS (
+  SELECT query_id, cand_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id
+         ) AS INT) AS r_sem
+  FROM dots
+  JOIN nrm nq ON nq.vec_id = query_id
+  JOIN nrm nc ON nc.vec_id = cand_id
+  QUALIFY r_sem <= 20),
+fused AS (
+  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+         COALESCE(lex.cand_id, sem.cand_id) AS cand_id,
+         lex.r_lex, sem.r_sem,
+         COALESCE(1.0 / (60 + lex.r_lex), 0) + COALESCE(1.0 / (60 + sem.r_sem), 0) AS rrf_raw
+  FROM lex FULL OUTER JOIN sem
+    ON lex.query_id = sem.query_id AND lex.cand_id = sem.cand_id)
+SELECT query_id, cand_id, r_lex, r_sem, round(rrf_raw, 6) AS rrf,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_raw DESC, cand_id) AS INT) AS rnk
+FROM fused
+QUALIFY rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+@register("docs_hybrid_rrf", sql=_HYBRID_RRF_SQL)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion: per query doc
+    (doc_id < 10), fuse a LEXICAL ranking (token Jaccard over the
+    df<=250 vocabulary — the >50%-of-corpus stopwords are dropped
+    BEFORE the inverted-index join, which is exactly the skew guard a
+    100 TB corpus needs: without it one hot token joins every doc pair)
+    with a SEMANTIC ranking (exact cosine, the ann_cosine_topk path),
+    RRF k=60 over the union of the two top-20 lists, keep top-5.
+
+    Plan shape: the lexical side is an inverted-index equi-join on
+    token (shuffle keyed by token, partial-aggregated pair counts —
+    never a doc×doc cartesian); the semantic side broadcasts the 10
+    query vectors through one candidate scan; the fusion is a
+    full-outer join of two ≤(10×20)-row frames — driver-trivial.
+    Missing-from-one-list candidates contribute 0 for that list
+    (standard RRF over retrieved-union). Ranks are ints, so the fused
+    1/(60+r) doubles are bit-identical across engines; round(6) on the
+    emitted score only."""
+    d = tp(spark, sf_dir, "documents")
+    e = tp(spark, sf_dir, "embeddings")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(norm_text("text"), " "))
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    toks = pin(toks)
+    df_ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(df_.filter(F.col("df") <= 250), "tok").select(
+        "doc_id", "tok"
+    )
+    kept = pin(kept)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    q_toks = kept.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    c_toks = kept.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("cand_id"), "tok"
+    )
+    shared = (
+        q_toks.join(c_toks, "tok")
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("n_tok").alias("nq"),
+            ),
+            "query_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("cand_id"), F.col("n_tok").alias("nc")
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("shared")
+                * F.lit(1.0)
+                / (F.col("nq") + F.col("nc") - F.col("shared"))
+            ).alias("jac"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("jac").desc(), F.col("cand_id").asc()
+    )
+    lex = (
+        jac.withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("r_lex") <= 20)
+        .select("query_id", "cand_id", "r_lex")
+    )
+    sem = sim.cosine_topk(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=20
+    ).select("query_id", "cand_id", F.col("rnk").alias("r_sem"))
+    fused = lex.join(sem, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            "r_lex",
+            "r_sem",
+            F.round("rrf_raw", 6).alias("rrf"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq),
+islands AS (
+  SELECT user_id, CAST(run_id AS INT) AS version, min(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       version, n_events
+FROM islands
+ORDER BY user_id, version
+"""
+
+
+@register("events_scd2_state", sql=_SCD2_SQL)
+def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from an event
+    log: collapse each user's consecutive runs of equal event_type
+    into validity intervals [valid_from, valid_to) with a version
+    number — the gaps-and-islands compaction every warehouse runs to
+    turn CDC/event streams into dimension history.
+
+    Plan shape: ONE shuffle (by user_id) feeds all three window passes
+    and the island aggregation — Catalyst reuses the hash partitioning
+    across lag/running-sum/lead, so at 100 TB this is a single
+    exchange + sort per user partition, no matter how long the
+    history. Determinism: (ts, event_id) total order; the open
+    interval's valid_to is NULL.
+
+    Raw scan (t, not tp): the user_id hash exchange is the FIRST thing
+    the plan does, so a parallelizing round-robin repartition of the
+    single-file harness scan would be a second full shuffle for
+    nothing — the window work is already spread by the hash."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w_seq)
+    marked = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        islands.select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            F.col("run_id").cast("int").alias("version"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -409,3 +409,38 @@ def test_closure_frontier_shape_gets_dynamic_partition_pruning(spark, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
+
+
+def test_hybrid_rrf_no_cartesian_and_broadcast_queries(spark, sf_dir):
+    """docs_hybrid_rrf: the lexical side must be an inverted-index
+    equi-join on token (never a doc x doc cartesian) and the semantic
+    side must broadcast the 10-query frame through the candidate scan."""
+    plan = plan_of(spark, sf_dir, "docs_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the scoring cross of 10 queries x N candidates rides a broadcast,
+    # not a shuffle of the candidate table
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """events_scd2_state: lag, running-sum, island agg, and lead all
+    reuse ONE hash partitioning by user_id — exactly one shuffle of the
+    event rows (plus the final presentation sort)."""
+    plan = plan_of(spark, sf_dir, "events_scd2_state")
+    import re
+
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Sort" not in ln
+    ]
+    hash_parts = [ln for ln in exchanges if "hashpartitioning" in ln]
+    # one user_id hash exchange; the only other allowed exchange is the
+    # rangepartitioning for the deterministic output order
+    assert len(hash_parts) == 1, plan
+    assert "user_id" in hash_parts[0]
+    assert all(
+        "rangepartitioning" in ln for ln in exchanges if ln not in hash_parts
+    ), plan
+    assert "EvalPython" not in plan

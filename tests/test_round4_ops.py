@@ -1488,6 +1488,8 @@ _ROUND8_ADDITIONS: list[str] = [
     "include_multi__nation",
     "include_multi__customer",
     "include_multi__supplier",
+    "docs_hybrid_rrf",
+    "events_scd2_state",
 ]
 
 
