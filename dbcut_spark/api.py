@@ -69,6 +69,17 @@ class Engine:
         ``.tree.render()`` before executing)."""
         return build_plan(self.catalog, dict(query), self.config)
 
+    def estimate(self, query: dict):
+        """Static scan-cost / frontier-routing preview of an extraction
+        (plans/cost.py): footer-derived rows + bytes per scan and the
+        predicted broadcast-vs-runtime routing per edge. Zero Spark
+        jobs — call before :meth:`extract` on a big source to see what
+        the closure would touch. Parquet sources only (JDBC sources
+        have no footers; returns unknown costs there)."""
+        from dbcut_spark.plans.cost import estimate_plan
+
+        return estimate_plan(self.plan(query), self.source)
+
     def extract(self, query: dict) -> dict[str, DataFrame]:
         """Referentially-consistent closure: {table: DataFrame}.
 

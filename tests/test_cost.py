@@ -179,3 +179,15 @@ def test_cli_tree_cost(tmp_path):
     assert res.exit_code == 0, res.output
     assert "route=broadcast" in res.output
     assert "total scan:" in res.output
+
+
+def test_engine_estimate_facade():
+    """Engine.estimate mirrors tree --cost without starting jobs (the
+    Engine here reuses the session only for lazily-built executors)."""
+    from dbcut_spark.api import Engine
+    from dbcut_spark.catalog import TPCH_CATALOG
+
+    eng = Engine(SF_DIR, spark=object(), catalog=TPCH_CATALOG)
+    est = eng.estimate({"from": "customer", "limit": 20, "backref_limit": 5})
+    assert est.total_scan_bytes > 0
+    assert {e.route for e in est.edges} == {"broadcast"}
