@@ -800,3 +800,95 @@ def asof_attribution_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_state", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``events_scd2_state`` gate query:
+    per-user SCD2 interval compaction over a live event stream. Each
+    user's open run (current state, valid_from, row count, version)
+    lives in the state store; an incoming state CHANGE closes the open
+    interval — emitted immediately, [valid_from, valid_to) exactly as
+    the batch gaps-and-islands form computes it — and opens the next.
+
+    Scale: state is O(active users) regardless of history length; one
+    user_id shuffle feeds the stateful operator, the same key the batch
+    twin shuffles on. Ordering contract: events for one user must
+    arrive in (ts, event_id) order ACROSS micro-batches (each batch is
+    sorted internally) — true of per-key-ordered CDC/event logs, which
+    is what SCD2 consumes; a cross-batch regression would need a
+    retroactive interval split that append-mode streaming cannot
+    express. The interval still open when the stream idles stays in
+    state (it is the batch twin's valid_to IS NULL row)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist())
+            )
+        rows.sort()
+        cur, vfrom, n, ver = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        out: dict[str, list] = {
+            "user_id": [],
+            "state": [],
+            "valid_from_us": [],
+            "valid_to_us": [],
+            "version": [],
+            "n_events": [],
+        }
+        for ts_us, _eid, etype in rows:
+            if cur is None:
+                cur, vfrom, n, ver = etype, ts_us, 1, 1
+            elif etype == cur:
+                n += 1
+            else:
+                out["user_id"].append(user_id)
+                out["state"].append(cur)
+                out["valid_from_us"].append(vfrom)
+                out["valid_to_us"].append(ts_us)
+                out["version"].append(ver)
+                out["n_events"].append(n)
+                cur, vfrom, n, ver = etype, ts_us, 1, ver + 1
+        state.update((cur, vfrom, n, ver))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SCD2_OUT_SCHEMA,
+            SCD2_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -962,3 +962,53 @@ def test_ivf_maintain_drift_refit_recovers_recall(spark, tmp_path):
                                             nprobe=1), exact)
     assert rec_fresh >= 0.9, (rec_stale, rec_fresh)
     assert rec_fresh > rec_stale + 0.2, (rec_stale, rec_fresh)
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
+    """The streaming SCD2 compactor must emit exactly the batch twin's
+    CLOSED intervals (valid_to IS NOT NULL) — same states, bounds,
+    versions, and run sizes; each user's final OPEN interval stays in
+    state (it is the batch NULL-valid_to row)."""
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.queries_pipeline import events_scd2_state
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        scd2_stream,
+    )
+
+    src = tmp_path / "events_scd2_stream"
+    src.mkdir()
+    read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60).orderBy(
+        "ts", "event_id"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    got_df = run_stream_to_memory(
+        spark, scd2_stream(stream), "scd2_stream_test",
+        timeout_s=120, output_mode="append",
+    )
+    got = {
+        (
+            r["user_id"], r["state"], r["valid_from_us"],
+            r["valid_to_us"], r["version"], r["n_events"],
+        )
+        for r in got_df.collect()
+    }
+
+    expected = {
+        (
+            r["user_id"],
+            r["state"],
+            int(r["valid_from"].timestamp() * 1_000_000),
+            int(r["valid_to"].timestamp() * 1_000_000),
+            r["version"],
+            r["n_events"],
+        )
+        for r in events_scd2_state(spark, sf_dir).collect()
+        if r["user_id"] < 60 and r["valid_to"] is not None
+    }
+    assert got, "stream emitted no closed intervals"
+    assert got == expected
