@@ -191,3 +191,57 @@ def test_engine_estimate_facade():
     est = eng.estimate({"from": "customer", "limit": 20, "backref_limit": 5})
     assert est.total_scan_bytes > 0
     assert {e.route for e in est.edges} == {"broadcast"}
+
+
+def test_estimator_bounds_dominate_actual_frontiers(spark):
+    """Soundness differential: for every edge where the estimator
+    claims a static frontier bound, the EXECUTOR's actual parent
+    frontier (distinct key rows) must be <= that bound — the estimate
+    is an upper bound by construction, and this pins the two walks to
+    the same propagation rules on real data."""
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.operators.closure import (
+        ClosureExecutor,
+        parquet_loader,
+        parquet_table_rows,
+    )
+
+    specs = [
+        {"from": "customer", "limit": 20, "backref_limit": 5},
+        {"from": "orders", "limit": 15, "backref_limit": 3,
+         "backref_limit_mode": "global"},
+        {"from": "nation", "limit": 7, "backref_limit": 2,
+         "include": ["customer"]},
+    ]
+    for raw in specs:
+        plan = _plan(raw)
+        est = estimate_plan(plan, SF_DIR)
+        ex = ClosureExecutor(
+            spark,
+            parquet_loader(spark, SF_DIR),
+            table_rows=parquet_table_rows(SF_DIR),
+        )
+        _tables, frontiers = ex.execute_nodes(plan)
+        # estimator edges come out in the same BFS walk order as the
+        # executor's loop — re-walk to pair each edge with its parent
+        idx = 0
+        for node in plan.tree.root.walk():
+            for child in node.children:
+                edge = est.edges[idx]
+                assert edge.parent == node.table and edge.table == child.table
+                if edge.frontier_bound is not None:
+                    rel = child.relationship
+                    actual = (
+                        frontiers[id(node)]
+                        .select(*rel.source_cols)
+                        .dropna()
+                        .distinct()
+                        .count()
+                    )
+                    assert actual <= edge.frontier_bound, (
+                        raw, edge.parent, edge.table, actual,
+                        edge.frontier_bound,
+                    )
+                idx += 1
+        assert idx == len(est.edges)
