@@ -248,9 +248,21 @@ def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
               f"rows={rec['rows']}", file=sys.stderr)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_ISOLATE.json")
+    # MERGE with the existing artifact (same sf only): a triage run of
+    # one query must not drop the standing adjudication set from the
+    # committed artifact — that is exactly how docs_bm25_top_terms went
+    # missing from the round-7 artifact. Entries re-run now win.
+    merged = dict(out)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            merged = {**prev.get("queries", {}), **out}
+    except (OSError, ValueError):
+        pass
     with open(path, "w") as f:
         json.dump({"metric": "isolated_best_of_8", "unit": "sec",
-                   "sf": sf, "queries": out}, f, indent=2)
+                   "sf": sf, "queries": merged}, f, indent=2)
         f.write("\n")
     print(json.dumps({"metric": "isolated_best_of_8", "unit": "sec",
                       "sf": sf,
