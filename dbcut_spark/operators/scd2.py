@@ -1,0 +1,163 @@
+"""SCD2 history: gaps-and-islands build + incremental delta apply.
+
+``scd2_build`` turns an append-only event/CDC log into type-2
+validity intervals; ``scd2_apply_delta`` maintains an existing SCD2
+table under new events WITHOUT re-reading the history — the open
+interval per key is the only state the compaction needs (the same
+invariant the streaming twin ``streaming/events.py:scd2_stream`` keeps
+in its state store), so the incremental form touches O(open intervals
+of keys in the delta), not O(history). The equivalence theorem
+incremental(build(first), rest) == build(all) is pinned by
+``tests/test_pipeline_ops.py::test_scd2_apply_delta_matches_full_rebuild``.
+
+Scale: both forms shuffle once by key; closed intervals of untouched
+AND touched keys pass through untouched (closed intervals are
+immutable under per-key-ordered input), so a writer can prune to keys
+present in the delta exactly like the partition-pruned upsert.
+
+Ordering contract (same as the streaming twin): per key, delta events
+carry (ts, seq) strictly after the open interval's valid_from — true
+of per-key-ordered CDC logs, which is what SCD2 consumes. A
+retroactive event would need an interval split that incremental
+maintenance cannot express; rebuild instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# synthetic seed rows sort before any real event at the same timestamp
+_SEED_SEQ = -1
+
+
+def _islands(
+    rows: DataFrame,
+    key: str,
+    state_col: str,
+    ts: str,
+    seq: str,
+    weight: str,
+) -> DataFrame:
+    """Gaps-and-islands over (key, ts, seq)-ordered rows: one output
+    row per maximal run of equal ``state_col``; ``run_id`` is the
+    1-based per-key run index, ``n_events`` sums ``weight``."""
+    w_seq = Window.partitionBy(key).orderBy(ts, seq)
+    prev = F.lag(state_col).over(w_seq)
+    marked = rows.withColumn(
+        "__chg",
+        F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "__run_id",
+        F.sum("__chg").over(
+            w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return runs.groupBy(key, "__run_id").agg(
+        F.min(state_col).alias("state"),
+        F.min(ts).alias("valid_from"),
+        F.sum(weight).cast("long").alias("n_events"),
+    )
+
+
+def scd2_build(
+    events: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Event log → SCD2 intervals (key, state, valid_from, valid_to,
+    version, n_events); the open interval has valid_to NULL. ONE
+    shuffle by ``key`` feeds the lag, running sum, island aggregation
+    and lead — Catalyst reuses the hash partitioning across all four."""
+    rows = events.select(key, ts, seq, state_col).withColumn(
+        "__w", F.lit(1)
+    )
+    islands = _islands(rows, key, state_col, ts, seq, "__w")
+    w_ver = Window.partitionBy(key).orderBy("__run_id")
+    return islands.select(
+        key,
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        F.col("__run_id").cast("int").alias("version"),
+        "n_events",
+    )
+
+
+def scd2_apply_delta(
+    target: DataFrame,
+    delta: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Maintain an SCD2 table under new events, incrementally.
+
+    - closed intervals (valid_to NOT NULL) pass through verbatim —
+      immutable under per-key-ordered input;
+    - open intervals of keys ABSENT from the delta pass through;
+    - each open interval of a key IN the delta becomes a synthetic
+      seed row (ts=valid_from, seq sorting first, weight=n_events)
+      prepended to that key's delta events, and the gaps-and-islands
+      compaction re-runs over seed+delta only: if the first delta
+      event continues the open state, the seed's island absorbs it
+      (version and valid_from survive, n_events accumulates);
+      otherwise the seed closes at the first event's ts;
+    - keys new in the delta start at version 1.
+
+    Cost: O(delta + open intervals of touched keys) — the history
+    (closed intervals) is never recomputed, mirroring how the
+    partition-pruned upsert rewrites only touched partitions."""
+    open_ = target.filter(F.col("valid_to").isNull())
+    closed = target.filter(F.col("valid_to").isNotNull())
+    delta_keys = delta.select(F.col(key)).distinct()
+
+    open_untouched = open_.join(delta_keys, key, "left_anti")
+    open_touched = open_.join(delta_keys, key, "left_semi")
+
+    seed = open_touched.select(
+        F.col(key),
+        F.col("valid_from").alias(ts),
+        F.lit(_SEED_SEQ).cast("long").alias(seq),
+        F.col("state").alias(state_col),
+        F.col("n_events").cast("long").alias("__w"),
+    )
+    delta_rows = delta.select(
+        F.col(key),
+        F.col(ts),
+        F.col(seq).cast("long").alias(seq),
+        F.col(state_col),
+        F.lit(1).cast("long").alias("__w"),
+    )
+    islands = _islands(
+        seed.unionByName(delta_rows), key, state_col, ts, seq, "__w"
+    )
+    # version offset: a touched key's first new island IS the open
+    # interval's run continuing, so numbering resumes at its version;
+    # keys new in the delta (no open interval) start at 1
+    bases = open_touched.select(
+        F.col(key), (F.col("version") - 1).alias("__voffset")
+    )
+    w_ver = Window.partitionBy(key).orderBy("__run_id")
+    renumbered = (
+        # no broadcast hint: bases is one row per TOUCHED key — tiny
+        # for a drip delta, but a backfill can touch every key, so let
+        # AQE pick broadcast vs shuffle from the actual size
+        islands.join(bases, key, "left")
+        .na.fill({"__voffset": 0})
+        .select(
+            key,
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            (F.col("__run_id") + F.col("__voffset")).cast("int").alias(
+                "version"
+            ),
+            "n_events",
+        )
+    )
+    return closed.unionByName(open_untouched).unionByName(renumbered)

@@ -4867,36 +4867,14 @@ def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw scan (t, not tp): the user_id hash exchange is the FIRST thing
     the plan does, so a parallelizing round-robin repartition of the
     single-file harness scan would be a second full shuffle for
-    nothing — the window work is already spread by the hash."""
+    nothing — the window work is already spread by the hash.
+
+    The compaction itself lives in ``operators/scd2.py:scd2_build``,
+    shared with the incremental maintainer (``scd2_apply_delta``) and
+    mirrored by the streaming twin (``streaming/events.py:scd2_stream``)."""
+    from dbcut_spark.operators.scd2 import scd2_build
+
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w_seq)
-    marked = ev.withColumn(
-        "chg",
-        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
-    )
-    runs = marked.withColumn(
-        "run_id",
-        F.sum("chg").over(
-            w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    islands = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w_ver = Window.partitionBy("user_id").orderBy("run_id")
-    return (
-        islands.select(
-            "user_id",
-            "state",
-            "valid_from",
-            F.lead("valid_from").over(w_ver).alias("valid_to"),
-            F.col("run_id").cast("int").alias("version"),
-            F.col("n_events").cast("long").alias("n_events"),
-        )
-        .orderBy("user_id", "version")
-    )
+    return scd2_build(ev).orderBy("user_id", "version")
