@@ -245,3 +245,15 @@ def test_estimator_bounds_dominate_actual_frontiers(spark):
                     )
                 idx += 1
         assert idx == len(est.edges)
+
+
+def test_footer_stats_corrupt_file_degrades(tmp_path):
+    """A garbage .parquet file (truncated upload, torn write) must not
+    crash the preview — the table degrades to unknown cost exactly like
+    a missing one."""
+    bad = tmp_path / "customer.parquet"
+    bad.write_bytes(b"PAR1 this is not a real parquet footer")
+    assert footer_stats(str(bad)) is None
+    plan = _plan({"from": "customer", "limit": 5, "backref_limit": 2})
+    est = estimate_plan(plan, str(tmp_path))
+    assert est.root_rows is None and "customer" in est.stats_missing
