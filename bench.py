@@ -141,6 +141,7 @@ HEADLINE = [
     "include_multi__customer",
     "docs_hybrid_rrf",
     "events_scd2_state",
+    "events_scd2_incremental",
 ]
 
 

@@ -816,6 +816,7 @@ _GATE_ROTATION = [
     "include_multi__supplier",
     "docs_hybrid_rrf",
     "events_scd2_state",
+    "events_scd2_incremental",
 ]
 
 GATE_WINDOW = 50

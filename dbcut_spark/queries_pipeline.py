@@ -4878,3 +4878,33 @@ def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return scd2_build(ev).orderBy("user_id", "version")
+
+
+@register("events_scd2_incremental", sql=_SCD2_SQL)
+def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental SCD2 maintainer certified against the FULL
+    REBUILD oracle: Spark builds the history from a deterministic
+    partial log (users with user_id%3!=0, events before 2024-02-01),
+    then applies everything else as a CDC delta via
+    ``scd2_apply_delta`` — the oracle is the plain gaps-and-islands
+    rebuild over the whole log (same SQL as ``events_scd2_state``).
+    Hash-equality IS the incremental==rebuild theorem, re-proven by
+    the driver's oracle gate every round on top of the pytest
+    equivalence test.
+
+    The split exercises all three delta cases at any SF: base users
+    continue or change state across the fixed cut, %3==0 users are
+    brand-new in the delta, and base users whose history ends before
+    the cut pass through untouched."""
+    from dbcut_spark.operators.scd2 import scd2_apply_delta, scd2_build
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = F.lit("2024-02-01").cast("timestamp")
+    base_user = F.col("user_id") % 3 != 0
+    old = ev.filter(base_user & (F.col("ts") < cut))
+    delta = ev.filter((base_user & (F.col("ts") >= cut)) | ~base_user)
+    return scd2_apply_delta(scd2_build(old), delta).orderBy(
+        "user_id", "version"
+    )

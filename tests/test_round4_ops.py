@@ -1490,6 +1490,7 @@ _ROUND8_ADDITIONS: list[str] = [
     "include_multi__supplier",
     "docs_hybrid_rrf",
     "events_scd2_state",
+    "events_scd2_incremental",
 ]
 
 
