@@ -1,0 +1,112 @@
+"""Randomized differential for the SCD2 family (operators/scd2.py):
+scd2_build vs a pure-Python gaps-and-islands reference, and
+scd2_apply_delta(build(old), delta) == build(all) over random
+time-threshold splits — the split respects the per-key ordering
+contract by construction (every delta ts >= cut > every old ts)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbcut_spark.operators.scd2 import scd2_apply_delta, scd2_build
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_i", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def gen_rows(seed: int, n: int = 200, keys: int = 6, states: int = 3):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(keys),
+            rng.randrange(1000),
+            i,
+            chr(ord("a") + rng.randrange(states)),
+        )
+        for i in range(n)
+    ]
+
+
+def py_scd2(rows):
+    """Pure-Python reference: intervals as
+    (key, state, valid_from, valid_to|None, version, n_events)."""
+    by_key: dict[int, list] = {}
+    for k, ts, seq, st in rows:
+        by_key.setdefault(k, []).append((ts, seq, st))
+    out = set()
+    for k, evs in by_key.items():
+        evs.sort()
+        runs = []  # (state, valid_from, n)
+        for ts, _seq, st in evs:
+            if runs and runs[-1][0] == st:
+                runs[-1][2] += 1
+            else:
+                runs.append([st, ts, 1])
+        for i, (st, vfrom, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.add((k, st, vfrom, vto, i + 1, n))
+    return out
+
+
+def spark_df(spark, rows):
+    return (
+        spark.createDataFrame(rows, ROW_SCHEMA)
+        .withColumn("ts", F.col("ts_i").cast("timestamp"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+
+
+def spark_rows(df):
+    return {
+        (
+            r["user_id"],
+            r["state"],
+            int(r["valid_from"].timestamp()),
+            None if r["valid_to"] is None else int(r["valid_to"].timestamp()),
+            r["version"],
+            r["n_events"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_build_matches_python_reference(spark):
+    for seed in (1, 2, 3):
+        rows = gen_rows(seed)
+        got = spark_rows(scd2_build(spark_df(spark, rows)))
+        assert got == py_scd2(rows), f"seed {seed}"
+
+
+def test_apply_delta_matches_rebuild_random_splits(spark):
+    for seed in (4, 5):
+        rows = gen_rows(seed)
+        rng = random.Random(seed + 100)
+        for _ in range(2):
+            cut = rng.randrange(100, 900)
+            old = [r for r in rows if r[1] < cut]
+            delta = [r for r in rows if r[1] >= cut]
+            if not old or not delta:
+                continue
+            got = spark_rows(
+                scd2_apply_delta(
+                    scd2_build(spark_df(spark, old)), spark_df(spark, delta)
+                )
+            )
+            assert got == py_scd2(rows), f"seed {seed} cut {cut}"
+
+
+def test_apply_delta_empty_target_is_build(spark):
+    rows = gen_rows(6, n=60)
+    empty = spark_df(spark, []).limit(0)
+    target = scd2_build(empty)
+    got = spark_rows(scd2_apply_delta(target, spark_df(spark, rows)))
+    assert got == py_scd2(rows)
