@@ -69,16 +69,19 @@ class Engine:
         ``.tree.render()`` before executing)."""
         return build_plan(self.catalog, dict(query), self.config)
 
-    def estimate(self, query: dict):
+    def estimate(self, query: dict, stats_fn=None):
         """Static scan-cost / frontier-routing preview of an extraction
         (plans/cost.py): footer-derived rows + bytes per scan and the
         predicted broadcast-vs-runtime routing per edge. Zero Spark
         jobs — call before :meth:`extract` on a big source to see what
-        the closure would touch. Parquet sources only (JDBC sources
-        have no footers; returns unknown costs there)."""
+        the closure would touch. Parquet sources price fully from
+        footers; for JDBC sources pass ``stats_fn(table) ->
+        TableStats(rows, 0, 0, {})`` built from information_schema row
+        estimates — routing stays row-based, scan bytes honestly read
+        as unknown."""
         from dbcut_spark.plans.cost import estimate_plan
 
-        return estimate_plan(self.plan(query), self.source)
+        return estimate_plan(self.plan(query), self.source, stats_fn=stats_fn)
 
     def extract(self, query: dict) -> dict[str, DataFrame]:
         """Referentially-consistent closure: {table: DataFrame}.

@@ -174,7 +174,11 @@ class PlanEstimate:
         return "\n".join(lines)
 
 
-def estimate_plan(plan: ExtractionPlan, sf_dir: str) -> PlanEstimate:
+def estimate_plan(
+    plan: ExtractionPlan,
+    sf_dir: str,
+    stats_fn=None,
+) -> PlanEstimate:
     """Price every scan the frontier loop would perform.
 
     Mirrors the executor's bound propagation (closure.py:209-331) so
@@ -187,14 +191,23 @@ def estimate_plan(plan: ExtractionPlan, sf_dir: str) -> PlanEstimate:
       threshold → "broadcast";
     - otherwise → "runtime": the executor pays one cached-frame count
       (shared across the node's edges) and picks broadcast vs Bloom.
+
+    ``stats_fn(table) -> TableStats | None`` overrides the parquet
+    footer reader — the hook for non-parquet metadata (a JDBC source's
+    information_schema row estimates: ``TableStats(rows, 0, 0, {})``
+    keeps the row-based routing prediction and honestly reports scan
+    bytes as unknown).
     """
     stats_memo: dict[str, TableStats | None] = {}
 
     def stats(table: str) -> TableStats | None:
         if table not in stats_memo:
-            stats_memo[table] = footer_stats(
-                os.path.join(sf_dir, f"{table}.parquet")
-            )
+            if stats_fn is not None:
+                stats_memo[table] = stats_fn(table)
+            else:
+                stats_memo[table] = footer_stats(
+                    os.path.join(sf_dir, f"{table}.parquet")
+                )
         return stats_memo[table]
 
     bounded = (
@@ -250,8 +263,12 @@ def estimate_plan(plan: ExtractionPlan, sf_dir: str) -> PlanEstimate:
                     broadcast_max_rows=max_rows,
                     route=route,
                     child_rows=child_stats.rows if child_stats else None,
+                    # 0 compressed bytes = rows-only stats (JDBC
+                    # estimates) — bytes unknown, not free
                     child_scan_bytes=(
-                        child_stats.compressed_bytes if child_stats else None
+                        child_stats.compressed_bytes
+                        if child_stats and child_stats.compressed_bytes > 0
+                        else None
                     ),
                 )
             )
@@ -275,7 +292,11 @@ def estimate_plan(plan: ExtractionPlan, sf_dir: str) -> PlanEstimate:
     return PlanEstimate(
         root_table=plan.root_table,
         root_rows=root_stats.rows if root_stats else None,
-        root_scan_bytes=root_stats.compressed_bytes if root_stats else None,
+        root_scan_bytes=(
+            root_stats.compressed_bytes
+            if root_stats and root_stats.compressed_bytes > 0
+            else None
+        ),
         edges=edges,
         stats_missing=missing,
     )

@@ -257,3 +257,29 @@ def test_footer_stats_corrupt_file_degrades(tmp_path):
     plan = _plan({"from": "customer", "limit": 5, "backref_limit": 2})
     est = estimate_plan(plan, str(tmp_path))
     assert est.root_rows is None and "customer" in est.stats_missing
+
+
+def test_rows_only_stats_provider_jdbc_shape():
+    """A rows-only stats_fn (what a JDBC information_schema estimate
+    provides) keeps the routing prediction but reports scan bytes as
+    unknown rather than zero."""
+    from dbcut_spark.plans.cost import TableStats
+
+    rows = {"customer": 1500, "orders": 15000, "nation": 25,
+            "region": 5, "lineitem": 60000, "supplier": 100,
+            "part": 2000, "events": 10000, "documents": 500,
+            "embeddings": 500}
+
+    def stats_fn(table):
+        return TableStats(rows.get(table, 0), 0, 0, {})
+
+    plan = _plan({"from": "customer", "limit": "no", "backref_limit": "no"})
+    est = estimate_plan(plan, "ignored-dir", stats_fn=stats_fn)
+    # every table under the threshold -> still all-broadcast
+    assert {e.route for e in est.edges} == {"broadcast"}
+    assert est.root_rows == 1500
+    # bytes unknown, never zero
+    assert est.root_scan_bytes is None
+    assert est.total_scan_bytes is None
+    assert all(e.child_scan_bytes is None for e in est.edges)
+    assert "?" in est.render()
