@@ -501,6 +501,53 @@ def explain(ctx: Ctx, mode: str):
 
 
 @cli.command()
+@click.pass_obj
+def verify(ctx: Ctx):
+    """Differential-check THIS config's extraction queries: run every
+    per-table closure on Spark AND re-derive it with DuckDB from the
+    same parquet source via the inline-SQL renderer (plans/oracle.py),
+    then compare row counts, columns, and exact values. The trust
+    command for a migration: before switching a pipeline onto this
+    engine, prove the extraction semantics match a second, independent
+    SQL engine on your own queries — not just on the built-in suite.
+    Parquet sources only (the oracle needs files DuckDB can read)."""
+    if ctx.source.startswith("jdbc:"):
+        raise click.UsageError(
+            "verify needs a parquet source (DuckDB re-derives the "
+            "closure from the same files); for JDBC sources dump to "
+            "parquet first"
+        )
+    import duckdb
+
+    from dbcut_spark.plans.oracle import plan_oracle_sql
+    from dbcut_spark.verify import compare_result_sets, register_parquet_views
+
+    con = duckdb.connect()
+    register_parquet_views(con, ctx.source, sorted(ctx.catalog.tables))
+    failures = 0
+    for i, plan in ctx.plans():
+        frames = ctx.executor().execute(plan)
+        for table in sorted(frames):
+            sdf = frames[table]
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(plan_oracle_sql(plan, table))
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+            problems = compare_result_sets(s_cols, s_rows, d_cols, d_rows)
+            if problems:
+                failures += 1
+                click.echo(
+                    f"FAIL  query {i} {table}: {'; '.join(problems)}"
+                )
+            else:
+                click.echo(f"ok    query {i} {table} rows={len(s_rows)}")
+    click.echo(f"{failures} failures")
+    if failures:
+        raise SystemExit(1)
+
+
+@cli.command()
 @click.option("--out", default=None, help="output dir (default: <dest>/curated)")
 @click.pass_obj
 def curate(ctx: Ctx, out: str | None):

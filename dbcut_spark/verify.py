@@ -1,0 +1,95 @@
+"""Spark-vs-DuckDB differential comparison utilities.
+
+Shared by ``tools/check_parity.py`` (the local stand-in for the
+driver's correctness gate over the registered query suite) and the CLI
+``verify`` command (the same differential for a USER's own extraction
+config): canonicalize values, build an order-insensitive multiset
+keyed by name-sorted columns, and report column / rowcount / value
+problems with samples.
+
+The comparison contract matches the driver's gate: row count, column
+name set, and exact values — order-insensitive, columns sorted by
+name, floats compared exactly (oracle SQL is written to be
+bit-identical; see the DECIMAL-routing and round(6) conventions in
+``dbcut_spark.queries``)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+
+def canon(v):
+    """Hashable canonical form of one cell, identical for Spark and
+    DuckDB client types (naive timestamps, NaN sentinel, nested
+    lists/dicts)."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return v
+
+
+def rowset(columns, rows):
+    """Order-insensitive multiset of rows, cells ordered by column
+    NAME so both engines hash identically regardless of projection
+    order."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = {}
+    for row in rows:
+        key = tuple(canon(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def compare_result_sets(s_cols, s_rows, d_cols, d_rows) -> list[str]:
+    """Problems between a Spark result and an oracle result (empty list
+    = match). Mirrors the driver gate: columns, rowcount, then values
+    with up to 3 sample rows per side."""
+    problems: list[str] = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(
+            f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        )
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        s_set = rowset(s_cols, s_rows)
+        d_set = rowset(d_cols, d_rows)
+        if s_set != d_set:
+            only_s = {k: c for k, c in s_set.items() if d_set.get(k) != c}
+            only_d = {k: c for k, c in d_set.items() if s_set.get(k) != c}
+            sample_s = list(only_s.items())[:3]
+            sample_d = list(only_d.items())[:3]
+            problems.append(
+                f"values differ ({len(only_s)}/{len(only_d)} rows): "
+                f"spark-only={sample_s} duck-only={sample_d}"
+            )
+    return problems
+
+
+def register_parquet_views(con, source: str, tables) -> list[str]:
+    """CREATE VIEW per table over the parquet source in a DuckDB
+    connection; returns the tables actually registered (missing files
+    skipped — the caller reports them)."""
+    import os
+
+    registered = []
+    for t in tables:
+        path = os.path.join(source, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        pat = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+        )
+        registered.append(t)
+    return registered

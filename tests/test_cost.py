@@ -283,3 +283,42 @@ def test_rows_only_stats_provider_jdbc_shape():
     assert est.total_scan_bytes is None
     assert all(e.child_scan_bytes is None for e in est.edges)
     assert "?" in est.render()
+
+
+def test_cli_verify_differential(tmp_path, spark):
+    """cli verify: every per-table closure of the config's queries
+    re-derived by DuckDB and value-compared."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {
+            "source_uri": SF_DIR,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [
+            {
+                "from": "customer",
+                "where": {"c_mktsegment": "BUILDING"},
+                "limit": 10,
+                "backref_limit": 5,
+                "exclude": ["events", "part", "supplier"],
+                "join_depth": 2,
+                "backref_depth": 1,
+            }
+        ],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "verify"], catch_exceptions=False
+    )
+    assert res.exit_code == 0, res.output
+    assert "0 failures" in res.output
+    assert "ok    query 0 customer rows=10" in res.output

@@ -8,9 +8,7 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
-from datetime import datetime
 
 import duckdb
 
@@ -18,31 +16,7 @@ sys.path.insert(0, "/root/repo")
 
 from dbcut_spark.catalog import TPCH_TABLES
 from dbcut_spark.session import get_spark
-
-
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    return v
-
-
-def rowset(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = {}
-    for row in rows:
-        key = tuple(canon(row[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
+from dbcut_spark.verify import compare_result_sets
 
 
 def main() -> int:
@@ -89,23 +63,7 @@ def main() -> int:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-        if not problems:
-            s_set = rowset(s_cols, s_rows)
-            d_set = rowset(d_cols, d_rows)
-            if s_set != d_set:
-                only_s = {k: c for k, c in s_set.items() if d_set.get(k) != c}
-                only_d = {k: c for k, c in d_set.items() if s_set.get(k) != c}
-                sample_s = list(only_s.items())[:3]
-                sample_d = list(only_d.items())[:3]
-                problems.append(
-                    f"values differ ({len(only_s)}/{len(only_d)} rows): "
-                    f"spark-only={sample_s} duck-only={sample_d}"
-                )
+        problems = compare_result_sets(s_cols, s_rows, d_cols, d_rows)
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
