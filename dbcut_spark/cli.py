@@ -349,6 +349,48 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float):
 
 
 @cli.command()
+@click.argument("column")
+@click.option("--top", "-k", default=10, show_default=True,
+              help="heavy keys to show")
+@click.pass_obj
+def skew(ctx: Ctx, column: str, top: int):
+    """Key-skew diagnostic for a join/aggregation column
+    (``table.column``): top-K heaviest keys with their row share and
+    the ratio to a perfectly uniform key. A key holding >>1/n_keys of
+    the rows is the one that stalls a shuffle stage at 100 TB — salt
+    it (operators/skew.py) or let AQE's skew-join handle the join
+    side. One groupBy + top-K, no full sort."""
+    try:
+        table, col = column.split(".", 1)
+    except ValueError:
+        raise click.UsageError("expected table.column, e.g. events.user_id")
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.sources.parquet import read_table
+
+    df = read_table(ctx.spark, ctx.source, table).select(col)
+    total = df.count()
+    n_keys = df.distinct().count()
+    if not total or not n_keys:
+        click.echo("empty table")
+        return
+    uniform = total / n_keys
+    heavy = (
+        df.groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).limit(top)
+    ).collect()
+    click.echo(
+        f"{table}.{col}: {total} rows over {n_keys} keys "
+        f"(uniform = {uniform:.1f} rows/key)"
+    )
+    click.echo(f"{'key':<24}{'rows':>12}{'share':>9}{'x uniform':>11}")
+    for r in heavy:
+        k, n = r[0], r["count"]
+        click.echo(
+            f"{str(k):<24}{n:>12}{n / total:>8.1%}{n / uniform:>10.1f}x"
+        )
+
+
+@cli.command()
 @click.pass_obj
 def clear(ctx: Ctx):
     """Delete destination rows, reverse-topological order (reference

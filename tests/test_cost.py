@@ -322,3 +322,39 @@ def test_cli_verify_differential(tmp_path, spark):
     assert res.exit_code == 0, res.output
     assert "0 failures" in res.output
     assert "ok    query 0 customer rows=10" in res.output
+
+
+def test_cli_skew_diagnostic(tmp_path, spark):
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {
+            "source_uri": SF_DIR,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    # chained click groups parse subcommand options BEFORE the
+    # positional argument (same convention as `sql -n 5 <stmt>`)
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "skew", "-k", "3", "events.user_id"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert "rows over" in res.output
+    assert "x uniform" in res.output
+    # exactly 3 heavy-key rows after the two header lines
+    body = [ln for ln in res.output.splitlines() if ln.strip()]
+    assert len(body) == 2 + 3, res.output
+
+    bad = runner.invoke(cli, ["-c", cfg_path, "skew", "nodot"])
+    assert bad.exit_code != 0
