@@ -252,13 +252,29 @@ def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
     # MERGE with the existing artifact (same sf only): a triage run of
     # one query must not drop the standing adjudication set from the
     # committed artifact — that is exactly how docs_bm25_top_terms went
-    # missing from the round-7 artifact. Entries re-run now win.
+    # missing from the round-7 artifact. A SUCCESSFUL re-run wins; a
+    # failed child (error stub, no "best") must not clobber a standing
+    # good timing either — keep the old record and warn.
     merged = dict(out)
     try:
         with open(path) as f:
             prev = json.load(f)
         if prev.get("sf") == sf:
-            merged = {**prev.get("queries", {}), **out}
+            prev_q = prev.get("queries", {})
+            merged = dict(prev_q)
+            for name, rec in out.items():
+                old = prev_q.get(name)
+                if (
+                    "best" not in rec
+                    and isinstance(old, dict)
+                    and "best" in old
+                ):
+                    print(
+                        f"# {name}: re-run FAILED, keeping prior "
+                        f"best={old['best']}", file=sys.stderr,
+                    )
+                    continue
+                merged[name] = rec
     except (OSError, ValueError):
         pass
     with open(path, "w") as f:

@@ -369,15 +369,22 @@ def skew(ctx: Ctx, column: str, top: int):
     from dbcut_spark.sources.parquet import read_table
 
     df = read_table(ctx.spark, ctx.source, table).select(col)
-    total = df.count()
-    n_keys = df.distinct().count()
-    if not total or not n_keys:
-        click.echo("empty table")
-        return
-    uniform = total / n_keys
-    heavy = (
-        df.groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).limit(top)
-    ).collect()
+    # ONE base-table scan: the grouped frame already holds the total
+    # (sum of counts), the key count (its own row count), and the
+    # heavy hitters — three questions, one shuffle
+    counts = df.groupBy(col).count().persist()
+    try:
+        agg = counts.agg(
+            F.sum("count").alias("total"), F.count(F.lit(1)).alias("n_keys")
+        ).first()
+        total, n_keys = agg["total"], agg["n_keys"]
+        if not total or not n_keys:
+            click.echo("empty table")
+            return
+        uniform = total / n_keys
+        heavy = counts.orderBy(F.desc("count"), F.asc(col)).limit(top).collect()
+    finally:
+        counts.unpersist()
     click.echo(
         f"{table}.{col}: {total} rows over {n_keys} keys "
         f"(uniform = {uniform:.1f} rows/key)"
@@ -564,10 +571,28 @@ def verify(ctx: Ctx):
     from dbcut_spark.plans.oracle import plan_oracle_sql
     from dbcut_spark.verify import compare_result_sets, register_parquet_views
 
+    from dbcut_spark.operators.pinning import release_pinned
+
     con = duckdb.connect()
-    register_parquet_views(con, ctx.source, sorted(ctx.catalog.tables))
+    registered = set(
+        register_parquet_views(con, ctx.source, sorted(ctx.catalog.tables))
+    )
     failures = 0
     for i, plan in ctx.plans():
+        # a catalog table with no source parquet must be a reported
+        # failure, not an uncaught AnalysisException mid-comparison
+        absent = [
+            tbl
+            for tbl in plan.tree.root.all_tables()
+            if tbl not in registered
+        ]
+        if absent:
+            failures += len(absent)
+            for tbl in absent:
+                click.echo(
+                    f"FAIL  query {i} {tbl}: no parquet source for table"
+                )
+            continue
         frames = ctx.executor().execute(plan)
         for table in sorted(frames):
             sdf = frames[table]
@@ -584,6 +609,9 @@ def verify(ctx: Ctx):
                 )
             else:
                 click.echo(f"ok    query {i} {table} rows={len(s_rows)}")
+        # each closure pins its frontiers; a many-query config must not
+        # accumulate one closure's worth of persisted frames per query
+        release_pinned()
     click.echo(f"{failures} failures")
     if failures:
         raise SystemExit(1)

@@ -114,10 +114,20 @@ def scd2_apply_delta(
     partition-pruned upsert rewrites only touched partitions."""
     open_ = target.filter(F.col("valid_to").isNull())
     closed = target.filter(F.col("valid_to").isNotNull())
-    delta_keys = delta.select(F.col(key)).distinct()
+    # null-SAFE key matching throughout: scd2_build's
+    # Window.partitionBy groups NULL keys into one history, so a
+    # NULL-key open interval with NULL-key delta events must be
+    # treated as touched — a plain equi-join would pass it through
+    # untouched AND rebuild a competing version-1 history from the
+    # delta, breaking incremental==rebuild for the NULL key
+    delta_keys = delta.select(F.col(key).alias("__dk")).distinct()
 
-    open_untouched = open_.join(delta_keys, key, "left_anti")
-    open_touched = open_.join(delta_keys, key, "left_semi")
+    open_untouched = open_.join(
+        delta_keys, F.col(key).eqNullSafe(F.col("__dk")), "left_anti"
+    )
+    open_touched = open_.join(
+        delta_keys, F.col(key).eqNullSafe(F.col("__dk")), "left_semi"
+    )
 
     seed = open_touched.select(
         F.col(key),
@@ -140,14 +150,16 @@ def scd2_apply_delta(
     # interval's run continuing, so numbering resumes at its version;
     # keys new in the delta (no open interval) start at 1
     bases = open_touched.select(
-        F.col(key), (F.col("version") - 1).alias("__voffset")
+        F.col(key).alias("__bk"), (F.col("version") - 1).alias("__voffset")
     )
     w_ver = Window.partitionBy(key).orderBy("__run_id")
     renumbered = (
         # no broadcast hint: bases is one row per TOUCHED key — tiny
         # for a drip delta, but a backfill can touch every key, so let
-        # AQE pick broadcast vs shuffle from the actual size
-        islands.join(bases, key, "left")
+        # AQE pick broadcast vs shuffle from the actual size; null-safe
+        # so a NULL-key continuation resumes its version numbering
+        islands.join(bases, F.col(key).eqNullSafe(F.col("__bk")), "left")
+        .drop("__bk")
         .na.fill({"__voffset": 0})
         .select(
             key,

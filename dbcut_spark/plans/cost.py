@@ -244,9 +244,16 @@ def estimate_plan(
                 route = "broadcast"
             else:
                 if n_bound is None:
+                    # metadata tier, exactly like the executor
+                    # (closure.py:256-261): the frontier is a subset of
+                    # its table, and the derived bound is WRITTEN BACK
+                    # so child-bound propagation continues below it —
+                    # without the write-back, every edge deeper than a
+                    # metadata-proven node would mispredict "runtime"
                     src_rows = node_stats.rows if node_stats else None
                     if src_rows is not None and src_rows <= max_rows:
                         n_bound = src_rows
+                        bounds[id(node)] = n_bound
                 if n_bound is not None and n_bound <= max_rows:
                     route = "broadcast"
                 else:
@@ -258,7 +265,7 @@ def estimate_plan(
                     parent=node.table,
                     table=rel.target,
                     direction="o2m" if is_o2m else "m2o",
-                    frontier_bound=bounds.get(id(node)),
+                    frontier_bound=n_bound,
                     key_row_bytes=key_row_bytes,
                     broadcast_max_rows=max_rows,
                     route=route,

@@ -50,9 +50,12 @@ def test_unbounded_small_tables_still_broadcast():
     plan = _plan({"from": "customer", "limit": "no", "backref_limit": "no"})
     est = estimate_plan(plan, SF_DIR)
     assert {e.route for e in est.edges} == {"broadcast"}
-    # unbounded root: no static frontier bound on the root's edges
+    # unbounded root: no STATIC bound, but the metadata tier derives
+    # one from the customer footer row count (and writes it back so
+    # deeper propagation continues from it, mirroring closure.py:261)
+    root_rows = footer_stats(os.path.join(SF_DIR, "customer.parquet")).rows
     root_edges = [e for e in est.edges if e.parent == "customer"]
-    assert all(e.frontier_bound is None for e in root_edges)
+    assert all(e.frontier_bound == root_rows for e in root_edges)
 
 
 def test_bounds_match_executor_rules():
@@ -358,3 +361,32 @@ def test_cli_skew_diagnostic(tmp_path, spark):
 
     bad = runner.invoke(cli, ["-c", cfg_path, "skew", "nodot"])
     assert bad.exit_code != 0
+
+
+def test_metadata_bound_propagates_to_deeper_edges():
+    """Round-8 review fix: the metadata-derived bound must write back
+    into the node's bound (closure.py:261 does) so DEEPER edges keep
+    predicting broadcast — a 100k-row root with limit:no must not make
+    its grandchild edge read 'runtime' just because the child table is
+    huge."""
+    from dbcut_spark.plans.cost import TableStats
+
+    rows = {"customer": 100_000, "orders": 50_000_000,
+            "lineitem": 200_000_000, "nation": 25, "region": 5,
+            "supplier": 100, "part": 2000, "events": 10,
+            "documents": 10, "embeddings": 10}
+
+    def stats_fn(table):
+        return TableStats(rows.get(table, 0), 0, 0, {})
+
+    plan = _plan({"from": "customer", "limit": "no", "backref_limit": 5})
+    est = estimate_plan(plan, "ignored", stats_fn=stats_fn)
+    by_edge = {(e.parent, e.table): e for e in est.edges}
+    # customer's 100k metadata rows prove the root frontier broadcasts
+    assert by_edge[("customer", "orders")].route == "broadcast"
+    assert by_edge[("customer", "orders")].frontier_bound == 100_000
+    # ...and propagate through the capped o2m: orders frontier <= 500k,
+    # so orders->lineitem broadcasts even though orders has 50M rows
+    e = by_edge[("orders", "lineitem")]
+    assert e.frontier_bound == 500_000
+    assert e.route == "broadcast", e

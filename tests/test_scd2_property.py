@@ -24,10 +24,13 @@ ROW_SCHEMA = T.StructType(
 
 
 def gen_rows(seed: int, n: int = 200, keys: int = 6, states: int = 3):
+    """~10% NULL keys: scd2_build's Window.partitionBy groups NULLs
+    into one history, and apply_delta must match them null-safely
+    (round-8 review fix) — the generator keeps that path covered."""
     rng = random.Random(seed)
     return [
         (
-            rng.randrange(keys),
+            None if rng.random() < 0.1 else rng.randrange(keys),
             rng.randrange(1000),
             i,
             chr(ord("a") + rng.randrange(states)),
