@@ -217,6 +217,31 @@ def isolate_child(name: str, sf_dir: str) -> None:
     print(json.dumps({"query": name, "best": best, "runs": runs, "rows": n}))
 
 
+def merge_isolate(prev: dict | None, out: dict, sf: float) -> dict:
+    """MERGE a fresh --isolate result set with the existing artifact
+    (same sf only): a triage run of one query must not drop the
+    standing adjudication set from the committed artifact — that is
+    exactly how docs_bm25_top_terms went missing from the round-7
+    artifact. A SUCCESSFUL re-run wins; a failed child (error stub, no
+    "best") must not clobber a standing good timing either — keep the
+    old record and warn. A different-sf artifact is replaced wholesale
+    (mixed-sf timings would be meaningless to compare)."""
+    if not prev or prev.get("sf") != sf:
+        return dict(out)
+    prev_q = prev.get("queries", {})
+    merged = dict(prev_q)
+    for name, rec in out.items():
+        old = prev_q.get(name)
+        if "best" not in rec and isinstance(old, dict) and "best" in old:
+            print(
+                f"# {name}: re-run FAILED, keeping prior "
+                f"best={old['best']}", file=sys.stderr,
+            )
+            continue
+        merged[name] = rec
+    return merged
+
+
 def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
     """--isolate triage mode: each named query runs in its OWN fresh
     JVM (subprocess), so suite-level heap/GC/Arrow-worker state from
@@ -249,34 +274,12 @@ def isolate_main(names: list[str], sf_dir: str, sf: float) -> None:
               f"rows={rec['rows']}", file=sys.stderr)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_ISOLATE.json")
-    # MERGE with the existing artifact (same sf only): a triage run of
-    # one query must not drop the standing adjudication set from the
-    # committed artifact — that is exactly how docs_bm25_top_terms went
-    # missing from the round-7 artifact. A SUCCESSFUL re-run wins; a
-    # failed child (error stub, no "best") must not clobber a standing
-    # good timing either — keep the old record and warn.
-    merged = dict(out)
     try:
         with open(path) as f:
             prev = json.load(f)
-        if prev.get("sf") == sf:
-            prev_q = prev.get("queries", {})
-            merged = dict(prev_q)
-            for name, rec in out.items():
-                old = prev_q.get(name)
-                if (
-                    "best" not in rec
-                    and isinstance(old, dict)
-                    and "best" in old
-                ):
-                    print(
-                        f"# {name}: re-run FAILED, keeping prior "
-                        f"best={old['best']}", file=sys.stderr,
-                    )
-                    continue
-                merged[name] = rec
     except (OSError, ValueError):
-        pass
+        prev = None
+    merged = merge_isolate(prev, out, sf)
     with open(path, "w") as f:
         json.dump({"metric": "isolated_best_of_8", "unit": "sec",
                    "sf": sf, "queries": merged}, f, indent=2)

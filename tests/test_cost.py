@@ -390,3 +390,30 @@ def test_metadata_bound_propagates_to_deeper_edges():
     e = by_edge[("orders", "lineitem")]
     assert e.frontier_bound == 500_000
     assert e.route == "broadcast", e
+
+
+def test_bench_isolate_merge_semantics():
+    """merge_isolate: successful re-runs win, failed children keep the
+    standing record, unknown queries append, different-sf artifacts are
+    replaced wholesale."""
+    from bench import merge_isolate
+
+    prev = {
+        "sf": 0.1,
+        "queries": {
+            "a": {"query": "a", "best": 1.0},
+            "b": {"query": "b", "best": 2.0},
+        },
+    }
+    out = {
+        "a": {"query": "a", "best": 0.9},     # success -> wins
+        "b": {"error": "child OOM"},           # failure -> keep prior
+        "c": {"query": "c", "best": 3.0},      # new -> appended
+    }
+    merged = merge_isolate(prev, out, 0.1)
+    assert merged["a"]["best"] == 0.9
+    assert merged["b"]["best"] == 2.0
+    assert merged["c"]["best"] == 3.0
+    # different sf: replace wholesale (no mixed-sf comparisons)
+    assert merge_isolate(prev, out, 0.01) == out
+    assert merge_isolate(None, out, 0.1) == out
