@@ -101,7 +101,14 @@ def bloom_prefilter(
     keys = keys.select(
         *[F.col(c).cast(child_types[c]).alias(c) if c in child_types else F.col(c) for c in keys.columns]
     )
-    bitmap = bloom_bitmap(keys, cols, m, k)
+    from dbcut_spark.operators.pinning import pin
+
+    # pinned: the k per-seed broadcasts alias the word/bits columns
+    # differently (plan-distinct, so ReusedExchange can't kick in) —
+    # without the cache each broadcast would re-run the whole
+    # keys-distinct + bitmap aggregation, k extra shuffles of a
+    # multi-million-row key set on the slow path
+    bitmap = pin(bloom_bitmap(keys, cols, m, k))
     out = child
     for seed in range(k):
         pcol, wcol, bcol = (
@@ -142,6 +149,12 @@ def bloom_semi_join(
     sizes the bitmap (counted from ``keys`` when absent — cheap when
     the frontier frame is pinned, which the closure executor
     guarantees)."""
+    from dbcut_spark.operators.pinning import pin
+
+    # pinned: the key set feeds the bitmap aggregation AND the exact
+    # semi join (and the count below when n_keys wasn't pre-computed) —
+    # one distinct shuffle, three consumers
+    keys = pin(keys)
     if n_keys is None:
         n_keys = keys.count()
     if n_keys == 0:

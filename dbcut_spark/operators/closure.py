@@ -64,10 +64,16 @@ _TYPE_BYTES = {
 
 def _estimated_key_bytes(df: DataFrame) -> int:
     """Estimated serialized bytes per key row from the schema: fixed
-    widths for primitives, a conservative 32 B for strings/other."""
+    widths for primitives, 64 B for strings/other. 64 is a compromise
+    for variable-width keys — generous for short codes, still
+    optimistic for very wide URL/composite keys — so a mis-estimate
+    can only over-admit broadcasts by the ratio (true width / 64); the
+    static preview (plans/cost.py) reports REAL per-column widths from
+    parquet footers, which is where wide-key layouts should be caught
+    before running."""
     total = 0
     for f in df.schema.fields:
-        total += _TYPE_BYTES.get(f.dataType.typeName(), 32)
+        total += _TYPE_BYTES.get(f.dataType.typeName(), 64)
     return max(total, 1)
 
 
@@ -137,7 +143,14 @@ class ClosureExecutor:
         if cw.foreign_tables:
             # cross-table predicate (F4): join the referenced tables along
             # their tree path, filter, keep distinct root rows
-            # (semi-join semantics, /root/reference/README.rst:297-311)
+            # (semi-join semantics, /root/reference/README.rst:297-311).
+            # INVARIANT: joins dedup by table NAME in sorted-foreign-table
+            # order — when two predicates' minimal paths disagree about a
+            # shared table's tree copy, the first-sorted path wins. The
+            # oracle renderer (plans/oracle.py:_root_sql) applies the
+            # IDENTICAL name-keyed dedup over the same find_path, so both
+            # engines implement the same semantics by construction; a
+            # change here must change there too.
             joined_tables = {plan.root_table}
             for ft in sorted(cw.foreign_tables):
                 for node in plan.find_path(ft):
@@ -218,7 +231,24 @@ class ClosureExecutor:
                 keys = parent_df.select(
                     [F.col(s).alias(t) for s, t in zip(rel.source_cols, rel.target_cols)]
                 ).dropna().distinct()
-                if bounded:
+                # a bounded spec's frontier is USUALLY small, but the
+                # static product compounds per o2m level (limit 1000 ×
+                # backref 1000 × depth 3 = 10^12): force-broadcasting a
+                # provably-huge frontier would hit Spark's broadcast
+                # limits / OOM the driver — so the force applies only
+                # while the propagated bound stays under the byte
+                # threshold (or is unknown, the pre-round-8 behavior
+                # for m2o-through-non-PK hops), and a provably-huge
+                # bounded frontier takes the same adaptive routing as
+                # limit:no
+                _bound_here = bounds.get(id(node))
+                _max_rows_here = min(
+                    BLOOM_MIN_KEYS,
+                    BLOOM_MAX_BROADCAST_BYTES // _estimated_key_bytes(keys),
+                )
+                if bounded and (
+                    _bound_here is None or _bound_here <= _max_rows_here
+                ):
                     keys = F.broadcast(keys)
                     child_df = self.load(rel.target).join(
                         keys, on=list(rel.target_cols), how="left_semi"
@@ -302,9 +332,9 @@ class ClosureExecutor:
                             *[F.col(c).desc() for c in pk]
                         )
                         child_df = (
-                            child_df.withColumn("__rn", F.row_number().over(w))
-                            .filter(F.col("__rn") <= plan.spec.backref_limit)
-                            .drop("__rn")
+                            child_df.withColumn("__dbcut_rn", F.row_number().over(w))
+                            .filter(F.col("__dbcut_rn") <= plan.spec.backref_limit)
+                            .drop("__dbcut_rn")
                         )
                 child_df = pin(child_df) if child.children else child_df
                 frontiers[id(child)] = child_df

@@ -37,9 +37,9 @@ from dbcut_spark.operators.closure import (
 from dbcut_spark.plans.extraction import ExtractionPlan
 
 # estimator-side fallback for columns whose footer stats are missing
-# (empty files, all-null chunks): matches the executor's conservative
-# 32 B string guess in closure._estimated_key_bytes
-_FALLBACK_COL_BYTES = 32
+# (empty files, all-null chunks): matches the executor's 64 B
+# variable-width guess in closure._estimated_key_bytes
+_FALLBACK_COL_BYTES = 64
 
 
 @dataclass
@@ -241,7 +241,15 @@ def estimate_plan(
 
             n_bound = bounds.get(id(node))
             if bounded:
-                route = "broadcast"
+                # lockstep with closure.py: a bounded spec force-
+                # broadcasts only while the propagated bound stays
+                # under the threshold (or is unknown); a provably-huge
+                # bounded frontier routes adaptively at runtime
+                route = (
+                    "broadcast"
+                    if n_bound is None or n_bound <= max_rows
+                    else "runtime"
+                )
             else:
                 if n_bound is None:
                     # metadata tier, exactly like the executor

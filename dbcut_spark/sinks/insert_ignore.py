@@ -34,16 +34,26 @@ def insert_ignore_parquet(
     spark: SparkSession, df: DataFrame, path: str, pk: list[str]
 ) -> int:
     """Append ``df`` rows to the parquet table at ``path``, skipping rows
-    whose PK already exists. Returns the number of rows written."""
+    whose PK already exists. Returns the number of rows written.
+
+    A hive-partitioned target keeps its layout: appending flat
+    part-files next to ``col=value/`` dirs would put leaf files at two
+    directory depths and brick partition discovery for every later
+    reader — so the append re-uses the detected partition columns."""
     df = df.dropDuplicates(pk)
+    part_cols: list[str] = []
     if os.path.exists(path):
+        part_cols = detect_partition_cols(path)
         existing = spark.read.parquet(path)
         df = anti_new_rows(df, existing, pk)
     df = df.cache()
     try:
         n = df.count()
         if n:
-            df.write.mode("append").parquet(path)
+            writer = df.write.mode("append")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(path)
     finally:
         df.unpersist()
     return n
@@ -603,8 +613,12 @@ def jdbc_upsert(
         n_stage = out.count()
         if not n_stage:
             return 0, 0
-        write_append(out, url, stage, batchsize=batchsize)
         try:
+            # staging write INSIDE the drop-guard: JDBC appends are not
+            # atomic across partitions, so a mid-write failure must
+            # still reach the finally (DROP of a never-created stage is
+            # swallowed below) instead of leaking a partial stage table
+            write_append(out, url, stage, batchsize=batchsize)
             n_before = jdbc_count(spark, url, table)
             jdbc_execute(
                 spark, url,
@@ -647,8 +661,10 @@ def jdbc_delete_keys(
         # unique per run + finally-drop: same concurrency/leak
         # rationale as jdbc_upsert's staging table
         stage = f"{table}__dk_{os.getpid():x}_{uuid.uuid4().hex[:6]}"
-        write_append(keys, url, stage, batchsize=batchsize)
         try:
+            # inside the drop-guard for the same partial-write reason
+            # as jdbc_upsert's stage
+            write_append(keys, url, stage, batchsize=batchsize)
             on = " AND ".join(f"s.{q}{c}{q} = {table}.{q}{c}{q}" for c in pk)
             (n,) = jdbc_execute(
                 spark,

@@ -59,9 +59,9 @@ def apply_cdc_batch(
 
         w = Window.partitionBy(*pk).orderBy(F.col(order_within_batch).desc())
         batch = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            batch.withColumn("__dbcut_rn", F.row_number().over(w))
+            .filter(F.col("__dbcut_rn") == 1)
+            .drop("__dbcut_rn")
         )
         import os
 

@@ -417,3 +417,24 @@ def test_bench_isolate_merge_semantics():
     # different sf: replace wholesale (no mixed-sf comparisons)
     assert merge_isolate(prev, out, 0.01) == out
     assert merge_isolate(None, out, 0.1) == out
+
+
+def test_bounded_but_huge_static_bound_routes_runtime():
+    """Round-8 review fix: bounded specs force-broadcast ONLY while the
+    compounding limit x backref_limit^depth product stays under the
+    byte threshold — a provably-huge bounded frontier must route
+    adaptively (executor) and read 'runtime' (preview)."""
+    plan = _plan({"from": "customer", "limit": 50_000_000,
+                  "backref_limit": 1000})
+    est = estimate_plan(plan, SF_DIR)
+    by_edge = {(e.parent, e.table): e for e in est.edges}
+    e = by_edge[("customer", "orders")]
+    assert e.frontier_bound == 50_000_000
+    assert e.route == "runtime"
+    # deeper: orders bound = 50M x 1000 -> also runtime
+    assert by_edge[("orders", "lineitem")].route == "runtime"
+    # a small bounded spec is untouched
+    small = estimate_plan(
+        _plan({"from": "customer", "limit": 20, "backref_limit": 5}), SF_DIR
+    )
+    assert {x.route for x in small.edges} == {"broadcast"}

@@ -1211,3 +1211,40 @@ def test_upsert_schema_evolution_add_partitioned_full_rewrite(
                     __import__("os").path.join(root, f)
                 ).schema_arrow.names
                 assert "extra" in names, (root, f)
+
+
+def test_insert_ignore_preserves_partitioned_layout(spark, tmp_path):
+    """Round-8 review fix: insert-ignore into a hive-partitioned target
+    must append WITH the partition columns — flat part-files next to
+    col=value/ dirs would put leaves at two depths and brick partition
+    discovery for every later reader."""
+    import os
+
+    from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+
+    path = str(tmp_path / "part_tbl")
+    spark.createDataFrame(
+        [(1, "a", 2024), (2, "b", 2025)], "id long, v string, yr int"
+    ).write.partitionBy("yr").parquet(path)
+
+    n = insert_ignore_parquet(
+        spark,
+        spark.createDataFrame(
+            [(2, "dup", 2025), (3, "c", 2026)], "id long, v string, yr int"
+        ),
+        path,
+        ["id"],
+    )
+    assert n == 1  # the duplicate PK was ignored
+    # layout intact: no flat part-files at the root, new yr dir exists
+    root_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert root_files == [], root_files
+    assert any(d.startswith("yr=2026") for d in os.listdir(path))
+    # and the table still reads with partition discovery
+    got = {
+        (r["id"], r["yr"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 2024), (2, 2025), (3, 2026)}
