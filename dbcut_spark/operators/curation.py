@@ -28,18 +28,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbcut_spark.functions.text import norm_text
-from dbcut_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from dbcut_spark.operators.dedup import (
+    lsh_candidate_pairs_across,
+    minhash_signatures,
+)
 
 # Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) so the
-# oracle can recompute matches verbatim.
+# oracle can recompute matches verbatim. Explicit [a-zA-Z] classes
+# instead of an engine-specific case-insensitive flag: a
+# lowercase-only email pattern silently passed Mixed.Case@Example.COM
+# addresses through the redaction (round-8 review fix).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
-    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "email": (
+        r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "<EMAIL>",
+    ),
     "phone": (r"\+1-555-[0-9]{4}", "<PHONE>"),
     "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 }
 
 
 def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """DELIBERATE single-space split of lower/trimmed text — the
+    repo-wide tokenization convention every DuckDB oracle mirrors with
+    ``string_split(lower(trim(text)), ' ')`` (BM25, PMI, repetition,
+    n-gram novelty all share it). Yes, '' splits to [''] and a double
+    space yields a phantom token; both engines agree exactly, which is
+    what the value-hash gate needs. Linguistic-quality consumers should
+    use functions.text.ws_token_count / clean_text instead."""
     return df.select(F.col(id_col), F.split(norm_text(text_col), " ").alias("w"))
 
 
@@ -192,23 +208,17 @@ def incremental_dedup(
         F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
     )
     sigs = minhash_signatures(flagged, text_col, id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows).filter(
-        F.col("est_sim") >= threshold
-    )
-    fl = flagged.select(F.col(id_col), "__is_new")
+    # cross-corpus band join: NEW docs probe the reference — the
+    # ref x ref collision term (the dominant cost when |ref| >>
+    # |batch|, and discarded by the boundary filter anyway) is never
+    # generated (round-8 review fix; previously a full self-join ran
+    # first and same-side pairs were filtered after)
+    new_ids = flagged.filter(F.col("__is_new")).select(F.col(id_col))
+    pairs = lsh_candidate_pairs_across(
+        sigs, id_col, new_ids, num_hashes, band_rows
+    ).filter(F.col("est_sim") >= threshold)
     near_ids = (
-        pairs.join(
-            fl.select(F.col(id_col).alias("doc_a"), F.col("__is_new").alias("__na")),
-            "doc_a",
-        )
-        .join(
-            fl.select(F.col(id_col).alias("doc_b"), F.col("__is_new").alias("__nb")),
-            "doc_b",
-        )
-        .filter(F.col("__na") != F.col("__nb"))
-        .select(
-            F.when(F.col("__na"), F.col("doc_a")).otherwise(F.col("doc_b")).alias(id_col)
-        )
+        pairs.select(F.col("doc_a").alias(id_col))
         .distinct()
         .withColumn("__near", F.lit(True))
     )

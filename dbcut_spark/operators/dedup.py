@@ -149,6 +149,79 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _sig_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int, band_rows: int
+) -> DataFrame:
+    """(id, sig array, band_idx, band_hash) rows — one per doc per band;
+    the shared banding step of the self-join and cross-corpus LSH
+    candidate generators."""
+    n_bands = num_hashes // band_rows
+    band_cols = []
+    for b in range(n_bands):
+        parts = [
+            F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
+            )
+        )
+    sig_array = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+    return signatures.select(
+        F.col(id_col),
+        sig_array.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs_across(
+    signatures: DataFrame,
+    id_col: str,
+    left_ids: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: band collisions of LEFT docs (ids in
+    ``left_ids``) against everything else ONLY — (doc_a = left id,
+    doc_b = right id, est_sim). The recurring-ingestion probe shape:
+    a small new batch against a large reference must not pay the
+    reference x reference collision term a full self-join generates
+    and then discards (the dominant cost when |ref| >> |batch|); here
+    the ref side is touched once, as the probe target. Same est_sim
+    arithmetic as :func:`lsh_candidate_pairs`, so thresholds mean the
+    same thing in both."""
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_rows "
+            f"({band_rows}) - trailing hashes would silently never band"
+        )
+    signatures = pin(signatures)
+    bands = _sig_bands(signatures, id_col, num_hashes, band_rows)
+    lid = left_ids.select(F.col(id_col)).distinct()
+    left = bands.join(lid, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = bands.join(lid, id_col, "left_anti").select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / num_hashes).alias("est_sim"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_sim").alias("est_sim"))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -166,30 +239,15 @@ def lsh_candidate_pairs(
     that benched 3.6x slower at sf0.1). The payload is k longs per band
     row (k*n_bands per doc total) — bounded, and far cheaper at scale
     than two extra shuffled joins against the signature frame."""
-    signatures = pin(signatures)
+    # validate BEFORE pinning: a raised ValueError must not leave a
+    # registered persisted frame behind in executor storage
     if num_hashes % band_rows != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_rows "
             f"({band_rows}) - trailing hashes would silently never band"
         )
-    n_bands = num_hashes // band_rows
-    band_cols = []
-    for b in range(n_bands):
-        parts = [
-            F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
-            )
-        )
-    sig_array = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
-    bands = signatures.select(
-        F.col(id_col),
-        sig_array.alias("sig"),
-        F.explode(F.array(*band_cols)).alias("band"),
-    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+    signatures = pin(signatures)
+    bands = _sig_bands(signatures, id_col, num_hashes, band_rows)
 
     left = bands.select(
         F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
@@ -221,6 +279,11 @@ def simhash(
     """Per-doc SimHash over distinct word tokens: bit i of md5's leading
     hex (little-endian nibble order) votes ±1; sign of the vote sum sets
     the output bit. Pure integer arithmetic → exact oracle parity."""
+    if bits % 4 != 0 or not 0 < bits <= 32:
+        # non-nibble widths silently zero the trailing bits (the md5
+        # substring holds bits//4 nibbles but the explode runs to
+        # bits-1); >32 breaks the positive-BIGINT oracle convention
+        raise ValueError(f"bits must be a multiple of 4 in (0, 32], got {bits}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(norm_text(text_col), " "))).alias("tok"),

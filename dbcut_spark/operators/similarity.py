@@ -31,6 +31,19 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _safe_cos() -> Column:
+    """Cosine of the (q_vec, c_vec) pair columns, NULL for zero-norm
+    vectors: a plain division gives 0.0/0.0 = NaN, and Spark ranks NaN
+    LARGEST under desc ordering — a zero-norm vector would top every
+    neighbor list. NULL sorts last instead, so degenerate vectors can
+    surface only when a query has fewer than k real candidates."""
+    return F.when(
+        (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
+        dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
@@ -70,8 +83,7 @@ def cosine_topk(
         "query_id",
         "cand_id",
         F.round(
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            _safe_cos(),
             6,
         ).alias("cos_sim"),
     )
@@ -246,8 +258,7 @@ def lsh_ann_topk(
         "query_id",
         "cand_id",
         F.round(
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            _safe_cos(),
             6,
         ).alias("cos_sim"),
     )
@@ -427,13 +438,32 @@ def _nearest_centroids_udf(centroids: list[list[float]], nprobe: int):
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     arr = np.array(centroids, dtype=np.float64)  # (C, dim)
+    dim = arr.shape[1]
 
     def f(vecs):
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row for argsort
-        d = -2.0 * (mat @ arr.T) + (arr * arr).sum(axis=1)[None, :]
-        idx = np.argsort(d, kind="stable", axis=1)[:, :nprobe]
-        return pd.Series(list(idx.astype(np.int32)))
+        # null / ragged vectors can't be assigned (same guard as
+        # signatures_vectorized / pq_encode): emit null cluster lists —
+        # a later explode() drops those rows — instead of letting one
+        # bad row np.stack-crash the whole Arrow batch for every IVF
+        # consumer
+        out: list = [None] * len(vecs)
+        valid, mats = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim != 1 or a.shape[0] != dim:
+                continue
+            valid.append(i)
+            mats.append(a)
+        if valid:
+            mat = np.stack(mats)  # (n_valid, dim)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (mat @ arr.T) + (arr * arr).sum(axis=1)[None, :]
+            idx = np.argsort(d, kind="stable", axis=1)[:, :nprobe]
+            for row, i in enumerate(valid):
+                out[i] = idx[row].astype(np.int32)
+        return pd.Series(out)
 
     return pandas_udf(f, "array<int>", PandasUDFType.SCALAR)
 
@@ -544,8 +574,7 @@ def ivf_topk_indexed(
         "query_id",
         "cand_id",
         F.round(
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            _safe_cos(),
             6,
         ).alias("cos_sim"),
     )
@@ -727,8 +756,7 @@ def ivf_topk(
         "query_id",
         "cand_id",
         F.round(
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            _safe_cos(),
             6,
         ).alias("cos_sim"),
     )
@@ -1195,8 +1223,7 @@ def binary_hamming_topk(
             "cand_id",
             "hamming",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
+                _safe_cos(),
                 6,
             ).alias("cos_sim"),
         )

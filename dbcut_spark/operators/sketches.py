@@ -28,14 +28,11 @@ from pyspark.sql import functions as F
 
 HASH_DENOM = float(2**32)
 
-
-def hash_fraction(col: str | Column) -> Column:
-    """U(0,1) hash of a value: first 8 md5 hex digits / 2^32 — the
-    repo's cross-engine idiom (DuckDB: CAST('0x'||substr AS BIGINT))."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(HASH_DENOM)
+# ONE cross-engine hashing idiom repo-wide: re-export the sampling
+# module's U(0,1) hash (salt='' ⇒ md5(concat('', x)) == md5(x)) so the
+# two modules cannot drift apart and silently break each other's
+# oracle-parity assumptions
+from dbcut_spark.operators.sampling import hash_fraction  # noqa: E402,F401
 
 
 def kmv_distinct(
@@ -128,7 +125,9 @@ def kmv_intersection_estimate(kmv_a: Column, kmv_b: Column, k: int = 64) -> Colu
 # ---------------------------------------------------------------------------
 
 
-def mg_frequent_candidates(df: DataFrame, col: str, k: int = 1024) -> list:
+def mg_frequent_candidates(
+    df: DataFrame, col: str, k: int = 1024, with_total: bool = False
+):
     """Candidate heavy hitters via per-partition Misra-Gries summaries
     (k counters each), unioned on the driver.
 
@@ -144,13 +143,19 @@ def mg_frequent_candidates(df: DataFrame, col: str, k: int = 1024) -> list:
 
     Scale shape: pass 1 is one scan, Arrow-batched, state bounded at k
     counters per partition, and ≤ k·partitions candidate rows ever
-    reach the driver — the full value domain is never shuffled.
+    reach the driver — the full value domain is never shuffled. The
+    same scan also tallies the per-partition row counts (a null-valued
+    marker row each — unambiguous because value_counts never counts
+    nulls), so ``with_total=True`` returns the table total WITHOUT the
+    extra full scan a separate df.count() would pay.
     """
     import pandas as pd
 
     def summarize(pdf_iter):
         counters: dict = {}
+        n_rows = 0
         for pdf in pdf_iter:
+            n_rows += len(pdf)
             for val, cnt in pdf[col].value_counts().items():
                 counters[val] = counters.get(val, 0) + int(cnt)
             if len(counters) > k:
@@ -160,11 +165,31 @@ def mg_frequent_candidates(df: DataFrame, col: str, k: int = 1024) -> list:
                 counters = {
                     v: c - cut for v, c in counters.items() if c - cut > 0
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        out = pd.DataFrame({col: list(counters.keys())})
+        out["__rows"] = 0
+        yield pd.concat(
+            [out, pd.DataFrame({col: [None], "__rows": [n_rows]})],
+            ignore_index=True,
+        )
 
-    schema = df.select(col).schema
-    cands = df.select(col).mapInPandas(summarize, schema).collect()
-    return sorted({r[0] for r in cands})
+    from pyspark.sql import types as T
+
+    # nullable=True explicitly: an exploded token column arrives
+    # non-nullable, and the null marker row would NPE against the
+    # inherited nullability
+    field = df.select(col).schema[0]
+    schema = T.StructType(
+        [
+            T.StructField(field.name, field.dataType, True),
+            T.StructField("__rows", T.LongType(), False),
+        ]
+    )
+    rows = df.select(col).mapInPandas(summarize, schema).collect()
+    cands = sorted({r[0] for r in rows if r[0] is not None})
+    total = sum(r["__rows"] for r in rows)
+    if with_total:
+        return cands, total
+    return cands
 
 
 def frequent_items_exact(
@@ -188,8 +213,9 @@ def frequent_items_exact(
             f" (need k+1 >= {1.0 / threshold_fraction:.0f})"
         )
     spark = df.sparkSession
-    candidates = mg_frequent_candidates(df, col, k)
-    total = df.count()
+    # candidates AND the row total from ONE scan (a separate df.count()
+    # was a third full pass — round-8 review fix)
+    candidates, total = mg_frequent_candidates(df, col, k, with_total=True)
     cand_df = spark.createDataFrame(
         [(c,) for c in candidates], df.select(col).schema
     )
