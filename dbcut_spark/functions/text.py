@@ -13,8 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# BPE-ish tokenizer regex: letter runs, digit runs, single non-alnum marks
-BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+# BPE-ish tokenizer regex: letter runs, digit runs, single non-alnum,
+# non-whitespace marks — \s (not just space) so newlines/tabs are token
+# SEPARATORS, not tokens (round-8 review fix; shared verbatim with the
+# DuckDB oracles, so both engines move together)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 # language stopword profiles for the n-gram/stopword lang-id heuristic
 LANG_PROFILES: dict[str, list[str]] = {

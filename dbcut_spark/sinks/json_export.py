@@ -55,9 +55,12 @@ def _assemble(
                 .drop(*[f"__k_{i}" for i in range(len(rel.source_cols))])
                 .withColumn(
                     rel.name,
-                    F.coalesce(F.col("__docs"), F.array().cast(
-                        grouped.schema["__docs"].dataType.simpleString()
-                    )),
+                    # cast to the DataType OBJECT: simpleString() DDL
+                    # fails to re-parse column names needing quoting
+                    F.coalesce(
+                        F.col("__docs"),
+                        F.array().cast(grouped.schema["__docs"].dataType),
+                    ),
                 )
                 .drop("__docs")
             )
@@ -84,10 +87,15 @@ def nested_export(
     path: str,
 ) -> None:
     """Write the nested documents as JSON lines (ISO-8601 timestamps,
-    matching the reference's encoder renderings)."""
+    matching the reference's encoder renderings). Fractional seconds
+    are preserved at microsecond precision — a seconds-only format
+    silently dropped sub-second data on every timestamp (round-8
+    review fix); divergence from the reference: Python isoformat()
+    omits the fraction when it is exactly zero, Spark's fixed pattern
+    renders .000000."""
     docs = nested_documents(plan, frontiers)
     (
         docs.write.mode("overwrite")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )

@@ -18,6 +18,7 @@ Two modes:
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 import re as _re
 from typing import Iterator
 
@@ -56,11 +57,26 @@ def sql_type(dt: T.DataType) -> str:
     return _SPARK_TO_SQL.get(type(dt), "TEXT")
 
 
+class _RawNum(str):
+    """A pre-rendered numeric token (exact decimal digits) that must be
+    emitted verbatim, unquoted. Used by the distributed dump to carry
+    BIGINTs through Arrow→pandas, whose float64 widening of nullable
+    int columns silently corrupts values above 2^53."""
+
+
 def render_value(v, dialect: str = "sqlite") -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, _RawNum):
+        return str(v)
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not _math.isfinite(v):
+        # SQL has no portable NaN/Infinity literal — repr() would emit
+        # `nan`/`inf` and abort the load mid-transaction. NULL matches
+        # what the distributed path's notnull() rewrite already did for
+        # NaN, so both dump modes now agree on all non-finite values.
+        return "NULL"
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
@@ -304,17 +320,24 @@ def dump_sql_distributed(
         )
     ]
 
+    # integer columns travel as exact decimal STRINGS: Arrow→pandas
+    # widens nullable int columns to float64, which silently corrupts
+    # BIGINTs above 2^53 (e.g. 2^53+1 → ...992.0) — Spark's cast to
+    # string renders the exact digits, and _RawNum re-marks them as
+    # unquoted numeric tokens for the renderer
+    from pyspark.sql import functions as _F
+
+    for c in int_cols:
+        df = df.withColumn(c, _F.col(c).cast("string"))
+
     def render_partition(rows):
         import pandas as pd
 
         for pdf in rows:
-            # Arrow→pandas widens nullable integer columns to float64
-            # (None→NaN, 3→3.0): without repair the dump would emit the
-            # invalid literal `nan` and rewrite ints as floats —
-            # restore object dtype, None for missing, int for ints
+            # NaN→None for the remaining (float/string/ts) columns
             pdf = pdf.astype(object).where(pd.notnull(pdf), None)
             for c in int_cols:
-                pdf[c] = [None if v is None else int(v) for v in pdf[c]]
+                pdf[c] = [None if v is None else _RawNum(v) for v in pdf[c]]
             stmts = [
                 _insert_stmt(table, columns, tuple(rec), d)
                 for rec in pdf.itertuples(index=False, name=None)

@@ -144,17 +144,27 @@ def stateful_sessionize(
 
         (user_id,) = key
         if state.hasTimedOut:
+            # wall-clock WAKEUP, event-time DECISION: flush only when
+            # the watermark proves the gap closed (last + gap behind
+            # it). A bare processing-time flush would split sessions
+            # whenever processing lags event time — e.g. a query
+            # restart after >gap_s downtime with the user's backlog
+            # still inside the event-time gap (round-8 review fix).
             if state.exists:
                 start, last, n = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "session_start_us": [start],
-                        "session_end_us": [last],
-                        "n_events": [n],
-                    }
-                )
+                wm_us = state.getCurrentWatermarkMs() * 1000
+                if wm_us > 0 and last + gap_us <= wm_us:
+                    state.remove()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "session_start_us": [start],
+                            "session_end_us": [last],
+                            "n_events": [n],
+                        }
+                    )
+                else:
+                    state.setTimeoutDuration(gap_s * 1000)
             return
 
         ts_list = []
@@ -285,6 +295,12 @@ def stateful_hourly_anomaly(
     key = trail+1 longs — O(event types), not O(events)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if warmup > trail:
+        # the closed-hours list is capped at `trail` entries, so a
+        # larger warmup could never be reached — the stream would run
+        # healthy and emit nothing forever
+        raise ValueError(f"warmup ({warmup}) must be <= trail ({trail})")
+
     HOUR_US = 3_600_000_000
 
     def update(key, pdf_iter, state: GroupState):
@@ -292,7 +308,44 @@ def stateful_hourly_anomaly(
 
         (etype,) = key
         if state.hasTimedOut:
-            state.remove()
+            # inactivity wakeup: close the open hour ONLY when the
+            # watermark proves it over (event-time decision), folding
+            # it into the trailing history — a bare remove() destroyed
+            # the open count AND the 24h history, silently restarting
+            # warmup for exactly the quiet types the monitor watches
+            # (round-8 review fix). History (trail+1 longs per event
+            # type) is kept; state stays O(event types).
+            if state.exists:
+                ch, cc, open_hour, open_count = state.get
+                ch, cc = list(ch), list(cc)
+                wm_us = state.getCurrentWatermarkMs() * 1000
+                row = None
+                if (
+                    open_hour is not None
+                    and wm_us > 0
+                    and (open_hour + 1) * HOUR_US <= wm_us
+                ):
+                    if len(ch) >= warmup:
+                        window = cc[-trail:]
+                        avg = sum(window) / len(window)
+                        row = pd.DataFrame(
+                            {
+                                "event_type": [etype],
+                                "hour_start_us": [open_hour * HOUR_US],
+                                "n_events": [open_count],
+                                "trailing_avg": [round(avg, 4)],
+                                "is_spike": [float(open_count) > 2.0 * avg],
+                                "is_drop": [float(open_count) < 0.5 * avg],
+                            }
+                        )
+                    ch.append(open_hour)
+                    cc.append(open_count)
+                    del ch[:-trail], cc[:-trail]
+                    open_hour, open_count = None, None
+                state.update((ch, cc, open_hour, open_count))
+                state.setTimeoutDuration(3_600_000)
+                if row is not None:
+                    yield row
             return
 
         counts: dict[int, int] = {}
@@ -372,10 +425,10 @@ def dedup_events_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     window), not O(stream history)). The batch twin is the exact-dedup
     family (``operators/dedup.py``); at-least-once sources (Kafka
     replays, file redelivery) make this the standard first stage of a
-    streaming ingest at any scale."""
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
+    streaming ingest at any scale. Thin alias of :func:`dedup_stream`
+    at its defaults — ONE implementation, so the two entry points
+    cannot drift."""
+    return dedup_stream(stream, ["event_id"], watermark)
 
 
 FUNNEL_STATE_SCHEMA = T.StructType(
@@ -727,12 +780,16 @@ def asof_attribution_stream(
         out_rows = []
         still = []
         for pts, pid in pend:
-            if pts > wm_us:
+            if pts >= wm_us:
+                # a click with ts == watermark is still admissible in a
+                # later batch (Spark keeps rows AT the watermark), so a
+                # purchase AT the watermark must stay pending — flushing
+                # it here lost that attribution (round-8 review fix)
                 still.append((pts, pid))
                 continue
             # best click at-or-before the purchase: max (ts, id) among
             # buffered clicks <= pts and the sub-watermark survivor
-            # (best_old <= wm < pts for every still-pending purchase,
+            # (best_old <= wm <= pts for every still-pending purchase,
             # so it is always a legal candidate)
             cand = max(
                 (c for c in clicks if c[0] <= pts),

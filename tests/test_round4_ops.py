@@ -1666,3 +1666,49 @@ def test_stream_cdc_merge_restart_converges_partitioned(
     from dbcut_spark.sinks.insert_ignore import detect_partition_cols
 
     assert detect_partition_cols(target) == ["year"]
+
+
+def test_render_value_non_finite_floats_are_null():
+    """SQL has no portable NaN/Infinity literal — repr() emitted `nan`
+    and aborted the load; both dump modes now agree on NULL."""
+    from dbcut_spark.sinks.sqldump import render_value
+
+    assert render_value(float("nan")) == "NULL"
+    assert render_value(float("inf")) == "NULL"
+    assert render_value(float("-inf")) == "NULL"
+    assert render_value(1.5) == "1.5"
+
+
+def test_distributed_dump_preserves_big_ints(spark, tmp_path):
+    """BIGINTs above 2^53 survive the distributed dump exactly: the
+    Arrow->pandas float64 widening of nullable int columns used to
+    corrupt 2^53+1 into ...992."""
+    from dbcut_spark.sinks.sqldump import dump_sql_distributed
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [(big, 1.0), (None, float("nan"))], "id long, v double"
+    )
+    out = str(tmp_path / "dump")
+    dump_sql_distributed(df, "t", out)
+    text = "\n".join(
+        open(f"{out}/{f}").read()
+        for f in __import__("os").listdir(out)
+        if f.startswith("part-")
+    )
+    assert str(big) in text, text
+    assert "nan" not in text.lower().replace("null", ""), text
+    assert "NULL" in text
+
+
+def test_hourly_anomaly_warmup_must_fit_trail(spark, sf_dir):
+    import pytest as _pytest
+
+    from dbcut_spark.streaming.events import (
+        read_event_stream,
+        stateful_hourly_anomaly,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    with _pytest.raises(ValueError, match="warmup"):
+        stateful_hourly_anomaly(stream, warmup=30, trail=24)
