@@ -219,22 +219,20 @@ class Engine:
         pay the rewrite only where `inspect` flags FRAG. Returns
         {table: stats}."""
         from dbcut_spark.catalog import topo_order
-        from dbcut_spark.sinks.compact import compact_parquet, data_file_stats
+        from dbcut_spark.sinks.compact import compact_parquet
 
         out: dict[str, dict] = {}
         for table in topo_order(self.catalog):
             path = os.path.join(destination, f"{table}.parquet")
             if not os.path.exists(path):
                 continue
-            if min_frag_mb:
-                n, total = data_file_stats(path)
-                if n and total / n / (1024 * 1024) >= min_frag_mb:
-                    out[table] = {
-                        "skipped": True, "files_before": n, "bytes": total,
-                    }
-                    continue
+            # the frag gate lives in compact_parquet (one
+            # implementation, one tree walk)
             out[table] = compact_parquet(
-                self.spark, path, target_file_mb=target_file_mb
+                self.spark,
+                path,
+                target_file_mb=target_file_mb,
+                min_frag_mb=min_frag_mb,
             )
         return out
 

@@ -83,6 +83,22 @@ class ResultCache:
             return json.load(f)["counts"]
 
     def purge(self, key: str | None = None) -> None:
-        target = self._dir(key) if key else self.cache_dir
-        if os.path.exists(target):
-            shutil.rmtree(target)
+        """Remove one entry, or every RESULT entry. The all-entries
+        form must not rmtree the whole cache_dir: the catalog
+        reflection cache (catalog_cache.py) lives under the same root
+        in ``catalog/`` and belongs to a different layer — purging
+        results used to wipe it too, silently re-paying reflection on
+        the next run (round-8 review fix). Result entries are the
+        40-hex-dir children; anything else is left alone."""
+        if key is not None:
+            target = self._dir(key)
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            return
+        if not os.path.isdir(self.cache_dir):
+            return
+        for e in os.scandir(self.cache_dir):
+            if e.is_dir() and len(e.name) == 40 and all(
+                c in "0123456789abcdef" for c in e.name
+            ):
+                shutil.rmtree(e.path)

@@ -42,15 +42,31 @@ def _redact(source: str) -> str:
 
 def source_digest(source: str) -> str | None:
     """Freshness fingerprint for a source, or None when no cheap one
-    exists (then the cache is URI-trusted, reference behavior)."""
+    exists (then the cache is URI-trusted, reference behavior).
+
+    Depth: the top-level <table>.parquet entries PLUS, for directory
+    tables, their immediate children — an append inside an existing
+    hive-partition dir (col=val/part-*.parquet) bumps that dir's
+    mtime but NOT the table dir's, so a depth-0 digest served stale
+    catalogs for partitioned sources (round-8 review fix). Still
+    O(tables + partitions) stats, never a full file walk."""
     if source.startswith("jdbc:"):
         return None
     try:
-        entries = sorted(
-            (e.name, os.stat(e.path).st_mtime_ns)
-            for e in os.scandir(source)
-            if e.name.endswith(".parquet")
-        )
+        entries = []
+        for e in sorted(
+            os.scandir(source), key=lambda x: x.name
+        ):
+            if not e.name.endswith(".parquet"):
+                continue
+            entries.append((e.name, os.stat(e.path).st_mtime_ns))
+            if e.is_dir():
+                entries.extend(
+                    sorted(
+                        (f"{e.name}/{c.name}", os.stat(c.path).st_mtime_ns)
+                        for c in os.scandir(e.path)
+                    )
+                )
     except OSError:
         return None
     if not entries:
@@ -89,9 +105,17 @@ class CatalogCache:
         except (KeyError, TypeError, ValueError):
             return None
 
-    def save(self, source: str, catalog: Catalog) -> str:
+    def save(
+        self, source: str, catalog: Catalog, digest: str | None = None
+    ) -> str:
         """Write-through after a real reflection. Atomic (tmp+rename)
-        so a concurrent reader never sees a torn entry."""
+        so a concurrent reader never sees a torn entry. Pass the
+        ``digest`` computed BEFORE reflection ran: fingerprinting after
+        the fact would stamp a post-rewrite digest onto a pre-rewrite
+        catalog if the source changed mid-reflection, making the
+        staleness check permanently blind to that change (round-8
+        review fix) — a pre-reflection digest makes a concurrent
+        rewrite read as stale on the next load instead."""
         os.makedirs(self.dir, exist_ok=True)
         path = self._path(source)
         entry = {
@@ -100,7 +124,7 @@ class CatalogCache:
             # field) — redact credentials a jdbc: URL may embed so they
             # never land in a plaintext cache file
             "source": _redact(source),
-            "digest": source_digest(source),
+            "digest": digest if digest is not None else source_digest(source),
             "catalog": json.loads(catalog.to_json()),
         }
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -142,7 +166,9 @@ def cached_catalog(
         hit = cache.load(source)
         if hit is not None:
             return hit
+    # fingerprint BEFORE reflecting (see CatalogCache.save)
+    digest = source_digest(source)
     catalog = reflect()
     if enabled:
-        cache.save(source, catalog)
+        cache.save(source, catalog, digest=digest)
     return catalog

@@ -469,7 +469,7 @@ def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
     rewrite is paid only for tables ``inspect`` would flag FRAG at the
     same threshold — a single-file table is never rewritten for
     nothing."""
-    from dbcut_spark.sinks.compact import compact_parquet, data_file_stats
+    from dbcut_spark.sinks.compact import compact_parquet
 
     if ctx.dest.startswith("jdbc:"):
         raise click.UsageError("compact applies to parquet destinations only")
@@ -477,15 +477,21 @@ def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
         path = os.path.join(ctx.dest, f"{table}.parquet")
         if not os.path.exists(path):
             continue
-        if min_frag_mb:
-            n, total = data_file_stats(path)
-            if n and total / n / (1024 * 1024) >= min_frag_mb:
-                click.echo(f"skipped {table}: not fragmented "
-                           f"({n} x {total / n / (1024 * 1024):.1f}MB)")
-                continue
+        # the frag gate lives in compact_parquet (one implementation,
+        # one tree walk — CLI and Engine used to re-derive it each)
         stats = compact_parquet(
-            ctx.spark, path, target_file_mb=target_file_mb
+            ctx.spark,
+            path,
+            target_file_mb=target_file_mb,
+            min_frag_mb=min_frag_mb,
         )
+        if stats.get("skipped"):
+            n, total = stats["files_before"], stats["bytes"]
+            click.echo(
+                f"skipped {table}: not fragmented "
+                f"({n} x {total / n / (1024 * 1024):.1f}MB)"
+            )
+            continue
         click.echo(
             f"compacted {table}: {stats['files_before']} -> "
             f"{stats['files_after']} files"

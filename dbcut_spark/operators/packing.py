@@ -39,7 +39,16 @@ def pack_sequences(
     usual bias guard), identical across runs/engines.
     """
     order = order_col if order_col is not None else F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(shard_col).orderBy(order.asc(), F.col(id_col).asc())
+    # explicit ROWS frame: the default RANGE frame sums ALL peer rows
+    # into each peer's cumulative total, so tied (order, id) pairs —
+    # duplicate ids in a pre-dedup corpus — would get overlapping
+    # offsets silently; the DuckDB oracle already pins ROWS UNBOUNDED
+    # PRECEDING (round-8 review fix)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("start_off")
     return df.select(
         F.col(id_col),

@@ -37,6 +37,11 @@ def point_in_interval_join(
     """Inner join of every point to every interval (same ``on`` keys)
     with ``start <= point_time <= end`` (inclusive). Time columns are
     epoch-µs longs. Output = point columns + interval columns."""
+    if bin_us <= 0:
+        # a zero/negative bin silently NULLs the bin exprs (non-ANSI
+        # division) and explode(NULL) drops every interval — a config
+        # typo would read as "no matches" (round-8 review fix)
+        raise ValueError(f"bin_us must be positive, got {bin_us}")
     # malformed (end < start) intervals can never contain a point, but
     # F.sequence with start > stop generates a DESCENDING sequence —
     # a single inverted record could explode to billions of bins
@@ -76,6 +81,8 @@ def interval_overlap_join(
     ``greatest(l_start, r_start)`` — the first bin the two intervals
     share — so a pair overlapping many bins still meets once. Both
     sides shuffle on (key, bin), ordinary hash partitioning."""
+    if bin_us <= 0:
+        raise ValueError(f"bin_us must be positive, got {bin_us}")
     # same inverted-interval guard as point_in_interval_join: end <
     # start can't overlap anything but would explode descending bins
     l_binned = left.filter(F.col(l_end) >= F.col(l_start)).withColumn(

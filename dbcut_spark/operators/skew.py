@@ -28,9 +28,19 @@ from pyspark.sql import functions as F
 
 def _row_salt(df: DataFrame, cols: list[str], n_salts: int):
     """Deterministic per-row salt in [0, n_salts): hash of all non-key
-    columns (falls back to the key itself for key-only frames)."""
-    basis = [c for c in df.columns if c not in cols] or list(cols)
-    return F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(n_salts))
+    columns plus the input partition id. The partition id is the
+    load-bearing term for key-only frames and identical-payload rows —
+    hashing the key alone made the salt CONSTANT per key, so the hot
+    key still landed on one reducer and the 'salting' was a pure-cost
+    no-op (round-8 review fix). spark_partition_id is stable across
+    task retries for deterministic input splits (file scans), so the
+    rand-free/retry-safe contract in the module docstring holds; rows
+    of a hot key spread across however many input partitions carry
+    them, which is exactly the skew being mitigated."""
+    basis = [F.col(c) for c in df.columns if c not in cols]
+    return F.pmod(
+        F.xxhash64(*basis, F.spark_partition_id()), F.lit(n_salts)
+    )
 
 
 def salted_join(

@@ -56,34 +56,71 @@ def compact_parquet(
     path: str,
     target_file_mb: int = DEFAULT_TARGET_FILE_MB,
     max_records_per_file: int | None = None,
+    min_frag_mb: float = 0.0,
 ) -> dict:
     """Rewrite the table at ``path`` into size-targeted files,
     preserving any hive partition layout. Returns a stats dict
-    {files_before, files_after, bytes}."""
+    {files_before, files_after, bytes}. With ``min_frag_mb`` an
+    unfragmented table (average data file at/above the threshold)
+    skips the rewrite and returns {"skipped": True, ...} — ONE
+    implementation of the gate for both front doors (CLI + Engine
+    previously each re-derived it, with a second tree walk)."""
     n_before, total = data_file_stats(path)
+    if (
+        min_frag_mb
+        and n_before
+        and total / n_before / (1024 * 1024) >= min_frag_mb
+    ):
+        return {
+            "skipped": True,
+            "files_before": n_before,
+            "files_after": n_before,
+            "bytes": total,
+        }
     part_cols = detect_partition_cols(path)
     df = spark.read.parquet(path)
     staged = path + ".__compact__"
     if os.path.exists(staged):
         shutil.rmtree(staged)
     if part_cols:
-        from pyspark.sql import functions as F
+        import math
 
-        rows_total = df.count()
-        bpr = total / max(rows_total, 1)
-        target_bytes = target_file_mb * 1024 * 1024
-        per = (
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        # ONE metadata scan: the per-partition groupBy already contains
+        # the total (sum of __rows) — a separate df.count() was a
+        # second full pass, and inlining the collected stats as a
+        # literal frame also stops the write stage from recomputing the
+        # aggregate under the broadcast join (round-8 review fix). The
+        # collected list is one row per partition dir — driver-bounded.
+        per_rows = (
             df.groupBy(*part_cols)
             .agg(F.count(F.lit(1)).alias("__rows"))
-            .select(
-                *[F.col(c).alias(f"__pv_{c}") for c in part_cols],
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("__rows") * F.lit(bpr) / F.lit(target_bytes)),
+            .collect()
+        )
+        rows_total = sum(r["__rows"] for r in per_rows)
+        bpr = total / max(rows_total, 1)
+        target_bytes = target_file_mb * 1024 * 1024
+        per_schema = T.StructType(
+            [
+                T.StructField(f"__pv_{f.name}", f.dataType, True)
+                for f in df.select(*part_cols).schema.fields
+            ]
+            + [T.StructField("__nfiles", T.IntegerType(), False)]
+        )
+        per = spark.createDataFrame(
+            [
+                tuple(r[c] for c in part_cols)
+                + (
+                    max(
+                        1,
+                        math.ceil(r["__rows"] * bpr / target_bytes),
+                    ),
                 )
-                .cast("int")
-                .alias("__nfiles"),
-            )
+                for r in per_rows
+            ],
+            per_schema,
         )
         # null-safe partition-value join (NULL partition values are the
         # hive default partition, and plain equality would drop them)

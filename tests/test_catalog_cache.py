@@ -184,3 +184,44 @@ def test_cache_entry_redacts_credentials(tmp_path):
     assert entry["source"].endswith("password=***&ssl=true")
     # redaction doesn't affect cache hits (keying is by the raw URL)
     assert cache.load(url) is not None
+
+
+def test_digest_sees_partition_subdir_changes(tmp_path):
+    """An append INSIDE an existing hive-partition dir must bump the
+    digest: only the partition dir's mtime changes, not the table
+    dir's (round-8 review fix)."""
+    import os
+    import time
+
+    from dbcut_spark.catalog_cache import source_digest
+
+    src = tmp_path / "src"
+    part = src / "t.parquet" / "yr=2024"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"x")
+    d1 = source_digest(str(src))
+    time.sleep(0.02)
+    (part / "part-1.parquet").write_bytes(b"y")
+    # refresh the partition dir mtime explicitly (filesystem may have
+    # coarse resolution)
+    os.utime(part)
+    d2 = source_digest(str(src))
+    assert d1 != d2
+
+
+def test_result_purge_keeps_catalog_cache(tmp_path):
+    """purgecache clears RESULT entries only — the reflection cache
+    lives under the same root in catalog/ and belongs to a different
+    layer (round-8 review fix)."""
+    import os
+
+    from dbcut_spark.cache import ResultCache
+
+    rc = ResultCache(str(tmp_path))
+    os.makedirs(os.path.join(rc.cache_dir, "a" * 40))
+    os.makedirs(os.path.join(rc.cache_dir, "catalog"))
+    marker = os.path.join(rc.cache_dir, "catalog", "x.json")
+    open(marker, "w").write("{}")
+    rc.purge()
+    assert not os.path.exists(os.path.join(rc.cache_dir, "a" * 40))
+    assert os.path.exists(marker)

@@ -81,3 +81,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salt_spreads_key_only_hot_key(spark):
+    """Round-8 review fix: a key-only frame's hot key must spread over
+    multiple (key, salt) partial groups — the old key-hash fallback
+    gave every row of a key the SAME salt, making the salted shape a
+    pure-cost no-op exactly when it was needed."""
+    from dbcut_spark.operators.skew import _row_salt, salted_agg_count
+
+    hot = spark.range(0, 10_000, 1, 8).select(F.lit(7).alias("k"))
+    salts = (
+        hot.withColumn("s", _row_salt(hot, ["k"], 16))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salts > 1, "hot key must not collapse to one salt"
+    # and the two-phase result is still exact
+    out = salted_agg_count(hot, ["k"], 16).collect()
+    assert [(r["k"], r["count"]) for r in out] == [(7, 10_000)]
