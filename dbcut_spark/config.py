@@ -35,17 +35,22 @@ def expand_env_variables(value: Any) -> Any:
     ``test_expand_env_variables``); the old safe_substitute silently
     forwarded the literal ``${VAR}`` into connection URIs."""
     if isinstance(value, str):
-        try:
-            return string.Template(value).substitute(os.environ)
-        except KeyError as exc:
-            raise KeyError(
-                f"undefined environment variable {exc.args[0]!r} in config "
-                f"value {value!r}"
-            ) from exc
-        except ValueError:
-            # '$' that isn't a placeholder (e.g. a $like pattern with a
-            # literal '$%') — leave the string alone, like safe_substitute
-            return string.Template(value).safe_substitute(os.environ)
+        tpl = string.Template(value)
+        # strict check FIRST, independent of substitution: every real
+        # placeholder must resolve. (The old substitute()-then-fall-
+        # back-to-safe_substitute path silently forwarded ${UNSET}
+        # whenever an unrelated non-placeholder '$' raised ValueError
+        # earlier in the string — exactly the bug strictness was for.)
+        for m in tpl.pattern.finditer(value):
+            name = m.group("named") or m.group("braced")
+            if name is not None and name not in os.environ:
+                raise KeyError(
+                    f"undefined environment variable {name!r} in config "
+                    f"value {value!r}"
+                )
+        # all placeholders resolvable — safe_substitute leaves any
+        # non-placeholder '$' (e.g. a literal '$%') alone
+        return tpl.safe_substitute(os.environ)
     if isinstance(value, dict):
         return {k: expand_env_variables(v) for k, v in value.items()}
     if isinstance(value, list):
@@ -99,6 +104,13 @@ def _parse_limit(value: Any, default: int | None) -> int | None:
         isinstance(value, str) and value.lower() in ("no", "none")
     ):
         return None
+    if value is True:
+        # YAML `limit: yes` parses as boolean True; int(True) would
+        # silently mean limit=1 — the symmetric spelling of `limit: no`
+        # has no sensible numeric reading, so reject it
+        raise ValueError(
+            "limit: yes is ambiguous - use a number, or 'no' for unlimited"
+        )
     return int(value)
 
 
@@ -120,7 +132,10 @@ def normalize_query(raw: dict, config: dict | None = None) -> QuerySpec:
         from_table=raw["from"],
         where=raw.get("where"),
         order_by=raw.get("order-by", raw.get("order_by")),
-        offset=raw.get("offset"),
+        # int-coerce like the depths: an env-expanded '20' would reach
+        # DataFrame.offset as a string and raise downstream while the
+        # SQL oracle happily interpolated it
+        offset=(None if raw.get("offset") is None else int(raw["offset"])),
         limit=limit,
         backref_limit=backref_limit,
         join_depth=int(raw.get("join_depth", cfg["default_join_depth"])),

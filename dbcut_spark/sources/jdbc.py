@@ -71,6 +71,7 @@ FK_QUERY = {
         FROM information_schema.key_column_usage
         WHERE referenced_table_name IS NOT NULL
           AND table_schema = '{schema}'
+          AND referenced_table_schema = '{schema}'
         ORDER BY constraint_name, ordinal_position
     """,
     # Resolved through pg_catalog keyed on oids, NOT information_schema:
@@ -98,7 +99,9 @@ FK_QUERY = {
           ON a.attrelid = con.conrelid AND a.attnum = con.conkey[s.i]
         JOIN pg_attribute pa
           ON pa.attrelid = con.confrelid AND pa.attnum = con.confkey[s.i]
+        JOIN pg_namespace pn ON pn.oid = pc.relnamespace
         WHERE con.contype = 'f' AND n.nspname = '{schema}'
+          AND pn.nspname = '{schema}'
           AND con.conparentid = 0
         ORDER BY constraint_name, ordinal_position
     """,
@@ -150,7 +153,11 @@ ESTIMATE_QUERY = {
     """,
     # populated by ANALYZE; the first integer of sqlite_stat1.stat is
     # the estimated row count (same estimated-not-exact contract as the
-    # other dialects' statistics tables)
+    # other dialects' statistics tables). CAVEAT: sqlite_stat1 does not
+    # EXIST until the first ANALYZE, and sqlite errors at prepare time
+    # on a missing table — callers must catch and degrade to exact
+    # counts on never-analyzed databases (mysql/pg degrade to empty
+    # result sets instead)
     "sqlite": """
         SELECT tbl AS table_name,
                MAX(CAST(substr(stat || ' ', 1, instr(stat || ' ', ' ') - 1)
@@ -214,7 +221,12 @@ _QUOTED_RE = _re.compile(r"^'.*'$", _re.S)
 # survive: 'a::b'::text must normalize to 'a::b', not 'a'. PG spells
 # reflected defaults as <literal><cast-chain>, so stripping only the
 # trailing chain is both sufficient and safe.
-_PG_CAST_RE = _re.compile(r"(::[A-Za-z_][\w ]*(\(\d+(,\s*\d+)?\))?(\[\])?)+$")
+_PG_CAST_RE = _re.compile(
+    # word run, optional precision, optional trailing word run (the
+    # multi-word types spell precision mid-name: timestamp(0) without
+    # time zone), optional array suffix
+    r"(::[A-Za-z_][\w ]*(\(\d+(,\s*\d+)?\))?([\w ]*)(\[\])?)+$"
+)
 _CURRENT_TS_REFLECT_RE = _re.compile(
     r"^(current_timestamp|localtimestamp|sysdate)(\(\d*\))?$"
     r"|^(now|getdate)\(\d*\)$",
@@ -293,8 +305,12 @@ def normalize_reflected_default(
         # drop it rather than corrupt it
         return None
     if source_dialect == "mysql" and not (
-        _NUMERIC_RE.match(s) or _QUOTED_RE.match(s) or s.startswith("(")
+        _NUMERIC_RE.match(s) or _QUOTED_RE.match(s)
     ):
+        # no startswith('(') exemption: MySQL 8 marks EVERY expression
+        # default with extra=DEFAULT_GENERATED (handled above), so an
+        # unmarked value beginning with '(' is a plain string literal —
+        # leaving it unquoted emitted DEFAULT (draft) into the dump DDL
         return "'" + s.replace("'", "''") + "'"
     return s
 
@@ -531,13 +547,21 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
         # positive routes Engine.load to insert-ignore against a table
         # that doesn't exist. Escape with the driver's escape string.
         esc = meta.getSearchStringEscape()
+        # constrain to the connection's CURRENT schema where the driver
+        # reports one: a null schemaPattern matches same-named tables
+        # in ANY schema, and that false positive routed clear/flush and
+        # Engine.load at tables this connection cannot see
+        try:
+            schema = conn.getSchema()
+        except Exception:  # noqa: BLE001 - optional JDBC 4.1 API
+            schema = None
         for name in (table, table.upper(), table.lower()):
             pat = (
                 name.replace(esc, esc + esc)
                 .replace("_", esc + "_")
                 .replace("%", esc + "%")
             )
-            rs = meta.getTables(None, None, pat, None)
+            rs = meta.getTables(None, schema, pat, None)
             try:
                 if rs.next():
                     return True

@@ -44,7 +44,22 @@ def read_documents_jsonl(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
     """Read JSONL documents with an explicit schema (no inference pass).
-    Unparseable lines surface in `_corrupt_record` under the default
-    PERMISSIVE mode rather than failing the job — count them before
-    trusting an external drop."""
-    return spark.read.schema(schema or DOCUMENTS_SCHEMA).json(path)
+    Unparseable lines surface in ``_corrupt_record`` under PERMISSIVE
+    mode rather than failing the job — count them before trusting an
+    external drop. The corrupt-record column must be IN the explicit
+    schema or Spark captures nothing and malformed lines become
+    indistinguishable all-null rows (round-8 review fix); it is added
+    here and dropped from clean rows only by callers that ask."""
+    base = schema or DOCUMENTS_SCHEMA
+    if "_corrupt_record" not in base.fieldNames():
+        # copy, don't .add(): StructType.add mutates in place and would
+        # grow the shared module-level DOCUMENTS_SCHEMA on every call
+        base = T.StructType(
+            list(base.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return (
+        spark.read.schema(base)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

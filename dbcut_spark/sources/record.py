@@ -43,13 +43,19 @@ class RecordingLoader:
         return {}
 
     def _write_manifest(self) -> None:
-        with open(os.path.join(self.dir, "manifest.json"), "w") as f:
+        # atomic tmp+rename: the manifest rewrites after every newly
+        # recorded table, and a crash mid-flush would leave a truncated
+        # file that bricks the whole cassette at the next construction
+        mpath = os.path.join(self.dir, "manifest.json")
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(
                 {"tables": sorted(self._recorded), "source": self.source_id},
                 f,
                 indent=1,
                 sort_keys=True,
             )
+        os.replace(tmp, mpath)
 
     def __call__(self, table: str) -> DataFrame:
         if table not in self._recorded:

@@ -216,9 +216,21 @@ def test_jsonl_documents_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "docs_jsonl")
     write_documents_jsonl(docs, out, shards=3)
     back = read_documents_jsonl(spark, out)
-    assert back.schema == DOCUMENTS_SCHEMA
+    # the reader appends _corrupt_record (a PERMISSIVE-mode capture
+    # column must be IN the explicit schema, or malformed lines become
+    # indistinguishable all-null rows); the data columns are unchanged
+    assert back.schema.fieldNames() == [
+        *DOCUMENTS_SCHEMA.fieldNames(), "_corrupt_record"
+    ]
+    # collect a data column alongside: Spark disallows queries whose
+    # only referenced column is the internal corrupt-record column
+    # (count() prunes any extra projection away, so collect instead)
+    bad = back.filter(F.col("_corrupt_record").isNotNull()).select(
+        "doc_id", "_corrupt_record"
+    )
+    assert bad.collect() == []
     a = {tuple(r) for r in docs.collect()}
-    b = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in back.drop("_corrupt_record").collect()}
     assert a == b
 
 
