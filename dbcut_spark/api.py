@@ -59,10 +59,19 @@ class Engine:
                 force_refresh=self.config.get("force_refresh", False),
             )
         self.catalog = catalog
-        self.executor = ClosureExecutor(
-            spark, parquet_loader(spark, source),
-            table_rows=parquet_table_rows(source),
-        )
+        if source.startswith("jdbc:"):
+            from dbcut_spark.sources.jdbc import source_loader
+
+            # DatabaseMetaData-reflected catalog + partitioned JDBC
+            # scans: the live-database source path, same executor
+            self.executor = ClosureExecutor(
+                spark, source_loader(spark, source, self.catalog)
+            )
+        else:
+            self.executor = ClosureExecutor(
+                spark, parquet_loader(spark, source),
+                table_rows=parquet_table_rows(source),
+            )
 
     def plan(self, query: dict) -> ExtractionPlan:
         """YAML-shaped query dict → extraction plan (inspect

@@ -239,11 +239,16 @@ def topo_order(catalog: "Catalog") -> list[str]:
 
 
 def detect_catalog(spark, source: str) -> "Catalog":
-    """Catalog for a parquet-directory source: the curated static
-    TPC-H catalog when the harness tables are present, else schema
-    inference. One sniff, shared by CLI and Engine."""
+    """Catalog for a source: dialect-agnostic DatabaseMetaData
+    reflection for jdbc: URLs; for parquet directories the curated
+    static TPC-H catalog when the harness tables are present, else
+    schema inference. One sniff, shared by CLI and Engine."""
     import os as _os
 
+    if source.startswith("jdbc:"):
+        from dbcut_spark.sources.jdbc import reflect_catalog_metadata
+
+        return reflect_catalog_metadata(spark, source)
     if all(
         _os.path.exists(_os.path.join(source, f"{t}.parquet"))
         for t in ("region", "nation", "customer", "orders", "lineitem")

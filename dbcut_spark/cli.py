@@ -41,7 +41,6 @@ class Profiler:
         self.records: list[tuple[str, float, int | None]] = []
 
     def timed(self, label: str):
-        import contextlib
         import time
 
         @contextlib.contextmanager
@@ -137,6 +136,15 @@ class Ctx:
             yield i, build_plan(self.catalog, raw, self.config)
 
     def executor(self) -> ClosureExecutor:
+        if self.source.startswith("jdbc:"):
+            from dbcut_spark.sources.jdbc import source_loader
+
+            # no metadata row bounds for JDBC (information_schema
+            # estimates vary by dialect) — the closure's adaptive
+            # routing falls back to the cached-parent count tier
+            return ClosureExecutor(
+                self.spark, source_loader(self.spark, self.source, self.catalog)
+            )
         return ClosureExecutor(
             self.spark,
             parquet_loader(self.spark, self.source),
@@ -160,7 +168,6 @@ class Ctx:
         if not self.no_cache and not self.force_refresh and self.cache.exists(key):
             click.echo(f"  using cache {key[:12]} ({self.cache.counts(key)})")
             return self.cache.load(self.spark, key)
-        import contextlib
 
         prof = (
             self.profiler.timed(f"closure {plan.root_table}")
@@ -317,6 +324,15 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float):
             return estimate_row_count(path)
         return ctx.spark.read.parquet(path).count()
 
+    def source_count(table: str):
+        if ctx.source.startswith("jdbc:"):
+            from dbcut_spark.sources.jdbc import jdbc_count, jdbc_table_exists
+
+            if not jdbc_table_exists(ctx.spark, ctx.source, table):
+                return "-"
+            return jdbc_count(ctx.spark, ctx.source, table)
+        return count(os.path.join(ctx.source, f"{table}.parquet"))
+
     def dest_count(table: str):
         if ctx.dest.startswith("jdbc:"):
             from dbcut_spark.sources.jdbc import jdbc_count, jdbc_table_exists
@@ -343,7 +359,7 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float):
         f"{'table':<16}{'source':>12}{'destination':>14}  {'dest files'}"
     )
     for table in sorted(ctx.catalog.tables):
-        sc = count(os.path.join(ctx.source, f"{table}.parquet"))
+        sc = source_count(table)
         dc = dest_count(table)
         click.echo(f"{table:<16}{sc!s:>12}{dc!s:>14}  {frag(table)}")
 

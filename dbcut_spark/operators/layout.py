@@ -34,11 +34,15 @@ def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
 
 
 def zvalue_sql(a: str, b: str, bits: int = 16) -> str:
-    """The identical Morton code as a SQL expression (oracle mirror)."""
+    """The identical Morton code as a SQL expression (oracle mirror).
+    BIGINT casts match the Spark twin's long arithmetic: on an INT32
+    column, bit 15's term ((x & 32768) * 65536 = 2^31) overflows
+    DuckDB's INT32 multiplication at runtime (round-8 review fix,
+    reproduced live)."""
     terms = []
     for i in range(bits):
-        terms.append(f"(({a} & {1 << i}) * {1 << i})")
-        terms.append(f"(({b} & {1 << i}) * {1 << (i + 1)})")
+        terms.append(f"((CAST({a} AS BIGINT) & {1 << i}) * {1 << i})")
+        terms.append(f"((CAST({b} AS BIGINT) & {1 << i}) * {1 << (i + 1)})")
     return " + ".join(terms)
 
 

@@ -150,7 +150,10 @@ def plan_oracle_sql(plan: ExtractionPlan, table: str) -> str:
             )
             if rel.direction is Direction.ONETOMANY and plan.spec.backref_limit is not None:
                 pk = plan.catalog.table(rel.target).pk
-                order = ", ".join(f"{c} DESC" for c in pk)
+                # explicit null order, same canon as lines above: a
+                # nullable synthesized PK under DuckDB's configurable
+                # default_null_order would cut a different top-n
+                order = ", ".join(f"{c} DESC NULLS LAST" for c in pk)
                 if plan.spec.backref_limit_mode == "global":
                     base += f" ORDER BY {order} LIMIT {plan.spec.backref_limit}"
                 else:
@@ -175,8 +178,18 @@ def plan_oracle_sql(plan: ExtractionPlan, table: str) -> str:
     # PK-less table) can be nullable, and the divergence would surface
     # as a spurious parity mismatch
     order = ", ".join(f"{c} ASC NULLS FIRST" for c in pk)
+    # dedup ONLY when the table is reached by >1 tree node — the
+    # executor's exact condition (closure.py: len(frames) > 1). A
+    # blanket DISTINCT * would collapse legitimately duplicate rows of
+    # a single-path table that Spark returns verbatim (round-8 review
+    # fix). Multi-path dedup uses DISTINCT * vs Spark's
+    # dropDuplicates(pk): identical whenever the PK is unique (true
+    # PKs always; the synthesized-PK caveat is documented at
+    # catalog.synthesize_pk).
+    dedup = "DISTINCT " if len(parts) > 1 else ""
     return (
-        "WITH " + ", ".join(ctes) + f" SELECT DISTINCT * FROM ({body}) ORDER BY {order}"
+        "WITH " + ", ".join(ctes)
+        + f" SELECT {dedup}* FROM ({body}) ORDER BY {order}"
     )
 
 

@@ -61,10 +61,16 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     """Load the harness parquet tables as a dict of DataFrames."""
     from dbcut_spark.catalog import TPCH_TABLES
 
+    from dbcut_spark.sources.parquet import read_table
+
     names = tables or list(TPCH_TABLES)
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            # read_table, not raw spark.read.parquet: it applies the
+            # ns->long and NTZ/timezone normalizations every other
+            # reader path gets — a vanilla session otherwise hands back
+            # TIMESTAMP_NTZ frames that window()/unix_micros() reject
+            out[name] = read_table(spark, sf_dir, name)
     return out

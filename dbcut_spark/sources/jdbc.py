@@ -585,3 +585,145 @@ def jdbc_count(spark, url: str, table: str) -> int:
             st.close()
     finally:
         conn.close()
+
+
+def reflect_catalog_metadata(spark, url: str, schema: str | None = None):
+    """Reflect a :class:`~dbcut_spark.catalog.Catalog` from ANY JDBC
+    database through the java.sql ``DatabaseMetaData`` API — tables,
+    ordered columns, primary keys, imported (foreign) keys, and column
+    defaults, all dialect-agnostic: the same call works on Derby,
+    MySQL, PostgreSQL, Oracle, ... without a per-dialect
+    information_schema query (those remain in :data:`TABLES_QUERY` etc.
+    for engines where the SQL path is preferable/pushdown-friendly).
+
+    Driver-side only: one JDBC connection, no Spark job. PK-less
+    tables get the same synthesized PK as parquet inference
+    (:func:`dbcut_spark.catalog.synthesize_pk`). ``schema`` defaults to
+    the connection's current schema where the driver reports one
+    (Derby: the user name, e.g. APP)."""
+    from dbcut_spark.catalog import Catalog, ForeignKey, TableSpec, synthesize_pk
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        if schema is None:
+            try:
+                schema = conn.getSchema()
+            except Exception:  # noqa: BLE001 - optional JDBC 4.1 API
+                schema = None
+
+        def rows(rs, cols):
+            out = []
+            try:
+                while rs.next():
+                    out.append(tuple(rs.getString(c) for c in cols))
+            finally:
+                rs.close()
+            return out
+
+        gw = spark.sparkContext._gateway
+        types_arr = gw.new_array(gw.jvm.java.lang.String, 1)
+        types_arr[0] = "TABLE"
+        tables = [
+            r[0]
+            for r in rows(
+                meta.getTables(None, schema, "%", types_arr), ["TABLE_NAME"]
+            )
+        ]
+        specs: dict[str, TableSpec] = {}
+        fks: list[ForeignKey] = []
+        for t in tables:
+            col_rows = rows(
+                meta.getColumns(None, schema, t, "%"),
+                ["COLUMN_NAME", "ORDINAL_POSITION", "COLUMN_DEF"],
+            )
+            col_rows.sort(key=lambda r: int(r[1]))
+            columns = tuple(r[0] for r in col_rows)
+            defaults = {r[0]: r[2] for r in col_rows if r[2] is not None}
+            pk_rows = rows(
+                meta.getPrimaryKeys(None, schema, t),
+                ["COLUMN_NAME", "KEY_SEQ"],
+            )
+            pk_rows.sort(key=lambda r: int(r[1]))
+            if pk_rows:
+                pk, synthetic = tuple(r[0] for r in pk_rows), False
+            else:
+                pk, synthetic = synthesize_pk(list(columns))
+            specs[t] = TableSpec(
+                name=t,
+                pk=pk,
+                columns=columns,
+                synthetic_pk=synthetic,
+                defaults=defaults,
+            )
+        table_set = set(tables)
+        for t in tables:
+            fk_rows = rows(
+                meta.getImportedKeys(None, schema, t),
+                [
+                    "PKTABLE_NAME",
+                    "PKCOLUMN_NAME",
+                    "FKCOLUMN_NAME",
+                    "KEY_SEQ",
+                    "FK_NAME",
+                ],
+            )
+            by_name: dict[str, list] = {}
+            for parent, pcol, ccol, seq, fkname in fk_rows:
+                # cross-schema parents are invisible to this catalog —
+                # skip rather than dangle (same rule as the SQL
+                # reflection queries)
+                if parent not in table_set:
+                    continue
+                by_name.setdefault(fkname or f"{t}->{parent}", []).append(
+                    (int(seq), parent, pcol, ccol)
+                )
+            for parts in by_name.values():
+                parts.sort()
+                fks.append(
+                    ForeignKey(
+                        child=t,
+                        child_cols=tuple(p[3] for p in parts),
+                        parent=parts[0][1],
+                        parent_cols=tuple(p[2] for p in parts),
+                    )
+                )
+        return Catalog(tables=specs, fks=fks)
+    finally:
+        conn.close()
+
+
+def source_loader(spark, url: str, catalog) -> "object":
+    """TableLoader over a JDBC source for the closure executor: tables
+    with a single integer-looking PK read range-partitioned
+    (:func:`plan_partitioned_read` off a driver-side MIN/MAX round
+    trip); everything else reads as one ``dbtable`` scan (small dims —
+    exactly the tables the executor broadcasts anyway)."""
+
+    def load(table: str):
+        pk = catalog.table(table).pk
+        reader = (
+            spark.read.format("jdbc").option("url", url)
+        )
+        if len(pk) == 1:
+            try:
+                conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+                try:
+                    st = conn.createStatement()
+                    rs = st.executeQuery(bounds_query(table, pk[0]))
+                    rs.next()
+                    lo, hi = rs.getLong(1), rs.getLong(2)
+                    rs.close()
+                finally:
+                    conn.close()
+                if hi > lo:
+                    plan = plan_partitioned_read(
+                        pk, lo, hi, row_estimate=None
+                    )
+                    for k, v in plan.options().items():
+                        reader = reader.option(k, v)
+            except Exception:  # noqa: BLE001 - non-numeric PK etc.
+                pass  # single-cursor read below — correct, just serial
+        return reader.option("dbtable", table).load()
+
+    return load

@@ -475,3 +475,73 @@ def test_live_jdbc_upsert_delete_derby(spark, tmp_path):
         .collect()
     )
     assert stages == [], stages
+
+
+def test_cli_load_from_live_jdbc_source(spark, tmp_path):
+    """END-TO-END with a LIVE JDBC SOURCE (Derby): DatabaseMetaData
+    reflection discovers tables/PKs/FKs with zero dialect SQL, the
+    closure executor reads through the JDBC loader (range-partitioned
+    on the integer PK), and the extraction lands in parquet — the
+    reference's core use-case (cut a real database) with no catalog
+    file and no parquet source. Closes the 'live-JDBC source is
+    recipe-only' gap with an executed path."""
+    from click.testing import CliRunner
+
+    import pytest
+
+    import yaml
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sources.jdbc import jdbc_execute, reflect_catalog_metadata
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+    except Exception:
+        pytest.skip("Derby driver not on the Spark classpath")
+
+    url = f"jdbc:derby:{tmp_path}/srcdb;create=true"
+    jdbc_execute(spark, url, [
+        "CREATE TABLE owners (id INT PRIMARY KEY, name VARCHAR(40))",
+        "CREATE TABLE pets (id INT PRIMARY KEY, owner_id INT, "
+        "kind VARCHAR(20) DEFAULT 'cat', "
+        "CONSTRAINT fk_owner FOREIGN KEY (owner_id) REFERENCES owners(id))",
+        "INSERT INTO owners VALUES (1,'ana'),(2,'bo'),(3,'cy')",
+        "INSERT INTO pets VALUES (10,1,'dog'),(11,1,'cat'),(12,2,'fish'),"
+        "(13,3,'dog')",
+    ])
+
+    # reflection: dialect-agnostic DatabaseMetaData path
+    cat = reflect_catalog_metadata(spark, url)
+    assert set(cat.tables) == {"OWNERS", "PETS"}
+    assert cat.table("PETS").pk == ("ID",)
+    assert not cat.table("PETS").synthetic_pk
+    (fk,) = cat.fks
+    assert (fk.child, fk.parent) == ("PETS", "OWNERS")
+    assert fk.child_cols == ("OWNER_ID",) and fk.parent_cols == ("ID",)
+    # column default carried through metadata reflection
+    assert "KIND" in cat.table("PETS").defaults
+
+    dest = str(tmp_path / "out")
+    cfg = {
+        "databases": {"source_uri": url, "destination_uri": dest},
+        "cache": str(tmp_path / "cache2"),
+        "queries": [
+            {"from": "OWNERS", "where": {"NAME": "ana"},
+             "limit": 5, "backref_limit": 10}
+        ],
+    }
+    cfg_path = str(tmp_path / "src.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "load", "inspect"], catch_exceptions=False
+    )
+    assert res.exit_code == 0, res.output
+    owners = spark.read.parquet(f"{dest}/OWNERS.parquet").collect()
+    pets = spark.read.parquet(f"{dest}/PETS.parquet").collect()
+    assert [(r["ID"], r["NAME"]) for r in owners] == [(1, "ana")]
+    assert sorted(r["ID"] for r in pets) == [10, 11]  # ana's pets only
