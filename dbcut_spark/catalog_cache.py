@@ -45,13 +45,22 @@ def source_digest(source: str) -> str | None:
     exists (then the cache is URI-trusted, reference behavior).
 
     Depth: the top-level <table>.parquet entries PLUS, for directory
-    tables, their immediate children — an append inside an existing
-    hive-partition dir (col=val/part-*.parquet) bumps that dir's
-    mtime but NOT the table dir's, so a depth-0 digest served stale
-    catalogs for partitioned sources (round-8 review fix). Still
-    O(tables + partitions) stats, never a full file walk."""
+    tables, every nested DIRECTORY down to the deepest partition level
+    (an append inside a=1/b=2/ bumps only the innermost dir's mtime, so
+    the round-8 depth-1 digest was still blind to 2+-level hive
+    layouts — round-9 fix per ADVICE). Directories are statted at every
+    level but leaf FILES only at depth 1: writers always create new
+    part-file names, so a change at any depth moves some dir's mtime.
+    Cost is O(tables + partition dirs), never a full file walk."""
     if source.startswith("jdbc:"):
         return None
+
+    def walk_dirs(root: str, rel: str, out: list) -> None:
+        for c in sorted(os.scandir(root), key=lambda x: x.name):
+            if c.is_dir(follow_symlinks=False):
+                out.append((f"{rel}/{c.name}", os.stat(c.path).st_mtime_ns))
+                walk_dirs(c.path, f"{rel}/{c.name}", out)
+
     try:
         entries = []
         for e in sorted(
@@ -65,8 +74,10 @@ def source_digest(source: str) -> str | None:
                     sorted(
                         (f"{e.name}/{c.name}", os.stat(c.path).st_mtime_ns)
                         for c in os.scandir(e.path)
+                        if not c.is_dir(follow_symlinks=False)
                     )
                 )
+                walk_dirs(e.path, e.name, entries)
     except OSError:
         return None
     if not entries:

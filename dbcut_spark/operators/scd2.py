@@ -87,6 +87,12 @@ def scd2_build(
     )
 
 
+class RetroactiveDeltaError(ValueError):
+    """A delta event predates its key's open-interval valid_from —
+    incremental maintenance cannot express the interval split; rebuild
+    via ``scd2_build`` over the full log instead."""
+
+
 def scd2_apply_delta(
     target: DataFrame,
     delta: DataFrame,
@@ -94,6 +100,7 @@ def scd2_apply_delta(
     state_col: str = "event_type",
     ts: str = "ts",
     seq: str = "event_id",
+    validate: bool = True,
 ) -> DataFrame:
     """Maintain an SCD2 table under new events, incrementally.
 
@@ -111,7 +118,17 @@ def scd2_apply_delta(
 
     Cost: O(delta + open intervals of touched keys) — the history
     (closed intervals) is never recomputed, mirroring how the
-    partition-pruned upsert rewrites only touched partitions."""
+    partition-pruned upsert rewrites only touched partitions.
+
+    ``validate=True`` (default) enforces the ordering contract EAGERLY
+    with one small existence job (delta ⋈ touched open intervals — the
+    frames the compaction reads anyway): any delta event with
+    ts < its key's open valid_from raises ``RetroactiveDeltaError``
+    instead of silently compacting a wrong history. valid_from of the
+    open interval upper-bounds every closed valid_to for the key, so
+    this single predicate also catches events retroactive into closed
+    history. Disable only when the source is a per-key-ordered CDC log
+    whose ordering is already enforced upstream."""
     open_ = target.filter(F.col("valid_to").isNull())
     closed = target.filter(F.col("valid_to").isNotNull())
     # null-SAFE key matching throughout: scd2_build's
@@ -128,6 +145,24 @@ def scd2_apply_delta(
     open_touched = open_.join(
         delta_keys, F.col(key).eqNullSafe(F.col("__dk")), "left_semi"
     )
+
+    if validate:
+        bounds = open_touched.select(
+            F.col(key).alias("__gk"), F.col("valid_from").alias("__vf")
+        )
+        retro = delta.join(
+            bounds, F.col(key).eqNullSafe(F.col("__gk")), "inner"
+        ).filter(F.col(ts) < F.col("__vf"))
+        # limit(1): existence probe, stops at the first violation
+        if retro.limit(1).count():
+            sample = retro.select(key, ts, "__vf").first()
+            raise RetroactiveDeltaError(
+                f"delta event at {ts}={sample[1]!r} predates open-interval "
+                f"valid_from={sample[2]!r} for {key}={sample[0]!r}; "
+                "incremental SCD2 cannot split intervals — rebuild with "
+                "scd2_build over the full log (or pass validate=False if "
+                "upstream ordering is guaranteed)"
+            )
 
     seed = open_touched.select(
         F.col(key),

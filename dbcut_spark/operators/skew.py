@@ -36,7 +36,20 @@ def _row_salt(df: DataFrame, cols: list[str], n_salts: int):
     task retries for deterministic input splits (file scans), so the
     rand-free/retry-safe contract in the module docstring holds; rows
     of a hot key spread across however many input partitions carry
-    them, which is exactly the skew being mitigated."""
+    them, which is exactly the skew being mitigated.
+
+    Caveat (round-9, SPARK-23207 class): when the INPUT itself is
+    nondeterministic — e.g. downstream of another shuffle, where fetch
+    order can vary across a map-stage re-execution — the salt value a
+    given row receives can shift on recompute. The RESULT is still
+    salt-invariant (the salt only routes rows; salted_agg_count
+    re-aggregates over the true keys and salted_join's output is
+    identical whatever salt a row carries), but a fetch-failure
+    re-execution interleaved with partial reducer fetches could then
+    duplicate or drop rows mid-shuffle. Callers feeding shuffled input
+    should `.localCheckpoint(eager=False)` it first (the compaction
+    writer in sinks/compact.py does exactly this); raw scans need
+    nothing."""
     basis = [F.col(c) for c in df.columns if c not in cols]
     return F.pmod(
         F.xxhash64(*basis, F.spark_partition_id()), F.lit(n_salts)

@@ -140,11 +140,16 @@ def compact_parquet(
                 "column to rewrite the layout"
             )
         # salt = hash(data columns + a per-row id): the row id keeps the
-        # spread working when every column is a partition column
-        # (xxhash64 with zero args is an error) and when a skewed
-        # partition is made of IDENTICAL rows (pure column hashing would
-        # land them all in one bucket, serializing the write). Rand-free,
-        # but layout depends on scan order — content never does.
+        # spread working when a skewed partition is made of IDENTICAL
+        # rows (pure column hashing would land them all in one bucket,
+        # serializing the write). monotonically_increasing_id is scan-
+        # order-dependent, so the salted frame is localCheckpoint-ed
+        # (lazy) BEFORE the repartition: the shuffle-map stage then
+        # reads stored blocks on any retry instead of recomputing ids —
+        # a shifted row→partition assignment after a fetch failure (the
+        # SPARK-23207 dup/loss hazard) becomes impossible, and a lost
+        # checkpoint block fails the job loudly (retry the compaction)
+        # rather than silently corrupting the rewrite.
         salt_src = [F.col(c) for c in data_cols] + [
             F.monotonically_increasing_id()
         ]
@@ -154,6 +159,7 @@ def compact_parquet(
                 "__salt",
                 F.pmod(F.xxhash64(*salt_src), F.col("__nfiles")).cast("int"),
             )
+            .localCheckpoint(eager=False)
             .repartition(*part_cols, "__salt")
             .drop("__salt", "__nfiles", *[f"__pv_{c}" for c in part_cols])
         )

@@ -499,6 +499,25 @@ def delete_keys_parquet(
     return n_before - n_after
 
 
+
+def _stage_name(table: str, kind: str) -> str:
+    """Short collision-free staging-table name: dialect identifier caps
+    (Oracle pre-12.2: 30 chars) bite when the target table name is long,
+    so the table name is HASHED into a fixed-width prefix instead of
+    concatenated. Layout: dbcut_<kind>_<8-hex table hash>_<8-hex
+    pid+uuid nonce> = 28 chars max (kind <= 3) — always under 30.
+    pid+uuid nonce keeps concurrent runs against the same target on
+    disjoint stages (round-8 fix), now length-capped (round-9 ADVICE)."""
+    import hashlib
+    import uuid
+
+    thash = hashlib.sha1(table.encode()).hexdigest()[:8]
+    nonce = hashlib.sha1(
+        f"{os.getpid()}-{uuid.uuid4().hex}".encode()
+    ).hexdigest()[:8]
+    return f"dbcut_{kind}_{thash}_{nonce}"
+
+
 def upsert_sql(
     dialect: str,
     table: str,
@@ -597,7 +616,6 @@ def jdbc_upsert(
     the target's write path for row-level upserts)."""
     from dbcut_spark.sources.jdbc import jdbc_count, jdbc_execute, write_append
 
-    import uuid
 
     out = df.dropDuplicates(pk).cache()
     try:
@@ -609,7 +627,7 @@ def jdbc_upsert(
         # reliable only without CONCURRENT writers on the target —
         # concurrent merges still apply correctly (server-side MERGE),
         # only the returned split can misattribute.
-        stage = f"{table}__stg_{os.getpid():x}_{uuid.uuid4().hex[:6]}"
+        stage = _stage_name(table, "stg")
         n_stage = out.count()
         if not n_stage:
             return 0, 0
@@ -651,7 +669,6 @@ def jdbc_delete_keys(
     Returns rows deleted."""
     from dbcut_spark.sources.jdbc import jdbc_execute, write_append
 
-    import uuid
 
     q = quote
     keys = df_keys.select(*pk).dropDuplicates(pk).cache()
@@ -660,7 +677,7 @@ def jdbc_delete_keys(
             return 0
         # unique per run + finally-drop: same concurrency/leak
         # rationale as jdbc_upsert's staging table
-        stage = f"{table}__dk_{os.getpid():x}_{uuid.uuid4().hex[:6]}"
+        stage = _stage_name(table, "dk")
         try:
             # inside the drop-guard for the same partial-write reason
             # as jdbc_upsert's stage

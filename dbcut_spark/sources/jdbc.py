@@ -587,6 +587,51 @@ def jdbc_count(spark, url: str, table: str) -> int:
         conn.close()
 
 
+def group_imported_keys(t: str, fk_rows, table_set: set[str]) -> list:
+    """Group raw ``getImportedKeys`` rows (parent, pcol, ccol, seq,
+    fkname) into ForeignKey specs.
+
+    Named constraints group by FK_NAME. Anonymous constraints
+    (FK_NAME NULL — legal per JDBC): KEY_SEQ==1 starts a NEW
+    constraint, so two distinct unnamed single-column FKs to the same
+    parent stay distinct instead of merging into one bogus composite
+    key that would corrupt closure traversal (round-9 ADVICE fix).
+    JDBC orders getImportedKeys rows by parent then KEY_SEQ; per-parent
+    seq-reset counting recovers single-column groups exactly.
+    Interleaved MULTI-column anonymous FKs to one parent are
+    theoretically ambiguous in the JDBC metadata itself (real drivers
+    name them — Derby/PG/MySQL all synthesize names)."""
+    from dbcut_spark.catalog import ForeignKey
+
+    by_name: dict[str, list] = {}
+    anon_gen: dict[str, int] = {}
+    for parent, pcol, ccol, seq, fkname in fk_rows:
+        # cross-schema parents are invisible to this catalog — skip
+        # rather than dangle (same rule as the SQL reflection queries)
+        if parent not in table_set:
+            continue
+        if fkname:
+            gkey = fkname
+        else:
+            base = f"{t}->{parent}"
+            if int(seq) == 1:
+                anon_gen[base] = anon_gen.get(base, 0) + 1
+            gkey = f"{base}#{anon_gen.get(base, 1)}"
+        by_name.setdefault(gkey, []).append((int(seq), parent, pcol, ccol))
+    out = []
+    for parts in by_name.values():
+        parts.sort()
+        out.append(
+            ForeignKey(
+                child=t,
+                child_cols=tuple(p[3] for p in parts),
+                parent=parts[0][1],
+                parent_cols=tuple(p[2] for p in parts),
+            )
+        )
+    return out
+
+
 def reflect_catalog_metadata(spark, url: str, schema: str | None = None):
     """Reflect a :class:`~dbcut_spark.catalog.Catalog` from ANY JDBC
     database through the java.sql ``DatabaseMetaData`` API — tables,
@@ -668,26 +713,7 @@ def reflect_catalog_metadata(spark, url: str, schema: str | None = None):
                     "FK_NAME",
                 ],
             )
-            by_name: dict[str, list] = {}
-            for parent, pcol, ccol, seq, fkname in fk_rows:
-                # cross-schema parents are invisible to this catalog —
-                # skip rather than dangle (same rule as the SQL
-                # reflection queries)
-                if parent not in table_set:
-                    continue
-                by_name.setdefault(fkname or f"{t}->{parent}", []).append(
-                    (int(seq), parent, pcol, ccol)
-                )
-            for parts in by_name.values():
-                parts.sort()
-                fks.append(
-                    ForeignKey(
-                        child=t,
-                        child_cols=tuple(p[3] for p in parts),
-                        parent=parts[0][1],
-                        parent_cols=tuple(p[2] for p in parts),
-                    )
-                )
+            fks.extend(group_imported_keys(t, fk_rows, table_set))
         return Catalog(tables=specs, fks=fks)
     finally:
         conn.close()

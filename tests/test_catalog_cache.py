@@ -225,3 +225,30 @@ def test_result_purge_keeps_catalog_cache(tmp_path):
     rc.purge()
     assert not os.path.exists(os.path.join(rc.cache_dir, "a" * 40))
     assert os.path.exists(marker)
+
+
+def test_digest_sees_multilevel_partition_changes(tmp_path):
+    """An append inside a 2-level hive layout (a=1/b=2/part-*.parquet)
+    bumps only the INNERMOST dir's mtime — the depth-1 digest was blind
+    to it (round-9 ADVICE fix: dirs are statted at every depth)."""
+    import os
+    import time
+
+    from dbcut_spark.catalog_cache import source_digest
+
+    src = tmp_path / "src"
+    inner = src / "t.parquet" / "a=1" / "b=2"
+    inner.mkdir(parents=True)
+    (inner / "part-0.parquet").write_bytes(b"x")
+    d1 = source_digest(str(src))
+    time.sleep(0.02)
+    (inner / "part-1.parquet").write_bytes(b"y")
+    os.utime(inner)  # only the innermost dir moves
+    d2 = source_digest(str(src))
+    assert d1 != d2
+    # a NEW deep partition dir also registers
+    time.sleep(0.02)
+    deeper = src / "t.parquet" / "a=1" / "b=3"
+    deeper.mkdir()
+    (deeper / "part-0.parquet").write_bytes(b"z")
+    assert source_digest(str(src)) != d2

@@ -545,3 +545,44 @@ def test_cli_load_from_live_jdbc_source(spark, tmp_path):
     pets = spark.read.parquet(f"{dest}/PETS.parquet").collect()
     assert [(r["ID"], r["NAME"]) for r in owners] == [(1, "ana")]
     assert sorted(r["ID"] for r in pets) == [10, 11]  # ana's pets only
+
+
+def test_group_imported_keys_anonymous_fks_stay_distinct():
+    """Two unnamed single-column FKs to the same parent must reflect as
+    two FKs, not one bogus composite (round-9 ADVICE fix); named and
+    composite constraints group as before."""
+    from dbcut_spark.sources.jdbc import group_imported_keys
+
+    rows = [
+        # two anonymous single-col FKs to "users" (KEY_SEQ resets)
+        ("users", "id", "author_id", "1", None),
+        ("users", "id", "editor_id", "1", None),
+        # one NAMED composite FK to "orders"
+        ("orders", "oid", "o_id", "1", "fk_ord"),
+        ("orders", "seq", "o_seq", "2", "fk_ord"),
+        # cross-schema parent: skipped
+        ("elsewhere", "x", "y", "1", None),
+    ]
+    fks = group_imported_keys("posts", rows, {"users", "orders", "posts"})
+    got = {(fk.parent, fk.child_cols, fk.parent_cols) for fk in fks}
+    assert got == {
+        ("users", ("author_id",), ("id",)),
+        ("users", ("editor_id",), ("id",)),
+        ("orders", ("o_id", "o_seq"), ("oid", "seq")),
+    }
+
+
+def test_stage_name_is_short_and_unique():
+    """Staging identifiers stay under the 30-char dialect cap whatever
+    the target table name length, and two calls never collide
+    (round-9 ADVICE fix)."""
+    from dbcut_spark.sinks.insert_ignore import _stage_name
+
+    long_table = "a_very_long_target_table_name_beyond_thirty_chars"
+    a = _stage_name(long_table, "stg")
+    b = _stage_name(long_table, "stg")
+    assert len(a) <= 30 and len(b) <= 30
+    assert a != b
+    assert a.startswith("dbcut_stg_")
+    # same-table different-kind stages are disjoint namespaces
+    assert _stage_name(long_table, "dk").startswith("dbcut_dk_")

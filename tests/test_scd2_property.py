@@ -113,3 +113,41 @@ def test_apply_delta_empty_target_is_build(spark):
     target = scd2_build(empty)
     got = spark_rows(scd2_apply_delta(target, spark_df(spark, rows)))
     assert got == py_scd2(rows)
+
+
+def test_retroactive_delta_raises(spark):
+    """Round-9 guard: a delta event dated BEFORE its key's open-interval
+    valid_from must fail loudly toward rebuild, not compact silently
+    wrong intervals (round-8 verdict 'What's wrong' #2)."""
+    import pytest
+
+    from dbcut_spark.operators.scd2 import RetroactiveDeltaError
+
+    # key 1: a->b, open interval (b) starts at ts=500
+    old = [(1, 100, 0, "a"), (1, 500, 1, "b")]
+    target = scd2_build(spark_df(spark, old))
+    retro = [(1, 499, 2, "c")]  # predates open valid_from=500
+    with pytest.raises(RetroactiveDeltaError, match="rebuild"):
+        scd2_apply_delta(target, spark_df(spark, retro))
+    # validate=False restores the (documented out-of-contract) old path
+    scd2_apply_delta(
+        target, spark_df(spark, retro), validate=False
+    ).count()
+    # in-contract deltas still pass under the default guard: equality
+    # at valid_from is legal (the seed's _SEED_SEQ sorts first), and a
+    # brand-new key has no open interval to violate
+    ok = [(1, 500, 3, "c"), (2, 10, 4, "a")]
+    got = spark_rows(scd2_apply_delta(target, spark_df(spark, ok)))
+    assert got == py_scd2(old + ok)
+
+
+def test_retroactive_guard_null_key(spark):
+    """NULL-key histories are matched null-safely by the guard too."""
+    import pytest
+
+    from dbcut_spark.operators.scd2 import RetroactiveDeltaError
+
+    old = [(None, 200, 0, "a")]
+    target = scd2_build(spark_df(spark, old))
+    with pytest.raises(RetroactiveDeltaError):
+        scd2_apply_delta(target, spark_df(spark, [(None, 100, 1, "b")]))
