@@ -142,6 +142,7 @@ HEADLINE = [
     "docs_hybrid_rrf",
     "events_scd2_state",
     "events_scd2_incremental",
+    "dedup_incremental_indexed",
 ]
 
 

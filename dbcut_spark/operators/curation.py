@@ -229,6 +229,54 @@ def incremental_dedup(
     )
 
 
+def incremental_dedup_indexed(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_dedup` with the reference side read from a
+    PERSISTED :func:`dbcut_spark.operators.dedup.build_lsh_index`
+    instead of re-hashed per batch — the recurring-ingestion scale fix
+    (round-9 verdict ask #3): at 100 TB the reference corpus is hashed
+    once at index-build time; each batch then reads only the band-
+    bucket partitions its own hashes map to (static partition pruning)
+    plus the exact-hash table. Output schema and values are identical
+    to the in-memory form (same hash family, same est_sim arithmetic,
+    same threshold semantics) — pinned by the
+    ``dedup_incremental_indexed`` gate query hash-matching the
+    ``dedup_incremental`` oracle."""
+    import os
+
+    from dbcut_spark.operators.dedup import probe_lsh_index
+
+    newh = batch.select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash")
+    )
+    refh = spark.read.parquet(os.path.join(index_path, "exact")).withColumn(
+        "__exact", F.lit(True)
+    )
+    exact = newh.join(refh, "text_hash", "left_outer").select(
+        F.col(id_col),
+        F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
+    )
+    pairs = probe_lsh_index(
+        spark, index_path, batch, text_col, id_col
+    ).filter(F.col("est_sim") >= threshold)
+    near_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return exact.join(near_ids, id_col, "left_outer").select(
+        F.col(id_col),
+        "is_exact_dup",
+        F.coalesce(F.col("__near"), F.lit(False)).alias("is_near_dup"),
+    )
+
+
 def pii_stats(df: DataFrame, text_col: str | Column, id_col: str) -> DataFrame:
     """Per-document PII detection counts (emails / phones / IPv4) and
     the md5 of the redacted text — detection + redaction in one

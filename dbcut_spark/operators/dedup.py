@@ -564,6 +564,170 @@ def connected_components(
     )
 
 
+def _lsh_bucket(n_buckets: int):
+    """Stable bucket assignment for a band_hash: xxhash64 (fixed seed)
+    mod n_buckets. Used identically at index-build and probe time, so
+    a probe knows statically which partition directories can contain
+    its collisions."""
+    return F.pmod(F.xxhash64(F.col("band_hash")), F.lit(n_buckets))
+
+
+def build_lsh_index(
+    ref: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    n_buckets: int = 64,
+    shingle_n: int = 5,
+) -> None:
+    """Persist the REFERENCE side of incremental dedup as an on-disk
+    LSH band-bucket index, so recurring ingestion probes stop
+    re-hashing the reference corpus per batch (round-9 verdict ask #3;
+    same persisted-index pattern as ``similarity.build_ivf_index``).
+
+    Layout under ``path``:
+    - ``bands/``  — parquet PARTITIONED BY (band_idx, bucket):
+      one row per (doc, band) with the banded hash and the full
+      signature payload (k longs), where bucket = xxhash64(band_hash)
+      mod ``n_buckets``. n_bands × n_buckets directories total —
+      bounded whatever the corpus size, and a probe touches only the
+      directories its own band hashes map to (static partition
+      pruning, pinned in tests).
+    - ``exact/``  — parquet of the DISTINCT normalized-text md5s
+      (column ``text_hash``) for the exact-dup probe.
+    - ``_lsh_meta.json`` — hashing parameters; underscore-prefixed so
+      Spark's reader ignores it (sidecar convention shared with
+      ``_centroids.json``).
+
+    Build cost: one signature pass (explode + grouped agg) + one
+    partitioned write — O(corpus), paid once instead of per batch.
+    Signatures use the same md5-derived 2-universal family as
+    :func:`minhash_signatures`, so ``est_sim`` from a probe is
+    bit-identical to the in-memory ``lsh_candidate_pairs_across``
+    form (hash-equality pinned by the ``dedup_incremental_indexed``
+    gate query vs the ``dedup_incremental`` oracle)."""
+    import json
+    import os
+
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_rows "
+            f"({band_rows}) - trailing hashes would silently never band"
+        )
+    sigs = minhash_signatures(ref, text_col, id_col, num_hashes, shingle_n)
+    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
+        "bucket", _lsh_bucket(n_buckets)
+    )
+    bands.write.partitionBy("band_idx", "bucket").mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+    (
+        ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "exact"))
+    )
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "band_rows": band_rows,
+                "n_buckets": n_buckets,
+                "shingle_n": shingle_n,
+                "id_col": id_col,
+            },
+            f,
+        )
+
+
+def probe_lsh_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """LSH candidate pairs of a NEW batch against a persisted reference
+    index: (doc_a = batch id, doc_b = reference id, est_sim) — the
+    indexed twin of :func:`lsh_candidate_pairs_across` with the
+    reference side read from :func:`build_lsh_index` output instead of
+    recomputed.
+
+    The batch's band rows are computed in memory (O(batch), the point),
+    then the DISTINCT (band_idx, bucket) combinations — at most
+    n_bands × n_buckets values, driver-bounded — become a LITERAL
+    disjunction over the index's partition columns, so the scan lists
+    and reads ONLY the matching bucket directories (PartitionFilters;
+    a small batch touches a small fraction of the reference index).
+    est_sim arithmetic (signature-agreement / num_hashes) is identical
+    to the in-memory form."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    num_hashes, band_rows = meta["num_hashes"], meta["band_rows"]
+    n_buckets, shingle_n = meta["n_buckets"], meta["shingle_n"]
+
+    sigs = pin(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+    )
+    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
+        "bucket", _lsh_bucket(n_buckets)
+    )
+    bands = pin(bands)
+    # driver-bounded: ≤ n_bands × n_buckets rows whatever the batch size
+    combos: dict[int, list[int]] = {}
+    for r in bands.select("band_idx", "bucket").distinct().collect():
+        combos.setdefault(int(r["band_idx"]), []).append(int(r["bucket"]))
+    if not combos:  # empty batch: typed empty frame, no scan at all
+        return (
+            batch.select(
+                F.col(id_col).alias("doc_a"), F.col(id_col).alias("doc_b")
+            )
+            .withColumn("est_sim", F.lit(0.0))
+            .limit(0)
+        )
+
+    cond = None
+    for b, buckets in sorted(combos.items()):
+        c = (F.col("band_idx") == b) & F.col("bucket").isin(buckets)
+        cond = c if cond is None else (cond | c)
+    idx = (
+        spark.read.parquet(os.path.join(index_path, "bands"))
+        .filter(cond)
+        .select(
+            F.col(meta["id_col"]).alias("doc_b"),
+            F.col("sig").alias("sig_b"),
+            "band_idx",
+            "band_hash",
+        )
+    )
+    left = bands.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        left.join(idx, ["band_idx", "band_hash"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / num_hashes).alias("est_sim"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_sim").alias("est_sim"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

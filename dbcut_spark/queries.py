@@ -817,6 +817,9 @@ _GATE_ROTATION = [
     "docs_hybrid_rrf",
     "events_scd2_state",
     "events_scd2_incremental",
+    # -- round-9 additions: appended at the END (append-only rule);
+    # never-sampled-first debuts them in round 9's window --
+    "dedup_incremental_indexed",
 ]
 
 GATE_WINDOW = 50

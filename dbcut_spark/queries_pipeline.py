@@ -1214,6 +1214,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.incremental_dedup(d, "text", "doc_id", is_new).orderBy("doc_id")
 
 
+@register("dedup_incremental_indexed", sql=ORACLES["dedup_incremental"])
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental against a PERSISTED reference index
+    (operators/dedup.build_lsh_index): the reference corpus (src0-9)
+    is minhashed ONCE into a band-bucket-partitioned parquet index +
+    exact-hash table; the new batch (src10-19) then probes only its
+    colliding bucket partitions (static partition pruning, pinned in
+    tests/test_curation.py). Identical oracle to dedup_incremental —
+    the hash-equality IS the indexed==in-memory theorem. At 100 TB
+    this is the difference between re-hashing the reference corpus
+    per ingestion batch and reading a few matching directories
+    (round-9 verdict ask #3; same pattern as similarity.build_ivf_index
+    for ANN)."""
+    import dbcut_spark.queries_relational as qr
+
+    d = tp(spark, sf_dir, "documents")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    idx = qr._rf_scratch() + "/lsh_index"
+    dd.build_lsh_index(d.filter(~is_new), idx, "text", "doc_id")
+    return cur.incremental_dedup_indexed(
+        spark, idx, d.filter(is_new), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
 def _pii_sql() -> str:
     email_pat, email_tok = cur.PII_PATTERNS["email"]
     phone_pat, phone_tok = cur.PII_PATTERNS["phone"]

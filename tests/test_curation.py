@@ -121,3 +121,71 @@ def test_materialize_corpus_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     disk = json.load(open(tmp_path / "manifest.json"))
     assert disk == manifest
+
+
+def test_incremental_dedup_indexed_matches_inmemory(spark, sf_dir, tmp_path):
+    """Indexed probe == in-memory form row-for-row on real documents,
+    AND the probe scan is partition-pruned to the batch's band buckets
+    (the whole point of persisting the index — round-9 verdict #3)."""
+    from dbcut_spark.operators.dedup import build_lsh_index, probe_lsh_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    ref, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(ref, idx, "text", "doc_id")
+
+    got = cur.incremental_dedup_indexed(
+        spark, idx, batch, "text", "doc_id"
+    )
+    exp = cur.incremental_dedup(docs, "text", "doc_id", is_new)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+    # pruning pin: the bands scan carries literal PartitionFilters on
+    # (band_idx, bucket) — only matching bucket dirs are listed/read
+    pairs = probe_lsh_index(spark, idx, batch.limit(5), "text", "doc_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    segs = plan.split("PartitionFilters")[1:]  # one per file scan
+    assert any(
+        "band_idx" in s[:400] and "bucket" in s[:400] for s in segs
+    ), plan
+
+
+def test_incremental_dedup_indexed_small_fixture(spark, tmp_path):
+    """Same exact/near/new triage as the in-memory fixture test, via
+    the persisted index; empty batch short-circuits without a scan."""
+    from dbcut_spark.operators.dedup import build_lsh_index, probe_lsh_index
+
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near_text = ref_text.replace("theta", "thetaX", 1)
+    ref = spark.createDataFrame(
+        [(1, ref_text), (2, "totally different reference content here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, ref_text.upper()),
+            (11, near_text),
+            (12, "brand new unseen content with fresh words"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "ix")
+    build_lsh_index(ref, idx, "text", "doc_id")
+    out = {
+        r["doc_id"]: r
+        for r in cur.incremental_dedup_indexed(
+            spark, idx, batch, "text", "doc_id"
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["is_exact_dup"] and out[10]["is_near_dup"]
+    assert not out[11]["is_exact_dup"] and out[11]["is_near_dup"]
+    assert not out[12]["is_exact_dup"] and not out[12]["is_near_dup"]
+    empty = probe_lsh_index(
+        spark, idx, batch.limit(0), "text", "doc_id"
+    )
+    assert empty.count() == 0

@@ -1494,6 +1494,30 @@ _ROUND8_ADDITIONS: list[str] = [
 ]
 
 
+# queries first registered in round 9 (append-only _GATE_ROTATION tail)
+_ROUND9_ADDITIONS: list[str] = [
+    "dedup_incremental_indexed",
+]
+
+
+def test_round9_additions_debut_in_round9_window():
+    """The r01-r08 driver-row union covers the whole pre-round-9
+    registry (round-8 verdict), so round 9's never-sampled-first rule
+    must place exactly the round-9 additions at the head of the
+    rotation slots — every new query earns a driver CORRECTNESS row in
+    its debut round."""
+    from dbcut_spark.queries import _GATE_ROTATION, gate_window_for_round
+
+    window = gate_window_for_round(9)
+    assert len(window) == 50
+    r9_new = [q for q in _GATE_ROTATION if q in _ROUND9_ADDITIONS]
+    assert set(r9_new) <= set(window), (
+        "a round-9 addition missed its own debut window"
+    )
+    # and they sit before any rotation fill (pending-first ordering)
+    assert window[26 : 26 + len(r9_new)] == r9_new
+
+
 def test_stream_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
     """Streaming CDC merge (foreachBatch + partition-pruned upsert)
     must land the same final table as applying the change batches in
