@@ -143,6 +143,8 @@ HEADLINE = [
     "events_scd2_state",
     "events_scd2_incremental",
     "dedup_incremental_indexed",
+    "docs_bpe_vocab",
+    "docs_bpe_tokenize",
 ]
 
 

@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer training + application (round-9 verdict
+ask #5): the canonical fit-on-corpus / apply-at-scale LLM-pipeline
+operator the engine was still missing.
+
+Shape (classic word-type BPE, Sennrich et al. 2016, re-expressed for
+Spark):
+
+- the HEAVY pass is word-type counting — one corpus-wide
+  explode + hash aggregation, after which training never touches the
+  corpus again: merge learning runs over the word-TYPE table
+  (|types| << |corpus|, the whole point of word-level BPE);
+- each merge round is ONE distributed pair-count aggregation
+  (zip_with adjacent symbols → explode → groupBy(a, b).sum(weight))
+  plus a 1-row driver collect of the argmax — the learned merge table
+  is bounded (n_merges rows), lives on the driver, and broadcasts
+  into the apply step, exactly the cost model of training any
+  tokenizer at 100 TB;
+- merge APPLICATION is pure Column algebra: a left-to-right greedy
+  fold (``F.aggregate``) over the symbol array — no shuffle, no
+  Python, applies in the same task that read the row.
+
+Determinism: tie-breaks are (count DESC, left ASC, right ASC) —
+binary-comparable on the ASCII symbol alphabet — so the learned table
+is identical across runs, partitionings, and engines; the
+``docs_bpe_vocab`` / ``docs_bpe_tokenize`` gate queries hash-match a
+DuckDB recomputation that unrolls the same rounds in SQL
+(window-function greedy — the fold/window equivalence is exactly what
+the value hash pins).
+
+Greedy-fold correctness note: a merge (a, b) rewrites the symbol
+sequence left-to-right, never re-matching output of the same round —
+the fold compares the ACCUMULATOR tail against ``a``, and a merged
+token a||b can equal neither a nor b (b is non-empty), so overlapping
+occurrences resolve exactly like the reference implementation
+("aaa" + (a,a) -> ["aa","a"]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word marker: a multi-char symbol, so it can never collide with
+# a single-character initial symbol from the corpus
+EOW = "</w>"
+
+
+def word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, w) — distinct whitespace word types with corpus counts;
+    the one corpus-wide pass of BPE training (same tokenization as
+    vocab_build: lower/trim, split on single spaces, drop empties)."""
+    from dbcut_spark.functions.text import norm_text
+
+    return (
+        df.select(F.explode(F.split(norm_text(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, w, syms) — each word type as its character sequence plus
+    the end-of-word marker (split('') is char-wise and unicode-safe in
+    both Spark and DuckDB — verified engine parity)."""
+    return words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit(EOW)))
+    )
+
+
+def apply_merge(col, a: str, b: str):
+    """Greedy left-to-right application of ONE merge (a, b) to an
+    array<string> symbol column: a fold that replaces the accumulator
+    tail ``a`` with a||b when the incoming symbol is ``b``. JVM-side
+    whole-stage-codegen expression — no shuffle, no Python."""
+    merged = a + b
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def apply_merges(col, merges: list[tuple[str, str]]):
+    """Chain-apply a learned merge table in rank order — the tokenizer
+    APPLY path: one nested fold expression, broadcast-free (the merge
+    table is baked into the plan as literals, the moral equivalent of
+    broadcasting the vocab)."""
+    out = col
+    for a, b in merges:
+        out = apply_merge(out, a, b)
+    return out
+
+
+def pair_counts(seqs: DataFrame) -> DataFrame:
+    """(a, b, cnt) — adjacent-symbol pair counts over (word, w, syms),
+    weighted by word frequency; overlapping occurrences all count
+    (reference BPE behavior). One explode + one hash aggregation."""
+    tail = F.slice(F.col("syms"), F.lit(2), F.size("syms") - F.lit(1))
+    head = F.slice(F.col("syms"), F.lit(1), F.size("syms") - F.lit(1))
+    pairs = F.zip_with(
+        head, tail, lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+    )
+    return (
+        seqs.select("w", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` byte-pair merges over a (word, w) type table.
+
+    Returns (merges, segmented) where merges is the ordered list of
+    (left, right, pair_count) and ``segmented`` is the final
+    (word, w, syms) frame — the training-corpus segmentation under the
+    learned table (its equality with :func:`apply_merges` over the
+    initial symbols is the train/apply consistency theorem, pinned in
+    tests).
+
+    Per round: one pair-count aggregation over the word-type table +
+    one 1-row collect (the argmax merge, tie-broken count DESC / left
+    ASC / right ASC); the winning merge applies as a fold. The frame is
+    localCheckpoint-ed each round so 12 rounds stay 12 shallow plans
+    instead of one 12-deep nested expression re-evaluated per round.
+    Stops early if the corpus runs out of pairs."""
+    cur = initial_symbols(words)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        cur = cur.localCheckpoint(eager=False)
+        best = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        cur = cur.withColumn("syms", apply_merge(F.col("syms"), a, b))
+    return merges, cur

@@ -820,6 +820,8 @@ _GATE_ROTATION = [
     # -- round-9 additions: appended at the END (append-only rule);
     # never-sampled-first debuts them in round 9's window --
     "dedup_incremental_indexed",
+    "docs_bpe_vocab",
+    "docs_bpe_tokenize",
 ]
 
 GATE_WINDOW = 50

@@ -4932,3 +4932,166 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_delta(scd2_build(old), delta).orderBy(
         "user_id", "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed train + apply (round-9)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _bpe_ctes(n: int) -> str:
+    """Unrolled DuckDB recomputation of word-type BPE training: the
+    same rounds the Spark loop runs, expressed as window-function
+    greedy merge application (mark pairs → gaps-and-islands over
+    consecutive marks → take odd positions per run → drop absorbed
+    symbols → renumber). MATERIALIZED on wrd/seq{r}/b{r}: each round
+    references seq{r} three times, so default CTE inlining would make
+    the plan (and the parquet re-scans) exponential in rounds.
+    The fold(Spark) == window-greedy(SQL) equivalence is exactly what
+    the value hash pins."""
+    parts = ["""wrd AS MATERIALIZED (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS w,
+             ROW_NUMBER() OVER (ORDER BY tok) AS wid
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0 GROUP BY tok),
+    seq0 AS MATERIALIZED (
+      SELECT wid, pos, sym FROM (
+        SELECT wid,
+               unnest(list_append(string_split(word, ''), '</w>')) AS sym,
+               unnest(range(1, len(string_split(word, '')) + 2)) AS pos
+        FROM wrd))"""]
+    for r in range(n):
+        parts.append(f"""p{r} AS (
+      SELECT s1.sym AS a, s2.sym AS b, CAST(SUM(w.w) AS BIGINT) AS cnt
+      FROM seq{r} s1
+      JOIN seq{r} s2 ON s2.wid = s1.wid AND s2.pos = s1.pos + 1
+      JOIN wrd w ON w.wid = s1.wid
+      GROUP BY 1, 2),
+    b{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    mk{r} AS (SELECT wid, pos, sym,
+        COALESCE(sym = (SELECT a FROM b{r})
+             AND lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                 = (SELECT b FROM b{r}), FALSE) AS m
+      FROM seq{r}),
+    rn{r} AS (SELECT wid, pos, sym, m,
+        pos - ROW_NUMBER() OVER (PARTITION BY wid, m ORDER BY pos) AS rg
+      FROM mk{r}),
+    tk{r} AS (SELECT wid, pos, sym,
+        m AND (ROW_NUMBER() OVER (PARTITION BY wid, m, rg ORDER BY pos)
+               % 2 = 1) AS take
+      FROM rn{r}),
+    fl{r} AS (SELECT wid, pos,
+        CASE WHEN take THEN sym || (SELECT b FROM b{r}) ELSE sym END AS sym
+      FROM tk{r}
+      QUALIFY NOT COALESCE(LAG(take) OVER (PARTITION BY wid ORDER BY pos),
+                           FALSE)),
+    seq{r + 1} AS MATERIALIZED (
+      SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+             sym
+      FROM fl{r})""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_vocab_sql(n: int) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(n)
+    )
+    return (
+        f"WITH {_bpe_ctes(n)}\n"
+        f"    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_tokenize_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    wseg AS (
+      SELECT wid, string_agg(sym, ' ' ORDER BY pos) AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_sym
+      FROM seq{n} GROUP BY wid),
+    dtok AS (
+      SELECT t.doc_id, t.pos, ws.seg, ws.n_sym
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
+                   unnest(range(1, len(string_split(lower(trim(text)), ' '))
+                                   + 1)) AS pos
+            FROM documents) t
+      JOIN wrd ON wrd.word = t.tok
+      JOIN wseg ws ON ws.wid = wrd.wid)
+    SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_hash
+    FROM dtok GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("docs_bpe_vocab", sql=_bpe_vocab_sql(_BPE_MERGES))
+def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py): 12
+    byte-pair merges learned over the corpus word-type table — each
+    round one pair-count aggregation + a 1-row argmax collect, merge
+    applied as a JVM-side greedy fold. Deterministic tie-breaks
+    (count DESC, left ASC, right ASC) make the learned table identical
+    across engines; the oracle unrolls the same rounds in DuckDB SQL.
+    The heavy pass (word counting) is the only corpus-wide job —
+    training itself runs on |word types| rows, the property that makes
+    BPE trainable at 100 TB."""
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+@register("docs_bpe_tokenize", sql=_bpe_tokenize_sql(_BPE_MERGES))
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY at corpus scale: every document re-tokenized under the
+    learned merge table — per-word segmentations come from the trained
+    word-type frame (a broadcast join against the corpus tokens; the
+    apply path touches each document exactly once), output is the
+    per-doc BPE token count plus an order-pinning hash of the full
+    segmentation. Train/apply consistency (fold-apply over initial
+    symbols == training segmentation) is pinned separately in
+    tests/test_pipeline_ops.py."""
+    from dbcut_spark.functions.text import norm_text
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
+    wseg = seg.select(
+        "word",
+        F.array_join("syms", " ").alias("seg"),
+        F.size("syms").cast("long").alias("n_sym"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text("text"), " ")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.join(F.broadcast(wseg), toks.tok == wseg.word)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("seg_hash"),
+        )
+        .orderBy("doc_id")
+    )

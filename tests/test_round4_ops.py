@@ -1497,6 +1497,8 @@ _ROUND8_ADDITIONS: list[str] = [
 # queries first registered in round 9 (append-only _GATE_ROTATION tail)
 _ROUND9_ADDITIONS: list[str] = [
     "dedup_incremental_indexed",
+    "docs_bpe_vocab",
+    "docs_bpe_tokenize",
 ]
 
 
