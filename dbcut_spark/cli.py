@@ -476,20 +476,55 @@ def purgecache(ctx: Ctx):
     "big (pair with `inspect --frag-mb` to compact only what it flags; "
     "0 compacts everything)",
 )
+@click.option(
+    "--zorder",
+    default=None,
+    help="lay the rewrite out along the Morton curve of two integer "
+    "columns (e.g. --zorder o_custkey,o_shippriority) so range "
+    "predicates on EITHER column skip non-matching files via parquet "
+    "min/max stats; requires --table (columns are table-specific); "
+    "unpartitioned layouts only",
+)
+@click.option(
+    "--table",
+    "only_table",
+    default=None,
+    help="compact only this table (required with --zorder)",
+)
 @click.pass_obj
-def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
+def compact(
+    ctx: Ctx,
+    target_file_mb: int,
+    min_frag_mb: float,
+    zorder: str | None,
+    only_table: str | None,
+):
     """Compact fragmented destination parquet tables (small-files
     maintenance: incremental loads leave many tiny files; this rewrites
     each table into size-targeted files, preserving any partition
     layout). Parquet destinations only. With ``--min-frag-mb`` the
     rewrite is paid only for tables ``inspect`` would flag FRAG at the
     same threshold — a single-file table is never rewritten for
-    nothing."""
+    nothing. With ``--zorder col1,col2`` the rewrite clusters one
+    table along the Morton curve of the two columns for
+    two-dimensional file skipping."""
     from dbcut_spark.sinks.compact import compact_parquet
 
     if ctx.dest.startswith("jdbc:"):
         raise click.UsageError("compact applies to parquet destinations only")
+    zcols: tuple[str, str] | None = None
+    if zorder:
+        if not only_table:
+            raise click.UsageError("--zorder requires --table")
+        parts = [c.strip() for c in zorder.split(",") if c.strip()]
+        if len(parts) != 2:
+            raise click.UsageError(
+                "--zorder takes exactly two comma-separated columns"
+            )
+        zcols = (parts[0], parts[1])
     for table in topo_order(ctx.catalog):
+        if only_table and table != only_table:
+            continue
         path = os.path.join(ctx.dest, f"{table}.parquet")
         if not os.path.exists(path):
             continue
@@ -500,6 +535,7 @@ def compact(ctx: Ctx, target_file_mb: int, min_frag_mb: float):
             path,
             target_file_mb=target_file_mb,
             min_frag_mb=min_frag_mb,
+            zorder=zcols,
         )
         if stats.get("skipped"):
             n, total = stats["files_before"], stats["bytes"]

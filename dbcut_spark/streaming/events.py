@@ -949,3 +949,59 @@ def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def scd2_stream_upsert(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    partition_by: str | None = "state",
+    trigger: dict | None = None,
+):
+    """MAINTAIN an SCD2 parquet table from a live event stream: the
+    closed intervals :func:`scd2_stream` emits flow through the
+    partition-pruned upsert (``apply_cdc_batch`` →
+    ``sinks.insert_ignore.upsert_parquet``), so the streaming twin
+    writes the same table the batch (``scd2_build``) and incremental
+    (``scd2_apply_delta``) paths produce — minus each user's still-open
+    interval, which lives in the state store until the next state
+    change closes it (round-9 verdict ask #7).
+
+    The first micro-batch creates the table PARTITIONED BY
+    ``partition_by`` (default: the SCD2 ``state`` column), so every
+    later micro-batch takes upsert_parquet's pruned path — the
+    existing-side scan carries literal PartitionFilters and the swap
+    rewrites only touched partition dirs. Closed intervals are
+    immutable and keyed (user_id, version), so the merge is
+    insert-only in steady state; routing it through the PK upsert
+    (rather than blind append) is what makes a foreachBatch RETRY
+    idempotent — the streaming-sink exactly-once contract.
+
+    Returns the StreamingQuery (default trigger availableNow: drain
+    and stop — test/batch-drain mode; pass e.g.
+    ``{"processingTime": "30 seconds"}`` for a continuous maintainer).
+    """
+    import os
+
+    from dbcut_spark.streaming.merge import apply_cdc_batch
+
+    closed = scd2_stream(stream, watermark)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        pk = ["user_id", "version"]
+        if not os.path.exists(path):
+            first = batch.dropDuplicates(pk)
+            writer = first.write
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
+            return
+        apply_cdc_batch(batch, path, pk)
+
+    return (
+        closed.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -1738,3 +1738,94 @@ def test_hourly_anomaly_warmup_must_fit_trail(spark, sf_dir):
     stream = read_event_stream(spark, sf_dir)
     with _pytest.raises(ValueError, match="warmup"):
         stateful_hourly_anomaly(stream, warmup=30, trail=24)
+
+
+def test_scd2_stream_upsert_maintains_table(spark, sf_dir, tmp_path):
+    """Round-9 composition (verdict ask #7): scd2_stream's closed
+    intervals wired through the partition-pruned upsert must maintain
+    the SAME SCD2 parquet the batch build and the incremental
+    scd2_apply_delta produce over the identical micro-batch split —
+    closed intervals only (each user's open interval lives in stream
+    state). The table is created partitioned by state, so steady-state
+    micro-batches exercise upsert_parquet's pruned path."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators.scd2 import scd2_apply_delta, scd2_build
+    from dbcut_spark.sinks.insert_ignore import detect_partition_cols
+    from dbcut_spark.sources.parquet import read_table
+    from dbcut_spark.streaming.events import (
+        read_event_stream,
+        scd2_stream_upsert,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F2.col("user_id") < 40)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    # three time slices = three micro-batches; slicing by ts keeps the
+    # per-user cross-batch ordering contract by construction
+    cuts = [r[0] for r in ev.selectExpr(
+        "percentile_approx(ts, array(0.34, 0.67), 10000) as p"
+    ).selectExpr("explode(p)").collect()]
+    slices = [
+        ev.filter(F2.col("ts") <= F2.lit(cuts[0])),
+        ev.filter((F2.col("ts") > F2.lit(cuts[0])) & (F2.col("ts") <= F2.lit(cuts[1]))),
+        ev.filter(F2.col("ts") > F2.lit(cuts[1])),
+    ]
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    base_t = 1_700_000_000
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"stage_{i}")
+        sl.orderBy("ts", "event_id").coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"slice_{i}.parquet")
+        _shutil.move(part, dst)
+        # strictly increasing mtimes pin micro-batch order = slice order
+        _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    target = str(tmp_path / "scd2_table.parquet")
+    q = scd2_stream_upsert(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        target,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (
+            r["user_id"], r["state"], r["valid_from_us"],
+            r["valid_to_us"], r["version"], r["n_events"],
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+
+    def closed(df):
+        return {
+            (
+                r["user_id"],
+                r["state"],
+                int(r["valid_from"].timestamp() * 1_000_000),
+                int(r["valid_to"].timestamp() * 1_000_000),
+                r["version"],
+                r["n_events"],
+            )
+            for r in df.collect()
+            if r["valid_to"] is not None
+        }
+
+    full = closed(scd2_build(ev))
+    inc = closed(
+        scd2_apply_delta(
+            scd2_apply_delta(scd2_build(slices[0]), slices[1]), slices[2]
+        )
+    )
+    assert got, "stream wrote no closed intervals"
+    assert got == full == inc
+    # composition really goes through the PARTITIONED (pruned) upsert
+    assert detect_partition_cols(target) == ["state"]
