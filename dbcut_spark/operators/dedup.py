@@ -642,6 +642,58 @@ def build_lsh_index(
         )
 
 
+def lsh_index_append(
+    spark,
+    index_path: str,
+    new_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Grow a persisted LSH index with newly accepted documents — the
+    write half of the dedup-then-ingest loop (probe a batch via
+    :func:`probe_lsh_index`, keep the non-dups, APPEND them to the
+    reference index so the next batch dedups against them too), without
+    ever re-hashing the existing reference corpus.
+
+    Band rows append into their (band_idx, bucket) partitions (an
+    O(batch) partitioned append; existing directories gain files, new
+    buckets appear). Exact hashes append AFTER an anti-join against the
+    standing exact table — a duplicate hash there would fan out the
+    probe's left join into duplicate output rows, so uniqueness is a
+    correctness invariant, and the anti-join is one scan of a
+    single-column table. Appending the SAME document id twice only
+    duplicates band rows (the probe's groupBy(doc_a, doc_b) collapses
+    them), but callers should append each accepted batch once."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    sigs = minhash_signatures(
+        new_ref, text_col, id_col, meta["num_hashes"], meta["shingle_n"]
+    )
+    bands = _sig_bands(
+        sigs, id_col, meta["num_hashes"], meta["band_rows"]
+    ).withColumn("bucket", _lsh_bucket(meta["n_buckets"]))
+    if meta["id_col"] != id_col:
+        bands = bands.withColumnRenamed(id_col, meta["id_col"])
+    bands.write.partitionBy("band_idx", "bucket").mode("append").parquet(
+        os.path.join(index_path, "bands")
+    )
+    exact_path = os.path.join(index_path, "exact")
+    newh = (
+        new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
+        .distinct()
+    )
+    existing = spark.read.parquet(exact_path)
+    # eager localCheckpoint: the anti-join must finish READING the
+    # standing exact files before the append starts WRITING next to
+    # them (read-your-own-write-target hazard)
+    fresh = newh.join(existing, "text_hash", "left_anti").localCheckpoint()
+    fresh.write.mode("append").parquet(exact_path)
+    spark.catalog.refreshByPath(index_path)
+
+
 def probe_lsh_index(
     spark,
     index_path: str,

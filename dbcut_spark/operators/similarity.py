@@ -36,11 +36,17 @@ def _safe_cos() -> Column:
     vectors: a plain division gives 0.0/0.0 = NaN, and Spark ranks NaN
     LARGEST under desc ordering — a zero-norm vector would top every
     neighbor list. NULL sorts last instead, so degenerate vectors can
-    surface only when a query has fewer than k real candidates."""
-    return F.when(
-        (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
-        dot(F.col("q_vec"), F.col("c_vec"))
-        / (F.col("q_norm") * F.col("c_norm")),
+    surface only when a query has fewer than k real candidates.
+
+    try_divide, not a CASE on the norms: the divisor q_norm * c_norm
+    is zero iff either norm is zero (norms are non-negative), so the
+    NULL semantics are identical, while the hot scoring projection
+    stays one straight-line expression — the round-8 CASE variant
+    measured ~1.2× slower on ann_ivf_topk's isolate (1.22s → 1.50s
+    with the drift canary flat; round-9 adjudication)."""
+    return F.try_divide(
+        dot(F.col("q_vec"), F.col("c_vec")),
+        F.col("q_norm") * F.col("c_norm"),
     )
 
 

@@ -189,3 +189,40 @@ def test_incremental_dedup_indexed_small_fixture(spark, tmp_path):
         spark, idx, batch.limit(0), "text", "doc_id"
     )
     assert empty.count() == 0
+
+
+def test_lsh_index_append_grows_reference(spark, sf_dir, tmp_path):
+    """The dedup-then-ingest loop: probing after lsh_index_append must
+    equal probing an index built over the union — without re-hashing
+    the standing reference; exact-hash uniqueness survives overlapping
+    appends (a duplicate hash would fan out the probe join)."""
+    from dbcut_spark.operators.dedup import build_lsh_index, lsh_index_append
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_i = F.substring("source", 4, 10).cast("int")
+    ref1 = docs.filter(src_i < 5)
+    ref2 = docs.filter((src_i >= 5) & (src_i < 10))
+    batch = docs.filter(src_i >= 10)
+
+    grown = str(tmp_path / "grown")
+    build_lsh_index(ref1, grown, "text", "doc_id")
+    lsh_index_append(spark, grown, ref2, "text", "doc_id")
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_lsh_index(ref1.unionByName(ref2), rebuilt, "text", "doc_id")
+
+    got = cur.incremental_dedup_indexed(spark, grown, batch, "text", "doc_id")
+    exp = cur.incremental_dedup_indexed(
+        spark, rebuilt, batch, "text", "doc_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # overlapping re-append keeps exact hashes unique (anti-join guard)
+    lsh_index_append(spark, grown, ref2, "text", "doc_id")
+    exact = spark.read.parquet(f"{grown}/exact")
+    assert exact.count() == exact.distinct().count()
+    got2 = cur.incremental_dedup_indexed(spark, grown, batch, "text", "doc_id")
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
