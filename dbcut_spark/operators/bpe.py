@@ -98,6 +98,45 @@ def apply_merges(col, merges: list[tuple[str, str]]):
     return out
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize arbitrary (including UNSEEN) text under a learned merge
+    table: (id, n_bpe_tokens, tokens array). Unlike the gate query's
+    segmentation join — which requires words present at training time —
+    this is the true open-vocabulary apply path: each word decomposes
+    to characters + end-of-word and the merge folds run right there in
+    the scan task; a word no merge touches simply stays character-
+    level, the defining BPE fallback. One explode + one per-doc
+    reassembly, merges baked in as plan literals."""
+    from dbcut_spark.functions.text import norm_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    syms = apply_merges(
+        F.concat(F.split("word", ""), F.array(F.lit(EOW))),
+        [(a, b) for a, b in merges],
+    )
+    per_word = toks.select(id_col, "pos", syms.alias("syms"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens"),
+        )
+    )
+
+
 def pair_counts(seqs: DataFrame) -> DataFrame:
     """(a, b, cnt) — adjacent-symbol pair counts over (word, w, syms),
     weighted by word frequency; overlapping occurrences all count

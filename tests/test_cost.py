@@ -414,9 +414,12 @@ def test_bench_isolate_merge_semantics():
     assert merged["a"]["best"] == 0.9
     assert merged["b"]["best"] == 2.0
     assert merged["c"]["best"] == 3.0
-    # different sf: replace wholesale (no mixed-sf comparisons)
-    assert merge_isolate(prev, out, 0.01) == out
-    assert merge_isolate(None, out, 0.1) == out
+    # different sf: replace wholesale (no mixed-sf comparisons) — but
+    # error stubs are dropped even then (round-9 protocol hardening:
+    # an {"error": ...} record must NEVER enter the artifact)
+    clean = {k: v for k, v in out.items() if "best" in v}
+    assert merge_isolate(prev, out, 0.01) == clean
+    assert merge_isolate(None, out, 0.1) == clean
 
 
 def test_bounded_but_huge_static_bound_routes_runtime():

@@ -1133,3 +1133,39 @@ def test_bpe_train_apply_consistency(spark, sf_dir):
     # pair's count is bounded by the merged pair's count) — so assert it
     counts = [c for _, _, c in merges]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_open_vocabulary(spark):
+    """bpe_encode must tokenize words NEVER seen at training time
+    (character fallback + whatever learned merges apply) and agree with
+    the per-word segmentation on seen words."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low")], ["doc_id", "text"]
+    )
+    merges, seg = bpe.bpe_train(bpe.word_types(train, "text"), 4)
+    mm = [(a, b) for a, b, _ in merges]
+
+    out = {
+        r["doc_id"]: r
+        for r in bpe.bpe_encode(
+            spark.createDataFrame(
+                [(10, "low low"), (11, "zzz")], ["doc_id", "text"]
+            ),
+            "text",
+            "doc_id",
+            mm,
+        ).collect()
+    }
+    # seen word: matches the training segmentation exactly
+    low_seg = {
+        r["word"]: r["syms"] for r in seg.collect()
+    }["low"]
+    assert out[10]["tokens"] == low_seg * 2
+    assert out[10]["n_bpe_tokens"] == 2 * len(low_seg)
+    # unseen word: decomposes to chars + </w> (no merge matches 'z')
+    assert out[11]["tokens"] == ["z", "z", "z", bpe.EOW]
+    assert out[11]["n_bpe_tokens"] == 4
