@@ -564,6 +564,25 @@ def connected_components(
     )
 
 
+def _bands_for_write(bands: DataFrame, n_bands: int, n_buckets: int):
+    """Shape the band frame for the partitioned index write: an
+    EXPLICIT-count repartition on the partition columns, so (a) each
+    (band_idx, bucket) directory is written by exactly one task — a
+    column-only repartition leaves n_tasks × n_dirs tiny files — and
+    (b) AQE cannot coalesce a small build to ONE task that then
+    creates every directory sequentially (~20 ms of filesystem/commit
+    overhead per directory: a 256-dir build measured 4.6 s single-task
+    vs 1.7 s at 32 tasks). At real corpus scale the data volume keeps
+    the write wide anyway; the explicit count only guards the
+    small-build pathology."""
+    n = max(
+        1,
+        min(bands.sparkSession.sparkContext.defaultParallelism,
+            n_bands * n_buckets),
+    )
+    return bands.repartition(n, "band_idx", "bucket")
+
+
 def _lsh_bucket(n_buckets: int):
     """Stable bucket assignment for a band_hash: xxhash64 (fixed seed)
     mod n_buckets. Used identically at index-build and probe time, so
@@ -620,8 +639,11 @@ def build_lsh_index(
     bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
         "bucket", _lsh_bucket(n_buckets)
     )
-    bands.write.partitionBy("band_idx", "bucket").mode("overwrite").parquet(
-        os.path.join(path, "bands")
+    (
+        _bands_for_write(bands, num_hashes // band_rows, n_buckets)
+        .write.partitionBy("band_idx", "bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "bands"))
     )
     (
         ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
@@ -677,8 +699,16 @@ def lsh_index_append(
     ).withColumn("bucket", _lsh_bucket(meta["n_buckets"]))
     if meta["id_col"] != id_col:
         bands = bands.withColumnRenamed(id_col, meta["id_col"])
-    bands.write.partitionBy("band_idx", "bucket").mode("append").parquet(
-        os.path.join(index_path, "bands")
+    # same small-files/parallel-write guard as the initial build
+    (
+        _bands_for_write(
+            bands,
+            meta["num_hashes"] // meta["band_rows"],
+            meta["n_buckets"],
+        )
+        .write.partitionBy("band_idx", "bucket")
+        .mode("append")
+        .parquet(os.path.join(index_path, "bands"))
     )
     exact_path = os.path.join(index_path, "exact")
     newh = (

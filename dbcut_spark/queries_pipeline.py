@@ -1232,7 +1232,14 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tp(spark, sf_dir, "documents")
     is_new = F.substring("source", 4, 10).cast("int") >= 10
     idx = qr._rf_scratch() + "/lsh_index"
-    dd.build_lsh_index(d.filter(~is_new), idx, "text", "doc_id")
+    # n_buckets sizes to the corpus (it bounds directory count and
+    # probe granularity): 16 here for the harness-scale reference —
+    # a 100 TB reference would use hundreds to keep per-bucket reads
+    # bounded; the parameter flows through the meta sidecar so probes
+    # self-configure either way
+    dd.build_lsh_index(
+        d.filter(~is_new), idx, "text", "doc_id", n_buckets=16
+    )
     return cur.incremental_dedup_indexed(
         spark, idx, d.filter(is_new), "text", "doc_id"
     ).orderBy("doc_id")
