@@ -150,12 +150,17 @@ def scd2_apply_delta(
         bounds = open_touched.select(
             F.col(key).alias("__gk"), F.col("valid_from").alias("__vf")
         )
-        retro = delta.join(
+        # per-key MIN(ts) first: the delta shrinks to one row per key
+        # behind a map-side partial aggregate before the (broadcastable)
+        # join against the touched open intervals — the probe reads the
+        # delta once, shuffles keys only
+        dmin = delta.groupBy(key).agg(F.min(ts).alias("__dmin"))
+        retro = dmin.join(
             bounds, F.col(key).eqNullSafe(F.col("__gk")), "inner"
-        ).filter(F.col(ts) < F.col("__vf"))
+        ).filter(F.col("__dmin") < F.col("__vf"))
         # limit(1): existence probe, stops at the first violation
         if retro.limit(1).count():
-            sample = retro.select(key, ts, "__vf").first()
+            sample = retro.select(key, "__dmin", "__vf").first()
             raise RetroactiveDeltaError(
                 f"delta event at {ts}={sample[1]!r} predates open-interval "
                 f"valid_from={sample[2]!r} for {key}={sample[0]!r}; "
