@@ -145,6 +145,9 @@ HEADLINE = [
     "dedup_incremental_indexed",
     "docs_bpe_vocab",
     "docs_bpe_tokenize",
+    "events_scd2_asof",
+    "docs_bpe_compression",
+    "docs_quality_logistic",
 ]
 
 

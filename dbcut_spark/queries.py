@@ -822,6 +822,9 @@ _GATE_ROTATION = [
     "dedup_incremental_indexed",
     "docs_bpe_vocab",
     "docs_bpe_tokenize",
+    "events_scd2_asof",
+    "docs_bpe_compression",
+    "docs_quality_logistic",
 ]
 
 GATE_WINDOW = 50

@@ -5102,3 +5102,197 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_scd2_asof",
+    sql="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq),
+islands AS (
+  SELECT user_id, CAST(run_id AS INT) AS version, min(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id),
+hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+         version, n_events
+  FROM islands)
+SELECT user_id, state, valid_from, version, n_events
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-02-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-02-15 00:00:00')
+ORDER BY user_id
+    """,
+)
+def events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD2 history: each user's
+    state exactly at 2024-02-15 — the dimension lookup every SCD2
+    table exists to answer. One interval per user matches (intervals
+    partition the timeline; the open interval extends to infinity);
+    users whose history starts after the timestamp are absent. On a
+    MAINTAINED SCD2 parquet (scd2_stream_upsert / scd2_apply_delta
+    writers) this is a pure scan + filter — recomputed here from the
+    log so the oracle certifies interval semantics end-to-end."""
+    from dbcut_spark.operators.scd2 import scd2_build
+
+    asof = F.lit("2024-02-15 00:00:00").cast("timestamp")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_build(ev)
+    return (
+        hist.filter(
+            (F.col("valid_from") <= asof)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+        )
+        .select("user_id", "state", "valid_from", "version", "n_events")
+        .orderBy("user_id")
+    )
+
+
+def _bpe_compression_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    wseg AS (
+      SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_sym
+      FROM seq{n} GROUP BY wid),
+    dtok AS (
+      SELECT t.doc_id, ws.n_sym
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS tok
+            FROM documents) t
+      JOIN wrd ON wrd.word = t.tok
+      JOIN wseg ws ON ws.wid = wrd.wid),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tok
+      FROM dtok GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(lower(trim(d.text)))) AS BIGINT) AS sum_chars,
+           CAST(SUM(p.n_tok) AS BIGINT) AS sum_tokens,
+           round(CAST(SUM(length(lower(trim(d.text)))) AS DOUBLE)
+                 / SUM(p.n_tok), 6) AS chars_per_token
+    FROM documents d JOIN per_doc p USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@register("docs_bpe_compression", sql=_bpe_compression_sql(_BPE_MERGES))
+def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION: compression ratio (normalized chars per
+    BPE token) per corpus source under the learned merge table — the
+    metric that tells you whether a tokenizer fits a domain before you
+    spend a training run on it. Same trained segmentation join as
+    docs_bpe_tokenize, aggregated by source."""
+    from dbcut_spark.functions.text import norm_text
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
+    wseg = seg.select(
+        "word", F.size("syms").cast("long").alias("n_sym")
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(norm_text("text"), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    per_doc = (
+        toks.join(F.broadcast(wseg), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("n_tok"))
+    )
+    return (
+        d.select("doc_id", "source", F.length(norm_text("text")).alias("n_chars"))
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_quality_logistic",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 256 AS BIGINT) AS bucket
+      FROM tok WHERE length(tok) > 0),
+    wtd AS (
+      SELECT doc_id,
+             (CAST(CAST('0x' || substr(md5('qw:' || CAST(bucket AS VARCHAR)), 1, 7)
+                   AS BIGINT) AS DOUBLE) / 268435456.0) - 0.5 AS w
+      FROM feat),
+    agg AS (
+      SELECT doc_id, SUM(w) / COUNT(*) AS mean_w,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM wtd GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(4.0 * mean_w))), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-(4.0 * mean_w)))) > 0.5 AS keep
+    FROM agg ORDER BY doc_id
+    """,
+)
+def docs_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier APPLY at corpus scale (the fasttext-style
+    filter every pretraining pipeline runs): a hashed linear model —
+    256 weight buckets, token -> md5 bucket -> md5-derived weight in
+    [-0.5, 0.5) — scored per document as sigmoid(4 * mean weight).
+    The 'model' is deterministic md5 arithmetic, so the oracle
+    recomputes it exactly (round(6) absorbs libm exp ulps); the plan
+    is the real thing: one token explode, JVM-side hashing (the
+    broadcast-model shape — weights are expressions, no join), one
+    per-doc aggregation. Swap the md5 weights for a trained vector and
+    nothing about the plan changes."""
+    d = tp(spark, sf_dir, "documents")
+    from dbcut_spark.functions.text import norm_text
+
+    tok = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast(
+        "long"
+    ) % 256
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qw:"), bucket.cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(268435456.0)
+    ) - 0.5
+    agg = (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("w") / F.count(F.lit(1))).alias("mean_w"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.lit(4.0) * F.col("mean_w"))))
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("quality_score"),
+        (score > 0.5).alias("keep"),
+    ).orderBy("doc_id")

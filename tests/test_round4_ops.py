@@ -1499,6 +1499,9 @@ _ROUND9_ADDITIONS: list[str] = [
     "dedup_incremental_indexed",
     "docs_bpe_vocab",
     "docs_bpe_tokenize",
+    "events_scd2_asof",
+    "docs_bpe_compression",
+    "docs_quality_logistic",
 ]
 
 
