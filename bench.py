@@ -172,11 +172,17 @@ TOP_K = 10
 # across r6-r8 so round-over-round totals compare like-for-like.
 CANARY = "tpch_q1"
 CANARY_REF_SEC = 0.50
+CANARY_REF_SF = 0.1  # the reference time is sf0.1-specific
 
 
-def canary_normalize(total: float, timings: dict[str, float]):
+def canary_normalize(total: float, timings: dict[str, float], sf: float):
     """Return total scaled to canary-reference host speed, or None when
-    the canary was not measured in this run (subset runs)."""
+    the canary was not measured in this run (subset runs) OR the run is
+    not at the canary reference's scale factor — at any other sf the
+    canary's movement is data size, not host drift, and normalizing by
+    it would fabricate a speedup/slowdown."""
+    if sf != CANARY_REF_SF:
+        return None
     c = timings.get(CANARY)
     if not c or c <= 0:
         return None
@@ -187,7 +193,7 @@ def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
     """ONE JSON line, guaranteed ≤ TAIL_BUDGET chars: the total over ALL
     measured queries plus the TOP_K slowest per-query entries (full
     detail in BENCH_DETAIL.json)."""
-    norm = canary_normalize(total, timings)
+    norm = canary_normalize(total, timings, sf)
 
     def render(q: dict[str, float]) -> str:
         return json.dumps(
@@ -393,7 +399,7 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
-        "value_canary_norm": canary_normalize(total, timings),
+        "value_canary_norm": canary_normalize(total, timings, sf),
         "canary": {CANARY: timings.get(CANARY), "ref": CANARY_REF_SEC},
         "unit": "sec",
         "queries": timings,

@@ -522,6 +522,12 @@ def compact(
                 "--zorder takes exactly two comma-separated columns"
             )
         zcols = (parts[0], parts[1])
+    if only_table and only_table not in ctx.catalog.tables:
+        # a typo must not be a silent no-op that exits 0
+        raise click.UsageError(
+            f"--table {only_table!r} is not in the catalog "
+            f"(tables: {', '.join(sorted(ctx.catalog.tables))})"
+        )
     for table in topo_order(ctx.catalog):
         if only_table and table != only_table:
             continue

@@ -173,17 +173,25 @@ def bpe_train(
     Stops early if the corpus runs out of pairs."""
     cur = initial_symbols(words)
     merges: list[tuple[str, str, int]] = []
+    prev_ckpt = None
     for _ in range(n_merges):
-        cur = cur.localCheckpoint(eager=False)
+        ckpt = cur.localCheckpoint(eager=False)
         best = (
-            pair_counts(cur)
+            pair_counts(ckpt)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
         )
+        # the pair-count job materialized this round's checkpoint, so
+        # the previous round's blocks are dead weight — free them now
+        # instead of waiting for driver GC (n_merges resident copies of
+        # the type table would evict useful executor storage otherwise)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = ckpt
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
-        cur = cur.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        cur = ckpt.withColumn("syms", apply_merge(F.col("syms"), a, b))
     return merges, cur

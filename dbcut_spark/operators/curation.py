@@ -247,7 +247,16 @@ def incremental_dedup_indexed(
     to the in-memory form (same hash family, same est_sim arithmetic,
     same threshold semantics) — pinned by the
     ``dedup_incremental_indexed`` gate query hash-matching the
-    ``dedup_incremental`` oracle."""
+    ``dedup_incremental`` oracle.
+
+    Retry semantics after ``lsh_index_append``-ing this batch: the
+    NEAR probe excludes the batch's own ids from the index side (see
+    probe_lsh_index), so near-dup flags are retry-stable. The EXACT
+    probe cannot be — content hashes carry no identity, so a re-probed
+    batch whose hashes were appended reads as exact-dup (which is also
+    the safe answer: the content IS already in the reference). Pipelines
+    needing exactly-once ingestion should key the append on a batch id
+    and skip re-appending, not re-interpret exact flags."""
     import os
 
     from dbcut_spark.operators.dedup import probe_lsh_index

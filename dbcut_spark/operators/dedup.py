@@ -175,6 +175,39 @@ def _sig_bands(
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
 
+def _pair_sims(
+    left: DataFrame,
+    right: DataFrame,
+    num_hashes: int,
+    ordered_only: bool = False,
+) -> DataFrame:
+    """The ONE implementation of LSH pair scoring, shared by the
+    self-join, cross-corpus, and persisted-index candidate generators
+    (divergence here would silently break the indexed==in-memory
+    equivalence the gate queries pin): band equi-join of
+    (doc_a, sig_a, band_idx, band_hash) against (doc_b, sig_b, ...),
+    signature-agreement estimate computed inside the join, multi-band
+    collisions collapsed by max. ``ordered_only`` keeps doc_a < doc_b
+    (the self-join form's dedup)."""
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    joined = left.join(right, ["band_idx", "band_hash"])
+    if ordered_only:
+        joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / num_hashes).alias("est_sim"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_sim").alias("est_sim"))
+    )
+
+
 def lsh_candidate_pairs_across(
     signatures: DataFrame,
     id_col: str,
@@ -205,21 +238,7 @@ def lsh_candidate_pairs_across(
     right = bands.join(lid, id_col, "left_anti").select(
         F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
     )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / num_hashes).alias("est_sim"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("est_sim").alias("est_sim"))
-    )
+    return _pair_sims(left, right, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -255,22 +274,7 @@ def lsh_candidate_pairs(
     right = bands.select(
         F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
     )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / num_hashes).alias("est_sim"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("est_sim").alias("est_sim"))
-    )
+    return _pair_sims(left, right, num_hashes, ordered_only=True)
 
 
 def simhash(
@@ -787,27 +791,23 @@ def probe_lsh_index(
             "band_hash",
         )
     )
+    # exclude the batch's OWN ids from the index side — the in-memory
+    # twin's anti-join invariant: after lsh_index_append of an accepted
+    # batch, a retry that re-probes the same batch must not collide
+    # every doc with its own appended copy (self-pairs at est_sim 1.0
+    # would flag the whole batch is_near_dup and a retry would drop it;
+    # round-9 review fix). Batch ids are an ids-only frame — AQE
+    # broadcasts it when the batch is small (the recurring-ingestion
+    # contract), and falls back to a shuffled anti-join when not.
+    lid = batch.select(F.col(id_col).alias("doc_b")).distinct()
+    idx = idx.join(lid, "doc_b", "left_anti")
     left = bands.select(
         F.col(id_col).alias("doc_a"),
         F.col("sig").alias("sig_a"),
         "band_idx",
         "band_hash",
     )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        left.join(idx, ["band_idx", "band_hash"])
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / num_hashes).alias("est_sim"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("est_sim").alias("est_sim"))
-    )
+    return _pair_sims(left, idx, num_hashes)
 
 
 def ngram_jaccard_pairs(

@@ -120,15 +120,27 @@ def scd2_apply_delta(
     (closed intervals) is never recomputed, mirroring how the
     partition-pruned upsert rewrites only touched partitions.
 
-    ``validate=True`` (default) enforces the ordering contract EAGERLY
-    with one small existence job (delta ⋈ touched open intervals — the
-    frames the compaction reads anyway): any delta event with
-    ts < its key's open valid_from raises ``RetroactiveDeltaError``
-    instead of silently compacting a wrong history. valid_from of the
-    open interval upper-bounds every closed valid_to for the key, so
-    this single predicate also catches events retroactive into closed
-    history. Disable only when the source is a per-key-ordered CDC log
-    whose ordering is already enforced upstream."""
+    ``validate=True`` (default) enforces a NECESSARY (not sufficient)
+    condition of the ordering contract, eagerly, with one small
+    existence job (delta ⋈ touched open intervals — the frames the
+    compaction reads anyway): any delta event with ts < its key's open
+    valid_from raises ``RetroactiveDeltaError`` instead of silently
+    compacting a wrong history. valid_from of the open interval
+    upper-bounds every closed valid_to for the key, so this single
+    predicate also catches events retroactive into CLOSED history.
+
+    Coverage limit (inherent, not an implementation gap): an
+    out-of-order event landing INSIDE the open run — after valid_from
+    but before the open interval's last absorbed event — is
+    indistinguishable from an in-contract event given the SCD2 table's
+    own state (the table stores valid_from and a count, not the last
+    event time; the streaming twin's state store has exactly the same
+    information bound). Such an event compacts as if it arrived in
+    order, and only a full rebuild comparison can detect it. Callers
+    whose source can reorder WITHIN the open run must rebuild instead
+    of maintaining incrementally. Disable the guard only when the
+    source is a per-key-ordered CDC log whose ordering is already
+    enforced upstream."""
     open_ = target.filter(F.col("valid_to").isNull())
     closed = target.filter(F.col("valid_to").isNotNull())
     # null-SAFE key matching throughout: scd2_build's

@@ -190,10 +190,26 @@ def compact_parquet(
         writer.partitionBy(*part_cols).parquet(staged)
     elif zorder:
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from dbcut_spark.operators.layout import zvalue
 
         a, b = zorder
+        for c in (a, b):
+            if c not in df.columns:
+                raise ValueError(f"zorder column {c!r} not in {path!r}")
+            dt = df.schema[c].dataType
+            # integral only: a non-numeric column's min/max cast to
+            # long is NULL, scaled() would return 0 and the Morton
+            # code silently collapses to one dimension — fail loudly
+            if not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise ValueError(
+                    f"zorder column {c!r} must be integral, got "
+                    f"{dt.simpleString()} (z-order date/decimal columns "
+                    "via an integral surrogate, e.g. epoch days)"
+                )
         # min/max scale each dimension into the bits domain so the
         # interleave uses the full curve whatever the column ranges
         # (one cheap agg job over two columns; footer-stat answerable)
@@ -208,11 +224,16 @@ def compact_parquet(
         def scaled(col: str, lo, hi):
             if lo is None or hi is None or hi <= lo:
                 return F.lit(0)
-            return F.floor(
-                (F.col(col).cast("long") - F.lit(int(lo)))
-                * F.lit(span)
-                / F.lit(int(hi) - int(lo))
-            ).cast("long")
+            # scale in DOUBLE: (col - lo) * span in LONG arithmetic
+            # overflows ANSI BIGINT once keys pass ~1.4e14 (x 65535);
+            # double precision only decides which of 2^16 layout cells
+            # a row lands in — never row content
+            frac = (F.col(col).cast("double") - float(int(lo))) / float(
+                int(hi) - int(lo)
+            )
+            return F.least(
+                F.lit(span), F.floor(frac * F.lit(float(span))).cast("long")
+            )
 
         z = zvalue(
             scaled(a, mm["amin"], mm["amax"]),

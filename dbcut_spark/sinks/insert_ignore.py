@@ -503,19 +503,27 @@ def delete_keys_parquet(
 def _stage_name(table: str, kind: str) -> str:
     """Short collision-free staging-table name: dialect identifier caps
     (Oracle pre-12.2: 30 chars) bite when the target table name is long,
-    so the table name is HASHED into a fixed-width prefix instead of
+    so the table name is HASHED into a fixed-width IDENTIFIER instead of
     concatenated. Layout: dbcut_<kind>_<8-hex table hash>_<8-hex
     pid+uuid nonce> = 28 chars max (kind <= 3) — always under 30.
     pid+uuid nonce keeps concurrent runs against the same target on
-    disjoint stages (round-8 fix), now length-capped (round-9 ADVICE)."""
+    disjoint stages (round-8 fix), now length-capped (round-9 ADVICE).
+
+    A schema-QUALIFIED target keeps its schema prefix ('sales.orders'
+    stages as 'sales.dbcut_stg_...'): the stage must land next to the
+    target — the connection's default schema may be read-only or
+    CREATE-restricted, and only the identifier part is subject to the
+    length cap anyway (round-9 review fix)."""
     import hashlib
     import uuid
 
-    thash = hashlib.sha1(table.encode()).hexdigest()[:8]
+    schema, dot, name = table.rpartition(".")
+    thash = hashlib.sha1(name.encode()).hexdigest()[:8]
     nonce = hashlib.sha1(
         f"{os.getpid()}-{uuid.uuid4().hex}".encode()
     ).hexdigest()[:8]
-    return f"dbcut_{kind}_{thash}_{nonce}"
+    ident = f"dbcut_{kind}_{thash}_{nonce}"
+    return f"{schema}.{ident}" if dot else ident
 
 
 def upsert_sql(

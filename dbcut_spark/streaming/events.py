@@ -990,6 +990,13 @@ def scd2_stream_upsert(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         pk = ["user_id", "version"]
+        # an EMPTY micro-batch must not create the table: a zero-row
+        # partitioned write produces no partition dirs and loses the
+        # partition column from the on-disk schema, so every later
+        # batch would fail schema-drift; it must not pay an upsert
+        # cycle either
+        if batch.isEmpty():
+            return
         if not os.path.exists(path):
             first = batch.dropDuplicates(pk)
             writer = first.write

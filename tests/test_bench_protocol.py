@@ -55,15 +55,19 @@ def test_merge_success_overwrites_standing():
 
 
 def test_canary_normalization_math():
+    sf = bench.CANARY_REF_SF
     # canary ran 2x slower than reference -> normalized total is half
     timings = {bench.CANARY: bench.CANARY_REF_SEC * 2, "other": 1.0}
-    assert bench.canary_normalize(100.0, timings) == 50.0
+    assert bench.canary_normalize(100.0, timings, sf) == 50.0
     # canary at reference speed -> identity
     timings = {bench.CANARY: bench.CANARY_REF_SEC}
-    assert bench.canary_normalize(10.0, timings) == 10.0
+    assert bench.canary_normalize(10.0, timings, sf) == 10.0
     # no canary in a subset run -> None, never a KeyError
-    assert bench.canary_normalize(10.0, {"other": 1.0}) is None
-    assert bench.canary_normalize(10.0, {bench.CANARY: 0.0}) is None
+    assert bench.canary_normalize(10.0, {"other": 1.0}, sf) is None
+    assert bench.canary_normalize(10.0, {bench.CANARY: 0.0}, sf) is None
+    # any other sf: the canary's movement is data size, not host drift
+    assert bench.canary_normalize(10.0, timings, 0.01) is None
+    assert bench.canary_normalize(10.0, timings, 1.0) is None
 
 
 def test_summary_line_carries_canary_fields():

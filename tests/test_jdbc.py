@@ -586,3 +586,8 @@ def test_stage_name_is_short_and_unique():
     assert a.startswith("dbcut_stg_")
     # same-table different-kind stages are disjoint namespaces
     assert _stage_name(long_table, "dk").startswith("dbcut_dk_")
+    # schema-qualified targets keep their schema; the 30-char cap
+    # applies to the identifier part (round-9 review fix)
+    q = _stage_name("sales.orders", "stg")
+    assert q.startswith("sales.dbcut_stg_")
+    assert len(q.split(".", 1)[1]) <= 30

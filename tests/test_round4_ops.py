@@ -1832,3 +1832,72 @@ def test_scd2_stream_upsert_maintains_table(spark, sf_dir, tmp_path):
     assert got == full == inc
     # composition really goes through the PARTITIONED (pruned) upsert
     assert detect_partition_cols(target) == ["state"]
+
+
+def test_scd2_stream_upsert_empty_first_batches(spark, tmp_path):
+    """Micro-batches that close no interval (first events, or a
+    continuing state) must NOT create the table: a zero-row partitioned
+    write loses the partition column from the on-disk schema and every
+    later batch would fail schema-drift (round-9 self-review fix). The
+    table appears with the FIRST closed interval."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import types as T2
+
+    from dbcut_spark.sinks.insert_ignore import detect_partition_cols
+    from dbcut_spark.streaming.events import (
+        read_event_stream,
+        scd2_stream_upsert,
+    )
+
+    schema = T2.StructType(
+        [
+            T2.StructField("user_id", T2.LongType()),
+            T2.StructField("event_id", T2.LongType()),
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("value", T2.DoubleType()),
+        ]
+    )
+
+    def rows(*tups):
+        import datetime
+
+        return [
+            (u, e, et, datetime.datetime(2024, 1, 1, 0, 0, s), 1.0)
+            for (u, e, et, s) in tups
+        ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = 1_700_000_000
+    slices = [
+        rows((1, 0, "x", 1)),              # batch 0: nothing closes
+        rows((1, 1, "x", 2)),              # batch 1: still nothing
+        rows((1, 2, "y", 3)),              # batch 2: closes x@[1,3)
+    ]
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"st_{i}")
+        spark.createDataFrame(sl, schema).coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"s{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    target = str(tmp_path / "t.parquet")
+    q = scd2_stream_upsert(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        target,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(target).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["state"], r["version"], r["n_events"]) == (
+        1, "x", 1, 2,
+    )
+    # created partitioned despite the empty leading batches
+    assert detect_partition_cols(target) == ["state"]
