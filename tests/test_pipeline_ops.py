@@ -1169,3 +1169,109 @@ def test_bpe_encode_open_vocabulary(spark):
     # unseen word: decomposes to chars + </w> (no merge matches 'z')
     assert out[11]["tokens"] == ["z", "z", "z", bpe.EOW]
     assert out[11]["n_bpe_tokens"] == 4
+
+
+def _py_bpe(word_counts, n_merges):
+    """Pure-Python reference BPE (Sennrich-style): overlapping pair
+    counts weighted by word frequency, argmax with (count desc, pair
+    asc) ties, greedy left-to-right application."""
+    seqs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_train_matches_python_reference_random(spark):
+    """Randomized differential: distributed BPE training must equal the
+    pure-Python reference merge-for-merge AND segmentation-for-
+    segmentation on random corpora (overlap-heavy alphabets on
+    purpose: 3-letter words maximize (x, x) pair runs, the case where
+    greedy != naive)."""
+    import random
+
+    from dbcut_spark.operators import bpe
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        alphabet = "abc"
+        words = {}
+        for _ in range(30):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 6))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 50)
+        wdf = spark.createDataFrame(
+            list(words.items()), "word string, w long"
+        )
+        merges, seg = bpe.bpe_train(wdf, 6)
+        ref_merges, ref_seqs = _py_bpe(words, 6)
+        assert merges == ref_merges, f"seed {seed}"
+        got = {r["word"]: list(r["syms"]) for r in seg.collect()}
+        assert got == ref_seqs, f"seed {seed}"
+
+
+def test_lsh_index_matches_inmemory_random_params(spark, tmp_path):
+    """probe_lsh_index == lsh_candidate_pairs_across for random
+    (num_hashes, band_rows, n_buckets) — the bucket count is pure
+    layout and must never change the candidate set or est_sim."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_candidate_pairs_across,
+        minhash_signatures,
+        probe_lsh_index,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(8, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     i >= 30))
+    df = spark.createDataFrame(rows, "doc_id long, text string, new boolean")
+    for num_hashes, band_rows, n_buckets in [(8, 2, 3), (12, 4, 64), (16, 4, 7)]:
+        idx = str(tmp_path / f"ix_{num_hashes}_{band_rows}_{n_buckets}")
+        build_lsh_index(
+            df.filter(~F2.col("new")), idx, "text", "doc_id",
+            num_hashes=num_hashes, band_rows=band_rows, n_buckets=n_buckets,
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["est_sim"])
+            for r in probe_lsh_index(
+                spark, idx, df.filter(F2.col("new")), "text", "doc_id"
+            ).collect()
+        }
+        sigs = minhash_signatures(df, "text", "doc_id", num_hashes)
+        exp = {
+            (r["doc_a"], r["doc_b"], r["est_sim"])
+            for r in lsh_candidate_pairs_across(
+                sigs, "doc_id",
+                df.filter(F2.col("new")).select("doc_id"),
+                num_hashes, band_rows,
+            ).collect()
+        }
+        assert got == exp, (num_hashes, band_rows, n_buckets)
