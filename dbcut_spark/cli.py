@@ -528,12 +528,14 @@ def compact(
             f"--table {only_table!r} is not in the catalog "
             f"(tables: {', '.join(sorted(ctx.catalog.tables))})"
         )
+    n_processed = 0
     for table in topo_order(ctx.catalog):
         if only_table and table != only_table:
             continue
         path = os.path.join(ctx.dest, f"{table}.parquet")
         if not os.path.exists(path):
             continue
+        n_processed += 1
         # the frag gate lives in compact_parquet (one implementation,
         # one tree walk — CLI and Engine used to re-derive it each)
         stats = compact_parquet(
@@ -553,6 +555,13 @@ def compact(
         click.echo(
             f"compacted {table}: {stats['files_before']} -> "
             f"{stats['files_after']} files"
+        )
+    if only_table and not n_processed:
+        # in the catalog but never loaded to the destination — an
+        # explicitly named table must not be a silent exit-0 no-op
+        raise click.ClickException(
+            f"table {only_table!r} has no parquet at the destination "
+            f"({ctx.dest}) — run `load` first"
         )
 
 

@@ -102,7 +102,7 @@ def bpe_encode(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    merges: list[tuple[str, str]],
+    merges: list[tuple],
 ) -> DataFrame:
     """Tokenize arbitrary (including UNSEEN) text under a learned merge
     table: (id, n_bpe_tokens, tokens array). Unlike the gate query's
@@ -118,9 +118,12 @@ def bpe_encode(
         F.col(id_col),
         F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "word"),
     ).filter(F.length("word") > 0)
+    # accept bpe_train's (a, b, count) triples directly as well as
+    # bare (a, b) pairs — the natural composition must not require a
+    # hand-written bridge (round-9 review fix)
     syms = apply_merges(
         F.concat(F.split("word", ""), F.array(F.lit(EOW))),
-        [(a, b) for a, b in merges],
+        [(m[0], m[1]) for m in merges],
     )
     per_word = toks.select(id_col, "pos", syms.alias("syms"))
     return (
@@ -167,31 +170,36 @@ def bpe_train(
 
     Per round: one pair-count aggregation over the word-type table +
     one 1-row collect (the argmax merge, tie-broken count DESC / left
-    ASC / right ASC); the winning merge applies as a fold. The frame is
-    localCheckpoint-ed each round so 12 rounds stay 12 shallow plans
-    instead of one 12-deep nested expression re-evaluated per round.
+    ASC / right ASC); the winning merge applies as a fold. The frame
+    is persisted each round (and the previous round's cache freed once
+    the new one materializes) so round r never re-runs folds 1..r-1.
     Stops early if the corpus runs out of pairs."""
     cur = initial_symbols(words)
     merges: list[tuple[str, str, int]] = []
-    prev_ckpt = None
+    prev = None
     for _ in range(n_merges):
-        ckpt = cur.localCheckpoint(eager=False)
+        # persist(), NOT localCheckpoint: checkpoint blocks bypass the
+        # CacheManager, so Dataset.unpersist() on them is a silent
+        # no-op and n_merges copies of the type table would sit in
+        # executor storage until driver GC (round-9 review fix).
+        # CacheManager-backed persistence frees deterministically below,
+        # still prevents re-running folds 1..r-1 each round, and keeps
+        # lineage intact for fault recovery.
+        cached = cur.persist()
         best = (
-            pair_counts(ckpt)
+            pair_counts(cached)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
         )
-        # the pair-count job materialized this round's checkpoint, so
-        # the previous round's blocks are dead weight — free them now
-        # instead of waiting for driver GC (n_merges resident copies of
-        # the type table would evict useful executor storage otherwise)
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = ckpt
+        # the pair-count job materialized this round's cache, so the
+        # previous round's blocks are dead weight — free them now
+        if prev is not None:
+            prev.unpersist()
+        prev = cached
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
-        cur = ckpt.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        cur = cached.withColumn("syms", apply_merge(F.col("syms"), a, b))
     return merges, cur

@@ -639,6 +639,17 @@ def build_lsh_index(
             f"num_hashes ({num_hashes}) must be divisible by band_rows "
             f"({band_rows}) - trailing hashes would silently never band"
         )
+    if ref.isEmpty():
+        # a zero-row PARTITIONED write creates no partition dirs and
+        # loses the partition columns from the on-disk schema — the
+        # index would be permanently unreadable (every probe fails on
+        # schema inference) and append could never repair the mixed
+        # layout. Fail loudly at build time instead (round-9 review
+        # fix): bootstrap from the first accepted batch.
+        raise ValueError(
+            "build_lsh_index: reference corpus is empty — build the "
+            "index from the first non-empty batch instead"
+        )
     sigs = minhash_signatures(ref, text_col, id_col, num_hashes, shingle_n)
     bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
         "bucket", _lsh_bucket(n_buckets)

@@ -170,9 +170,9 @@ def scd2_apply_delta(
         retro = dmin.join(
             bounds, F.col(key).eqNullSafe(F.col("__gk")), "inner"
         ).filter(F.col("__dmin") < F.col("__vf"))
-        # limit(1): existence probe, stops at the first violation
-        if retro.limit(1).count():
-            sample = retro.select(key, "__dmin", "__vf").first()
+        # ONE job: first() both tests existence and fetches the sample
+        sample = retro.select(key, "__dmin", "__vf").first()
+        if sample is not None:
             raise RetroactiveDeltaError(
                 f"delta event at {ts}={sample[1]!r} predates open-interval "
                 f"valid_from={sample[2]!r} for {key}={sample[0]!r}; "

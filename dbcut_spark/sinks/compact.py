@@ -80,8 +80,14 @@ def compact_parquet(
     partitions would silently interact with the partition pruning
     story; raise instead (round-9 verdict ask #6)."""
     n_before, total = data_file_stats(path)
+    # the fragmentation gate applies ONLY to size-maintenance rewrites:
+    # a z-order request is a LAYOUT change, and large-but-scattered
+    # files are exactly what it exists to rewrite — skipping it on an
+    # unfragmented table would silently leave the user believing the
+    # table is clustered (round-9 review fix)
     if (
-        min_frag_mb
+        not zorder
+        and min_frag_mb
         and n_before
         and total / n_before / (1024 * 1024) >= min_frag_mb
     ):

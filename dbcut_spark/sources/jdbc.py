@@ -619,8 +619,22 @@ def group_imported_keys(t: str, fk_rows, table_set: set[str]) -> list:
             gkey = f"{base}#{anon_gen.get(base, 1)}"
         by_name.setdefault(gkey, []).append((int(seq), parent, pcol, ccol))
     out = []
-    for parts in by_name.values():
+    for gkey, parts in by_name.items():
         parts.sort()
+        seqs = [p[0] for p in parts]
+        if len(set(seqs)) != len(seqs):
+            # duplicate KEY_SEQ inside one group = the interleaved
+            # anonymous multi-column case the docstring calls
+            # ambiguous — emitting the merged rows as one FK would
+            # hand closure traversal a corrupt composite key, so fail
+            # loudly instead (round-9 review fix)
+            raise ValueError(
+                f"ambiguous anonymous foreign keys on {t!r}: group "
+                f"{gkey!r} contains duplicate KEY_SEQ values {seqs} — "
+                "multiple unnamed multi-column constraints to the same "
+                "parent cannot be separated from JDBC metadata; name "
+                "the constraints in the source schema"
+            )
         out.append(
             ForeignKey(
                 child=t,

@@ -988,6 +988,20 @@ def scd2_stream_upsert(
 
     closed = scd2_stream(stream, watermark)
 
+    def committed(p: str) -> bool:
+        # "the table exists" must mean COMMITTED data, not a bare
+        # directory: a crash mid-first-write leaves `path` holding only
+        # _temporary, and routing that retry to the upsert would fail
+        # schema inference on every attempt — permanently wedging the
+        # stream the docstring promises is retry-idempotent (round-9
+        # review fix). Committed content = any non-underscore/dot entry
+        # (data files or partition dirs).
+        try:
+            entries = os.listdir(p)
+        except FileNotFoundError:
+            return False
+        return any(not e.startswith(("_", ".")) for e in entries)
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         pk = ["user_id", "version"]
         # an EMPTY micro-batch must not create the table: a zero-row
@@ -997,9 +1011,11 @@ def scd2_stream_upsert(
         # cycle either
         if batch.isEmpty():
             return
-        if not os.path.exists(path):
+        if not committed(path):
             first = batch.dropDuplicates(pk)
-            writer = first.write
+            # overwrite: the retry of a crashed first write finds the
+            # half-written directory and must replace it
+            writer = first.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(partition_by)
             writer.parquet(path)

@@ -591,3 +591,22 @@ def test_stage_name_is_short_and_unique():
     q = _stage_name("sales.orders", "stg")
     assert q.startswith("sales.dbcut_stg_")
     assert len(q.split(".", 1)[1]) <= 30
+
+
+def test_group_imported_keys_rejects_interleaved_anonymous_composites():
+    """Two unnamed MULTI-column FKs to one parent interleave as KEY_SEQ
+    1,1,2,2 under JDBC ordering — unseparable from the metadata, so the
+    grouping must raise instead of emitting a corrupt composite key
+    (round-9 review fix)."""
+    import pytest as _pytest
+
+    from dbcut_spark.sources.jdbc import group_imported_keys
+
+    rows = [
+        ("p", "a1", "c_a1", "1", None),
+        ("p", "b1", "c_b1", "1", None),
+        ("p", "a2", "c_a2", "2", None),
+        ("p", "b2", "c_b2", "2", None),
+    ]
+    with _pytest.raises(ValueError, match="ambiguous anonymous"):
+        group_imported_keys("child", rows, {"p", "child"})

@@ -1275,3 +1275,28 @@ def test_lsh_index_matches_inmemory_random_params(spark, tmp_path):
             ).collect()
         }
         assert got == exp, (num_hashes, band_rows, n_buckets)
+
+
+def test_bpe_encode_accepts_train_output_directly(spark):
+    """The natural composition bpe_train -> bpe_encode must work
+    without a hand-written (a, b, cnt) -> (a, b) bridge."""
+    from dbcut_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low lower low low")], ["doc_id", "text"]
+    )
+    merges, _ = bpe.bpe_train(bpe.word_types(train, "text"), 3)
+    out = bpe.bpe_encode(train, "text", "doc_id", merges).collect()
+    assert out and out[0]["n_bpe_tokens"] > 0
+
+
+def test_build_lsh_index_rejects_empty_reference(spark, tmp_path):
+    """A zero-row partitioned write would leave a permanently
+    unreadable index — build fails loudly instead."""
+    import pytest as _pytest
+
+    from dbcut_spark.operators.dedup import build_lsh_index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty"):
+        build_lsh_index(empty, str(tmp_path / "ix"), "text", "doc_id")

@@ -1372,3 +1372,30 @@ def test_cli_compact_zorder_flags(sf_dir, tmp_path):
         ["-c", cfg_path, "compact", "--zorder", "a", "--table", "orders"],
     )
     assert res2.exit_code != 0 and "two comma-separated" in res2.output
+
+
+def test_zorder_ignores_frag_gate(spark, sf_dir, tmp_path):
+    """--min-frag-mb is size maintenance; an explicit z-order request
+    is a LAYOUT change and must run even on unfragmented tables
+    (round-9 review fix: the gate previously returned skipped=True
+    before the zorder branch)."""
+    from dbcut_spark.sinks.compact import compact_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "o.parquet")
+    orders.coalesce(1).write.parquet(path)  # 1 big file: "unfragmented"
+    stats = compact_parquet(
+        spark, path, min_frag_mb=0.0000001,
+        zorder=("o_custkey", "o_orderkey"),
+        max_records_per_file=max(orders.count() // 8, 1),
+    )
+    assert not stats.get("skipped")
+    # non-integral and missing zorder columns fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        compact_parquet(spark, path, zorder=("o_custkey", "o_orderstatus"))
+    with _pytest.raises(ValueError, match="not in"):
+        compact_parquet(spark, path, zorder=("o_custkey", "missing_col"))
