@@ -140,6 +140,35 @@ def bpe_encode(
     )
 
 
+def save_merges(merges: list[tuple], path: str) -> None:
+    """Persist a learned merge table as JSON — the tokenizer ARTIFACT:
+    train once (bpe_train), ship the table, apply anywhere
+    (load_merges → bpe_encode / apply_merges). Same sidecar convention
+    as the ANN quantizers (_centroids.json) and the LSH index meta."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"rank": i + 1, "left": m[0], "right": m[1],
+                 "count": (int(m[2]) if len(m) > 2 else None)}
+                for i, m in enumerate(merges)
+            ],
+            f,
+        )
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`, in rank order,
+    as the (left, right) pairs the apply path consumes."""
+    import json
+
+    with open(path) as f:
+        rows = json.load(f)
+    rows.sort(key=lambda r: r["rank"])
+    return [(r["left"], r["right"]) for r in rows]
+
+
 def pair_counts(seqs: DataFrame) -> DataFrame:
     """(a, b, cnt) — adjacent-symbol pair counts over (word, w, syms),
     weighted by word frequency; overlapping occurrences all count

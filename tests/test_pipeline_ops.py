@@ -1300,3 +1300,29 @@ def test_build_lsh_index_rejects_empty_reference(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty"):
         build_lsh_index(empty, str(tmp_path / "ix"), "text", "doc_id")
+
+
+def test_bpe_merge_table_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the persisted tokenizer artifact must
+    reproduce the exact segmentation of the in-memory table."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low newer new")], ["doc_id", "text"]
+    )
+    merges, seg = bpe.bpe_train(bpe.word_types(train, "text"), 5)
+    p = str(tmp_path / "merges.json")
+    bpe.save_merges(merges, p)
+    loaded = bpe.load_merges(p)
+    assert loaded == [(a, b) for a, b, _ in merges]
+    applied = bpe.initial_symbols(bpe.word_types(train, "text")).withColumn(
+        "syms", bpe.apply_merges(F2.col("syms"), loaded)
+    )
+    assert (
+        applied.select("word", "syms")
+        .exceptAll(seg.select("word", "syms"))
+        .count()
+        == 0
+    )
