@@ -200,35 +200,34 @@ def bpe_train(
     Per round: one pair-count aggregation over the word-type table +
     one 1-row collect (the argmax merge, tie-broken count DESC / left
     ASC / right ASC); the winning merge applies as a fold. The frame
-    is persisted each round (and the previous round's cache freed once
-    the new one materializes) so round r never re-runs folds 1..r-1.
-    Stops early if the corpus runs out of pairs."""
+    is localCheckpoint-ed each round so round r never re-runs folds
+    1..r-1 (see the in-loop note on block reclamation). Stops early if
+    the corpus runs out of pairs."""
     cur = initial_symbols(words)
     merges: list[tuple[str, str, int]] = []
-    prev = None
     for _ in range(n_merges):
-        # persist(), NOT localCheckpoint: checkpoint blocks bypass the
-        # CacheManager, so Dataset.unpersist() on them is a silent
-        # no-op and n_merges copies of the type table would sit in
-        # executor storage until driver GC (round-9 review fix).
-        # CacheManager-backed persistence frees deterministically below,
-        # still prevents re-running folds 1..r-1 each round, and keeps
-        # lineage intact for fault recovery.
-        cached = cur.persist()
+        # localCheckpoint truncates lineage so round r never re-runs
+        # folds 1..r-1 and plans stay flat. Storage residency note
+        # (round-9 review): checkpoint blocks bypass the CacheManager —
+        # Dataset.unpersist() would be a silent no-op on them — so a
+        # finished round's blocks are reclaimed by the ContextCleaner
+        # once this loop drops its reference (the reassignment below),
+        # not deterministically. That residency is bounded by GC
+        # cadence over |word types|-sized frames — the table training
+        # runs on is vocabulary-sized by construction, never
+        # corpus-sized. (A CacheManager persist() would free
+        # deterministically but measured ~60% slower per round:
+        # columnar cache conversion + n nested InMemoryRelations.)
+        cur = cur.localCheckpoint(eager=False)
         best = (
-            pair_counts(cached)
+            pair_counts(cur)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
         )
-        # the pair-count job materialized this round's cache, so the
-        # previous round's blocks are dead weight — free them now
-        if prev is not None:
-            prev.unpersist()
-        prev = cached
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
-        cur = cached.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        cur = cur.withColumn("syms", apply_merge(F.col("syms"), a, b))
     return merges, cur
