@@ -148,6 +148,8 @@ HEADLINE = [
     "events_scd2_asof",
     "docs_bpe_compression",
     "docs_quality_logistic",
+    # round-10 additions
+    "docs_bpe_encode_unseen",
 ]
 
 

@@ -825,6 +825,9 @@ _GATE_ROTATION = [
     "events_scd2_asof",
     "docs_bpe_compression",
     "docs_quality_logistic",
+    # -- round-10 additions: appended at the END (append-only rule);
+    # never-sampled-first debuts them in round 10's window --
+    "docs_bpe_encode_unseen",
 ]
 
 GATE_WINDOW = 50

@@ -4948,7 +4948,7 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 12
 
 
-def _bpe_ctes(n: int) -> str:
+def _bpe_ctes(n: int, where: str = "") -> str:
     """Unrolled DuckDB recomputation of word-type BPE training: the
     same rounds the Spark loop runs, expressed as window-function
     greedy merge application (mark pairs → gaps-and-islands over
@@ -4957,12 +4957,13 @@ def _bpe_ctes(n: int) -> str:
     references seq{r} three times, so default CTE inlining would make
     the plan (and the parquet re-scans) exponential in rounds.
     The fold(Spark) == window-greedy(SQL) equivalence is exactly what
-    the value hash pins."""
-    parts = ["""wrd AS MATERIALIZED (
+    the value hash pins. ``where`` optionally restricts the training
+    corpus (the held-out-encode gate trains on a doc subset)."""
+    parts = [f"""wrd AS MATERIALIZED (
       SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS w,
              ROW_NUMBER() OVER (ORDER BY tok) AS wid
       FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
-            FROM documents)
+            FROM documents {where})
       WHERE length(tok) > 0 GROUP BY tok),
     seq0 AS MATERIALIZED (
       SELECT wid, pos, sym FROM (
@@ -5223,6 +5224,111 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("source")
+    )
+
+
+_BPE_HELD_OUT = "doc_id % 5 = 0"
+_BPE_TRAIN_WHERE = "WHERE doc_id % 5 <> 0"
+
+
+def _bpe_encode_unseen_sql(n: int) -> str:
+    """Oracle for the open-vocabulary encode path: train the merge
+    table on the 80% train split (the standard ``_bpe_ctes`` chain,
+    corpus-filtered), then apply the learned merges (one b-CTE per
+    rank) IN RANK ORDER to the held-out split's word types via a
+    second unrolled chain (same window-greedy machinery, but each
+    round consumes the TRAINED merge instead of recomputing an
+    argmax). Wordless held-out
+    docs surface as (0, md5('')) through the final LEFT JOIN — the
+    every-input-doc-yields-a-row contract of bpe_encode."""
+    parts = [f"""ewrd AS MATERIALIZED (
+      SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid FROM (
+        SELECT DISTINCT tok AS word
+        FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+              FROM documents WHERE {_BPE_HELD_OUT})
+        WHERE length(tok) > 0)),
+    eseq0 AS MATERIALIZED (
+      SELECT wid, pos, sym FROM (
+        SELECT wid,
+               unnest(list_append(string_split(word, ''), '</w>')) AS sym,
+               unnest(range(1, len(string_split(word, '')) + 2)) AS pos
+        FROM ewrd))"""]
+    for r in range(n):
+        parts.append(f"""emk{r} AS (SELECT wid, pos, sym,
+        COALESCE(sym = (SELECT a FROM b{r})
+             AND lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                 = (SELECT b FROM b{r}), FALSE) AS m
+      FROM eseq{r}),
+    ern{r} AS (SELECT wid, pos, sym, m,
+        pos - ROW_NUMBER() OVER (PARTITION BY wid, m ORDER BY pos) AS rg
+      FROM emk{r}),
+    etk{r} AS (SELECT wid, pos, sym,
+        m AND (ROW_NUMBER() OVER (PARTITION BY wid, m, rg ORDER BY pos)
+               % 2 = 1) AS take
+      FROM ern{r}),
+    efl{r} AS (SELECT wid, pos,
+        CASE WHEN take THEN sym || (SELECT b FROM b{r}) ELSE sym END AS sym
+      FROM etk{r}
+      QUALIFY NOT COALESCE(LAG(take) OVER (PARTITION BY wid ORDER BY pos),
+                           FALSE)),
+    eseq{r + 1} AS MATERIALIZED (
+      SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+             sym
+      FROM efl{r})""")
+    encode_chain = ",\n    ".join(parts)
+    return f"""WITH {_bpe_ctes(n, _BPE_TRAIN_WHERE)},
+    {encode_chain},
+    eseg AS (
+      SELECT wid, string_agg(sym, ' ' ORDER BY pos) AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_sym
+      FROM eseq{n} GROUP BY wid),
+    htok AS (
+      SELECT t.doc_id, t.pos, es.seg, es.n_sym
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
+                   unnest(range(1, len(string_split(lower(trim(text)), ' '))
+                                   + 1)) AS pos
+            FROM documents WHERE {_BPE_HELD_OUT}) t
+      JOIN ewrd ON ewrd.word = t.tok
+      JOIN eseg es ON es.wid = ewrd.wid),
+    eagg AS (
+      SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+             string_agg(seg, ' ' ORDER BY pos) AS body
+      FROM htok GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           md5(COALESCE(a.body, '')) AS tok_hash
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE {_BPE_HELD_OUT}) d
+    LEFT JOIN eagg a USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("docs_bpe_encode_unseen", sql=_bpe_encode_unseen_sql(_BPE_MERGES))
+def docs_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-vocabulary BPE ENCODE gate (round-9 verdict ask #7): train
+    the merge table on 80% of the corpus (doc_id % 5 != 0), then
+    bpe_encode the HELD-OUT 20% — words never seen at training time
+    decompose to characters + end-of-word and take whatever learned
+    merges apply (the defining BPE fallback); every held-out doc
+    yields a row, wordless ones as (0, md5('')). The oracle unrolls
+    the same train rounds in DuckDB and re-applies the learned table
+    rank-by-rank to the held-out word types — so the hash pins the
+    full strict-rank-order encode semantics end-to-end."""
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    train = d.filter(F.expr(_BPE_TRAIN_WHERE.removeprefix("WHERE ")))
+    held = d.filter(F.expr(_BPE_HELD_OUT))
+    merges, _ = bpe.bpe_train(bpe.word_types(train, "text"), _BPE_MERGES)
+    return (
+        bpe.bpe_encode(held, "text", "doc_id", merges)
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_hash"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -1505,6 +1505,28 @@ _ROUND9_ADDITIONS: list[str] = [
 ]
 
 
+# queries first registered in round 10 (append-only _GATE_ROTATION tail)
+_ROUND10_ADDITIONS: list[str] = [
+    "docs_bpe_encode_unseen",
+]
+
+
+def test_round10_additions_debut_in_round10_window():
+    """The r01-r09 driver-row union covers the whole pre-round-10
+    registry (round-9 verdict), so round 10's never-sampled-first rule
+    must place exactly the round-10 additions at the head of the
+    rotation slots."""
+    from dbcut_spark.queries import _GATE_ROTATION, gate_window_for_round
+
+    window = gate_window_for_round(10)
+    assert len(window) == 50
+    r10_new = [q for q in _GATE_ROTATION if q in _ROUND10_ADDITIONS]
+    assert set(r10_new) <= set(window), (
+        "a round-10 addition missed its own debut window"
+    )
+    assert window[26 : 26 + len(r10_new)] == r10_new
+
+
 def test_round9_additions_debut_in_round9_window():
     """The r01-r08 driver-row union covers the whole pre-round-9
     registry (round-8 verdict), so round 9's never-sampled-first rule
