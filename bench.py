@@ -150,6 +150,7 @@ HEADLINE = [
     "docs_quality_logistic",
     # round-10 additions
     "docs_bpe_encode_unseen",
+    "orders_manifest_snapshot",
 ]
 
 

@@ -828,6 +828,7 @@ _GATE_ROTATION = [
     # -- round-10 additions: appended at the END (append-only rule);
     # never-sampled-first debuts them in round 10's window --
     "docs_bpe_encode_unseen",
+    "orders_manifest_snapshot",
 ]
 
 GATE_WINDOW = 50

@@ -1302,3 +1302,57 @@ def tpch_rf_refresh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "orders_manifest_snapshot",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    GROUP BY 1 ORDER BY o_year
+    """,
+)
+def orders_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-commit publish/resolve end-to-end (round-9 verdict ask
+    #4, sinks/manifest.py): orders lands in a manifest table as an
+    overwrite snapshot (years < 2000, hive-partitioned) plus an append
+    commit (years >= 2000), and the reader resolves the newest
+    manifest — files from BOTH commit directories, partition columns
+    reconstructed, nothing doubled, nothing dropped. The oracle is the
+    plain per-year aggregate over the source table, so the hash pins
+    that snapshot resolution reproduces the table exactly; the
+    crash/race/torn-manifest matrix is pinned in tests/test_sinks.py.
+
+    Scale: the commit point is one object creation regardless of table
+    size — the property directory renames cannot give on S3-class
+    stores — and a reader's file set is immutable once resolved."""
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_snapshot
+
+    target = _rf_scratch() + "/orders_manifest"
+    base = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    publish_snapshot(
+        base.filter(F.col("o_year") < 2000), target,
+        mode="overwrite", partition_by=["o_year"],
+    )
+    publish_snapshot(
+        base.filter(F.col("o_year") >= 2000), target,
+        mode="append", partition_by=["o_year"],
+    )
+    return (
+        read_snapshot(spark, target)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_year")
+    )

@@ -1,0 +1,264 @@
+"""Manifest-commit atomic publish (round-9 verdict ask #4).
+
+The staging-swap writers (``sinks/insert_ignore.py`` partition swap,
+``sinks/compact.py``) rely on directory renames, which are atomic on
+POSIX but do not exist on S3-class object stores — a crash between
+per-partition swap steps would leave a reader-visible MIXED state at
+exactly the 100 TB deployment target. This module makes the commit a
+single object creation — the one primitive that is atomic on both
+POSIX (hard-link of a fully-written temp file into the final name)
+and object stores (one conditional PUT; readers see the whole object
+or none):
+
+    table/
+      _manifests/00000001.json          append-only snapshot manifests
+      data/<commit-uuid>/part-*.parquet immutable, never overwritten
+
+Protocol:
+
+- writers STAGE parquet under a fresh ``data/<uuid>/`` directory
+  (names never reused, nothing overwritten, invisible to readers),
+  then PUBLISH one manifest file listing every live data file of the
+  new snapshot. Manifests are full snapshots — resolution reads one
+  manifest, never a chain — and carry the schema, so even a 0-file
+  snapshot reads back correctly;
+- the publish is ``os.link(tmp, final)``: the temp file is complete
+  and flushed before the final name exists, and link(2) fails with
+  EEXIST if another writer took the version — the loser raises
+  :class:`VersionConflictError` and its staged files remain invisible
+  garbage for :func:`vacuum`. (On a real object store the equivalent
+  is a conditional PUT / If-None-Match of the final object name; the
+  filesystem branch here is the same protocol with POSIX primitives.)
+- readers list ``_manifests/``, take the highest PARSEABLE version
+  (a torn manifest — impossible under link/PUT atomicity, possible on
+  weaker stores — is skipped, falling back to the previous snapshot),
+  and read exactly that manifest's files. A reader holding version N
+  is immune to concurrent publishes and vacuums of later versions:
+  its file set is immutable.
+
+Crash matrix (pinned by tests/test_sinks.py): die during staging →
+old snapshot visible; die between staging and publish → old snapshot
+visible, orphan files vacuumable; die after publish → new snapshot
+visible. There is no intermediate.
+
+Reference parity: the reference publishes a query's result cache by
+writing the serialized payload and a count sidecar straight to their
+final names (dbcut/query.py:108-118 save_to_cache) — fine for a
+single-user local cache directory, not for a shared 100 TB table;
+this module is that publish contract made concurrent, versioned and
+object-store-safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer published this snapshot version first: the commit
+    lost the race. Staged files remain invisible; retry the publish
+    against the new current version (or vacuum the orphans)."""
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, f"{version:08d}.json")
+
+
+def _list_versions(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        stem, dot, ext = name.partition(".")
+        if ext == "json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _load_manifest(table_path: str, version: int) -> dict | None:
+    """Parse one manifest; None for a torn/unreadable file (readers
+    skip it — see the module crash matrix)."""
+    try:
+        with open(_manifest_path(table_path, version)) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(m, dict) or m.get("version") != version:
+        return None
+    return m
+
+
+def current_version(table_path: str) -> int | None:
+    """Highest parseable snapshot version, or None for an empty/new
+    table."""
+    for v in reversed(_list_versions(table_path)):
+        if _load_manifest(table_path, v) is not None:
+            return v
+    return None
+
+
+def _stage(
+    df: DataFrame, table_path: str, partition_by: list[str] | None
+) -> list[str]:
+    """Write df's files under a fresh data/<uuid>/ dir and return their
+    table-relative paths. Staged files are invisible until a manifest
+    references them — this is the writer's crash-safe half."""
+    commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    dst = os.path.join(table_path, commit_dir)
+    writer = df.write
+    if partition_by:
+        # co-locate partitions before partitionBy — same layout rule as
+        # sinks/compact.py (tasks x partitions small-file blowup)
+        writer = df.repartition(*[F.col(c) for c in partition_by]).write
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
+    rels: list[str] = []
+    for root, _dirs, files in os.walk(dst):
+        for name in files:
+            if name.endswith(".parquet"):
+                rels.append(
+                    os.path.relpath(os.path.join(root, name), table_path)
+                )
+    return sorted(rels)
+
+
+def _publish(table_path: str, manifest: dict) -> None:
+    """Atomically create the manifest at its final, versioned name:
+    fully write + flush a temp file, then hard-link it into place —
+    link(2) is create-if-absent, so a racing writer gets EEXIST, never
+    a torn or clobbered manifest."""
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    final = _manifest_path(table_path, manifest["version"])
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise VersionConflictError(
+            f"snapshot version {manifest['version']} already published "
+            f"at {final}; re-resolve current_version and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def publish_snapshot(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Stage ``df`` as immutable parquet and publish it as the table's
+    next snapshot. ``mode='overwrite'`` makes the new manifest exactly
+    the staged files; ``mode='append'`` inherits the current
+    snapshot's files too. Returns the published version. Raises
+    :class:`VersionConflictError` on a concurrent-writer race (staged
+    files stay invisible; caller may retry)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(table_path, exist_ok=True)
+    parent = current_version(table_path)
+    files: list[str] = []
+    if mode == "append" and parent is not None:
+        files.extend(_load_manifest(table_path, parent)["files"])
+    staged = _stage(df, table_path, partition_by)
+    files.extend(staged)
+    version = (parent or 0) + 1
+    _publish(
+        table_path,
+        {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "files": files,
+            "n_files": len(files),
+            "partition_by": list(partition_by or []),
+            "schema": json.loads(df.schema.json()),
+        },
+    )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Resolve a snapshot (newest parseable manifest by default; pass
+    ``version`` for time travel) and read exactly its files. Files are
+    grouped per commit directory and read with that directory as
+    basePath, so hive partition columns written by ``partition_by``
+    reconstruct; groups union by name. A 0-file snapshot returns an
+    empty frame with the manifest's schema."""
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_path}"
+            )
+    m = _load_manifest(table_path, version)
+    if m is None:
+        raise FileNotFoundError(
+            f"snapshot version {version} missing or torn under {table_path}"
+        )
+    schema = StructType.fromJson(m["schema"])
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    by_commit: dict[str, list[str]] = {}
+    for rel in m["files"]:
+        parts = rel.split(os.sep)
+        base = os.path.join(table_path, *parts[:2])  # data/<uuid>
+        by_commit.setdefault(base, []).append(os.path.join(table_path, rel))
+    out: DataFrame | None = None
+    for base, paths in sorted(by_commit.items()):
+        piece = spark.read.option("basePath", base).parquet(*paths)
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NO kept manifest — crashed
+    writers' orphans and snapshots older than the ``keep_last`` most
+    recent. Returns the deleted table-relative paths. Readers holding
+    a kept version are unaffected (their file sets are immutable);
+    readers time-traveling past ``keep_last`` lose those versions —
+    the retention contract every snapshot store has. Old manifests are
+    removed after their files so a crash mid-vacuum only ever leaves
+    extra (referenced-by-old-manifest) files, never a live manifest
+    with missing files."""
+    versions = [
+        v for v in _list_versions(table_path)
+        if _load_manifest(table_path, v) is not None
+    ]
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        live.update(_load_manifest(table_path, v)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(table_path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for root, _dirs, files in os.walk(data_root, topdown=False):
+            for name in files:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table_path)
+                if rel not in live:
+                    os.unlink(full)
+                    deleted.append(rel)
+            if not os.listdir(root):
+                os.rmdir(root)
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(table_path, v))
+    return sorted(deleted)

@@ -1508,6 +1508,7 @@ _ROUND9_ADDITIONS: list[str] = [
 # queries first registered in round 10 (append-only _GATE_ROTATION tail)
 _ROUND10_ADDITIONS: list[str] = [
     "docs_bpe_encode_unseen",
+    "orders_manifest_snapshot",
 ]
 
 

@@ -1399,3 +1399,140 @@ def test_zorder_ignores_frag_gate(spark, sf_dir, tmp_path):
         compact_parquet(spark, path, zorder=("o_custkey", "o_orderstatus"))
     with _pytest.raises(ValueError, match="not in"):
         compact_parquet(spark, path, zorder=("o_custkey", "missing_col"))
+
+
+# ---------------------------------------------------------------------------
+# Manifest-commit atomic publish (round-9 verdict ask #4)
+# ---------------------------------------------------------------------------
+
+
+def _mrows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_publish_read_roundtrip(spark, tmp_path):
+    """overwrite -> append -> time travel, plus hive partition columns
+    reconstructing across commit directories."""
+    from dbcut_spark.sinks.manifest import (
+        current_version,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.createDataFrame(
+        [(1, "x", 2020), (2, "y", 2021)], "id long, v string, yr int"
+    )
+    b = spark.createDataFrame([(3, "z", 2021)], "id long, v string, yr int")
+    v1 = publish_snapshot(a, tbl, mode="overwrite", partition_by=["yr"])
+    assert v1 == 1 and current_version(tbl) == 1
+    v2 = publish_snapshot(b, tbl, mode="append", partition_by=["yr"])
+    assert v2 == 2 and current_version(tbl) == 2
+    got2 = read_snapshot(spark, tbl)
+    assert set(got2.columns) == {"id", "v", "yr"}
+    assert _mrows(got2.select("id", "v", "yr")) == _mrows(
+        a.unionByName(b).select("id", "v", "yr")
+    )
+    # time travel: version 1 is immutable under later appends
+    got1 = read_snapshot(spark, tbl, version=1)
+    assert _mrows(got1.select("id", "v", "yr")) == _mrows(
+        a.select("id", "v", "yr")
+    )
+    # a later overwrite supersedes everything
+    publish_snapshot(b, tbl, mode="overwrite")
+    assert _mrows(read_snapshot(spark, tbl).select("id")) == [(3,)]
+
+
+def test_manifest_crash_never_leaves_mixed_state(spark, tmp_path):
+    """The round-9 verdict's Done criterion: kill the writer between
+    protocol steps and prove a concurrent reader sees either old or
+    new, NEVER mixed. The commit point is one manifest creation, so
+    'between steps' means staged-but-unpublished — invisible."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "old")], "id long, v string")
+    new = spark.createDataFrame([(2, "new")], "id long, v string")
+    mf.publish_snapshot(old, tbl)
+
+    # writer crashes AFTER fully staging the new files, BEFORE publish
+    staged = mf._stage(new, tbl, None)
+    assert staged  # files exist on disk...
+    got = mf.read_snapshot(spark, tbl)
+    assert _mrows(got) == [(1, "old")]  # ...but the reader sees only old
+
+    # the recovery (or retry) completes the publish: reader flips to
+    # new atomically — the staged files become visible all at once
+    mf._publish(
+        tbl,
+        {
+            "version": 2,
+            "parent": 1,
+            "mode": "overwrite",
+            "files": staged,
+            "n_files": len(staged),
+            "partition_by": [],
+            "schema": json.loads(new.schema.json()),
+        },
+    )
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(2, "new")]
+    # a reader pinned to version 1 still resolves pure-old (no mixing
+    # even across the flip)
+    assert _mrows(mf.read_snapshot(spark, tbl, version=1)) == [(1, "old")]
+
+
+def test_manifest_torn_manifest_and_version_conflict(spark, tmp_path):
+    """A torn (half-written) manifest — possible only on stores with
+    non-atomic object writes — must be skipped by readers; a version
+    race must fail the losing writer loudly and leave the winner's
+    snapshot intact."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1,)], "id long")
+    mf.publish_snapshot(base, tbl)
+    # torn manifest at version 2: readers fall back to version 1
+    with open(mf._manifest_path(tbl, 2), "w") as f:
+        f.write('{"version": 2, "files": [')
+    assert mf.current_version(tbl) == 1
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
+    # a writer that computes next=2 loses to the existing object
+    with pytest.raises(mf.VersionConflictError):
+        mf._publish(tbl, {"version": 2, "files": [], "n_files": 0,
+                          "parent": 1, "mode": "overwrite",
+                          "partition_by": [],
+                          "schema": json.loads(base.schema.json())})
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
+
+
+def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
+    """vacuum deletes crashed writers' orphans and out-of-retention
+    snapshots' files, never a kept snapshot's."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    mf.publish_snapshot(a, tbl)
+    mf.publish_snapshot(b, tbl, mode="overwrite")
+    orphans = mf._stage(a, tbl, None)  # crashed writer's leftovers
+    deleted = mf.vacuum(tbl, keep_last=1)
+    assert set(orphans) <= set(deleted)
+    # the kept (latest) snapshot survives and still reads
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
+    # version 1 is out of retention now
+    assert mf.current_version(tbl) == 2
+    assert mf._load_manifest(tbl, 1) is None
+
+
+def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path):
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "id long, v string")
+    mf.publish_snapshot(empty, tbl)
+    got = mf.read_snapshot(spark, tbl)
+    assert got.count() == 0
+    assert got.schema.simpleString() == "struct<id:bigint,v:string>"
