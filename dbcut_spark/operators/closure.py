@@ -49,6 +49,19 @@ BLOOM_MAX_BROADCAST_BYTES = 64 * 1024 * 1024
 # the estimated key row width (see _estimated_key_bytes)
 BLOOM_MIN_KEYS = 4_000_000
 
+# Skew-aware backref-cap routing (round-9 verdict ask #5): a child
+# table at or past this metadata row count takes the two-phase salted
+# per-parent top-k (operators/skew.py:salted_top_per_key) instead of a
+# single key-partitioned window — one pathological parent cannot stall
+# a reducer, at the cost of one extra (skew-free) shuffle of the
+# already-cap-bounded survivors. Below it the plain window stays: on
+# small tables the extra shuffle is pure overhead and no partition can
+# be pathologically large anyway. Zero-job routing on purpose — a
+# per-edge heavy-hitter probe job is exactly the per-edge count the
+# round-7 rework removed; `cli skew` remains the offline diagnostic,
+# and the executor's salted_backref_cap flag forces either form.
+SALTED_CAP_MIN_CHILD_ROWS = 2_000_000
+
 _TYPE_BYTES = {
     "boolean": 1,
     "byte": 1,
@@ -117,6 +130,7 @@ class ClosureExecutor:
         spark: SparkSession,
         loader: TableLoader,
         table_rows: Callable[[str], int | None] | None = None,
+        salted_backref_cap: bool | None = None,
     ):
         self.spark = spark
         self.load = loader
@@ -125,6 +139,12 @@ class ClosureExecutor:
         # unbounded edges; memoized — footer walks cost O(files)
         self.table_rows = table_rows
         self._table_rows_memo: dict[str, int | None] = {}
+        # None = auto (salted cap iff child-table metadata rows >=
+        # SALTED_CAP_MIN_CHILD_ROWS; unknown size keeps the plain
+        # window — JDBC sources report no stats and are operational
+        # DBs, and a wrong 'plain' is a stall, not a wrong answer);
+        # True/False force a form (used by tests and `cli skew` users)
+        self.salted_backref_cap = salted_backref_cap
 
     def _source_rows(self, table: str) -> int | None:
         if self.table_rows is None:
@@ -132,6 +152,15 @@ class ClosureExecutor:
         if table not in self._table_rows_memo:
             self._table_rows_memo[table] = self.table_rows(table)
         return self._table_rows_memo[table]
+
+    def _cap_salted(self, child_table: str) -> bool:
+        """Route the per-parent backref cap: salted two-phase top-k for
+        provably-large child tables (or when forced), plain window
+        otherwise — see SALTED_CAP_MIN_CHILD_ROWS."""
+        if self.salted_backref_cap is not None:
+            return self.salted_backref_cap
+        rows = self._source_rows(child_table)
+        return rows is not None and rows >= SALTED_CAP_MIN_CHILD_ROWS
 
     # -- root ---------------------------------------------------------------
     def root_frame(self, plan: ExtractionPlan) -> DataFrame:
@@ -327,6 +356,23 @@ class ClosureExecutor:
                         child_df = child_df.orderBy(
                             *[F.col(c).desc() for c in pk]
                         ).limit(plan.spec.backref_limit)
+                    elif self._cap_salted(rel.target):
+                        # skew-aware per-parent cap: a single window
+                        # partitioned by the FK puts every child of a
+                        # hot parent in ONE task; the two-phase salted
+                        # top-k bounds any task's partition to ~rows/
+                        # n_salts (routing rationale at
+                        # SALTED_CAP_MIN_CHILD_ROWS)
+                        from dbcut_spark.operators.skew import (
+                            salted_top_per_key,
+                        )
+
+                        child_df = salted_top_per_key(
+                            child_df,
+                            list(rel.target_cols),
+                            list(pk),
+                            plan.spec.backref_limit,
+                        )
                     else:
                         w = Window.partitionBy(*rel.target_cols).orderBy(
                             *[F.col(c).desc() for c in pk]

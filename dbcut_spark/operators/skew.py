@@ -22,7 +22,7 @@ task retry recomputes identical salts, which `F.rand()` would not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +79,53 @@ def salted_join(
     )
     out = salted_left.join(exploded_right, on=[*on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def salted_top_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-key top-k (descending by ``order_cols``) resistant to hot
+    keys — the skew-safe form of ``row_number().over(partitionBy(keys))
+    <= k`` (round-9 verdict ask #5): a window partition cannot be split
+    across tasks, so one parent with 10^8 children stalls a single
+    reducer; here each key's rows first split into ``n_salts``
+    sub-partitions that each keep their local top-k, then the global
+    top-k re-ranks over the ≤ n_salts×k survivors per key — the second
+    window is tiny by construction.
+
+    Result-identical to the single window for ANY salt assignment: a
+    row in the true top-k of its key ranks ≤ k inside whatever salt
+    group it lands in, so phase 1 can never drop it; phase 2 removes
+    the rest. ``order_cols`` must be a per-key total order (a PK — the
+    caller's cap is only deterministic under that same condition).
+
+    The salt hashes the ORDER columns themselves — unique per row — so
+    it is deterministic under any partitioning and across task retries
+    (no ``spark_partition_id`` term, hence none of ``_row_salt``'s
+    shuffled-input caveat): a hot key's rows spread because their PKs
+    differ, not because their physical placement does."""
+    oc = [F.col(c) for c in order_cols]
+    salted = df.withColumn(
+        "__cap_salt", F.pmod(F.xxhash64(*oc), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*keys, "__cap_salt").orderBy(
+        *[c.desc() for c in oc]
+    )
+    survivors = (
+        salted.withColumn("__cap_rn", F.row_number().over(w1))
+        .filter(F.col("__cap_rn") <= k)
+        .drop("__cap_salt", "__cap_rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*[c.desc() for c in oc])
+    return (
+        survivors.withColumn("__cap_rn", F.row_number().over(w2))
+        .filter(F.col("__cap_rn") <= k)
+        .drop("__cap_rn")
+    )
 
 
 def salted_agg_count(
