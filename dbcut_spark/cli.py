@@ -305,8 +305,17 @@ def dumpsql(ctx: Ctx, dialect: str):
     help="flag parquet destinations whose average data file is smaller "
     "(small-files fragmentation — run `compact` before scans pay for it)",
 )
+@click.option(
+    "--lsh-index",
+    default=None,
+    metavar="PATH",
+    help="also report health of a persisted LSH dedup index (files per "
+    "bucket grow with every append — compact via "
+    "operators.dedup.lsh_index_compact before probes pay per-file "
+    "open cost)",
+)
 @click.pass_obj
-def inspect(ctx: Ctx, estimate: bool, frag_mb: float):
+def inspect(ctx: Ctx, estimate: bool, frag_mb: float, lsh_index: str | None):
     """Source-vs-destination row counts (reference ``cmd_inspect``,
     estimate-by-default like its ``--estimate`` flag — parquet footer
     metadata instead of information_schema.table_rows), plus a
@@ -362,6 +371,32 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float):
         sc = source_count(table)
         dc = dest_count(table)
         click.echo(f"{table:<16}{sc!s:>12}{dc!s:>14}  {frag(table)}")
+
+    if lsh_index:
+        from dbcut_spark.operators.dedup import lsh_index_inspect
+
+        st = lsh_index_inspect(lsh_index)
+        m = st["meta"]
+        frag_flag = (
+            "  FRAG (compact: operators.dedup.lsh_index_compact)"
+            if st["max_files_per_bucket"] > 1
+            else ""
+        )
+        click.echo(
+            f"\nlsh index {lsh_index}: {m['num_hashes']} hashes x "
+            f"{m['band_rows']} rows, {m['n_buckets']} buckets"
+        )
+        click.echo(
+            f"  bands: {st['band_files']} files over "
+            f"{st['band_buckets']} bucket dirs "
+            f"(max {st['max_files_per_bucket']}/bucket, avg "
+            f"{st['avg_files_per_bucket']}), "
+            f"{st['bands_bytes'] / 1024 / 1024:.1f}MB{frag_flag}"
+        )
+        click.echo(
+            f"  exact: {st['exact_files']} files, "
+            f"{st['exact_bytes'] / 1024 / 1024:.1f}MB"
+        )
 
 
 @cli.command()
