@@ -31,7 +31,7 @@ import re
 import dbcut_spark
 from dbcut_spark.catalog import Catalog
 
-_FORMAT = 1  # bump to orphan all existing entries on layout change
+_FORMAT = 2  # bump to orphan all existing entries on layout change
 
 _SECRET_RE = re.compile(r"(?i)\b(password|pwd|secret|token)=([^&;]*)")
 
@@ -45,21 +45,27 @@ def source_digest(source: str) -> str | None:
     exists (then the cache is URI-trusted, reference behavior).
 
     Depth: the top-level <table>.parquet entries PLUS, for directory
-    tables, every nested DIRECTORY down to the deepest partition level
-    (an append inside a=1/b=2/ bumps only the innermost dir's mtime, so
-    the round-8 depth-1 digest was still blind to 2+-level hive
-    layouts — round-9 fix per ADVICE). Directories are statted at every
-    level but leaf FILES only at depth 1: writers always create new
-    part-file names, so a change at any depth moves some dir's mtime.
-    Cost is O(tables + partition dirs), never a full file walk."""
+    tables, every nested directory AND leaf file down to the deepest
+    partition level, each as (path, mtime_ns, size). Leaf files used
+    to be statted at depth 1 only, on the assumption that writers
+    always create new part-file names — but nothing enforces that, and
+    an in-place overwrite of a nested data file under an existing name
+    bumps no directory mtime, so the digest served a stale catalog
+    (round-9 ADVICE fix: the digest is now exact for any content
+    change that moves a file's mtime or size, at any depth). Cost is
+    one scandir stat per directory entry — the DirEntry stat is served
+    from the readdir batch on the common platforms, and a source with
+    enough files for this walk to hurt should be fronted by a real
+    metastore anyway."""
     if source.startswith("jdbc:"):
         return None
 
-    def walk_dirs(root: str, rel: str, out: list) -> None:
+    def walk(root: str, rel: str, out: list) -> None:
         for c in sorted(os.scandir(root), key=lambda x: x.name):
+            st = c.stat(follow_symlinks=False)
+            out.append((f"{rel}/{c.name}", st.st_mtime_ns, st.st_size))
             if c.is_dir(follow_symlinks=False):
-                out.append((f"{rel}/{c.name}", os.stat(c.path).st_mtime_ns))
-                walk_dirs(c.path, f"{rel}/{c.name}", out)
+                walk(c.path, f"{rel}/{c.name}", out)
 
     try:
         entries = []
@@ -68,16 +74,10 @@ def source_digest(source: str) -> str | None:
         ):
             if not e.name.endswith(".parquet"):
                 continue
-            entries.append((e.name, os.stat(e.path).st_mtime_ns))
+            st = e.stat(follow_symlinks=False)
+            entries.append((e.name, st.st_mtime_ns, st.st_size))
             if e.is_dir():
-                entries.extend(
-                    sorted(
-                        (f"{e.name}/{c.name}", os.stat(c.path).st_mtime_ns)
-                        for c in os.scandir(e.path)
-                        if not c.is_dir(follow_symlinks=False)
-                    )
-                )
-                walk_dirs(e.path, e.name, entries)
+                walk(e.path, e.name, entries)
     except OSError:
         return None
     if not entries:

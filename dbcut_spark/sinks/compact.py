@@ -76,7 +76,9 @@ def compact_parquet(
     parquet footer carries TIGHT min/max on BOTH dimensions: a range
     predicate on either column then skips ~all non-matching files
     (file-skipping pinned in tests/test_sinks.py against the actual
-    footer stats). Unpartitioned layouts only — z-ordering inside hive
+    footer stats). NULL key values cluster at the curve's origin
+    (cell 0) rather than scattering — layout-only, content never
+    changes. Unpartitioned layouts only — z-ordering inside hive
     partitions would silently interact with the partition pruning
     story; raise instead (round-9 verdict ask #6)."""
     n_before, total = data_file_stats(path)
@@ -237,8 +239,19 @@ def compact_parquet(
             frac = (F.col(col).cast("double") - float(int(lo))) / float(
                 int(hi) - int(lo)
             )
+            # NULL keys: frac is NULL and least() SKIPS nulls (returning
+            # span), which would silently co-locate every NULL-key row
+            # with the max-range rows — coalesce the frac-derived cell
+            # to 0 BEFORE the least (least never returns the null), so
+            # NULL values cluster at the curve's origin instead;
+            # layout-only either way, but deterministic and documented
+            # (round-9 ADVICE fix)
             return F.least(
-                F.lit(span), F.floor(frac * F.lit(float(span))).cast("long")
+                F.lit(span),
+                F.coalesce(
+                    F.floor(frac * F.lit(float(span))).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
             )
 
         z = zvalue(

@@ -600,11 +600,20 @@ def group_imported_keys(t: str, fk_rows, table_set: set[str]) -> list:
     seq-reset counting recovers single-column groups exactly.
     Interleaved MULTI-column anonymous FKs to one parent are
     theoretically ambiguous in the JDBC metadata itself (real drivers
-    name them — Derby/PG/MySQL all synthesize names)."""
+    name them — Derby/PG/MySQL all synthesize names), and BOTH
+    detectable shapes of that ambiguity fail loudly: equal-arity
+    interleavings produce a duplicate KEY_SEQ inside one recovered
+    group (checked below), while mixed-arity sets (one 2-col + one
+    1-col constraint to the same parent) produce no duplicate seq but
+    DO leave multiple anonymous groups alongside a seq>1 row — since
+    rows arrive sorted by KEY_SEQ, not by constraint, a seq-2 row
+    cannot be attributed to the right seq-1 opener, so that
+    combination raises too (round-9 ADVICE fix)."""
     from dbcut_spark.catalog import ForeignKey
 
     by_name: dict[str, list] = {}
     anon_gen: dict[str, int] = {}
+    anon_max_seq: dict[str, int] = {}
     for parent, pcol, ccol, seq, fkname in fk_rows:
         # cross-schema parents are invisible to this catalog — skip
         # rather than dangle (same rule as the SQL reflection queries)
@@ -616,8 +625,20 @@ def group_imported_keys(t: str, fk_rows, table_set: set[str]) -> list:
             base = f"{t}->{parent}"
             if int(seq) == 1:
                 anon_gen[base] = anon_gen.get(base, 0) + 1
+            anon_max_seq[base] = max(anon_max_seq.get(base, 1), int(seq))
             gkey = f"{base}#{anon_gen.get(base, 1)}"
         by_name.setdefault(gkey, []).append((int(seq), parent, pcol, ccol))
+    for base, n_groups in anon_gen.items():
+        if n_groups > 1 and anon_max_seq.get(base, 1) > 1:
+            raise ValueError(
+                f"ambiguous anonymous foreign keys on {t!r}: {base} has "
+                f"{n_groups} unnamed constraints and a composite "
+                "(KEY_SEQ>1) column — getImportedKeys orders rows by "
+                "KEY_SEQ, so a multi-column anonymous constraint cannot "
+                "be attributed to its opener when another unnamed "
+                "constraint to the same parent exists; name the "
+                "constraints in the source schema"
+            )
     out = []
     for gkey, parts in by_name.items():
         parts.sort()

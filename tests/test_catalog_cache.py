@@ -252,3 +252,32 @@ def test_digest_sees_multilevel_partition_changes(tmp_path):
     deeper.mkdir()
     (deeper / "part-0.parquet").write_bytes(b"z")
     assert source_digest(str(src)) != d2
+
+
+def test_digest_sees_inplace_nested_overwrite(tmp_path):
+    """An in-place overwrite of a NESTED data file under an existing
+    name bumps no directory mtime — leaf files are now statted at
+    every depth, so the digest must still change (round-9 ADVICE
+    fix)."""
+    import os
+    import time
+
+    from dbcut_spark.catalog_cache import source_digest
+
+    src = tmp_path / "src"
+    inner = src / "t.parquet" / "a=1" / "b=2"
+    inner.mkdir(parents=True)
+    part = inner / "part-0.parquet"
+    part.write_bytes(b"xx")
+    d1 = source_digest(str(src))
+    time.sleep(0.02)
+    # same name, same size, new mtime (content rewritten in place);
+    # freeze every DIRECTORY mtime to prove no dir stat can save us
+    dir_times = {
+        p: os.stat(p).st_mtime_ns
+        for p in [src / "t.parquet", src / "t.parquet" / "a=1", inner]
+    }
+    part.write_bytes(b"yy")
+    for p, t_ns in dir_times.items():
+        os.utime(p, ns=(t_ns, t_ns))
+    assert source_digest(str(src)) != d1

@@ -610,3 +610,42 @@ def test_group_imported_keys_rejects_interleaved_anonymous_composites():
     ]
     with _pytest.raises(ValueError, match="ambiguous anonymous"):
         group_imported_keys("child", rows, {"p", "child"})
+
+
+def test_group_imported_keys_rejects_mixed_arity_anonymous():
+    """One 2-col + one 1-col anonymous FK to the same parent interleave
+    as KEY_SEQ 1,1,2 — no duplicate seq, so the old guard missed it and
+    silently mis-grouped the composite; any (multiple anonymous groups
+    AND seq>1) combination must raise (round-9 ADVICE fix)."""
+    import pytest as _pytest
+
+    from dbcut_spark.sources.jdbc import group_imported_keys
+
+    rows = [
+        ("p", "a1", "c_a1", "1", None),  # opener of the 2-col FK
+        ("p", "b1", "c_b1", "1", None),  # the 1-col FK
+        ("p", "a2", "c_a2", "2", None),  # second col of the 2-col FK
+    ]
+    with _pytest.raises(ValueError, match="ambiguous anonymous"):
+        group_imported_keys("child", rows, {"p", "child"})
+    # a SINGLE anonymous composite to the parent remains fine
+    ok = group_imported_keys(
+        "child",
+        [("p", "a1", "c_a1", "1", None), ("p", "a2", "c_a2", "2", None)],
+        {"p", "child"},
+    )
+    assert [(fk.child_cols, fk.parent_cols) for fk in ok] == [
+        (("c_a1", "c_a2"), ("a1", "a2"))
+    ]
+    # and anonymous composites to DIFFERENT parents don't cross-trip
+    ok2 = group_imported_keys(
+        "child",
+        [
+            ("p", "a1", "c_a1", "1", None),
+            ("p", "a2", "c_a2", "2", None),
+            ("q", "x1", "c_x1", "1", None),
+            ("q", "x2", "c_x2", "2", None),
+        ],
+        {"p", "q", "child"},
+    )
+    assert len(ok2) == 2

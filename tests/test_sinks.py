@@ -1536,3 +1536,39 @@ def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path):
     got = mf.read_snapshot(spark, tbl)
     assert got.count() == 0
     assert got.schema.simpleString() == "struct<id:bigint,v:string>"
+
+
+def test_zorder_null_keys_cluster_at_origin(spark, tmp_path):
+    """NULL z-order key values must route to cell 0 (co-located at the
+    curve's origin), not silently join the max-range rows via least()'s
+    null-skipping — and content survives byte-for-byte (round-9 ADVICE
+    fix)."""
+    from dbcut_spark.sinks.compact import compact_parquet
+
+    rows = [(i, i * 7 % 1000, f"p{i}") for i in range(5000)]
+    rows += [(None, 999, "null_a"), (None, None, "null_both")]
+    df = spark.createDataFrame(rows, "a long, b long, payload string")
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+
+    compact_parquet(
+        spark, path, zorder=("a", "b"), max_records_per_file=500
+    )
+    out = spark.read.parquet(path)
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=key) == sorted(
+        map(tuple, rows), key=key
+    )
+    # an all-NULL key row lands at the curve's ORIGIN (same file as the
+    # (0, 0) row); a half-NULL row keeps its non-null dimension but
+    # must not join the max-corner file (least()'s null-skip would have
+    # sent both there)
+    named = out.withColumn("f", F.input_file_name())
+    def file_of(cond):
+        return {r["f"] for r in named.filter(cond).collect()}
+    both_null = file_of(F.col("payload") == "null_both")
+    assert both_null == file_of((F.col("a") == 0) & (F.col("b") == 0))
+    max_corner = {
+        r["f"] for r in named.orderBy(F.col("a").desc()).limit(1).collect()
+    }
+    assert not (file_of(F.col("a").isNull()) & max_corner)
