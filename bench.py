@@ -151,6 +151,7 @@ HEADLINE = [
     # round-10 additions
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
+    "docs_bpe_vocab50",
 ]
 
 

@@ -829,6 +829,7 @@ _GATE_ROTATION = [
     # never-sampled-first debuts them in round 10's window --
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
+    "docs_bpe_vocab50",
 ]
 
 GATE_WINDOW = 50

@@ -5062,6 +5062,30 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
+@register("docs_bpe_vocab50", sql=_bpe_vocab_sql(50))
+def docs_bpe_vocab50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer at realistic depth (round 10): 50 merge rounds,
+    where later merges take MERGED tokens as operands (the regime a
+    12-round gate never reaches — by rank 50 the corpus is learning
+    multi-character units like 'er'+'g'). The driver fast path makes
+    this one corpus pass + an in-process loop — the cost model that
+    lets a gate train 4x deeper for ~zero extra Spark work; the oracle
+    unrolls all 50 rounds in DuckDB, so the hash pins the deep-greedy
+    dynamics cross-engine."""
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(bpe.word_types(d, "text"), 50)
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
 @register("docs_bpe_tokenize", sql=_bpe_tokenize_sql(_BPE_MERGES))
 def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE APPLY at corpus scale: every document re-tokenized under the

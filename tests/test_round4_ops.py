@@ -1509,6 +1509,7 @@ _ROUND9_ADDITIONS: list[str] = [
 _ROUND10_ADDITIONS: list[str] = [
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
+    "docs_bpe_vocab50",
 ]
 
 
