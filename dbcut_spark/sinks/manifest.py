@@ -161,36 +161,52 @@ def publish_snapshot(
     table_path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    retries: int = 0,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
     the staged files; ``mode='append'`` inherits the current
-    snapshot's files too. Returns the published version. Raises
-    :class:`VersionConflictError` on a concurrent-writer race (staged
-    files stay invisible; caller may retry)."""
+    snapshot's files too. Returns the published version.
+
+    Concurrency: losing a version race raises
+    :class:`VersionConflictError` with the staged files intact and
+    invisible. With ``retries`` > 0 the commit retries WITHOUT
+    re-staging — the expensive data write happened once; only the
+    tiny manifest re-publishes against a re-resolved parent. For
+    ``append`` the retry inherits the WINNER's file list plus this
+    writer's staged files, which is exactly the serializable outcome
+    of two appends; for ``overwrite`` a retry takes the next version
+    (last overwriter wins — same semantics as racing directory
+    swaps, but each intermediate snapshot stays readable)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(table_path, exist_ok=True)
-    parent = current_version(table_path)
-    files: list[str] = []
-    if mode == "append" and parent is not None:
-        files.extend(_load_manifest(table_path, parent)["files"])
     staged = _stage(df, table_path, partition_by)
-    files.extend(staged)
-    version = (parent or 0) + 1
-    _publish(
-        table_path,
-        {
-            "version": version,
-            "parent": parent,
-            "mode": mode,
-            "files": files,
-            "n_files": len(files),
-            "partition_by": list(partition_by or []),
-            "schema": json.loads(df.schema.json()),
-        },
-    )
-    return version
+    for attempt in range(retries + 1):
+        parent = current_version(table_path)
+        files: list[str] = []
+        if mode == "append" and parent is not None:
+            files.extend(_load_manifest(table_path, parent)["files"])
+        files.extend(staged)
+        version = (parent or 0) + 1
+        try:
+            _publish(
+                table_path,
+                {
+                    "version": version,
+                    "parent": parent,
+                    "mode": mode,
+                    "files": files,
+                    "n_files": len(files),
+                    "partition_by": list(partition_by or []),
+                    "schema": json.loads(df.schema.json()),
+                },
+            )
+            return version
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def read_snapshot(

@@ -1572,3 +1572,61 @@ def test_zorder_null_keys_cluster_at_origin(spark, tmp_path):
         r["f"] for r in named.orderBy(F.col("a").desc()).limit(1).collect()
     }
     assert not (file_of(F.col("a").isNull()) & max_corner)
+
+
+def test_manifest_conflict_retry_merges_appends(spark, tmp_path, monkeypatch):
+    """Losing a version race with retries>0 re-publishes WITHOUT
+    re-staging, and an append retry inherits the winner's files — the
+    serializable two-appenders outcome."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+
+    # simulate a concurrent appender winning version 2 between this
+    # writer's stage and publish: patch _publish to inject the rival's
+    # commit before the first real attempt
+    real_publish = mf._publish
+    real_stage = mf._stage
+    state = {"raced": False}
+
+    def racing_publish(table_path, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            rival = real_stage(
+                spark.createDataFrame([(2,)], "id long"), table_path, None
+            )
+            real_publish(
+                table_path,
+                {
+                    "version": 2, "parent": 1, "mode": "append",
+                    "files": mf._load_manifest(table_path, 1)["files"]
+                    + rival,
+                    "n_files": 0, "partition_by": [],
+                    "schema": manifest["schema"],
+                },
+            )
+        return real_publish(table_path, manifest)
+
+    monkeypatch.setattr(mf, "_publish", racing_publish)
+    stage_calls = []
+    monkeypatch.setattr(
+        mf, "_stage",
+        lambda *a, **k: (stage_calls.append(1) or real_stage(*a, **k)),
+    )
+    v = mf.publish_snapshot(
+        spark.createDataFrame([(3,)], "id long"), tbl,
+        mode="append", retries=2,
+    )
+    assert v == 3
+    assert len(stage_calls) == 1  # the loser never re-staged
+    got = sorted(r["id"] for r in mf.read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 3]  # both appends survive
+    # retries=0 keeps the loud-failure contract
+    import pytest
+
+    state["raced"] = False
+    with pytest.raises(mf.VersionConflictError):
+        mf.publish_snapshot(
+            spark.createDataFrame([(4,)], "id long"), tbl, mode="append"
+        )
