@@ -649,3 +649,176 @@ def test_group_imported_keys_rejects_mixed_arity_anonymous():
         {"p", "q", "child"},
     )
     assert len(ok2) == 2
+
+
+# ---------------------------------------------------------------------------
+# Live PostgreSQL reflection e2e (round 10: the sandbox grew a server)
+# ---------------------------------------------------------------------------
+
+
+import os
+
+import pytest as _pt
+
+
+@_pt.fixture(scope="module")
+def live_pg():
+    """A throwaway PostgreSQL server on a private unix socket. Skips
+    when the server binaries are absent. postgres refuses to run as
+    uid 0, so under root the server runs as `nobody` in a
+    world-traversable scratch dir; psql connects over the socket with
+    initdb's default trust auth."""
+    import shutil
+    import subprocess
+    import tempfile
+    import time
+
+    for exe in ("initdb", "pg_ctl", "psql"):
+        if shutil.which(exe) is None:
+            _pt.skip(f"{exe} not available")
+    base = tempfile.mkdtemp(prefix="dbcut_pg_")
+    os.chmod(base, 0o755)
+    as_user = None
+    if os.getuid() == 0:
+        if shutil.which("su") is None:
+            _pt.skip("root without su: cannot drop privileges for postgres")
+        as_user = "nobody"
+        shutil.chown(base, "nobody")
+
+    def srv(cmd: str) -> list[str]:
+        if as_user:
+            return ["su", as_user, "-s", "/bin/sh", "-c", cmd]
+        return ["/bin/sh", "-c", cmd]
+
+    data = os.path.join(base, "data")
+    r = subprocess.run(
+        srv(f"initdb -D {data} -U dbcut"), capture_output=True, text=True,
+        cwd=base,
+    )
+    if r.returncode:
+        shutil.rmtree(base, ignore_errors=True)
+        _pt.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = subprocess.run(
+        srv(
+            f"pg_ctl -D {data} -l {base}/log "
+            f"-o '-k {base} -c listen_addresses=' start"
+        ),
+        capture_output=True, text=True, cwd=base,
+    )
+    if r.returncode:
+        shutil.rmtree(base, ignore_errors=True)
+        _pt.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    time.sleep(0.5)
+    try:
+        yield {"host": base, "user": "dbcut", "db": "postgres"}
+    finally:
+        subprocess.run(
+            srv(f"pg_ctl -D {data} stop -m immediate"),
+            capture_output=True, cwd=base,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _psql(pg, sql: str) -> list[tuple[str, ...]]:
+    import subprocess
+
+    out = subprocess.run(
+        ["psql", "-h", pg["host"], "-U", pg["user"], "-d", pg["db"],
+         "-v", "ON_ERROR_STOP=1", "-At", "-F", "\t", "-c", sql],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    return [tuple(line.split("\t")) for line in out.stdout.splitlines()]
+
+
+def test_live_postgres_reflection_e2e(live_pg):
+    """The PostgreSQL dialect reflection SQL — tables, PKs (composite),
+    FKs (named + composite, resolved through pg_catalog oids),
+    reltuples estimates, column defaults — validated against a REAL
+    postgres 15 server end-to-end into a Catalog + relation tree.
+    (The Spark JDBC transport itself is proven live via Derby in
+    test_cli_load_from_live_jdbc_source; the pg-specific risk was
+    always this dialect SQL, which psql exercises here without
+    needing the postgres JDBC driver jar.)"""
+    from dbcut_spark.graph import build_relation_tree
+    from dbcut_spark.sources.jdbc import catalog_from_rows, reflection_sql
+
+    _psql(live_pg, """
+      CREATE TABLE region (r_id int PRIMARY KEY, r_name text DEFAULT 'x');
+      CREATE TABLE nation (n_id int PRIMARY KEY,
+                           n_region int REFERENCES region(r_id),
+                           n_name text);
+      CREATE TABLE cust (c_id int, c_ver int, c_nation int,
+                         created timestamptz DEFAULT now(),
+                         seq_id bigint GENERATED BY DEFAULT AS IDENTITY,
+                         PRIMARY KEY (c_id, c_ver),
+                         CONSTRAINT fk_cust_nation FOREIGN KEY (c_nation)
+                           REFERENCES nation(n_id));
+      CREATE TABLE orders (o_id int PRIMARY KEY, o_cid int, o_cver int,
+                           amount numeric DEFAULT 0,
+                           CONSTRAINT fk_o_cust FOREIGN KEY (o_cid, o_cver)
+                             REFERENCES cust(c_id, c_ver));
+      CREATE TABLE nopk (x int, y text);
+      INSERT INTO region VALUES (1,'emea'),(2,'apac');
+      INSERT INTO nation VALUES (10,1,'fr'),(11,2,'jp');
+      INSERT INTO cust (c_id,c_ver,c_nation) VALUES (100,1,10),(101,1,11);
+      INSERT INTO orders VALUES (1000,100,1,5.5),(1001,101,1,6.5);
+      INSERT INTO nopk SELECT g, 'v' FROM generate_series(1,50) g;
+      ANALYZE;
+    """)
+
+    def rows(kind):
+        return _psql(live_pg, reflection_sql(kind, "postgresql", "public"))
+
+    tables = [r[0] for r in rows("tables")]
+    assert tables == ["cust", "nation", "nopk", "orders", "region"]
+    cols = {
+        t: [
+            r[0]
+            for r in _psql(
+                live_pg,
+                "SELECT column_name FROM information_schema.columns "
+                f"WHERE table_schema='public' AND table_name='{t}' "
+                "ORDER BY ordinal_position",
+            )
+        ]
+        for t in tables
+    }
+    pk_rows = [(t, c, int(p)) for t, c, p in rows("pk")]
+    fk_rows = [
+        (ch, cc, pa, pc, name, int(pos))
+        for ch, cc, pa, pc, name, pos in rows("fk")
+    ]
+    default_rows = rows("defaults")
+    cat = catalog_from_rows(
+        tables, cols, pk_rows, fk_rows, default_rows, dialect="postgresql"
+    )
+
+    # PKs: single, composite, synthesized for nopk
+    assert cat.tables["cust"].pk == ("c_id", "c_ver")
+    assert cat.tables["orders"].pk == ("o_id",)
+    assert cat.tables["nopk"].synthetic_pk
+    # FKs: named single-col, anonymous (server-named) single-col, and
+    # the COMPOSITE one kept column-paired in order via pg_catalog oids
+    got_fks = {
+        (fk.child, fk.child_cols, fk.parent, fk.parent_cols)
+        for fk in cat.fks
+    }
+    assert got_fks == {
+        ("cust", ("c_nation",), "nation", ("n_id",)),
+        ("nation", ("n_region",), "region", ("r_id",)),
+        ("orders", ("o_cid", "o_cver"), "cust", ("c_id", "c_ver")),
+    }
+    # defaults: pg cast literal stripped, numeric kept, now() carried
+    # as a current-timestamp spelling, identity/sequence default DROPPED
+    assert cat.tables["region"].defaults["r_name"] == "'x'"
+    assert cat.tables["orders"].defaults["amount"] == "0"
+    assert "now" in cat.tables["cust"].defaults["created"].lower()
+    assert "seq_id" not in cat.tables["cust"].defaults
+    # reltuples estimates reflect ANALYZE
+    est = {t: int(n) for t, n in rows("estimate")}
+    assert est["nopk"] == 50 and est["orders"] == 2
+    # and the reflected catalog drives the FK graph the closure walks
+    tree = build_relation_tree(cat, "orders")
+    reached = {n.table for n in tree.root.walk()}
+    assert {"orders", "cust", "nation", "region"} <= reached
