@@ -152,6 +152,7 @@ HEADLINE = [
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
+    "backref_cap_salted__orders",
 ]
 
 

@@ -412,6 +412,41 @@ for _fixture, _tables in FIXTURE_TABLES.items():
         ORACLES[_name] = plan_oracle_sql(_plan, _table)
 
 
+def _closure_salted_cap_fn(fixture: str, table: str):
+    """Forced-salted twin of a closure fixture (round 10): the
+    two-phase skew-safe backref cap must hash-match the plain window's
+    oracle — salted == plain proven through DuckDB, not just
+    plan-shape tests."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        plan = build_plan(TPCH_CATALOG, FIXTURES[fixture])
+        ex = ClosureExecutor(
+            spark,
+            parquet_loader(spark, sf_dir),
+            table_rows=parquet_table_rows(sf_dir),
+            salted_backref_cap=True,
+        )
+        return ex.closure_table(plan, table)
+
+    run.__name__ = f"{fixture}_salted__{table}"
+    run.__doc__ = (
+        f"Extraction closure of {table!r} for fixture {fixture!r} with "
+        "the skew-safe salted per-parent backref cap FORCED "
+        "(operators/skew.py:salted_top_per_key) — same oracle as the "
+        "plain-window twin, so the hash match is the salted == plain "
+        "theorem under the DuckDB recomputation."
+    )
+    return run
+
+
+QUERIES["backref_cap_salted__orders"] = _closure_salted_cap_fn(
+    "backref_cap", "orders"
+)
+ORACLES["backref_cap_salted__orders"] = plan_oracle_sql(
+    build_plan(TPCH_CATALOG, FIXTURES["backref_cap"]), "orders"
+)
+
+
 # ---------------------------------------------------------------------------
 # Semi/anti joins and set operations — the closure operator (J5) and the
 # insert-ignore sink (K1) are built on these (SURVEY.md §2.4/§2.7: "both
@@ -830,6 +865,7 @@ _GATE_ROTATION = [
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
+    "backref_cap_salted__orders",
 ]
 
 GATE_WINDOW = 50

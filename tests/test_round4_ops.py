@@ -1510,6 +1510,7 @@ _ROUND10_ADDITIONS: list[str] = [
     "docs_bpe_encode_unseen",
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
+    "backref_cap_salted__orders",
 ]
 
 
