@@ -153,6 +153,7 @@ HEADLINE = [
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
+    "dedup_ingest_sequential",
 ]
 
 

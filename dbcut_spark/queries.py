@@ -866,6 +866,7 @@ _GATE_ROTATION = [
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
+    "dedup_ingest_sequential",
 ]
 
 GATE_WINDOW = 50

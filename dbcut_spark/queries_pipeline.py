@@ -1245,6 +1245,71 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_DEDUP_INGEST_SQL = (
+    "WITH "
+    + _minhash_cand_ctes()
+    + """
+    , sl AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1
+                  ELSE 2 END AS slice_no
+      FROM documents),
+    pairs AS (
+      SELECT doc_a AS x, doc_b AS y FROM scored WHERE est_sim >= 0.5
+      UNION ALL
+      SELECT doc_b AS x, doc_a AS y FROM scored WHERE est_sim >= 0.5),
+    a0 AS (SELECT doc_id, h FROM sl WHERE slice_no = 0),
+    a1 AS (
+      SELECT s.doc_id, s.h FROM sl s WHERE s.slice_no = 1
+        AND s.h NOT IN (SELECT h FROM a0)
+        AND NOT EXISTS (SELECT 1 FROM pairs p JOIN a0 ON a0.doc_id = p.y
+                        WHERE p.x = s.doc_id)),
+    ref2 AS (SELECT doc_id, h FROM a0 UNION ALL SELECT doc_id, h FROM a1),
+    a2 AS (
+      SELECT s.doc_id, s.h FROM sl s WHERE s.slice_no = 2
+        AND s.h NOT IN (SELECT h FROM ref2)
+        AND NOT EXISTS (SELECT 1 FROM pairs p JOIN ref2 r ON r.doc_id = p.y
+                        WHERE p.x = s.doc_id))
+    SELECT doc_id FROM a0
+    UNION ALL SELECT doc_id FROM a1
+    UNION ALL SELECT doc_id FROM a2
+    ORDER BY doc_id
+    """
+)
+
+
+@register("dedup_ingest_sequential", sql=_DEDUP_INGEST_SQL)
+def dedup_ingest_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential dedup-ingest loop (round 10,
+    streaming/dedup.py:dedup_ingest_batch — the batch core of the
+    streaming foreachBatch ingester, whose stream==batch equivalence
+    is pinned in tests): three document slices (sources 0-4, 5-9,
+    10-19) flow through probe-accept-append — slice 0 bootstraps the
+    index, each later slice dedups against everything ACCEPTED so far
+    (exact hash + LSH near probe against the persisted index) and the
+    survivors grow the index for the next slice. Output is the final
+    corpus id set; the oracle chains the incremental-dedup SQL twice
+    over the evolving accepted set, so the hash pins the whole
+    sequential-state semantics — acceptance at slice k depends on
+    acceptance at slices < k — not just one probe."""
+    import dbcut_spark.queries_relational as qr
+    from dbcut_spark.streaming.dedup import dedup_ingest_batch
+
+    scratch = qr._rf_scratch()
+    idx, corpus = scratch + "/ingest_idx", scratch + "/ingest_corpus"
+    d = tp(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.substring("source", 4, 10).cast("int").alias("si"),
+    )
+    for lo, hi in [(0, 5), (5, 10), (10, 100)]:
+        dedup_ingest_batch(
+            d.filter((F.col("si") >= lo) & (F.col("si") < hi)).drop("si"),
+            idx, corpus, "text", "doc_id", n_buckets=16,
+        )
+    return spark.read.parquet(corpus).select("doc_id").orderBy("doc_id")
+
+
 def _pii_sql() -> str:
     email_pat, email_tok = cur.PII_PATTERNS["email"]
     phone_pat, phone_tok = cur.PII_PATTERNS["phone"]

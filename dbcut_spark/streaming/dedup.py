@@ -1,0 +1,135 @@
+"""Streaming corpus ingestion with LSH dedup — the continuous twin of
+``curation.incremental_dedup_indexed`` (round 10): a document stream
+triages each micro-batch against the PERSISTED LSH reference index,
+appends only the accepted (neither exact- nor near-duplicate) docs to
+the corpus, and grows the index with exactly those docs so the NEXT
+micro-batch dedups against them too. This is the shape a 100 TB
+training-data pipeline actually runs: the reference corpus is hashed
+once (index build), and steady-state ingestion cost is O(batch) —
+probe reads only the batch's colliding bucket partitions, appends are
+partitioned writes.
+
+Restart/retry semantics (foreachBatch may re-run a batch):
+
+- the corpus append is an ``insert_ignore_parquet`` keyed on the id
+  column — idempotent, a replayed batch inserts nothing new;
+- the index append tolerates replay by construction: the near probe
+  anti-joins the batch's own ids out of the index side, and the exact
+  table append anti-joins duplicate hashes (see
+  ``dedup.lsh_index_append``);
+- a replayed batch whose hashes already landed in the exact table
+  triages as exact-dup (the safe answer: the content IS in the
+  reference), so its ``accepted`` set is empty and every sink step is
+  a no-op — the pipeline CONVERGES to the same corpus/index, though a
+  decisions audit sink would record the replay's dup verdicts, which
+  is why this module does not offer one: decision rows are not
+  replay-stable, corpora and indexes are.
+
+Bootstrap: when no index exists yet, the first non-empty batch is
+accepted wholesale (an empty reference has no duplicates of anything —
+exactly the batch semantics of ``incremental_dedup`` against an empty
+reference side) and becomes the initial index. Intra-batch duplicates
+are deliberately NOT collapsed, matching the batch twin (batch
+self-dedup is ``dedup_exact``/``dedup_minhash_lsh``'s job); they do
+collide against the index from the next batch on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    n_buckets: int = 64,
+) -> int:
+    """Triage ONE batch against the index, append accepted docs to the
+    corpus and the index. Returns the number of accepted docs. Batch
+    core shared by the streaming wrapper and batch callers (the same
+    batch-first design as streaming/merge.apply_cdc_batch)."""
+    from pyspark.sql import functions as F
+
+    from dbcut_spark.operators.curation import incremental_dedup_indexed
+    from dbcut_spark.operators.dedup import build_lsh_index, lsh_index_append
+    from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return 0
+    # stabilize: the batch feeds the probe, the corpus append and the
+    # index append — without a checkpoint, each consumer would re-pull
+    # the (possibly non-replayable) source
+    batch = batch.localCheckpoint()
+    bootstrapped = not os.path.exists(
+        os.path.join(index_path, "_lsh_meta.json")
+    )
+    if bootstrapped:
+        accepted = batch
+    else:
+        decisions = incremental_dedup_indexed(
+            spark, index_path, batch, text_col, id_col, threshold
+        )
+        keep = decisions.filter(
+            ~F.col("is_exact_dup") & ~F.col("is_near_dup")
+        ).select(id_col)
+        accepted = batch.join(keep, id_col, "left_semi")
+    accepted = accepted.localCheckpoint()
+    n = accepted.count()
+    if n == 0:
+        return 0
+    # corpus BEFORE index: a crash between the two replays as
+    # accepted-again (insert_ignore dedups the corpus, the index
+    # append then completes); the reverse order would replay as
+    # all-dups and leave the corpus missing the batch forever
+    insert_ignore_parquet(spark, accepted, corpus_path, [id_col])
+    if bootstrapped:
+        build_lsh_index(
+            accepted, index_path, text_col, id_col,
+            num_hashes=num_hashes, band_rows=band_rows,
+            n_buckets=n_buckets,
+        )
+    else:
+        lsh_index_append(spark, index_path, accepted, text_col, id_col)
+    return n
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    trigger: dict | None = None,
+    **index_params,
+):
+    """Start the streaming ingestion loop (foreachBatch over
+    :func:`dedup_ingest_batch`). Returns the StreamingQuery. Default
+    trigger drains available input and stops (test/batch-drain mode);
+    pass e.g. ``{"processingTime": "1 minute"}`` for continuous
+    ingestion. Compose with ``dedup.lsh_index_compact`` on a
+    maintenance cadence — every batch's append fragments the touched
+    bucket dirs (``cli inspect --lsh-index`` shows when)."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch, index_path, corpus_path, text_col, id_col,
+            threshold, **index_params,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -340,3 +340,97 @@ def test_cli_inspect_lsh_index(spark, sf_dir, tmp_path):
     )
     assert res2.exit_code == 0, res2.output
     assert "FRAG" in res2.output.split("lsh index")[1]
+
+
+def test_stream_dedup_ingest_matches_batch_loop(spark, sf_dir, tmp_path):
+    """Round-10 streaming composition: the foreachBatch dedup-ingest
+    loop (probe persisted index -> accept -> append corpus + index)
+    over time-ordered micro-batches must land the SAME corpus and an
+    equivalently-probing index as the batch loop over the identical
+    slices; replaying a drained batch is a no-op (convergence)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from dbcut_spark.operators.dedup import probe_lsh_index
+    from dbcut_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        stream_dedup_ingest,
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.substring("source", 4, 10).cast("int").alias("si"),
+    )
+    slices = [
+        full.filter(F.col("si") < 5).drop("si"),
+        full.filter((F.col("si") >= 5) & (F.col("si") < 10)).drop("si"),
+        full.filter(F.col("si") >= 10).drop("si"),
+    ]
+
+    # ---- batch loop (the reference semantics) ----
+    idx_b = str(tmp_path / "idx_batch")
+    corpus_b = str(tmp_path / "corpus_batch")
+    accepted_per_slice = [
+        dedup_ingest_batch(sl, idx_b, corpus_b, "text", "doc_id")
+        for sl in slices
+    ]
+    assert accepted_per_slice[0] == slices[0].count()  # bootstrap batch
+    assert sum(accepted_per_slice) > 0
+
+    # ---- streaming loop over the same slices as ordered files ----
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    base_t = 1_700_000_000
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"dstage_{i}")
+        sl.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src_dir / f"slice_{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+    idx_s = str(tmp_path / "idx_stream")
+    corpus_s = str(tmp_path / "corpus_stream")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = stream_dedup_ingest(
+        stream, idx_s, corpus_s, "text", "doc_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_s).collect()
+    )
+    exp = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_b).collect()
+    )
+    assert got == exp
+    # the corpora deduplicated something real (cross-slice dups exist)
+    assert len(exp) < full.count()
+
+    # the two indexes probe identically on a fresh synthetic batch
+    probe = spark.createDataFrame(
+        [(99001, slices[0].first()["text"]),
+         (99002, "entirely novel probe content never seen before xyz")],
+        "doc_id long, text string",
+    )
+    pa = sorted(map(tuple, probe_lsh_index(
+        spark, idx_s, probe, "text", "doc_id").collect()))
+    pb = sorted(map(tuple, probe_lsh_index(
+        spark, idx_b, probe, "text", "doc_id").collect()))
+    assert pa == pb
+
+    # replay convergence: re-ingesting a drained slice accepts nothing
+    # and leaves the corpus unchanged
+    n_again = dedup_ingest_batch(
+        slices[2], idx_b, corpus_b, "text", "doc_id"
+    )
+    assert n_again == 0
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_b).collect()
+    ) == exp

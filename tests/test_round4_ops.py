@@ -1511,6 +1511,7 @@ _ROUND10_ADDITIONS: list[str] = [
     "orders_manifest_snapshot",
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
+    "dedup_ingest_sequential",
 ]
 
 
