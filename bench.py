@@ -154,6 +154,7 @@ HEADLINE = [
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
+    "docs_bpe_token_ids",
 ]
 
 

@@ -289,6 +289,74 @@ def bpe_encode(
     )
 
 
+def build_vocab(seg: DataFrame) -> DataFrame:
+    """(token, token_id) — the id table of a trained tokenizer: every
+    distinct symbol of the training segmentation, ids assigned 1..V in
+    lexicographic order so the mapping is deterministic across runs,
+    partitionings and engines (code-point order — same determinism
+    contract as the merge tie-breaks). Id 0 is reserved for
+    out-of-vocabulary tokens (:func:`bpe_encode_ids`). The unpartitioned
+    row_number window runs on ONE task over the distinct-token frame —
+    vocabulary-sized by construction (tens of thousands of rows for a
+    real tokenizer), never corpus-sized."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("token")
+    return (
+        seg.select(F.explode("syms").alias("token"))
+        .distinct()
+        .withColumn("token_id", F.row_number().over(w).cast("long"))
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple],
+    vocab: DataFrame,
+) -> DataFrame:
+    """The full tokenizer contract — text in, TOKEN IDS out:
+    (id, n_bpe_tokens, token_ids array<long>). Tokens come from
+    :func:`bpe_encode` (size-routed apply, open vocabulary); ids from a
+    broadcast join against the :func:`build_vocab` table, with unseen
+    tokens (possible only on text containing characters absent from
+    the training corpus) mapped to the reserved OOV id 0. Every input
+    document yields a row — wordless docs as (0, []) — matching
+    bpe_encode's contract."""
+    enc = bpe_encode(df, text_col, id_col, merges)
+    tok = enc.select(
+        F.col(id_col), F.posexplode("tokens").alias("pos", "token")
+    )
+    mapped = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .withColumn(
+            "token_id", F.coalesce("token_id", F.lit(0).cast("long"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bpe_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids"),
+        )
+    )
+    return (
+        enc.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce(
+                F.col("token_ids"), F.expr("CAST(array() AS array<bigint>)")
+            ).alias("token_ids"),
+        )
+    )
+
+
 def save_merges(merges: list[tuple], path: str) -> None:
     """Persist a learned merge table as JSON — the tokenizer ARTIFACT:
     train once (bpe_train), ship the table, apply anywhere

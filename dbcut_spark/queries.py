@@ -867,6 +867,7 @@ _GATE_ROTATION = [
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
+    "docs_bpe_token_ids",
 ]
 
 GATE_WINDOW = 50

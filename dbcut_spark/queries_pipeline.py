@@ -5194,6 +5194,68 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_token_ids_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    vocab AS (
+      SELECT sym AS token, ROW_NUMBER() OVER (ORDER BY sym) AS token_id
+      FROM (SELECT DISTINCT sym FROM seq{n})),
+    wids AS (
+      SELECT s.wid, string_agg(v.token_id, ' ' ORDER BY s.pos) AS id_seq,
+             CAST(COUNT(*) AS BIGINT) AS n_sym
+      FROM seq{n} s JOIN vocab v ON v.token = s.sym
+      GROUP BY s.wid),
+    dtok AS (
+      SELECT t.doc_id, t.pos, wi.id_seq, wi.n_sym
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
+                   unnest(range(1, len(string_split(lower(trim(text)), ' '))
+                                   + 1)) AS pos
+            FROM documents) t
+      JOIN wrd ON wrd.word = t.tok
+      JOIN wids wi ON wi.wid = wrd.wid)
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(x.n_sym), 0) AS BIGINT) AS n_bpe_tokens,
+           md5(COALESCE(string_agg(x.id_seq, ' ' ORDER BY x.pos), ''))
+             AS ids_hash
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN dtok x USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
+@register("docs_bpe_token_ids", sql=_bpe_token_ids_sql(_BPE_MERGES))
+def docs_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's END CONTRACT (round 10): text in, token IDS out
+    — train 12 merges, build the deterministic id table
+    (bpe.build_vocab: distinct trained symbols, lexicographic 1..V,
+    OOV=0) and re-encode the corpus to id sequences. The oracle
+    re-derives the vocabulary and the per-word id strings in DuckDB
+    and hashes each document's full id sequence, so the value hash
+    pins tokens AND the token->id mapping cross-engine — the array a
+    training pipeline actually feeds to a model."""
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    merges, seg = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
+    vocab = bpe.build_vocab(seg)
+    return (
+        bpe.bpe_encode_ids(d, "text", "doc_id", merges, vocab)
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        "token_ids", lambda i: i.cast("string")
+                    ),
+                    " ",
+                )
+            ).alias("ids_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "events_scd2_asof",
     sql="""

@@ -1498,3 +1498,39 @@ def test_bpe_encode_wordless_docs_yield_zero_rows(spark):
     assert out[1][0] > 0
     for d in (2, 3, 4):
         assert out[d] == (0, []), d
+
+
+def test_bpe_encode_ids_oov_and_wordless(spark):
+    """bpe_encode_ids: seen tokens map to the deterministic 1..V vocab
+    ids, tokens containing characters absent from training map to the
+    reserved OOV id 0, and wordless docs come back as (0, [])."""
+    from dbcut_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low")], ["doc_id", "text"]
+    )
+    merges, seg = bpe.bpe_train(bpe.word_types(train, "text"), 4)
+    vocab = bpe.build_vocab(seg)
+    vmap = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # ids are 1..V in lexicographic token order
+    assert sorted(vmap.values()) == list(range(1, len(vmap) + 1))
+    assert list(vmap) != sorted(vmap) or vmap[sorted(vmap)[0]] == 1
+
+    out = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["token_ids"]))
+        for r in bpe.bpe_encode_ids(
+            spark.createDataFrame(
+                [(10, "low"), (11, "zzz"), (12, "  ")], ["doc_id", "text"]
+            ),
+            "text", "doc_id", merges, vocab,
+        ).collect()
+    }
+    # seen word: every id is its token's vocab id
+    seg_low = {r["word"]: list(r["syms"]) for r in seg.collect()}["low"]
+    assert out[10] == (len(seg_low), [vmap[t] for t in seg_low])
+    # unseen characters: z never appeared at training -> OOV id 0 for
+    # each char token, EOW itself IS in vocab
+    assert out[11][1][:3] == [0, 0, 0]
+    assert out[11][1][3] == vmap[bpe.EOW]
+    # wordless doc yields the (0, []) row
+    assert out[12] == (0, [])

@@ -1512,6 +1512,7 @@ _ROUND10_ADDITIONS: list[str] = [
     "docs_bpe_vocab50",
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
+    "docs_bpe_token_ids",
 ]
 
 
