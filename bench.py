@@ -155,6 +155,7 @@ HEADLINE = [
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
     "docs_bpe_token_ids",
+    "docs_bpe_tokenize50",
 ]
 
 

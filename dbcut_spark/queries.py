@@ -868,6 +868,7 @@ _GATE_ROTATION = [
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
     "docs_bpe_token_ids",
+    "docs_bpe_tokenize50",
 ]
 
 GATE_WINDOW = 50

@@ -5194,6 +5194,48 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("docs_bpe_tokenize50", sql=_bpe_tokenize_sql(50))
+def docs_bpe_tokenize50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY through the VECTORIZED kernel, oracle-pinned (round
+    10): a 50-merge table is past FOLD_MAX_MERGES, so the training
+    segmentation this query re-tokenizes with comes from
+    apply_merges' Arrow-batched strict-rank-order path — the DuckDB
+    hash (50 unrolled window-greedy rounds) certifies the Pandas-UDF
+    kernel itself cross-engine, not just the fold form the 12-merge
+    gates cover. Same doc-level output contract as docs_bpe_tokenize."""
+    from dbcut_spark.functions.text import norm_text
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), 50)
+    wseg = seg.select(
+        "word",
+        F.array_join("syms", " ").alias("seg"),
+        F.size("syms").cast("long").alias("n_sym"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text("text"), " ")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.join(F.broadcast(wseg), toks.tok == wseg.word)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("seg_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _bpe_token_ids_sql(n: int) -> str:
     return f"""WITH {_bpe_ctes(n)},
     vocab AS (

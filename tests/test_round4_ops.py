@@ -1513,6 +1513,7 @@ _ROUND10_ADDITIONS: list[str] = [
     "backref_cap_salted__orders",
     "dedup_ingest_sequential",
     "docs_bpe_token_ids",
+    "docs_bpe_tokenize50",
 ]
 
 
