@@ -162,6 +162,7 @@ def publish_snapshot(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     retries: int = 0,
+    expected_parent: int | None = ...,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -177,13 +178,29 @@ def publish_snapshot(
     writer's staged files, which is exactly the serializable outcome
     of two appends; for ``overwrite`` a retry takes the next version
     (last overwriter wins — same semantics as racing directory
-    swaps, but each intermediate snapshot stays readable)."""
+    swaps, but each intermediate snapshot stays readable).
+
+    ``expected_parent`` pins optimistic concurrency for callers whose
+    df was DERIVED from a specific snapshot (``upsert_snapshot``):
+    the commit targets exactly version expected_parent+1, so a racing
+    writer taking that version fails THIS publish with
+    :class:`VersionConflictError` instead of letting a stale
+    derivation silently overwrite the winner — incompatible with
+    internal retries (which re-resolve the parent), so it requires
+    ``retries=0``; pass None to pin 'the table must be empty'."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    pin_parent = expected_parent is not ...
+    if pin_parent and retries:
+        raise ValueError(
+            "expected_parent pins the commit to one version; internal "
+            "retries would re-resolve the parent and break the "
+            "optimistic-concurrency contract — retry by re-deriving df"
+        )
     os.makedirs(table_path, exist_ok=True)
     staged = _stage(df, table_path, partition_by)
     for attempt in range(retries + 1):
-        parent = current_version(table_path)
+        parent = expected_parent if pin_parent else current_version(table_path)
         files: list[str] = []
         if mode == "append" and parent is not None:
             files.extend(_load_manifest(table_path, parent)["files"])
@@ -242,6 +259,75 @@ def read_snapshot(
         piece = spark.read.option("basePath", base).parquet(*paths)
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_path: str,
+    pk: list[str],
+    op_col: str | None = None,
+    retries: int = 2,
+) -> int:
+    """MERGE a delta into a manifest table: rows keyed on ``pk`` are
+    replaced, new keys insert, and (with ``op_col``) rows marked
+    ``'D'`` delete — the manifest twin of
+    ``insert_ignore.upsert_parquet``/``delete_keys_parquet``, except
+    the commit is one manifest publish instead of directory renames,
+    so it is safe on rename-less object stores AND under concurrent
+    readers (they hold an immutable older snapshot). Returns the
+    published version.
+
+    The merge rewrites the whole snapshot (untouched rows are copied
+    into the new commit's files): manifests trade the staging-swap's
+    partition-pruned rewrite for an atomic, versioned commit. Deltas
+    against a huge table should batch up or use the POSIX swap writers
+    — the boundary is documented in ARCHITECTURE.md. An empty-table
+    upsert bootstraps the snapshot (parity with upsert_parquet).
+
+    Conflict handling: version races retry through
+    :func:`publish_snapshot` — but note a retry REBASES onto the
+    winner's data files only if we re-read them, so the merge result
+    is recomputed per attempt here (read-merge-publish, the classic
+    optimistic-concurrency loop)."""
+    if op_col is not None and op_col not in delta.columns:
+        raise ValueError(f"op_col {op_col!r} not in delta")
+    for attempt in range(retries + 1):
+        base_version = current_version(table_path)
+        if base_version is None:
+            merged = (
+                delta.filter(F.col(op_col) != "D").drop(op_col)
+                if op_col
+                else delta
+            )
+        else:
+            existing = read_snapshot(spark, table_path, base_version)
+            keys = delta.select(
+                *[F.col(c).alias(f"__k_{c}") for c in pk]
+            ).distinct()
+            cond = None
+            for c in pk:
+                e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                cond = e if cond is None else (cond & e)
+            untouched = existing.join(keys, cond, "left_anti")
+            upserts = (
+                delta.filter(F.col(op_col) != "D").drop(op_col)
+                if op_col
+                else delta
+            )
+            merged = untouched.unionByName(upserts)
+        try:
+            # parent pinned to the snapshot the merge was derived from:
+            # a winner landing in between makes THIS commit lose (and
+            # the loop re-derive), never the winner's changes
+            return publish_snapshot(
+                merged, table_path, mode="overwrite",
+                expected_parent=base_version,
+            )
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def vacuum(table_path: str, keep_last: int = 1) -> list[str]:

@@ -1630,3 +1630,63 @@ def test_manifest_conflict_retry_merges_appends(spark, tmp_path, monkeypatch):
         mf.publish_snapshot(
             spark.createDataFrame([(4,)], "id long"), tbl, mode="append"
         )
+
+
+def test_manifest_upsert_snapshot_merge_and_occ(spark, tmp_path, monkeypatch):
+    """upsert_snapshot: MERGE semantics match the staging-swap upsert
+    (replace on pk, insert new, delete on op='D'), every version stays
+    readable, and the pinned-parent OCC loop re-derives after losing a
+    race — the winner's changes are never silently overwritten."""
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    mf.upsert_snapshot(spark, base, tbl, ["id"])  # bootstrap
+    delta = spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "U"), (3, None, "D")],
+        "id long, v string, op string",
+    )
+    v = mf.upsert_snapshot(spark, delta, tbl, ["id"], op_col="op")
+    got = sorted(map(tuple, mf.read_snapshot(spark, tbl).collect()))
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+    # parity with the staging-swap writer on the same inputs
+    swap = str(tmp_path / "swap.parquet")
+    base.write.parquet(swap)
+    upsert_parquet(spark, delta.filter("op != 'D'").drop("op"), swap, ["id"])
+    from dbcut_spark.sinks.insert_ignore import delete_keys_parquet
+
+    delete_keys_parquet(
+        spark, delta.filter("op = 'D'").select("id"), swap, ["id"]
+    )
+    assert got == sorted(map(tuple, spark.read.parquet(swap).collect()))
+    # time travel: the pre-merge snapshot is intact
+    assert sorted(map(tuple, mf.read_snapshot(spark, tbl, v - 1).collect())) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+    # OCC: a rival update lands between this writer's read and publish;
+    # the pinned parent forces a re-derive, so BOTH changes survive
+    real_publish = mf._publish
+    state = {"raced": False}
+
+    def racing_publish(table_path, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            mf.upsert_snapshot(
+                spark,
+                spark.createDataFrame([(1, "RIVAL")], "id long, v string"),
+                table_path, ["id"],
+            )
+        return real_publish(table_path, manifest)
+
+    monkeypatch.setattr(mf, "_publish", racing_publish)
+    mf.upsert_snapshot(
+        spark,
+        spark.createDataFrame([(4, "D2")], "id long, v string"),
+        tbl, ["id"],
+    )
+    monkeypatch.setattr(mf, "_publish", real_publish)
+    final = sorted(map(tuple, mf.read_snapshot(spark, tbl).collect()))
+    assert final == [(1, "RIVAL"), (2, "B"), (4, "D2")]
