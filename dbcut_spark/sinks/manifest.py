@@ -136,7 +136,15 @@ def _publish(table_path: str, manifest: dict) -> None:
     """Atomically create the manifest at its final, versioned name:
     fully write + flush a temp file, then hard-link it into place —
     link(2) is create-if-absent, so a racing writer gets EEXIST, never
-    a torn or clobbered manifest."""
+    a torn or clobbered manifest.
+
+    Torn-wreckage recovery: a TORN file at the target name (possible
+    only on stores without atomic object writes — never produced by
+    this protocol on POSIX) would otherwise deadlock publishing
+    forever, because current_version skips it while the version slot
+    stays occupied. Since torn ⇒ unparseable ⇒ no reader can resolve
+    it, the dead writer's wreckage is unlinked and the link retried
+    ONCE; a parseable occupant is a genuine lost race and raises."""
     mdir = os.path.join(table_path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table_path, manifest["version"])
@@ -146,12 +154,26 @@ def _publish(table_path: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise VersionConflictError(
-            f"snapshot version {manifest['version']} already published "
-            f"at {final}; re-resolve current_version and retry"
-        ) from None
+        for attempt in (0, 1):
+            try:
+                os.link(tmp, final)
+                return
+            except FileExistsError:
+                if (
+                    attempt == 0
+                    and _load_manifest(table_path, manifest["version"])
+                    is None
+                ):
+                    try:
+                        os.unlink(final)  # torn wreckage, not a winner
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise VersionConflictError(
+                    f"snapshot version {manifest['version']} already "
+                    f"published at {final}; re-resolve current_version "
+                    "and retry"
+                ) from None
     finally:
         os.unlink(tmp)
 
@@ -203,7 +225,16 @@ def publish_snapshot(
         parent = expected_parent if pin_parent else current_version(table_path)
         files: list[str] = []
         if mode == "append" and parent is not None:
-            files.extend(_load_manifest(table_path, parent)["files"])
+            pm = _load_manifest(table_path, parent)
+            if pm is None:
+                # the parent manifest vanished between resolution and
+                # inheritance (vacuum race / stale pinned parent) —
+                # loud and retryable, not a TypeError
+                raise VersionConflictError(
+                    f"parent snapshot {parent} of {table_path} is gone "
+                    "(vacuumed or never existed); re-resolve and retry"
+                )
+            files.extend(pm["files"])
         files.extend(staged)
         version = (parent or 0) + 1
         try:

@@ -1498,13 +1498,20 @@ def test_manifest_torn_manifest_and_version_conflict(spark, tmp_path):
         f.write('{"version": 2, "files": [')
     assert mf.current_version(tbl) == 1
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
-    # a writer that computes next=2 loses to the existing object
+    # a writer that computes next=2 loses to a PARSEABLE winner there
+    # (a torn occupant is dead wreckage and gets recovered instead —
+    # test_manifest_torn_head_does_not_deadlock_publish)
+    mf._publish(tbl, {"version": 2, "files": [], "n_files": 0,
+                      "parent": 1, "mode": "overwrite",
+                      "partition_by": [],
+                      "schema": json.loads(base.schema.json())})
     with pytest.raises(mf.VersionConflictError):
         mf._publish(tbl, {"version": 2, "files": [], "n_files": 0,
                           "parent": 1, "mode": "overwrite",
                           "partition_by": [],
                           "schema": json.loads(base.schema.json())})
-    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
+    # version 1 remains readable via time travel under the empty v2
+    assert _mrows(mf.read_snapshot(spark, tbl, version=1)) == [(1,)]
 
 
 def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
@@ -1690,3 +1697,39 @@ def test_manifest_upsert_snapshot_merge_and_occ(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(mf, "_publish", real_publish)
     final = sorted(map(tuple, mf.read_snapshot(spark, tbl).collect()))
     assert final == [(1, "RIVAL"), (2, "B"), (4, "D2")]
+
+
+def test_manifest_torn_head_does_not_deadlock_publish(spark, tmp_path):
+    """A torn manifest occupying the NEXT version slot (weak-store
+    wreckage) must not deadlock publishing forever: the unparseable
+    occupant is unlinked and the commit lands; a PARSEABLE occupant
+    stays a genuine conflict."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+    # torn wreckage at version 2 (the slot the next publish targets)
+    with open(mf._manifest_path(tbl, 2), "w") as f:
+        f.write('{"version": 2, "files": [')
+    v = mf.publish_snapshot(
+        spark.createDataFrame([(2,)], "id long"), tbl, mode="append"
+    )
+    assert v == 2
+    assert sorted(
+        r["id"] for r in mf.read_snapshot(spark, tbl).collect()
+    ) == [1, 2]
+    # parseable occupant = real winner: still a conflict
+    with pytest.raises(mf.VersionConflictError):
+        mf._publish(tbl, {"version": 2, "files": [], "n_files": 0,
+                          "parent": 1, "mode": "overwrite",
+                          "partition_by": [], "schema": {
+                              "type": "struct", "fields": []}})
+    # append against a vacuumed/never-existing pinned parent is loud
+    # and typed, not a TypeError
+    with pytest.raises(mf.VersionConflictError, match="gone"):
+        mf.publish_snapshot(
+            spark.createDataFrame([(3,)], "id long"), tbl,
+            mode="append", expected_parent=7,
+        )
