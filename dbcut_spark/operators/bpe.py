@@ -203,6 +203,8 @@ def apply_merges_vectorized(col, merges: list[tuple]):
         memo: dict[tuple, list[str]] = {}
 
         def one(arr):
+            if arr is None:
+                return None  # NULL array stays NULL, like the fold form
             key = tuple(arr)
             hit = memo.get(key)
             if hit is None:

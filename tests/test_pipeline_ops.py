@@ -1534,3 +1534,29 @@ def test_bpe_encode_ids_oov_and_wordless(spark):
     assert out[11][1][3] == vmap[bpe.EOW]
     # wordless doc yields the (0, []) row
     assert out[12] == (0, [])
+
+
+def test_bpe_apply_null_array_both_forms(spark):
+    """A NULL symbol array must stay NULL through BOTH apply forms
+    (the fold's aggregate(NULL) is NULL; the vectorized kernel must
+    not crash on it)."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None)], "id long, syms array<string>"
+    )
+    merges = [("a", "b")]
+    for fold_max in (100, 0):
+        got = {
+            r["id"]: r["out"]
+            for r in df.select(
+                "id",
+                bpe.apply_merges(
+                    F2.col("syms"), merges, fold_max=fold_max
+                ).alias("out"),
+            ).collect()
+        }
+        assert got[1] == ["ab"], fold_max
+        assert got[2] is None, fold_max
