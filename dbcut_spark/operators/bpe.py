@@ -275,10 +275,17 @@ def bpe_encode(
     # left-join the aggregate back onto the distinct id set (the same
     # one-row-per-id contract the groupBy already implied) so they
     # surface as (0, []) rows; the join keys are co-partitioned with
-    # the aggregate's own shuffle
+    # the aggregate's own shuffle. The join is null-SAFE: groupBy keys
+    # NULL ids into a real aggregate row, and a plain equi-join would
+    # never match it back — regressing NULL-id documents from their
+    # true token counts to (0, [])
     return (
         df.select(id_col).distinct()
-        .join(agg, id_col, "left")
+        .join(
+            agg.withColumnRenamed(id_col, "__enc_id"),
+            F.col(id_col).eqNullSafe(F.col("__enc_id")),
+            "left",
+        )
         .select(
             id_col,
             F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")).alias(
@@ -344,9 +351,15 @@ def bpe_encode_ids(
             ).alias("token_ids"),
         )
     )
+    # null-safe for the same reason as bpe_encode's reattach join: a
+    # NULL-id document's aggregate row must find its way back
     return (
         enc.select(id_col)
-        .join(mapped, id_col, "left")
+        .join(
+            mapped.withColumnRenamed(id_col, "__enc_id"),
+            F.col(id_col).eqNullSafe(F.col("__enc_id")),
+            "left",
+        )
         .select(
             id_col,
             F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(

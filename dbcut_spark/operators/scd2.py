@@ -156,6 +156,20 @@ def scd2_apply_delta(
     of maintaining incrementally. Disable the guard only when the
     source is a per-key-ordered CDC log whose ordering is already
     enforced upstream."""
+    # normalize the validate flag BEFORE the identity checks below:
+    # the guards dispatch on `validate is True` / `== "eager"`, so a
+    # merely-truthy value (1, numpy.bool_(True)) would otherwise fall
+    # through BOTH branches and silently disable all validation — the
+    # exact corruption the guards exist to prevent. Strings must match
+    # exactly; anything else collapses to its bool (the original
+    # `validate: bool = True` contract).
+    if isinstance(validate, str):
+        if validate != "eager":
+            raise ValueError(
+                f"validate must be True, False or 'eager'; got {validate!r}"
+            )
+    else:
+        validate = bool(validate)
     open_ = target.filter(F.col("valid_to").isNull())
     closed = target.filter(F.col("valid_to").isNotNull())
     # null-SAFE key matching throughout: scd2_build's

@@ -143,8 +143,18 @@ def _publish(table_path: str, manifest: dict) -> None:
     this protocol on POSIX) would otherwise deadlock publishing
     forever, because current_version skips it while the version slot
     stays occupied. Since torn ⇒ unparseable ⇒ no reader can resolve
-    it, the dead writer's wreckage is unlinked and the link retried
-    ONCE; a parseable occupant is a genuine lost race and raises."""
+    it, the wreckage is STOLEN by an atomic rename to a unique name —
+    exactly one concurrent recoverer wins the rename, the loser's
+    rename raises FileNotFoundError and it simply retries the link —
+    then re-validated: if the stolen file turns out to be a VALID
+    manifest (a winner published in the load→rename window), it is
+    restored by linking it straight back and this writer loses the
+    race, so a committed snapshot is never destroyed by a racing
+    recoverer. (Residual weak-store window: a third writer linking
+    into the slot between our steal and our restore would conflict
+    with the restored winner; on POSIX the torn state itself is
+    unreachable, so this path never executes at all.) A parseable
+    occupant at link time is a genuine lost race and raises."""
     mdir = os.path.join(table_path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table_path, manifest["version"])
@@ -153,27 +163,47 @@ def _publish(table_path: str, manifest: dict) -> None:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
+    conflict = VersionConflictError(
+        f"snapshot version {manifest['version']} already published at "
+        f"{final}; re-resolve current_version and retry"
+    )
     try:
         for attempt in (0, 1):
             try:
                 os.link(tmp, final)
                 return
             except FileExistsError:
+                if attempt > 0 or _load_manifest(
+                    table_path, manifest["version"]
+                ) is not None:
+                    raise conflict from None
+                # unparseable occupant: steal it atomically
+                wreck = os.path.join(
+                    mdir, f".wreck-{uuid.uuid4().hex}"
+                )
+                try:
+                    os.rename(final, wreck)
+                except FileNotFoundError:
+                    continue  # another recoverer stole it; retry link
+                try:
+                    with open(wreck) as wf:
+                        stolen = json.load(wf)
+                except (OSError, ValueError):
+                    stolen = None
                 if (
-                    attempt == 0
-                    and _load_manifest(table_path, manifest["version"])
-                    is None
+                    isinstance(stolen, dict)
+                    and stolen.get("version") == manifest["version"]
                 ):
+                    # we stole a COMMITTED manifest, not wreckage (a
+                    # winner landed between our load and our rename) —
+                    # put it back and lose
                     try:
-                        os.unlink(final)  # torn wreckage, not a winner
-                    except FileNotFoundError:
-                        pass
-                    continue
-                raise VersionConflictError(
-                    f"snapshot version {manifest['version']} already "
-                    f"published at {final}; re-resolve current_version "
-                    "and retry"
-                ) from None
+                        os.link(wreck, final)
+                    except FileExistsError:
+                        pass  # slot re-taken meanwhile; occupied either way
+                    os.unlink(wreck)
+                    raise conflict from None
+                os.unlink(wreck)  # confirmed torn: slot is now free
     finally:
         os.unlink(tmp)
 
@@ -234,6 +264,26 @@ def publish_snapshot(
                     f"parent snapshot {parent} of {table_path} is gone "
                     "(vacuumed or never existed); re-resolve and retry"
                 )
+            # fail schema drift at PUBLISH time: read_snapshot unions
+            # commit groups by name, so an append whose column set or
+            # types diverge from the parent would otherwise publish
+            # fine and leave the table HEAD unreadable for everyone
+            # until a repair overwrite (nullability is layout-free and
+            # allowed to differ)
+            parent_cols = {
+                (f.name, f.dataType.simpleString())
+                for f in StructType.fromJson(pm["schema"]).fields
+            }
+            df_cols = {
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            }
+            if parent_cols != df_cols:
+                raise ValueError(
+                    f"append schema mismatch vs snapshot {parent}: "
+                    f"missing {sorted(parent_cols - df_cols)}, "
+                    f"extra {sorted(df_cols - parent_cols)}; publish "
+                    "mode='overwrite' to change the table schema"
+                )
             files.extend(pm["files"])
         files.extend(staged)
         version = (parent or 0) + 1
@@ -265,7 +315,9 @@ def read_snapshot(
     grouped per commit directory and read with that directory as
     basePath, so hive partition columns written by ``partition_by``
     reconstruct; groups union by name. A 0-file snapshot returns an
-    empty frame with the manifest's schema."""
+    empty frame with the manifest's schema. A version whose data files
+    :func:`vacuum` has expired raises FileNotFoundError up front
+    (manifests outlive their files as version history — see vacuum)."""
     if version is None:
         version = current_version(table_path)
         if version is None:
@@ -285,6 +337,17 @@ def read_snapshot(
         parts = rel.split(os.sep)
         base = os.path.join(table_path, *parts[:2])  # data/<uuid>
         by_commit.setdefault(base, []).append(os.path.join(table_path, rel))
+    # one existence probe per COMMIT GROUP (vacuum expires snapshots
+    # whole, never single files), so an expired version fails here
+    # with a retention error instead of a mid-job path-not-found
+    for base, paths in sorted(by_commit.items()):
+        if not os.path.exists(paths[0]):
+            raise FileNotFoundError(
+                f"snapshot version {version} of {table_path} has been "
+                "expired by vacuum (its data files are deleted); only "
+                f"versions >= {current_version(table_path)}'s retention "
+                "window are readable"
+            )
     out: DataFrame | None = None
     for base, paths in sorted(by_commit.items()):
         piece = spark.read.option("basePath", base).parquet(*paths)
@@ -320,14 +383,20 @@ def upsert_snapshot(
     :func:`publish_snapshot` — but note a retry REBASES onto the
     winner's data files only if we re-read them, so the merge result
     is recomputed per attempt here (read-merge-publish, the classic
-    optimistic-concurrency loop)."""
+    optimistic-concurrency loop).
+
+    A NULL in ``op_col`` counts as an upsert (the filter is null-safe
+    ``NOT <=> 'D'``): a plain ``op != 'D'`` would evaluate NULL and
+    drop the row from the upsert set while its key still anti-joins
+    the existing row away — turning a CDC insert with a NULL op into
+    a silent DELETE."""
     if op_col is not None and op_col not in delta.columns:
         raise ValueError(f"op_col {op_col!r} not in delta")
     for attempt in range(retries + 1):
         base_version = current_version(table_path)
         if base_version is None:
             merged = (
-                delta.filter(F.col(op_col) != "D").drop(op_col)
+                delta.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
                 if op_col
                 else delta
             )
@@ -342,7 +411,7 @@ def upsert_snapshot(
                 cond = e if cond is None else (cond & e)
             untouched = existing.join(keys, cond, "left_anti")
             upserts = (
-                delta.filter(F.col(op_col) != "D").drop(op_col)
+                delta.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
                 if op_col
                 else delta
             )
@@ -361,24 +430,50 @@ def upsert_snapshot(
     raise AssertionError("unreachable")
 
 
-def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
-    """Delete data files referenced by NO kept manifest — crashed
-    writers' orphans and snapshots older than the ``keep_last`` most
-    recent. Returns the deleted table-relative paths. Readers holding
-    a kept version are unaffected (their file sets are immutable);
-    readers time-traveling past ``keep_last`` lose those versions —
-    the retention contract every snapshot store has. Old manifests are
-    removed after their files so a crash mid-vacuum only ever leaves
-    extra (referenced-by-old-manifest) files, never a live manifest
-    with missing files."""
+def vacuum(
+    table_path: str, keep_last: int = 1, grace_seconds: float = 86400.0
+) -> list[str]:
+    """Delete data files no kept snapshot references. Returns the
+    deleted table-relative paths. Two distinct populations, handled
+    differently:
+
+    - files referenced by an EXPIRED manifest (older than the
+      ``keep_last`` most recent snapshots): known-committed old data,
+      deleted immediately — the retention contract every snapshot
+      store has; time travel past retention fails loudly in
+      :func:`read_snapshot`;
+    - files referenced by NO manifest at all: either a crashed
+      writer's orphans or — indistinguishably, by files alone — a
+      LIVE writer's staged-but-unpublished commit mid-flight. Deleting
+      the latter would let its publish succeed pointing at missing
+      files, so unreferenced files are deleted only once older than
+      ``grace_seconds`` (default 24 h — longer than any sane stage;
+      pass 0 only when no writer can be in flight). Same age-gate as
+      Iceberg's orphan-file removal.
+
+    Manifest files themselves are NEVER deleted: version slots must
+    stay occupied forever, or a writer pinned to a vacuumed parent
+    (``expected_parent``) could link into a freed slot BELOW the
+    current version and report success for a commit no reader will
+    ever resolve — the silent lost update the optimistic-concurrency
+    check exists to prevent. Manifests are a few KB; expired ones stay
+    as the table's version history (same shape as a Delta log).
+    Readers holding a kept version are unaffected: their file sets
+    are immutable."""
+    import time
+
     versions = [
         v for v in _list_versions(table_path)
         if _load_manifest(table_path, v) is not None
     ]
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     live: set[str] = set()
-    for v in keep:
-        live.update(_load_manifest(table_path, v)["files"])
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_load_manifest(table_path, v)["files"])
+        if v in keep:
+            live.update(_load_manifest(table_path, v)["files"])
+    cutoff = time.time() - grace_seconds
     deleted: list[str] = []
     data_root = os.path.join(table_path, _DATA_DIR)
     if os.path.isdir(data_root):
@@ -386,12 +481,17 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
             for name in files:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, table_path)
-                if rel not in live:
-                    os.unlink(full)
-                    deleted.append(rel)
+                if rel in live:
+                    continue
+                if rel not in referenced:
+                    # possibly a live writer's in-flight staging
+                    try:
+                        if os.stat(full).st_mtime > cutoff:
+                            continue
+                    except FileNotFoundError:
+                        continue  # concurrent vacuum got it
+                os.unlink(full)
+                deleted.append(rel)
             if not os.listdir(root):
                 os.rmdir(root)
-    for v in versions:
-        if v not in keep:
-            os.unlink(_manifest_path(table_path, v))
     return sorted(deleted)

@@ -1500,6 +1500,39 @@ def test_bpe_encode_wordless_docs_yield_zero_rows(spark):
         assert out[d] == (0, []), d
 
 
+def test_bpe_encode_null_id_keeps_real_tokens(spark):
+    """A NULL-id document's tokens must survive the wordless-doc
+    reattach join: groupBy keys NULL ids into a real aggregate row,
+    and a plain equi-join would drop it — regressing (NULL, n>0, toks)
+    to (NULL, 0, []). The join is null-safe (round-10 review)."""
+    from dbcut_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(None, "low lower"), (7, "low"), (8, "  ")],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    out = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["tokens"]))
+        for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()
+    }
+    assert set(out) == {None, 7, 8}
+    assert out[None][0] > 0 and "low" in out[None][1][0]
+    assert out[7][0] > 0
+    assert out[8] == (0, [])
+
+    # same contract through the id-mapping layer
+    train = spark.createDataFrame([(1, "low lower low")], ["doc_id", "text"])
+    m2, seg = bpe.bpe_train(bpe.word_types(train, "text"), 2)
+    ids = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_encode_ids(
+            df, "text", "doc_id", m2, bpe.build_vocab(seg)
+        ).collect()
+    }
+    assert ids[None] > 0 and ids[7] > 0 and ids[8] == 0
+
+
 def test_bpe_encode_ids_oov_and_wordless(spark):
     """bpe_encode_ids: seen tokens map to the deterministic 1..V vocab
     ids, tokens containing characters absent from training map to the

@@ -156,6 +156,38 @@ def test_retroactive_delta_raises(spark):
     assert got == py_scd2(old + ok)
 
 
+def test_validate_flag_normalization(spark):
+    """The guard dispatches on `validate is True` / `== 'eager'`, so a
+    merely-truthy value (1, numpy.bool_) must normalize to the default
+    in-plan guard instead of silently disabling ALL validation; an
+    unknown string must fail loudly, not fall through (round-10
+    review)."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    old = [(1, 100, 0, "a"), (1, 500, 1, "b")]
+    target = scd2_build(spark_df(spark, old))
+    retro = spark_df(spark, [(1, 499, 2, "c")])
+    # truthy non-True values get the default in-plan guard
+    for flag in (1, 2.0):
+        with pytest.raises(PySparkException, match="rebuild"):
+            scd2_apply_delta(target, retro, validate=flag).count()
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
+    if np is not None:
+        with pytest.raises(PySparkException, match="rebuild"):
+            scd2_apply_delta(
+                target, retro, validate=np.bool_(True)
+            ).count()
+    # falsy non-False disables, like False
+    scd2_apply_delta(target, retro, validate=0).count()
+    # unknown strings are a loud contract error, not a silent off
+    with pytest.raises(ValueError, match="eager"):
+        scd2_apply_delta(target, retro, validate="defered")
+
+
 def test_retroactive_guard_null_key(spark):
     """NULL-key histories are matched null-safely by the guard too —
     both the eager typed probe and the default in-plan raise."""

@@ -1516,7 +1516,11 @@ def test_manifest_torn_manifest_and_version_conflict(spark, tmp_path):
 
 def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
     """vacuum deletes crashed writers' orphans and out-of-retention
-    snapshots' files, never a kept snapshot's."""
+    snapshots' files, never a kept snapshot's — and retains every
+    MANIFEST file (version slots are never freed; expired versions
+    fail loudly at read time)."""
+    import pytest
+
     from dbcut_spark.sinks import manifest as mf
 
     tbl = str(tmp_path / "tbl")
@@ -1525,13 +1529,152 @@ def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
     mf.publish_snapshot(a, tbl)
     mf.publish_snapshot(b, tbl, mode="overwrite")
     orphans = mf._stage(a, tbl, None)  # crashed writer's leftovers
-    deleted = mf.vacuum(tbl, keep_last=1)
+    deleted = mf.vacuum(tbl, keep_last=1, grace_seconds=0)
     assert set(orphans) <= set(deleted)
     # the kept (latest) snapshot survives and still reads
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
-    # version 1 is out of retention now
+    # version 1 is out of retention: its manifest STAYS (slot occupied,
+    # history preserved) but its data is gone and reading it says so
     assert mf.current_version(tbl) == 2
-    assert mf._load_manifest(tbl, 1) is None
+    assert mf._load_manifest(tbl, 1) is not None
+    with pytest.raises(FileNotFoundError, match="expired by vacuum"):
+        mf.read_snapshot(spark, tbl, version=1)
+
+
+def test_manifest_vacuum_grace_protects_inflight_staging(spark, tmp_path):
+    """An in-flight writer's staged-but-unpublished files look exactly
+    like crashed-writer orphans; the grace window keeps vacuum from
+    deleting them under a live commit (whose publish would then point
+    at missing files)."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+    staged = mf._stage(
+        spark.createDataFrame([(2,)], "id long"), tbl, None
+    )  # publish not yet run — commit in flight
+    # default grace: the young unreferenced files survive
+    deleted = mf.vacuum(tbl, keep_last=1)
+    assert not (set(staged) & set(deleted))
+    # ...so the in-flight publish still lands on intact files
+    mf._publish(tbl, {
+        "version": 2, "parent": 1, "mode": "overwrite", "files": staged,
+        "n_files": len(staged), "partition_by": [],
+        "schema": json.loads(
+            spark.createDataFrame([(2,)], "id long").schema.json()
+        ),
+    })
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
+
+
+def test_manifest_vacuum_never_frees_version_slots(spark, tmp_path):
+    """The lost-update hole vacuum retention closes: a writer pinned to
+    a stale parent must CONFLICT after vacuum, not link into a freed
+    slot below the current version (a 'successful' commit no reader
+    would ever resolve)."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+    mf.publish_snapshot(
+        spark.createDataFrame([(2,)], "id long"), tbl, mode="overwrite"
+    )
+    mf.publish_snapshot(
+        spark.createDataFrame([(3,)], "id long"), tbl, mode="overwrite"
+    )
+    mf.vacuum(tbl, keep_last=1, grace_seconds=0)
+    # stale writer derived from snapshot 1 targets slot 2 — occupied
+    # forever even though snapshot 2's data is vacuumed
+    with pytest.raises(mf.VersionConflictError):
+        mf.publish_snapshot(
+            spark.createDataFrame([(9,)], "id long"), tbl,
+            expected_parent=1,
+        )
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(3,)]
+
+
+def test_manifest_append_schema_mismatch_fails_at_publish(spark, tmp_path):
+    """mode='append' validates the new df against the parent snapshot's
+    schema at PUBLISH time: a column-set or type drift must fail the
+    appender loudly, not publish a manifest whose read_snapshot breaks
+    every reader of the table head."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(
+        spark.createDataFrame([(1, "x")], "id long, v string"), tbl
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        mf.publish_snapshot(
+            spark.createDataFrame([(2,)], "id long"), tbl, mode="append"
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        mf.publish_snapshot(
+            spark.createDataFrame([(2, 3)], "id long, v long"), tbl,
+            mode="append",
+        )
+    # the head is untouched and readable; overwrite may still evolve
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1, "x")]
+    mf.publish_snapshot(
+        spark.createDataFrame([(2,)], "id long"), tbl, mode="overwrite"
+    )
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
+
+
+def test_manifest_upsert_null_op_is_upsert(spark, tmp_path):
+    """A NULL op_col value is an upsert, never a silent delete: the
+    plain `op != 'D'` filter would NULL out the row from the upsert
+    set while its key still anti-joins the existing row away."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.upsert_snapshot(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "id long, v string"),
+        tbl, ["id"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "A", None), (2, None, "D"), (3, "c", None)],
+        "id long, v string, op string",
+    )
+    mf.upsert_snapshot(spark, delta, tbl, ["id"], op_col="op")
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1, "A"), (3, "c")]
+
+
+def test_manifest_torn_recovery_restores_stolen_winner(spark, tmp_path):
+    """The torn-recovery race: if a winner publishes a VALID manifest
+    between a recoverer's parse (None) and its steal, the recoverer
+    must restore the winner's manifest and lose — never destroy a
+    committed snapshot (the round-10 review's TOCTOU)."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+    winner = mf._load_manifest(tbl, 1)  # the committed occupant
+
+    # simulate the stale read: _load_manifest says 'torn' even though
+    # the slot holds the winner's valid manifest
+    import unittest.mock as mock
+
+    with mock.patch.object(mf, "_load_manifest", return_value=None):
+        with pytest.raises(mf.VersionConflictError):
+            mf._publish(tbl, {
+                "version": 1, "parent": None, "mode": "overwrite",
+                "files": [], "n_files": 0, "partition_by": [],
+                "schema": winner["schema"],
+            })
+    # the winner's manifest survived the attempted steal, byte-for-byte
+    assert mf._load_manifest(tbl, 1) == winner
+    assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
+    # and no wreckage temp files leak
+    mdir = os.path.join(tbl, "_manifests")
+    assert [n for n in os.listdir(mdir) if not n.endswith(".json")] == []
 
 
 def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path):
