@@ -262,7 +262,7 @@ def bpe_encode(
         F.concat(F.split("word", ""), F.array(F.lit(EOW))), merges
     )
     per_word = toks.select(id_col, "pos", syms.alias("syms"))
-    agg = per_word.groupBy(id_col).agg(
+    agg = per_word.groupBy(_doc_key(id_col)).agg(
         F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
         F.flatten(
             F.transform(
@@ -271,29 +271,44 @@ def bpe_encode(
             )
         ).alias("tokens"),
     )
-    # wordless documents drop out of the explode before the groupBy —
-    # left-join the aggregate back onto the distinct id set (the same
-    # one-row-per-id contract the groupBy already implied) so they
-    # surface as (0, []) rows; the join keys are co-partitioned with
-    # the aggregate's own shuffle. The join is null-SAFE: groupBy keys
-    # NULL ids into a real aggregate row, and a plain equi-join would
-    # never match it back — regressing NULL-id documents from their
-    # true token counts to (0, [])
+    return _reattach_every_doc(
+        df, agg, id_col, "tokens", "CAST(array() AS array<string>)"
+    )
+
+
+def _doc_key(id_col: str):
+    """Struct-wrapped document id, the grouping/join key of the encode
+    reattach: struct equality treats NULL fields as EQUAL, so a plain
+    USING-join on it is null-safe WITHOUT Catalyst's eqNullSafe key
+    rewrite to (coalesce(k), isnull(k)) — which would re-shuffle both
+    sides on the rewritten key instead of reusing the aggregate's own
+    hashpartitioning (verified in the physical plan)."""
+    return F.struct(F.col(id_col)).alias("__k")
+
+
+def _reattach_every_doc(
+    src: DataFrame,
+    agg: DataFrame,
+    id_col: str,
+    arr_col: str,
+    empty_arr_sql: str,
+) -> DataFrame:
+    """Left-join a per-document aggregate (keyed by :func:`_doc_key`)
+    back onto src's distinct id set so EVERY input document yields a
+    row — wordless documents drop out of the tokenize explode before
+    the groupBy and come back as (0, empty array) here. NULL-id
+    documents keep their REAL aggregate row (the struct key matches
+    null-safely); the shared-key groupBy/join keeps the reattach on
+    one co-partitioned shuffle."""
     return (
-        df.select(id_col).distinct()
-        .join(
-            agg.withColumnRenamed(id_col, "__enc_id"),
-            F.col(id_col).eqNullSafe(F.col("__enc_id")),
-            "left",
-        )
+        src.select(_doc_key(id_col)).distinct()
+        .join(agg, "__k", "left")
         .select(
-            id_col,
+            F.col("__k").getField(id_col).alias(id_col),
             F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")).alias(
                 "n_bpe_tokens"
             ),
-            F.coalesce(
-                F.col("tokens"), F.expr("CAST(array() AS array<string>)")
-            ).alias("tokens"),
+            F.coalesce(F.col(arr_col), F.expr(empty_arr_sql)).alias(arr_col),
         )
     )
 
@@ -342,7 +357,7 @@ def bpe_encode_ids(
         .withColumn(
             "token_id", F.coalesce("token_id", F.lit(0).cast("long"))
         )
-        .groupBy(id_col)
+        .groupBy(_doc_key(id_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bpe_tokens"),
             F.transform(
@@ -351,24 +366,8 @@ def bpe_encode_ids(
             ).alias("token_ids"),
         )
     )
-    # null-safe for the same reason as bpe_encode's reattach join: a
-    # NULL-id document's aggregate row must find its way back
-    return (
-        enc.select(id_col)
-        .join(
-            mapped.withColumnRenamed(id_col, "__enc_id"),
-            F.col(id_col).eqNullSafe(F.col("__enc_id")),
-            "left",
-        )
-        .select(
-            id_col,
-            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
-                "n_bpe_tokens"
-            ),
-            F.coalesce(
-                F.col("token_ids"), F.expr("CAST(array() AS array<bigint>)")
-            ).alias("token_ids"),
-        )
+    return _reattach_every_doc(
+        enc, mapped, id_col, "token_ids", "CAST(array() AS array<bigint>)"
     )
 
 

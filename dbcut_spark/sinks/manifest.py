@@ -200,12 +200,46 @@ def _publish(table_path: str, manifest: dict) -> None:
                     try:
                         os.link(wreck, final)
                     except FileExistsError:
-                        pass  # slot re-taken meanwhile; occupied either way
+                        # the slot was re-taken while empty: restoring
+                        # would clobber the new occupant. NEVER destroy
+                        # the displaced committed manifest — leave the
+                        # wreck file on disk for operator recovery and
+                        # surface its path (two writers were
+                        # acknowledged for one version; only a weak
+                        # store with torn reads can get here)
+                        raise VersionConflictError(
+                            f"version {manifest['version']} slot was "
+                            "re-taken during torn-manifest recovery; a "
+                            "displaced committed manifest is preserved "
+                            f"at {wreck} — reconcile manually"
+                        ) from None
                     os.unlink(wreck)
                     raise conflict from None
                 os.unlink(wreck)  # confirmed torn: slot is now free
     finally:
         os.unlink(tmp)
+
+
+def _check_append_schema(df: DataFrame, pm: dict, parent: int) -> None:
+    """Fail schema drift at PUBLISH time: read_snapshot unions commit
+    groups by name, so an append whose column set or types diverge
+    from the parent would otherwise publish fine and leave the table
+    HEAD unreadable for everyone until a repair overwrite (nullability
+    is layout-free and allowed to differ)."""
+    parent_cols = {
+        (f.name, f.dataType.simpleString())
+        for f in StructType.fromJson(pm["schema"]).fields
+    }
+    df_cols = {
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    }
+    if parent_cols != df_cols:
+        raise ValueError(
+            f"append schema mismatch vs snapshot {parent}: "
+            f"missing {sorted(parent_cols - df_cols)}, "
+            f"extra {sorted(df_cols - parent_cols)}; publish "
+            "mode='overwrite' to change the table schema"
+        )
 
 
 def publish_snapshot(
@@ -250,6 +284,17 @@ def publish_snapshot(
             "optimistic-concurrency contract — retry by re-deriving df"
         )
     os.makedirs(table_path, exist_ok=True)
+    if mode == "append":
+        # validate schema BEFORE the expensive data write: staging
+        # first would burn a full parquet pass on a doomed commit and
+        # leave its files as grace-protected orphans for a day
+        pre_parent = (
+            expected_parent if pin_parent else current_version(table_path)
+        )
+        if pre_parent is not None:
+            pm0 = _load_manifest(table_path, pre_parent)
+            if pm0 is not None:
+                _check_append_schema(df, pm0, pre_parent)
     staged = _stage(df, table_path, partition_by)
     for attempt in range(retries + 1):
         parent = expected_parent if pin_parent else current_version(table_path)
@@ -264,26 +309,9 @@ def publish_snapshot(
                     f"parent snapshot {parent} of {table_path} is gone "
                     "(vacuumed or never existed); re-resolve and retry"
                 )
-            # fail schema drift at PUBLISH time: read_snapshot unions
-            # commit groups by name, so an append whose column set or
-            # types diverge from the parent would otherwise publish
-            # fine and leave the table HEAD unreadable for everyone
-            # until a repair overwrite (nullability is layout-free and
-            # allowed to differ)
-            parent_cols = {
-                (f.name, f.dataType.simpleString())
-                for f in StructType.fromJson(pm["schema"]).fields
-            }
-            df_cols = {
-                (f.name, f.dataType.simpleString()) for f in df.schema.fields
-            }
-            if parent_cols != df_cols:
-                raise ValueError(
-                    f"append schema mismatch vs snapshot {parent}: "
-                    f"missing {sorted(parent_cols - df_cols)}, "
-                    f"extra {sorted(df_cols - parent_cols)}; publish "
-                    "mode='overwrite' to change the table schema"
-                )
+            # re-checked per attempt: a retry may inherit a DIFFERENT
+            # winner's schema than the pre-stage check saw
+            _check_append_schema(df, pm, parent)
             files.extend(pm["files"])
         files.extend(staged)
         version = (parent or 0) + 1
@@ -337,11 +365,13 @@ def read_snapshot(
         parts = rel.split(os.sep)
         base = os.path.join(table_path, *parts[:2])  # data/<uuid>
         by_commit.setdefault(base, []).append(os.path.join(table_path, rel))
-    # one existence probe per COMMIT GROUP (vacuum expires snapshots
-    # whole, never single files), so an expired version fails here
+    # one existence probe per COMMIT GROUP: vacuum deletes in sorted
+    # path order, so even a crash mid-vacuum leaves a partially-expired
+    # group missing its lexicographically-FIRST file — probing min()
+    # per group therefore catches whole AND partial expiry up front,
     # with a retention error instead of a mid-job path-not-found
     for base, paths in sorted(by_commit.items()):
-        if not os.path.exists(paths[0]):
+        if not os.path.exists(min(paths)):
             raise FileNotFoundError(
                 f"snapshot version {version} of {table_path} has been "
                 "expired by vacuum (its data files are deleted); only "
@@ -462,22 +492,27 @@ def vacuum(
     are immutable."""
     import time
 
-    versions = [
-        v for v in _list_versions(table_path)
-        if _load_manifest(table_path, v) is not None
-    ]
+    # parse each manifest exactly once: the version history only grows
+    # (manifests are never deleted), so repeated _load_manifest calls
+    # would re-read O(all versions) files per pass
+    manifests: dict[int, dict] = {}
+    for v in _list_versions(table_path):
+        m = _load_manifest(table_path, v)
+        if m is not None:
+            manifests[v] = m
+    versions = sorted(manifests)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     live: set[str] = set()
     referenced: set[str] = set()
-    for v in versions:
-        referenced.update(_load_manifest(table_path, v)["files"])
+    for v, m in manifests.items():
+        referenced.update(m["files"])
         if v in keep:
-            live.update(_load_manifest(table_path, v)["files"])
+            live.update(m["files"])
     cutoff = time.time() - grace_seconds
-    deleted: list[str] = []
+    candidates: list[str] = []
     data_root = os.path.join(table_path, _DATA_DIR)
     if os.path.isdir(data_root):
-        for root, _dirs, files in os.walk(data_root, topdown=False):
+        for root, _dirs, files in os.walk(data_root):
             for name in files:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, table_path)
@@ -490,8 +525,26 @@ def vacuum(
                             continue
                     except FileNotFoundError:
                         continue  # concurrent vacuum got it
-                os.unlink(full)
-                deleted.append(rel)
-            if not os.listdir(root):
-                os.rmdir(root)
-    return sorted(deleted)
+                candidates.append(rel)
+    # delete in SORTED path order: a commit group's files are
+    # contiguous under their data/<uuid>/ prefix, so a crash mid-vacuum
+    # always leaves a partially-expired group missing its
+    # lexicographically-first file — exactly the file read_snapshot
+    # probes — turning the partial state into a loud retention error,
+    # never a mid-job path-not-found
+    deleted: list[str] = []
+    for rel in sorted(candidates):
+        try:
+            os.unlink(os.path.join(table_path, rel))
+        except FileNotFoundError:
+            continue  # a concurrent vacuum got it first
+        deleted.append(rel)
+    if os.path.isdir(data_root):
+        for root, _dirs, _files in os.walk(data_root, topdown=False):
+            if root == data_root:
+                continue
+            try:
+                os.rmdir(root)  # only succeeds when empty
+            except OSError:
+                pass  # non-empty, or a concurrent vacuum removed it
+    return deleted

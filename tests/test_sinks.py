@@ -1645,6 +1645,106 @@ def test_manifest_upsert_null_op_is_upsert(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(1, "A"), (3, "c")]
 
 
+def test_manifest_vacuum_idempotent_and_partial_group_probe(spark, tmp_path):
+    """vacuum is safe to re-run (a concurrent/prior vacuum having taken
+    files is not an error), and a PARTIALLY-expired commit group — the
+    crash-mid-vacuum state — still surfaces as a loud retention error
+    because deletion order matches the reader's min-path probe."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(
+        spark.createDataFrame([(i, i % 3) for i in range(30)],
+                              "id long, p int"),
+        tbl, partition_by=["p"],
+    )
+    mf.publish_snapshot(
+        spark.createDataFrame([(1, 0)], "id long, p int"), tbl,
+        mode="overwrite",
+    )
+    deleted = mf.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert deleted
+    assert mf.vacuum(tbl, keep_last=1, grace_seconds=0) == []  # idempotent
+    # crash-mid-vacuum simulation: only the FIRST sorted file of v1's
+    # (multi-file, partitioned) group is gone
+    m1 = mf._load_manifest(tbl, 1)
+    assert len(m1["files"]) > 1
+    first = min(m1["files"])
+    # rebuild the state: remove just that file from a fresh copy
+    tbl2 = str(tmp_path / "tbl2")
+    mf.publish_snapshot(
+        spark.createDataFrame([(i, i % 3) for i in range(30)],
+                              "id long, p int"),
+        tbl2, partition_by=["p"],
+    )
+    os.unlink(os.path.join(tbl2, min(mf._load_manifest(tbl2, 1)["files"])))
+    with pytest.raises(FileNotFoundError, match="expired by vacuum"):
+        mf.read_snapshot(spark, tbl2, version=1)
+    assert first  # silence unused warning
+
+
+def test_manifest_append_schema_checked_before_staging(spark, tmp_path):
+    """The append schema check must run BEFORE the expensive data
+    write: a doomed commit should not burn a full parquet pass and
+    leave day-long grace-protected orphans."""
+    import pytest
+    import unittest.mock as mock
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(
+        spark.createDataFrame([(1, "x")], "id long, v string"), tbl
+    )
+    with mock.patch.object(
+        mf, "_stage", side_effect=AssertionError("staged a doomed append")
+    ):
+        with pytest.raises(ValueError, match="schema mismatch"):
+            mf.publish_snapshot(
+                spark.createDataFrame([(2,)], "id long"), tbl, mode="append"
+            )
+
+
+def test_manifest_torn_restore_never_destroys_displaced_winner(
+    spark, tmp_path
+):
+    """If the slot is re-taken while a recoverer holds a stolen
+    committed manifest, the restore must NOT clobber or delete it: the
+    displaced manifest stays on disk and the error names its path."""
+    import pytest
+    import unittest.mock as mock
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+    winner = mf._load_manifest(tbl, 1)
+    final = mf._manifest_path(tbl, 1)
+
+    real_rename = os.rename
+
+    def rename_then_retake(src, dst):
+        real_rename(src, dst)
+        if src == final:  # a third writer re-takes the freed slot
+            with open(final, "w") as f:
+                f.write('{"version": 1, "files": [')
+    with mock.patch.object(mf, "_load_manifest", return_value=None), \
+            mock.patch("os.rename", side_effect=rename_then_retake):
+        with pytest.raises(mf.VersionConflictError, match="preserved at"):
+            mf._publish(tbl, {
+                "version": 1, "parent": None, "mode": "overwrite",
+                "files": [], "n_files": 0, "partition_by": [],
+                "schema": winner["schema"],
+            })
+    # the displaced committed manifest survives, byte-equal, as a wreck
+    mdir = os.path.join(tbl, "_manifests")
+    wrecks = [n for n in os.listdir(mdir) if n.startswith(".wreck-")]
+    assert len(wrecks) == 1
+    assert json.load(open(os.path.join(mdir, wrecks[0]))) == winner
+
+
 def test_manifest_torn_recovery_restores_stolen_winner(spark, tmp_path):
     """The torn-recovery race: if a winner publishes a VALID manifest
     between a recoverer's parse (None) and its steal, the recoverer
