@@ -264,10 +264,17 @@ def incremental_dedup_indexed(
     newh = batch.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash")
     )
-    refh = spark.read.parquet(os.path.join(index_path, "exact")).withColumn(
-        "__exact", F.lit(True)
+    refh = spark.read.parquet(os.path.join(index_path, "exact"))
+    # LEFT SEMI, not left_outer + flag: semi join is duplicate-PROOF —
+    # a text_hash appearing twice in the exact table (append retries,
+    # overlapping appends; lsh_index_append is a blind O(batch) write
+    # by design) can never fan a batch doc into duplicate output rows
+    exact_ids = (
+        newh.join(refh, "text_hash", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
     )
-    exact = newh.join(refh, "text_hash", "left_outer").select(
+    exact = newh.select(id_col).join(exact_ids, id_col, "left_outer").select(
         F.col(id_col),
         F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
     )

@@ -168,7 +168,17 @@ def _sig_bands(
             )
         )
     sig_array = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
-    return signatures.select(
+    # drop NULL signatures (h0 NULL ⟺ every h_j NULL ⟺ the doc's text
+    # was NULL, the one way shingles can be all-NULL): concat_ws skips
+    # NULLs, so every NULL-text doc would otherwise band to the single
+    # md5('') hash in EVERY band — one hot join key turning 10M failed-
+    # extraction docs into 10^14 joined candidate rows that all score
+    # est_sim 0.0. A doc with no signature has no similarity evidence
+    # and belongs in no candidate pair (simhash filters the analogous
+    # case explicitly); this is the shared banding step, so the
+    # self-join, cross-corpus, index-build and probe paths all inherit
+    # the guard
+    return signatures.filter(F.col("h0").isNotNull()).select(
         F.col(id_col),
         sig_array.alias("sig"),
         F.explode(F.array(*band_cols)).alias("band"),
@@ -440,6 +450,21 @@ def _components_driver_side(canon: DataFrame) -> DataFrame:
     return canon.sparkSession.createDataFrame(out, schema)
 
 
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Per-round lineage truncation for iterative loops: a RELIABLE
+    checkpoint (fault-tolerant storage, survives executor loss) when
+    the SparkContext has a checkpoint dir configured — required on a
+    real cluster, where truncated lineage makes executor-local blocks
+    unrecomputable and one preempted executor would abort a multi-hour
+    star loop — falling back to ``localCheckpoint`` when no dir is set
+    (single-node / test mode, where losing an executor means losing
+    the application anyway)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
@@ -470,8 +495,14 @@ def connected_components(
     connectivity; the fixpoint is a star forest where every edge is
     (node, component-min). All intermediate state is bare (long, long)
     edge pairs — vectors/signatures/text never enter the loop — each
-    star step is one groupBy + one equi-join, and ``localCheckpoint``
-    truncates per-round lineage (the classic iterative-DataFrame trap).
+    star step is one groupBy + one equi-join, and a per-round
+    checkpoint truncates lineage (the classic iterative-DataFrame
+    trap). The checkpoint is RELIABLE (HDFS/object-store) whenever the
+    SparkContext has a checkpoint dir configured — on a real cluster a
+    multi-hour star loop must survive executor loss, and truncated
+    lineage makes executor-local blocks unrecomputable — and falls
+    back to ``localCheckpoint`` only when no dir is set (single-node /
+    test mode, where losing an executor loses the app anyway).
     Each round costs exactly ONE Spark action: both checkpoints are
     lazy (materialized by the convergence count, whose union needs the
     full frame anyway), and convergence is "the edge set is a star
@@ -512,7 +543,7 @@ def connected_components(
             return _components_driver_side(canon)
         finally:
             canon.unpersist()
-    e_cur = canon.localCheckpoint()
+    e_cur = _truncate_lineage(canon, eager=True)
     canon.unpersist()
     for _ in range(max_iter):
         # large-star: u's neighbors v > u attach to min(Γ(u) ∪ {u})
@@ -520,18 +551,18 @@ def connected_components(
             e_cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        large = (
+        large = _truncate_lineage(
             und.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .where(F.col("hi") != F.col("lo"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
         )
         # small-star: edges are (hi > lo); hi's smaller neighbors (and
         # hi itself) attach to hi's minimum smaller neighbor
         m2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
-        e_new = (
+        e_new = _truncate_lineage(
             large.join(m2, "hi")
             .select(F.col("lo").alias("x"), F.col("m").alias("y"))
             .union(m2.select(F.col("hi").alias("x"), F.col("m").alias("y")))
@@ -539,8 +570,8 @@ def connected_components(
             .select(
                 F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo")
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
         )
         head_is_tail = e_new.join(
             e_new.select(F.col("lo").alias("hi")).distinct(), "hi", "left_semi"
@@ -571,20 +602,32 @@ def connected_components(
 def _bands_for_write(bands: DataFrame, n_bands: int, n_buckets: int):
     """Shape the band frame for the partitioned index write: an
     EXPLICIT-count repartition on the partition columns, so (a) each
-    (band_idx, bucket) directory is written by exactly one task — a
-    column-only repartition leaves n_tasks × n_dirs tiny files — and
-    (b) AQE cannot coalesce a small build to ONE task that then
-    creates every directory sequentially (~20 ms of filesystem/commit
-    overhead per directory: a 256-dir build measured 4.6 s single-task
-    vs 1.7 s at 32 tasks). At real corpus scale the data volume keeps
-    the write wide anyway; the explicit count only guards the
-    small-build pathology."""
-    n = max(
-        1,
-        min(bands.sparkSession.sparkContext.defaultParallelism,
-            n_bands * n_buckets),
+    (band_idx, bucket) directory is written by a BOUNDED number of
+    tasks — a column-only repartition leaves n_tasks × n_dirs tiny
+    files — and (b) AQE cannot coalesce a small build to ONE task that
+    then creates every directory sequentially (~20 ms of filesystem/
+    commit overhead per directory: a 256-dir build measured 4.6 s
+    single-task vs 1.7 s at 32 tasks).
+
+    When the cluster is WIDER than the combo count, capping tasks at
+    n_bands × n_buckets would funnel a corpus-sized frame through a
+    handful of tasks, each writing one giant file (the 100 TB
+    straggler pathology) — so the repartition adds a per-doc salt
+    with ceil(parallelism / combos) values: full cluster width, at
+    most `spread` files per directory, and the salt rides only the
+    SHUFFLE key (partitionBy still routes rows by combo)."""
+    sc = bands.sparkSession.sparkContext
+    combos = max(1, n_bands * n_buckets)
+    par = max(1, sc.defaultParallelism)
+    spread = -(-par // combos)  # ceil: files-per-directory bound
+    if spread == 1:
+        # narrow cluster / wide index: one task per combo (or fewer)
+        return bands.repartition(min(par, combos), "band_idx", "bucket")
+    salt = F.pmod(
+        F.xxhash64(F.col(bands.columns[0]), F.col("band_hash")),
+        F.lit(spread),
     )
-    return bands.repartition(n, "band_idx", "bucket")
+    return bands.repartition(par, "band_idx", "bucket", salt)
 
 
 def _lsh_bucket(n_buckets: int):
@@ -694,13 +737,18 @@ def lsh_index_append(
 
     Band rows append into their (band_idx, bucket) partitions (an
     O(batch) partitioned append; existing directories gain files, new
-    buckets appear). Exact hashes append AFTER an anti-join against the
-    standing exact table — a duplicate hash there would fan out the
-    probe's left join into duplicate output rows, so uniqueness is a
-    correctness invariant, and the anti-join is one scan of a
-    single-column table. Appending the SAME document id twice only
-    duplicates band rows (the probe's groupBy(doc_a, doc_b) collapses
-    them), but callers should append each accepted batch once."""
+    buckets appear). Exact hashes are a BLIND O(batch) append too: the
+    exact probe is a duplicate-proof LEFT SEMI join (curation.
+    incremental_dedup_indexed), so a hash landing twice — append
+    retries, overlapping appends — changes no probe result, and the
+    earlier design's anti-join against the standing table (which made
+    every tiny batch pay a FULL scan of a corpus-sized hash table,
+    contradicting the loop's O(batch) steady-state contract) is gone.
+    Physical duplicates are swept by :func:`lsh_index_compact`, which
+    distincts the exact side. Appending the SAME document id twice
+    only duplicates band rows (the probe's groupBy(doc_a, doc_b)
+    collapses them), but callers should append each accepted batch
+    once."""
     import json
     import os
 
@@ -728,14 +776,9 @@ def lsh_index_append(
     exact_path = os.path.join(index_path, "exact")
     newh = (
         new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
-        .distinct()
+        .distinct()  # within-batch dedup only: never scans the corpus
     )
-    existing = spark.read.parquet(exact_path)
-    # eager localCheckpoint: the anti-join must finish READING the
-    # standing exact files before the append starts WRITING next to
-    # them (read-your-own-write-target hazard)
-    fresh = newh.join(existing, "text_hash", "left_anti").localCheckpoint()
-    fresh.write.mode("append").parquet(exact_path)
+    newh.write.mode("append").parquet(exact_path)
     spark.catalog.refreshByPath(index_path)
 
 
@@ -768,9 +811,11 @@ def probe_lsh_index(
     num_hashes, band_rows = meta["num_hashes"], meta["band_rows"]
     n_buckets, shingle_n = meta["n_buckets"], meta["shingle_n"]
 
-    sigs = pin(
-        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
-    )
+    # only `bands` is pinned: sigs has exactly one consumer (bands
+    # itself), so pinning it too would just double the cached footprint
+    # per probe batch without saving any recompute — unlike
+    # lsh_candidate_pairs, where the sig pin is load-bearing
+    sigs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
     bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
         "bucket", _lsh_bucket(n_buckets)
     )
@@ -888,15 +933,47 @@ def lsh_index_compact(
     compaction machinery: the bands side is hive-partitioned by
     (band_idx, bucket) and compacts in ONE Spark job across all
     n_bands x n_buckets directories; the exact side is a plain
-    size-targeted rewrite. ``min_frag_mb`` applies the same
-    skip-if-healthy gate as `cli compact`. Returns the per-side stats
-    dicts."""
+    size-targeted rewrite, preceded by a duplicate SWEEP — appends are
+    blind O(batch) writes (see :func:`lsh_index_append`), so retried /
+    overlapping appends leave physical duplicate hashes that the
+    semi-join probe ignores but storage shouldn't keep forever. The
+    sweep costs one aggregate job and rewrites DISTINCT through a
+    stage-and-swap only when duplicates actually exist.
+    ``min_frag_mb`` applies the same skip-if-healthy gate as
+    `cli compact`. Returns the per-side stats dicts plus
+    ``exact_deduped`` (duplicate rows removed)."""
     import os
+    import shutil
 
     from dbcut_spark.sinks.compact import DEFAULT_TARGET_FILE_MB, compact_parquet
 
     mb = DEFAULT_TARGET_FILE_MB if target_file_mb is None else target_file_mb
+    exact_path = os.path.join(index_path, "exact")
+    extra = (
+        spark.read.parquet(exact_path)
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.sum(F.col("n") - 1).alias("extra"))
+        .first()["extra"]
+    )
+    if extra:
+        tmp, old = exact_path + ".dedupe.tmp", exact_path + ".dedupe.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # eager localCheckpoint: finish READING the standing files
+        # before the swap replaces them under the reader
+        (
+            spark.read.parquet(exact_path)
+            .distinct()
+            .localCheckpoint()
+            .write.parquet(tmp)
+        )
+        os.rename(exact_path, old)
+        os.rename(tmp, exact_path)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(exact_path)
     out = {
+        "exact_deduped": int(extra or 0),
         "bands": compact_parquet(
             spark,
             os.path.join(index_path, "bands"),

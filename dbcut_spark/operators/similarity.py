@@ -31,6 +31,64 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+_GUARD_MIN_BATCH = 16
+
+
+def _guard_all_dropped(n_in: int, n_valid: int, vecs, dim: int,
+                       where: str) -> None:
+    """The drop-don't-crash guards in the vectorized kernels exist to
+    tolerate a SINGLE bad row (null / ragged vector) — but a caller
+    whose ``dim`` simply mismatches the data makes EVERY row 'bad',
+    and silently dropping the whole batch turns a config error into
+    empty-but-successful results (zero recall, all-false dedup flags).
+    An all-dropped Arrow batch of at least ``_GUARD_MIN_BATCH`` rows
+    is that config error with overwhelming likelihood, so raise it
+    loudly with the observed lengths. Smaller batches pass (a lone bad
+    row isolated in a partition tail must stay a drop, not an abort) —
+    a genuine global mismatch on any real dataset produces thousands-
+    row all-dropped batches immediately. Runs per batch, pure Python
+    ints — no per-row cost."""
+    if n_in < _GUARD_MIN_BATCH or n_valid > 0:
+        return
+    import numpy as np
+
+    lens = sorted({
+        np.asarray(v).shape[0] if np.asarray(v).ndim == 1 else -1
+        for v in vecs if v is not None
+    })[:5]
+    raise ValueError(
+        f"{where}: every vector in a batch of {n_in} was dropped — "
+        f"expected dim {dim}, observed lengths {lens or '[all NULL]'}. "
+        "A full-batch mismatch almost always means the dim/centroid "
+        "parameter does not match the data; pre-filter ragged vectors "
+        "explicitly if this input is intentional"
+    )
+
+
+def _cos_topk_epilogue(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query top-k epilogue shared by every cosine ANN variant
+    (brute force, LSH, IVF fresh + indexed): rank by (cos_sim DESC,
+    cand_id ASC) within query_id, keep k, emit the stable
+    (query_id, cand_id, cos_sim, rnk) order. One implementation so a
+    tie-break or rounding change can never diverge between the exact
+    baseline and the approximate paths it is recall-evaluated
+    against."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "cand_id", "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 def _safe_cos() -> Column:
     """Cosine of the (q_vec, c_vec) pair columns, NULL for zero-norm
     vectors: a plain division gives 0.0/0.0 = NaN, and Spark ranks NaN
@@ -57,7 +115,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+    # try_divide everywhere cosine is computed: NULL on a zero-norm
+    # vector, matching _safe_cos — under Spark 4's default ANSI mode a
+    # plain division would ABORT the whole job on one degenerate row
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), decimals)
 
 
 def cosine_topk(
@@ -71,7 +132,6 @@ def cosine_topk(
     side is broadcast — candidates stream through one scan, so cost is
     O(N×Q) flops with zero shuffle of the candidate table; the top-k per
     query is a windowed rank over Q×N scored rows."""
-    from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -93,15 +153,7 @@ def cosine_topk(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    return _cos_topk_epilogue(scored, k)
 
 
 def hyperplane_components(n_planes: int, dim: int) -> list[list[float]]:
@@ -176,6 +228,8 @@ def signatures_vectorized(
                 continue
             valid.append(i)
             mats.append(a)
+        _guard_all_dropped(len(vecs), len(valid), vecs, dim,
+                           "signatures_vectorized")
         if mats:
             bits = (np.stack(mats) @ planes > 0).astype(np.int32)
             for row, i in enumerate(valid):
@@ -213,7 +267,6 @@ def lsh_ann_topk(
     the dedup; instead the deduped id-pairs are joined back to the
     candidate vectors exactly once (co-partitioned equi-join on
     cand_id), and the tiny query side is broadcast."""
-    from pyspark.sql import Window
 
     if n_planes % band_bits != 0:
         raise ValueError(
@@ -268,15 +321,7 @@ def lsh_ann_topk(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    return _cos_topk_epilogue(scored, k)
 
 
 def embedding_neardup_pairs(
@@ -305,7 +350,10 @@ def embedding_neardup_pairs(
             "doc_a",
             "doc_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -388,7 +436,10 @@ def embedding_neardup_pairs_lsh(
             "doc_a",
             "doc_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -462,6 +513,8 @@ def _nearest_centroids_udf(centroids: list[list[float]], nprobe: int):
                 continue
             valid.append(i)
             mats.append(a)
+        _guard_all_dropped(len(vecs), len(valid), vecs, dim,
+                           "_nearest_centroids_udf")
         if valid:
             mat = np.stack(mats)  # (n_valid, dim)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
@@ -553,7 +606,6 @@ def ivf_topk_indexed(
     import json
     import os
 
-    from pyspark.sql import Window
 
     with open(os.path.join(index_path, "_centroids.json")) as f:
         centroids = json.load(f)
@@ -584,15 +636,7 @@ def ivf_topk_indexed(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    return _cos_topk_epilogue(scored, k)
 
 
 def corpus_mean(df: DataFrame, vec_col: str = "embedding") -> list[float]:
@@ -738,7 +782,6 @@ def ivf_topk(
     (nprobe / n_centroids) of the corpus — and the cluster_id column
     is exactly what you'd bucket/partition the stored index by.
     """
-    from pyspark.sql import Window
 
     if centroids is None:
         centroids = fit_centroids(candidates, vec_col, n_centroids)
@@ -766,15 +809,7 @@ def ivf_topk(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    return _cos_topk_epilogue(scored, k)
 
 
 def quantize_int8(
@@ -893,10 +928,15 @@ def semantic_dedup(
     cosine so the oracle's literal-centroid recomputation can't flip
     at the boundary ulp."""
     assign1 = _nearest_centroids_udf(centroids, 1)
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+    # pinned: the assignment pass (full input scan + Arrow-batched
+    # numpy matmul) feeds three consumers — both self-join sides and
+    # the final flag join — and would re-execute for each without it
+    assigned = pin(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+        )
     )
     # norms once per VECTOR (same arithmetic, evaluated n times instead
     # of n² inside the self-join) — the convention every other pair
@@ -913,7 +953,9 @@ def semantic_dedup(
         F.col(vec_col).alias("vb"),
         norm(F.col(vec_col)).alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = F.try_divide(
+        dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    )
     dups = (
         a.join(b, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
@@ -1086,7 +1128,12 @@ def pq_adc_topk(
         )
         term = t * t
         part = term if part is None else part + term
-    lut = queries.crossJoin(F.broadcast(grid)).select(
+    # queries shorter than the codebook's dim would abort the LUT
+    # build under ANSI (element_at past the array end); drop them like
+    # pq_encode drops mismatched candidates — degrade, don't crash
+    lut = queries.filter(F.size(e) >= dim).crossJoin(
+        F.broadcast(grid)
+    ).select(
         F.col(id_col).alias("q_id"), "m", "code", part.alias("pd")
     )
     codes = pq_encode(cands, vec_col, id_col, codebooks).withColumnRenamed(
@@ -1190,6 +1237,13 @@ def binary_hamming_topk(
     from pyspark.sql import Window
 
     sig_lo, sig_hi = binary_signatures(vec_col, dim)
+    # drop vectors shorter than dim BEFORE the sign-bit fold: under
+    # ANSI mode element_at past the array end would abort the whole
+    # job on one truncated row, where every other candidate path
+    # (LSH/IVF/PQ) drops exactly this input class — same degrade-not-
+    # crash contract here
+    queries = queries.filter(F.size(F.col(vec_col)) >= dim)
+    candidates = candidates.filter(F.size(F.col(vec_col)) >= dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

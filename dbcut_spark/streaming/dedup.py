@@ -15,8 +15,12 @@ Restart/retry semantics (foreachBatch may re-run a batch):
   column — idempotent, a replayed batch inserts nothing new;
 - the index append tolerates replay by construction: the near probe
   anti-joins the batch's own ids out of the index side, and the exact
-  table append anti-joins duplicate hashes (see
-  ``dedup.lsh_index_append``);
+  side is a blind O(batch) append whose possible replay duplicates
+  are invisible to the duplicate-proof semi-join probe (physically
+  swept by ``dedup.lsh_index_compact``; see
+  ``dedup.lsh_index_append`` — the earlier per-batch anti-join
+  against the standing table was an O(corpus) cost every batch,
+  contradicting this module's steady-state contract);
 - a replayed batch whose hashes already landed in the exact table
   triages as exact-dup (the safe answer: the content IS in the
   reference), so its ``accepted`` set is empty and every sink step is

@@ -194,8 +194,10 @@ def test_incremental_dedup_indexed_small_fixture(spark, tmp_path):
 def test_lsh_index_append_grows_reference(spark, sf_dir, tmp_path):
     """The dedup-then-ingest loop: probing after lsh_index_append must
     equal probing an index built over the union — without re-hashing
-    the standing reference; exact-hash uniqueness survives overlapping
-    appends (a duplicate hash would fan out the probe join)."""
+    the standing reference. Appends are BLIND O(batch) writes, so an
+    overlapping re-append leaves physical duplicate hashes; the probe
+    is a duplicate-proof semi join (identical results), and
+    lsh_index_compact sweeps the duplicates physically."""
     from dbcut_spark.operators.dedup import build_lsh_index, lsh_index_append
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -218,12 +220,26 @@ def test_lsh_index_append_grows_reference(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exp.collect())
     )
-    # overlapping re-append keeps exact hashes unique (anti-join guard)
+    # overlapping re-append: blind O(batch) write leaves duplicate
+    # hashes on disk (the O(corpus) anti-join per batch is gone)...
     lsh_index_append(spark, grown, ref2, "text", "doc_id")
     exact = spark.read.parquet(f"{grown}/exact")
-    assert exact.count() == exact.distinct().count()
+    n_total, n_distinct = exact.count(), exact.distinct().count()
+    assert n_total > n_distinct
+    # ...but the semi-join probe is duplicate-proof: results identical
     got2 = cur.incremental_dedup_indexed(spark, grown, batch, "text", "doc_id")
     assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # and compaction sweeps the physical duplicates
+    from dbcut_spark.operators.dedup import lsh_index_compact
+
+    stats = lsh_index_compact(spark, grown)
+    assert stats["exact_deduped"] == n_total - n_distinct
+    exact2 = spark.read.parquet(f"{grown}/exact")
+    assert exact2.count() == n_distinct == exact2.distinct().count()
+    got3 = cur.incremental_dedup_indexed(spark, grown, batch, "text", "doc_id")
+    assert sorted(map(tuple, got3.collect())) == sorted(
         map(tuple, exp.collect())
     )
 

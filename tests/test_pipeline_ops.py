@@ -167,6 +167,103 @@ def test_embedding_neardup_threshold(spark):
     assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 1), (0, 10), (1, 10)}
 
 
+def test_zero_norm_vectors_degrade_not_crash(spark):
+    """Spark 4 runs ANSI mode by default, where a plain division by a
+    zero norm-product ABORTS the job: every cosine path must instead
+    score a zero-norm (padding / failed-encoder) vector as NULL and
+    drop it from thresholds and neighbor lists (round-10 review)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+    ]
+    v = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pairs = sim.embedding_neardup_pairs(v, threshold=0.5).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 1)}
+    # the brute-force scorer keeps the zero-norm row out of real ranks
+    out = sim.cosine_topk(v, v, k=3).collect()
+    assert all(
+        r["cos_sim"] is None
+        for r in out
+        if 2 in (r["query_id"], r["cand_id"])
+    )
+    # SemDeDup over a corpus containing the degenerate vector completes
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    flags = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim.semantic_dedup(v, cents, threshold=0.8).collect()
+    }
+    assert flags[1] is True and flags[2] is False
+
+
+def test_vectorized_kernels_raise_on_full_dim_mismatch(spark):
+    """The drop-don't-crash guards tolerate single bad rows; a caller
+    whose dim parameter mismatches ALL the data must get a loud error,
+    not empty-but-successful results (round-10 review)."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    # ≥16 rows in one INPUT partition (single-slice RDD — a repartition
+    # wouldn't do: Catalyst pushes the deterministic UDF projection
+    # below the exchange, back onto the tiny source partitions): the
+    # guard only fires on all-dropped batches big enough to rule out a
+    # lone bad row at a partition tail
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(40)]
+    big = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(PySparkException, match="every vector"):
+        sim.signatures_vectorized(
+            big, "embedding", n_planes=8, dim=64
+        ).count()
+    cents8 = [[0.0] * 8, [1.0] * 8]  # 8-dim centroids vs 4-dim data
+    with pytest.raises(PySparkException, match="every vector"):
+        sim.semantic_dedup(big, cents8).count()
+    # a single ragged row among good ones still degrades silently
+    bad = spark.createDataFrame(
+        [(99, [1.0, 2.0])], ["vec_id", "embedding"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    mixed = _vecs(spark).unionByName(bad)
+    sigs = sim.signatures_vectorized(mixed, "embedding", n_planes=8, dim=4)
+    assert sigs.count() == 5  # the ragged row dropped, the rest signed
+
+
+def test_binary_topk_drops_short_vectors(spark):
+    """binary_hamming_topk must drop vectors shorter than dim (the
+    LSH/IVF/PQ degrade contract), not abort on ANSI element_at."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    rows.append((9, [1.0, 0.0]))  # truncated vector
+    v = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = sim.binary_hamming_topk(v, v, k=2, dim=8).collect()
+    ids = {r["query_id"] for r in out} | {r["cand_id"] for r in out}
+    assert 9 not in ids and ids == {0, 1, 2, 3}
+
+
+def test_null_text_docs_never_band(spark):
+    """A NULL-text doc has an all-NULL minhash signature; concat_ws
+    would band every such doc onto the single md5('') hash in every
+    band — one hot key quadratic in the NULL count. They must simply
+    produce no candidate pairs (round-10 review)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dd.minhash_signatures(d, "text", "doc_id")
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id").collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(1, 2)}
+
+
 def test_lsh_ann_subset_of_brute(spark, sf_dir):
     from dbcut_spark.sources.parquet import read_table
 
