@@ -264,19 +264,22 @@ class ClosureExecutor:
                 # static product compounds per o2m level (limit 1000 ×
                 # backref 1000 × depth 3 = 10^12): force-broadcasting a
                 # provably-huge frontier would hit Spark's broadcast
-                # limits / OOM the driver — so the force applies only
-                # while the propagated bound stays under the byte
-                # threshold (or is unknown, the pre-round-8 behavior
-                # for m2o-through-non-PK hops), and a provably-huge
-                # bounded frontier takes the same adaptive routing as
-                # limit:no
+                # limits / OOM the driver — so the force applies ONLY
+                # while the propagated bound is KNOWN and under the
+                # byte threshold. An unknown bound (m2o hop through a
+                # non-PK target column: the semi join can admit up to
+                # the whole child table, e.g. joining on a low-
+                # cardinality code column of a billion-row table) takes
+                # the same adaptive metadata/count/Bloom routing as
+                # limit:no — which broadcasts anyway whenever the
+                # frontier turns out small (round-10 review).
                 _bound_here = bounds.get(id(node))
                 _max_rows_here = min(
                     BLOOM_MIN_KEYS,
                     BLOOM_MAX_BROADCAST_BYTES // _estimated_key_bytes(keys),
                 )
                 if bounded and (
-                    _bound_here is None or _bound_here <= _max_rows_here
+                    _bound_here is not None and _bound_here <= _max_rows_here
                 ):
                     keys = F.broadcast(keys)
                     child_df = self.load(rel.target).join(

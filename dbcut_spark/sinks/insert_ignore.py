@@ -30,6 +30,74 @@ def anti_new_rows(new: DataFrame, existing: DataFrame, pk: list[str]) -> DataFra
     return new.join(keys, on=pk, how="left_anti")
 
 
+_SCHEME_RE = None
+
+
+def _require_local_path(path: str, op: str) -> None:
+    """The parquet sinks in this module implement idempotency and the
+    staging swaps with LOCAL-filesystem primitives (os.path / os.rename
+    / shutil). For an HDFS/S3 URI, os.path.exists is simply False — the
+    insert-ignore anti-join would be silently SKIPPED (duplicate PK
+    rows, no error: the exact property the sink exists for) and every
+    swap would misroute. Reject scheme URIs loudly; object-store /
+    HDFS tables go through sinks/manifest (single-object commit, no
+    renames) instead."""
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+
+        _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    if _SCHEME_RE.match(path):
+        raise ValueError(
+            f"{op} uses local-filesystem staging swaps and cannot "
+            f"target {path!r}; use sinks/manifest.publish_snapshot / "
+            "upsert_snapshot for object-store or HDFS tables"
+        )
+
+
+def _recover_staging(spark: SparkSession, path: str) -> None:
+    """Crash-recovery preamble for the staging-swap writers. Without
+    it, a writer that died between ``shutil.rmtree(path)`` and
+    ``os.rename(staged, path)`` leaves the table missing — and the
+    RETRY would take the first-contact branch and silently rebuild the
+    table from the delta alone, losing every pre-existing row.
+
+    - target missing + staging COMPLETE (_SUCCESS marker): the crash
+      was between rmtree and rename — complete the swap; the staged
+      dir holds the full merged table.
+    - target missing + staging incomplete: not reachable from this
+      module's step order (the target is only removed after the
+      staged write succeeded), so it means outside interference —
+      raise rather than guess.
+    - target present + staging leftover: the crash was before (or
+      mid-way through) the swap — the retry re-derives its merge from
+      the CURRENT target, so the stale staging is garbage; discard it.
+      (A partial touched-partition swap leaves the target mixed
+      old/new, and the PK-keyed retry converges over it.)"""
+    import shutil
+
+    # __empty__ first: in the delete path it is created AFTER the
+    # staging dir, so when both survive a crash it is the intended
+    # final state (a leftover post-swap staging dir may hold only a
+    # _SUCCESS marker and would 'recover' into an unreadable table)
+    for suffix in (".__empty__", ".__staging__"):
+        staged = path + suffix
+        if not os.path.exists(staged):
+            continue
+        if os.path.exists(path):
+            shutil.rmtree(staged)
+        elif os.path.exists(os.path.join(staged, "_SUCCESS")):
+            os.rename(staged, path)
+            spark.catalog.refreshByPath(path)
+        else:
+            raise RuntimeError(
+                f"torn swap at {path!r}: the table directory is gone "
+                f"and the leftover {staged!r} carries no _SUCCESS "
+                "marker — refusing to guess; restore one of them "
+                "manually"
+            )
+
+
 def insert_ignore_parquet(
     spark: SparkSession, df: DataFrame, path: str, pk: list[str]
 ) -> int:
@@ -40,11 +108,30 @@ def insert_ignore_parquet(
     part-files next to ``col=value/`` dirs would put leaf files at two
     directory depths and brick partition discovery for every later
     reader — so the append re-uses the detected partition columns."""
+    _require_local_path(path, "insert_ignore_parquet")
+    _recover_staging(spark, path)
     df = df.dropDuplicates(pk)
     part_cols: list[str] = []
     if os.path.exists(path):
         part_cols = detect_partition_cols(path)
         existing = spark.read.parquet(path)
+        # schema guard (same data-loss shape upsert_parquet blocks):
+        # appending files whose column set/types differ from the
+        # standing footers leaves a table where spark.read picks ONE
+        # footer's schema and silently drops the other files' columns
+        diff = {
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        } ^ {
+            (f.name, f.dataType.simpleString())
+            for f in existing.schema.fields
+        }
+        if diff:
+            raise ValueError(
+                f"insert_ignore_parquet schema mismatch vs {path!r}: "
+                f"differing columns {sorted(diff)}; widen the target "
+                "with upsert_parquet(schema_evolution='add') or align "
+                "the frame upstream"
+            )
         df = anti_new_rows(df, existing, pk)
     df = df.cache()
     try:
@@ -323,6 +410,8 @@ def upsert_parquet(
             f"schema_evolution must be 'strict' or 'add', got "
             f"{schema_evolution!r}"
         )
+    _require_local_path(path, "upsert_parquet")
+    _recover_staging(spark, path)
     df = df.dropDuplicates(pk)
     if not os.path.exists(path):
         n = df.count()
@@ -425,6 +514,8 @@ def delete_keys_parquet(
     removed. Same staging-swap caveats as :func:`upsert_parquet`."""
     import shutil
 
+    _require_local_path(path, "delete_keys_parquet")
+    _recover_staging(spark, path)
     if not os.path.exists(path):
         return 0
     part_cols = detect_partition_cols(path)
@@ -631,10 +722,14 @@ def jdbc_upsert(
         # disjoint staging tables (a fixed name let two runs drop or
         # overwrite each other's stage mid-merge); dropped in `finally`
         # so a failed merge doesn't leak it. The (updated, inserted)
-        # split derives from before/after COUNT(*) and is therefore
-        # reliable only without CONCURRENT writers on the target —
-        # concurrent merges still apply correctly (server-side MERGE),
-        # only the returned split can misattribute.
+        # split derives from ONE stage-driven overlap count — an
+        # EXISTS probe of the target keyed on the staged PKs (index
+        # lookups bounded by the DELTA size), not the old pair of full
+        # COUNT(*) table scans bracketing the merge, which dominated a
+        # CDC loop against a large target (round-10 review). Reliable
+        # only without CONCURRENT writers on the target — concurrent
+        # merges still apply correctly (server-side MERGE), only the
+        # returned split can misattribute.
         stage = _stage_name(table, "stg")
         n_stage = out.count()
         if not n_stage:
@@ -645,19 +740,23 @@ def jdbc_upsert(
             # still reach the finally (DROP of a never-created stage is
             # swallowed below) instead of leaking a partial stage table
             write_append(out, url, stage, batchsize=batchsize)
-            n_before = jdbc_count(spark, url, table)
+            match = " AND ".join(
+                f"s.{quote}{c}{quote} = t.{quote}{c}{quote}" for c in pk
+            )
+            updated = jdbc_count(
+                spark, url, f"{table} t",
+                where=f"EXISTS (SELECT 1 FROM {stage} s WHERE {match})",
+            )
             jdbc_execute(
                 spark, url,
                 upsert_sql(dialect, table, out.columns, pk, stage, quote),
             )
-            n_after = jdbc_count(spark, url, table)
         finally:
             try:
                 jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
             except Exception:
                 pass  # cleanup best-effort; stage name is unique per run
-        inserted = n_after - n_before
-        return n_stage - inserted, inserted
+        return updated, n_stage - updated
     finally:
         out.unpersist()
 

@@ -572,13 +572,18 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
         conn.close()
 
 
-def jdbc_count(spark, url: str, table: str) -> int:
-    """Exact ``COUNT(*)`` of a target table over a driver connection."""
+def jdbc_count(spark, url: str, table: str, where: str | None = None) -> int:
+    """Exact ``COUNT(*)`` of a target table over a driver connection,
+    optionally filtered (``where`` is a raw SQL predicate — caller
+    quotes identifiers)."""
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
         try:
-            rs = st.executeQuery(f"SELECT COUNT(*) FROM {table}")
+            sql = f"SELECT COUNT(*) FROM {table}"
+            if where:
+                sql += f" WHERE {where}"
+            rs = st.executeQuery(sql)
             rs.next()
             return int(rs.getLong(1))
         finally:

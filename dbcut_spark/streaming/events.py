@@ -102,9 +102,16 @@ def run_stream_to_memory(
 
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("session_start_us", T.LongType()),
-        T.StructField("last_ts_us", T.LongType()),
-        T.StructField("n_events", T.LongType()),
+        # parallel arrays: ALL of a user's pending (not yet
+        # watermark-matured) sessions, sorted by start — not just the
+        # newest one. Holding only the open session forced the old
+        # code to EMIT a session the moment an in-batch gap closed it,
+        # which is wrong under event-time semantics: an admissible
+        # late event (inside the watermark) arriving in a later batch
+        # could still extend, split, or bridge it (round-10 review).
+        T.StructField("starts_us", T.ArrayType(T.LongType())),
+        T.StructField("lasts_us", T.ArrayType(T.LongType())),
+        T.StructField("n_events", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -118,81 +125,105 @@ SESSION_OUT_SCHEMA = T.StructType(
 )
 
 
+def _merge_sessions(
+    sessions: list[list[int]], gap_us: int
+) -> list[list[int]]:
+    """Fold (start, last, n) triples — pending sessions and/or
+    single-event stubs, any order — into gap-separated sessions: after
+    a start-sort, any adjacent pair within ``gap_us`` merges, so one
+    late event can EXTEND a session or BRIDGE two pending ones (the
+    chain-merge). Pure function so the semantics are unit-testable
+    outside a state store."""
+    sessions = sorted(sessions)
+    merged: list[list[int]] = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], s[1])
+            merged[-1][2] += s[2]
+        else:
+            merged.append(list(s))
+    return merged
+
+
 def stateful_sessionize(
-    stream: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+    stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+    timeout_s: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: per-user session tracking with
     ``applyInPandasWithState`` (the escape hatch for semantics the
-    built-in ``session_window`` can't express — e.g. emitting a session
-    row the moment its gap closes, with arbitrary per-session state).
+    built-in ``session_window`` can't express — arbitrary per-session
+    state, custom maturity rules).
 
-    State per user = (session_start, last_ts, n_events); a batch of
-    events extends the open session or closes it (gap exceeded) and
-    opens the next; processing-time timeout flushes sessions for users
-    that stop sending events entirely.
+    State per user = the PENDING session list (start, last, n_events
+    triples). Each batch merges its events into that list (an event
+    extends a session, starts a new one, or BRIDGES two pending
+    sessions whose gap it fills), then emits exactly the sessions the
+    WATERMARK has matured: session_end + gap ≤ watermark, the point
+    after which no admissible event can touch the session. Sessions
+    are never emitted on an in-batch gap alone — a late-but-admissible
+    event in a later batch may extend or bridge them, and append-mode
+    emissions are final (the old immediate-close emitted wrong rows
+    exactly there; round-10 review). This is the same maturity rule
+    Spark's built-in session_window aggregation uses. A processing-
+    time timeout (default one gap; override with ``timeout_s``,
+    e.g. in tests) re-checks maturity for users that stop sending
+    events, with the same event-time decision — wall-clock only wakes
+    the group up (round-8 review fix).
 
-    Scale: state lives in the state store, partitioned by user_id —
-    size is O(active users), not O(events); the watermark bounds
-    replays. One shuffle on user_id, Arrow-batched Python per group.
+    Scale: state is O(pending sessions per active user) — bounded by
+    the watermark delay / gap ratio, not by history; the watermark
+    bounds replays. One shuffle on user_id, Arrow-batched Python per
+    group.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_s * 1_000_000
+    timeout_ms = (gap_s if timeout_s is None else timeout_s) * 1000
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:
-            # wall-clock WAKEUP, event-time DECISION: flush only when
-            # the watermark proves the gap closed (last + gap behind
-            # it). A bare processing-time flush would split sessions
-            # whenever processing lags event time — e.g. a query
-            # restart after >gap_s downtime with the user's backlog
-            # still inside the event-time gap (round-8 review fix).
-            if state.exists:
-                start, last, n = state.get
-                wm_us = state.getCurrentWatermarkMs() * 1000
-                if wm_us > 0 and last + gap_us <= wm_us:
-                    state.remove()
-                    yield pd.DataFrame(
-                        {
-                            "user_id": [user_id],
-                            "session_start_us": [start],
-                            "session_end_us": [last],
-                            "n_events": [n],
-                        }
-                    )
-                else:
-                    state.setTimeoutDuration(gap_s * 1000)
-            return
+        sessions: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                # ns→us: event timestamps arrive as datetime64
+                for us in (pdf["ts"].astype("int64") // 1000).tolist():
+                    sessions.append([us, us, 1])
+        merged = _merge_sessions(sessions, gap_us)
+        # merged sessions are disjoint with > gap between them, so
+        # maturity is a start-order prefix — the predicate split below
+        # is equivalent and stays correct if that invariant ever moves
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        ts_list = []
-        for pdf in pdf_iter:
-            # ns→us: event timestamps arrive as datetime64
-            ts_list.extend((pdf["ts"].astype("int64") // 1000).tolist())
-        ts_list.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed = {"user_id": [], "session_start_us": [], "session_end_us": [], "n_events": []}
-        for us in ts_list:
-            if start is None:
-                start, last, n = us, us, 1
-            elif us - last > gap_us:
-                closed["user_id"].append(user_id)
-                closed["session_start_us"].append(start)
-                closed["session_end_us"].append(last)
-                closed["n_events"].append(n)
-                start, last, n = us, us, 1
-            else:
-                # max(): a late-but-within-watermark event arriving in a
-                # LATER batch has us < last; moving `last` backwards
-                # would shrink session_end and let a following event
-                # split the session spuriously
-                last, n = max(last, us), n + 1
-        state.update((start, last, n))
-        state.setTimeoutDuration(gap_s * 1000)
-        if closed["user_id"]:
-            yield pd.DataFrame(closed)
+        def _ripe(s):
+            return wm_us > 0 and s[1] + gap_us <= wm_us
+
+        ripe = [s for s in merged if _ripe(s)]
+        pending = [s for s in merged if not _ripe(s)]
+        if pending:
+            state.update((
+                [s[0] for s in pending],
+                [s[1] for s in pending],
+                [s[2] for s in pending],
+            ))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if ripe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(ripe),
+                    "session_start_us": [s[0] for s in ripe],
+                    "session_end_us": [s[1] for s in ripe],
+                    "n_events": [s[2] for s in ripe],
+                }
+            )
 
     return (
         stream.withWatermark("ts", watermark)
@@ -240,6 +271,16 @@ def incremental_dedup_stream(
     length; that is what makes continuous ingest dedup viable. The
     near-dup (LSH) probe composes the same way: signatures are a
     per-row projection and the band join is also stream-static.
+
+    The hashed key set is PERSISTED: a stream-static join re-executes
+    the static side's plan EVERY micro-batch, so without the cache each
+    trigger would pay a full reference scan + md5 + distinct shuffle
+    forever — the dominant cost of the whole pipeline at a multi-TB
+    reference (round-10 review). The cache holds only the distinct
+    hash column, not the corpus. For references too big even as hashes,
+    precompute them once to parquet and pass that as ``reference``
+    (the persisted-index route in streaming/dedup.py goes further and
+    partition-prunes).
     """
     from dbcut_spark.functions.text import norm_text
 
@@ -247,6 +288,7 @@ def incremental_dedup_stream(
         reference.select(F.md5(norm_text(text_col)).alias("__h"))
         .distinct()
         .withColumn("__dup", F.lit(True))
+        .persist()
     )
     return (
         doc_stream.withColumn("__h", F.md5(norm_text(text_col)))
@@ -880,7 +922,11 @@ SCD2_OUT_SCHEMA = T.StructType(
 )
 
 
-def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def scd2_stream(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 30 * 24,
+) -> DataFrame:
     """Streaming twin of the batch ``events_scd2_state`` gate query:
     per-user SCD2 interval compaction over a live event stream. Each
     user's open run (current state, valid_from, row count, version)
@@ -890,19 +936,46 @@ def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
     Scale: state is O(active users) regardless of history length; one
     user_id shuffle feeds the stateful operator, the same key the batch
-    twin shuffles on. Ordering contract: events for one user must
-    arrive in (ts, event_id) order ACROSS micro-batches (each batch is
-    sorted internally) — true of per-key-ordered CDC/event logs, which
-    is what SCD2 consumes; a cross-batch regression would need a
+    twin shuffles on. ``state_ttl_hours`` (event-time TTL, default 30
+    days — the same bound funnel/as-of carry) keeps "active" honest: a
+    user idle past the TTL is EVICTED, emitting their open interval as
+    a final row with ``valid_to_us`` NULL (the SCD2 open-row shape), so
+    a churning id space cannot grow the state store monotonically until
+    the query dies — the watermark alone never cleans
+    applyInPandasWithState state. A user returning after eviction
+    restarts at version 1: downstream consumers keying on
+    (user_id, version) should treat post-eviction runs as a new
+    history epoch (documented trade; the batch twin over the full log
+    would keep counting).
+
+    Ordering contract: events for one user must arrive in
+    (ts, event_id) order ACROSS micro-batches (each batch is sorted
+    internally) — true of per-key-ordered CDC/event logs, which is
+    what SCD2 consumes; a cross-batch regression would need a
     retroactive interval split that append-mode streaming cannot
-    express. The interval still open when the stream idles stays in
-    state (it is the batch twin's valid_to IS NULL row)."""
+    express."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
+        if state.hasTimedOut:
+            # event-time TTL eviction: flush the open interval as the
+            # SCD2 open row (valid_to NULL) and drop the state entry
+            cur, vfrom, n, ver = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "state": [cur],
+                    "valid_from_us": [vfrom],
+                    "valid_to_us": [None],
+                    "version": [ver],
+                    "n_events": [n],
+                }
+            )
+            return
         rows: list[tuple[int, int, str]] = []
         for pdf in pdf_iter:
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
@@ -935,6 +1008,17 @@ def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
                 out["n_events"].append(n)
                 cur, vfrom, n, ver = etype, ts_us, 1, ver + 1
         state.update((cur, vfrom, n, ver))
+        # evict when the watermark passes last-activity + TTL (same
+        # aging rule as stateful_funnel / the as-of join); rows is
+        # sorted, so the batch's newest event is the activity stamp
+        last_us = rows[-1][0] if rows else (vfrom or 0)
+        last_ms = (
+            last_us // 1000 if last_us else state.getCurrentWatermarkMs()
+        )
+        state.setTimeoutTimestamp(
+            max(last_ms, state.getCurrentWatermarkMs())
+            + state_ttl_hours * 3_600_000
+        )
         if out["user_id"]:
             yield pd.DataFrame(out)
 
@@ -946,7 +1030,7 @@ def scd2_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             SCD2_OUT_SCHEMA,
             SCD2_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -337,9 +337,13 @@ def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
 
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionizer must agree with the
-    oracle-checked batch sessionizer on every CLOSED session (sessions
-    still open when the stream ends stay in state — only gap-closed
-    ones are emitted in append mode)."""
+    oracle-checked batch sessionizer on every WATERMARK-MATURED
+    session: with delay 0 the final watermark is the stream's max
+    event time, so exactly the sessions whose end + gap precedes it
+    are emitted (append mode is final — an in-batch gap alone is not
+    enough, a late event could still extend or bridge the session;
+    round-10 review). Sessions still inside the horizon stay in
+    state."""
     from dbcut_spark.queries_pipeline import events_sessionize
     from dbcut_spark.sources.parquet import read_table
     from dbcut_spark.streaming.events import read_event_stream, stateful_sessionize
@@ -353,27 +357,47 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60).orderBy(
         "ts"
     ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    max_us = int(
+        spark.read.parquet(str(src))
+        .agg(F.max(F.col("ts").cast("double"))).first()[0] * 1_000_000
+    )
+    gap_us = 1800 * 1_000_000
 
     stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
     q = (
-        stateful_sessionize(stream)
+        stateful_sessionize(stream, watermark="0 seconds", timeout_s=3)
         .writeStream.format("memory")
         .queryName("sessions_test")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    # ProcessingTimeTimeout schedules extra batches to fire timeouts, so
-    # the availableNow query never self-terminates — wait for the data
-    # batch to land, then stop.
+
+    batch = [
+        r
+        for r in events_sessionize(spark, sf_dir).collect()
+        if r["user_id"] < 60
+    ]
+    expected = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+        )
+        for r in batch
+        if r["session_end"].timestamp() * 1_000_000 + gap_us <= max_us
+    }
+
+    # the data batch runs with the PREVIOUS batch's watermark (0), so
+    # emission happens in the follow-up timeout batches (timeout_s=3);
+    # ProcessingTimeTimeout keeps scheduling batches, so wait until
+    # the sink reaches the expected count, then stop.
     import time as _time
 
     deadline = _time.time() + 120
     while _time.time() < deadline:
-        # lastProgress is overwritten by empty timeout batches — check
-        # cumulative input plus actual sink rows
-        done = sum(p["numInputRows"] for p in q.recentProgress) > 0
-        if done and spark.table("sessions_test").count() > 0:
+        if spark.table("sessions_test").count() >= len(expected):
             break
         _time.sleep(1)
     q.stop()
@@ -381,29 +405,30 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in spark.table("sessions_test").collect()
     }
-
-    batch = [
-        r
-        for r in events_sessionize(spark, sf_dir).collect()
-        if r["user_id"] < 60
-    ]
-    # drop each user's LAST session (open at end-of-stream → not emitted)
-    last_seq = {}
-    for r in batch:
-        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
-    expected = {
-        (
-            r["user_id"],
-            r["session_start"].timestamp() * 1_000_000,
-            r["session_end"].timestamp() * 1_000_000,
-            r["n_events"],
-        )
-        for r in batch
-        if r["session_seq"] != last_seq[r["user_id"]]
-    }
-    expected = {(u, int(s), int(e), n) for u, s, e, n in expected}
     assert got == expected
     assert len(got) > 0
+
+
+def test_merge_sessions_late_event_semantics():
+    """The pure merge kernel of stateful_sessionize: a late event must
+    EXTEND the session it falls into, BRIDGE two pending sessions
+    whose gap it fills, and SPLIT correctly otherwise — the exact
+    scenarios the old emit-on-in-batch-gap design got wrong (round-10
+    review)."""
+    from dbcut_spark.streaming.events import _merge_sessions
+
+    m = 60 * 1_000_000  # one minute in us
+    gap = 30 * m
+
+    # extend: late event inside an existing session's gap window
+    out = _merge_sessions([[0, 0, 1], [60 * m, 60 * m, 1], [20 * m, 20 * m, 1]], gap)
+    assert out == [[0, 20 * m, 2], [60 * m, 60 * m, 1]]
+    # bridge: the late event chains two pending sessions into one
+    out = _merge_sessions([[0, 0, 1], [50 * m, 60 * m, 2], [25 * m, 25 * m, 1]], gap)
+    assert out == [[0, 60 * m, 4]]
+    # no merge across a genuine gap
+    out = _merge_sessions([[0, 0, 1], [90 * m, 90 * m, 1]], gap)
+    assert out == [[0, 0, 1], [90 * m, 90 * m, 1]]
 
 
 def test_ivf_exact_when_probing_all(spark, sf_dir):

@@ -1410,6 +1410,107 @@ def _mrows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_staging_swap_crash_recovery(spark, tmp_path):
+    """A writer that dies between rmtree(target) and rename(staging)
+    leaves the table missing; the RETRY previously took the
+    first-contact branch and silently rebuilt the table from the delta
+    alone — a 100 TB table lost without an error (round-10 review).
+    Recovery must complete the swap from a _SUCCESS-marked staging dir
+    before any branch decision."""
+    import shutil
+
+    import pytest as _pt
+
+    from dbcut_spark.sinks.insert_ignore import upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base.write.parquet(path)
+
+    # crash simulation: merged result fully staged, target removed,
+    # rename never happened
+    staged = path + ".__staging__"
+    base.withColumn("v", F.upper("v")).write.parquet(staged)
+    shutil.rmtree(path)
+
+    delta = spark.createDataFrame([(4, "d")], "id long, v string")
+    upsert_parquet(spark, delta, path, ["id"])
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # the staged merge was recovered, THEN the delta applied — nothing lost
+    assert got == [(1, "A"), (2, "B"), (3, "C"), (4, "d")]
+    assert not os.path.exists(staged)
+
+    # stale staging next to an INTACT target is garbage: discarded
+    spark.createDataFrame([(9, "x")], "id long, v string").write.parquet(
+        staged
+    )
+    upsert_parquet(spark, delta, path, ["id"])
+    assert not os.path.exists(staged)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2, 3, 4]
+
+    # torn staging (no _SUCCESS) with a missing target: refuse loudly
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-x.parquet"), "w") as f:
+        f.write("torn")
+    shutil.rmtree(path)
+    with _pt.raises(RuntimeError, match="torn swap"):
+        upsert_parquet(spark, delta, path, ["id"])
+
+
+def test_insert_ignore_schema_guard(spark, tmp_path):
+    """insert_ignore_parquet must refuse a frame whose column set or
+    types differ from the target (mixed-schema footers make spark.read
+    silently drop columns) — the same guard upsert_parquet has."""
+    import pytest as _pt
+
+    from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    with _pt.raises(ValueError, match="schema mismatch"):
+        insert_ignore_parquet(
+            spark,
+            spark.createDataFrame([(2, "b", 1)], "id long, v string, c long"),
+            path, ["id"],
+        )
+    with _pt.raises(ValueError, match="schema mismatch"):
+        insert_ignore_parquet(
+            spark, spark.createDataFrame([(2,)], "id long"), path, ["id"]
+        )
+    # matching schema still inserts
+    n = insert_ignore_parquet(
+        spark,
+        spark.createDataFrame([(1, "dup"), (2, "b")], "id long, v string"),
+        path, ["id"],
+    )
+    assert n == 1
+
+
+def test_parquet_sinks_reject_remote_uris(spark):
+    """The staging-swap sinks run on os.path/shutil primitives; an
+    hdfs:// or s3:// target would silently skip the idempotency
+    anti-join (os.path.exists is False for URIs). Loud rejection,
+    pointing at the manifest sink."""
+    import pytest as _pt
+
+    from dbcut_spark.sinks.insert_ignore import (
+        delete_keys_parquet,
+        insert_ignore_parquet,
+        upsert_parquet,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    for fn in (insert_ignore_parquet, upsert_parquet):
+        with _pt.raises(ValueError, match="manifest"):
+            fn(spark, df, "s3://bucket/table", ["id"])
+    with _pt.raises(ValueError, match="manifest"):
+        delete_keys_parquet(spark, df, "hdfs://nn/warehouse/t", ["id"])
+
+
 def test_manifest_publish_read_roundtrip(spark, tmp_path):
     """overwrite -> append -> time travel, plus hive partition columns
     reconstructing across commit directories."""
