@@ -38,7 +38,13 @@ def norm_text(col: str | Column) -> Column:
 def shingles(col: str | Column, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text, as an array —
     built with sequence/transform (codegen), no explode needed until the
-    caller wants rows."""
+    caller wants rows. Edge semantics (deliberate, mirrored by the
+    oracles): empty/whitespace-only text yields [''] — all empty docs
+    share that one shingle and similarity-match each other, which is
+    correct because their normalized content IS identical (exact-dup
+    territory); NULL text yields [NULL] — an all-NULL signature that
+    the LSH banding step filters out (dedup._sig_bands), so NULL docs
+    never enter candidate pairs."""
     t = norm_text(col)
     return F.array_distinct(
         F.transform(
@@ -49,34 +55,72 @@ def shingles(col: str | Column, n: int = 5) -> Column:
 
 
 def ws_token_count(col: str | Column) -> Column:
-    """Whitespace token count; empty string counts 0. Splits on \\s+
-    runs (space, tab, newline — the DuckDB oracles use the identical
-    RE2 class), so multi-line documents count words, not lines."""
+    """Whitespace token count; empty string counts 0, NULL text counts
+    NULL — the isNull branch is EXPLICIT because non-ANSI Spark (3.x
+    default, still in the supported range) has size(NULL) = -1
+    (legacy.sizeOfNull), which would deflate every SUM over the column
+    by one per NULL row (round-10 review). Splits on \\s+ runs (space,
+    tab, newline — the DuckDB oracles use the identical RE2 class), so
+    multi-line documents count words, not lines."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, "\\s+"))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("int"))
+        .when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, "\\s+")))
     )
 
 
 def bpe_token_count(col: str | Column) -> Column:
-    """Count of BPE-ish regex tokens (letters / digits / single marks)."""
+    """Count of BPE-ish regex tokens (letters / digits / single marks);
+    NULL text counts NULL (explicit — see ws_token_count)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
+
+
+def collapse_ws(col: str | Column) -> Column:
+    """Collapse every whitespace run (space/tab/newline) to one space —
+    the precondition of :func:`occurrence_count`'s space-delimited
+    matching. quality_score / lang_id / gopher apply it before stop
+    counting so a word after a newline still counts (round-10
+    review); clean_text goes further (control chars, NBSP, zero-width)
+    for the web-scrape path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"\s+", " ")
 
 
 def occurrence_count(col: Column, word: str) -> Column:
-    """Non-overlapping occurrences of `` word `` (space-delimited) via the
-    length/replace trick — identical algorithm in the DuckDB oracle.
-    Matches only space-adjacent words: run multi-line text through
-    clean_text (whitespace-run collapse) first, or a word after a
-    newline won't match."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    """Occurrences of ``word`` as a space-delimited token, via the
+    length/replace trick with spaces DOUBLED first: a plain
+    non-overlapping replace of ' w ' consumes the shared delimiter, so
+    adjacent repeats ('the the' — exactly the boilerplate runs a
+    stopword ratio is meant to flag) counted 1 instead of 2 (round-10
+    review); after doubling, every occurrence owns both its delimiter
+    spaces. Identical algorithm in the DuckDB oracle
+    (:func:`occurrence_count_sql` — ONE definition site for both
+    engines). Matching is space-delimited: collapse whitespace runs
+    (:func:`collapse_ws` / clean_text) first for multi-line text."""
+    padded = F.concat(
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("int")
+
+
+def occurrence_count_sql(expr: str, word: str) -> str:
+    """DuckDB twin of :func:`occurrence_count` — generated from the
+    same module so the two engines cannot silently diverge (the three
+    oracle builders previously each hand-copied the formula)."""
+    padded = f"(' ' || replace({expr}, ' ', '  ') || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, "
+        f"' {word} ', ''))) / {len(word) + 2} AS INT)"
+    )
 
 
 def stopword_hits(col: Column, words: list[str]) -> Column:
@@ -88,15 +132,22 @@ def stopword_hits(col: Column, words: list[str]) -> Column:
 
 def quality_score(text_col: str | Column) -> dict[str, Column]:
     """Deterministic quality features: word count, char count, stopword
-    ratio, uppercase ratio, mean word length, and a combined score."""
+    ratio, uppercase ratio, mean word length, and a combined score.
+    Stop counting and mean word length run on whitespace-COLLAPSED
+    text: occurrence_count is space-delimited (a stopword after a
+    newline would be missed) and the mean-length formula assumes one
+    separator per word boundary (whitespace runs inflated it) —
+    round-10 review; the DuckDB oracle applies the identical
+    collapse."""
     raw = F.col(text_col) if isinstance(text_col, str) else text_col
     t = norm_text(raw)
+    tq = collapse_ws(t)
     wc = ws_token_count(t)
     n_chars = F.length(raw)
-    stop = stopword_hits(t, LANG_PROFILES["en"])
+    stop = stopword_hits(tq, LANG_PROFILES["en"])
     # uppercase count via regexp removal (same char class in DuckDB RE2)
     upper = n_chars - F.length(F.regexp_replace(raw, "[A-Z]", ""))
-    mean_wlen = F.when(wc > 0, (F.length(t) - (wc - 1)) / wc).otherwise(F.lit(0.0))
+    mean_wlen = F.when(wc > 0, (F.length(tq) - (wc - 1)) / wc).otherwise(F.lit(0.0))
     stop_ratio = F.when(wc > 0, stop / wc).otherwise(F.lit(0.0))
     score = F.round(
         stop_ratio + F.least(wc, F.lit(100)) / 100.0 - F.when(n_chars > 0, upper / n_chars).otherwise(0.0),

@@ -100,6 +100,15 @@ def _asof_join(
     # union (a prior version split them into a separate branch, which
     # read the left fact table twice).
     right = right.filter(F.col(right_time).isNotNull())
+    # equi-join NULL semantics: Window.partitionBy groups NULL keys
+    # into ONE partition, so a NULL-key right row would attach its
+    # values to NULL-key LEFT rows — a match no SQL / DuckDB ASOF /
+    # merge_asof equi-join ever makes (NULL never equals NULL), and a
+    # silent divergence from the documented oracle-checkable contract
+    # (round-10 review). Drop NULL-key right rows up front; NULL-key
+    # left rows still pass through, with NULL picks.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     # ALL picked columns travel as ONE struct so they always come from
     # the same right row: carrying each column independently through
     # last(ignorenulls=True) would backfill a NULL field from an OLDER

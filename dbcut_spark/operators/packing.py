@@ -38,15 +38,22 @@ def pack_sequences(
     a reproducible shuffle that decorrelates adjacent documents (the
     usual bias guard), identical across runs/engines.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     order = order_col if order_col is not None else F.md5(F.col(id_col).cast("string"))
     # explicit ROWS frame: the default RANGE frame sums ALL peer rows
     # into each peer's cumulative total, so tied (order, id) pairs —
     # duplicate ids in a pre-dedup corpus — would get overlapping
     # offsets silently; the DuckDB oracle already pins ROWS UNBOUNDED
-    # PRECEDING (round-8 review fix)
+    # PRECEDING (round-8 review fix). n_tokens is the FINAL tie-break:
+    # duplicate ids with UNEQUAL token counts are otherwise a total tie
+    # under (md5(id), id), so which duplicate took which offset varied
+    # across runs/partitionings — breaking the documented
+    # reproducibility contract exactly on pre-dedup corpora (round-10
+    # review; ids with equal counts remain interchangeable)
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order.asc(), F.col(id_col).asc())
+        .orderBy(order.asc(), F.col(id_col).asc(), F.col(token_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("start_off")
@@ -84,6 +91,12 @@ def length_batches(
     single worker's unit of work. Returns one row per document keeping
     the caller's id/shard/token column names, plus the in-shard rank
     ``rn`` (1-based) and ``batch_id``."""
+    if batch_size <= 0:
+        # loud up front: a zero from a config typo would otherwise
+        # surface as NULL batch_ids (non-ANSI) or a DIVIDE_BY_ZERO
+        # abort after the full per-shard shuffle (ANSI) — same guard
+        # contract as range_join's bin width
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
     w = Window.partitionBy(shard_col).orderBy(
         F.col(token_col).desc(), F.col(id_col).asc()
     )

@@ -37,9 +37,22 @@ def hash_threshold(fraction: float) -> str:
 
 
 def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
-    """First 8 hex chars of md5(salt || id) — the sampling key."""
+    """First 8 hex chars of md5(salt || id) — the sampling key. NULL
+    ids hash through a control-character sentinel instead of
+    propagating NULL: md5(NULL) is NULL, the threshold comparison is
+    NULL, and filter() would silently DROP every NULL-id row from
+    every sampler — even at fraction 1.0, violating the documented
+    full-sample identity (round-10 review). The sentinel starts with
+    \\x01, which no cast-to-string id can produce; non-NULL hashes are
+    byte-identical to before (persisted split membership and the
+    DuckDB oracle twins are unaffected)."""
+    sid = (
+        F.col(id_col).cast("string")
+        if isinstance(id_col, str)
+        else id_col.cast("string")
+    )
     return F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"))),
+        F.md5(F.concat(F.lit(salt), F.coalesce(sid, F.lit("\x01null")))),
         1,
         8,
     )

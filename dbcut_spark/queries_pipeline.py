@@ -16,7 +16,9 @@ from dbcut_spark.functions.text import (
     BPE_TOKEN_RE,
     LANG_PROFILES,
     bpe_token_count,
+    collapse_ws,
     norm_text,
+    occurrence_count_sql,
     quality_score,
     shingles,
     stopword_hits,
@@ -85,10 +87,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_sql() -> str:
     words = LANG_PROFILES["en"]
-    stop_terms = " + ".join(
-        f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
-        for w in words
-    )
+    # occurrence_count_sql: the ONE shared definition of the stop-hit
+    # formula (functions/text.py) — stop counting and mean word length
+    # run on tq, the whitespace-collapsed text, exactly like the Spark
+    # side (round-10 review)
+    stop_terms = " + ".join(occurrence_count_sql("tq", w) for w in words)
     return rf"""
     SELECT doc_id, word_count, n_chars_obs, stop_hits, upper_count,
            round(mean_word_len, 6) AS mean_word_len,
@@ -104,9 +107,11 @@ def _quality_sql() -> str:
         {stop_terms} AS stop_hits,
         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_count,
         CASE WHEN length(trim(t)) = 0 THEN 0.0
-             ELSE (length(t) - (length(string_split_regex(trim(t), '\s+')) - 1)) * 1.0
+             ELSE (length(tq) - (length(string_split_regex(trim(t), '\s+')) - 1)) * 1.0
                   / length(string_split_regex(trim(t), '\s+')) END AS mean_word_len
-      FROM (SELECT doc_id, text, lower(trim(text)) AS t FROM documents)
+      FROM (SELECT doc_id, text, lower(trim(text)) AS t,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tq
+            FROM documents)
     ) ORDER BY doc_id
     """
 
@@ -125,15 +130,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_sql() -> str:
     score_cases = []
     for lang, words in sorted(LANG_PROFILES.items()):
-        terms = " + ".join(
-            f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
-            for w in words
-        )
+        terms = " + ".join(occurrence_count_sql("tq", w) for w in words)
         score_cases.append(f"WHEN '{lang}' THEN {terms}")
     cases = "CASE cand " + " ".join(score_cases) + " ELSE 0 END"
     langs = ", ".join(f"('{lang}')" for lang in sorted(LANG_PROFILES))
     return f"""
-    WITH base AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+    WITH base AS (SELECT doc_id, lang,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS tq
+                  FROM documents),
     scored AS (
       SELECT doc_id, lang, cand, {cases} AS score
       FROM base, (VALUES {langs}) langs(cand))
@@ -150,7 +154,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-profile scoring; argmax with
     deterministic (score desc, lang asc) tie-break."""
     d = tp(spark, sf_dir, "documents")
-    tcol = norm_text(F.col("text"))
+    tcol = collapse_ws(norm_text(F.col("text")))
     langs = sorted(LANG_PROFILES.items())
     # argmax in one projection: array_max over struct(score, anti_rank,
     # lang) — struct comparison is field-by-field, so ties on score fall
@@ -1412,7 +1416,7 @@ from dbcut_spark.operators.sampling import weighted_hash_sample  # noqa: E402
     o AS (
       SELECT doc_id, source, n_tokens,
              CAST(SUM(n_tokens) OVER (PARTITION BY source
-                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, n_tokens
                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
       FROM toks)
     SELECT doc_id, source, n_tokens, start_off,
@@ -3223,10 +3227,7 @@ def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gopher_sql() -> str:
     words = LANG_PROFILES["en"]
-    stop_terms = " + ".join(
-        f"CAST((length(' ' || t || ' ') - length(replace(' ' || t || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
-        for w in words
-    )
+    stop_terms = " + ".join(occurrence_count_sql("tq", w) for w in words)
     return rf"""
     SELECT doc_id, word_count, mean_word_len, frac_alpha_words, stop_hits,
            r_wordcount, r_meanlen, r_alpha, r_stop,
@@ -3244,12 +3245,13 @@ def _gopher_sql() -> str:
         SELECT doc_id,
           CASE WHEN length(t) = 0 THEN 0 ELSE len(ws) END AS word_count,
           CASE WHEN length(t) = 0 OR len(ws) = 0 THEN 0.0
-               ELSE (length(t) - (len(ws) - 1)) * 1.0 / len(ws) END AS mean_word_len,
+               ELSE (length(tq) - (len(ws) - 1)) * 1.0 / len(ws) END AS mean_word_len,
           CASE WHEN length(t) = 0 OR len(ws) = 0 THEN 0.0
                ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0
                     / len(ws) END AS frac_alpha,
           {stop_terms} AS stop_hits
         FROM (SELECT doc_id, lower(trim(text)) AS t,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tq,
                      string_split_regex(lower(trim(text)), '\s+') AS ws
               FROM documents)
       )
@@ -3267,17 +3269,18 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference counterpart (beyond-reference §2.9 pipeline surface)."""
     d = tp(spark, sf_dir, "documents")
     t_ = norm_text("text")
+    tq = collapse_ws(t_)  # stop hits + mean length: see quality_score
     ws = F.split(t_, "\\s+")
     wc = F.when(F.length(t_) == 0, F.lit(0)).otherwise(F.size(ws))
     mean_wlen = F.when(
         (F.length(t_) == 0) | (F.size(ws) == 0), F.lit(0.0)
-    ).otherwise((F.length(t_) - (F.size(ws) - 1)) / F.size(ws))
+    ).otherwise((F.length(tq) - (F.size(ws) - 1)) / F.size(ws))
     frac_alpha = F.when(
         (F.length(t_) == 0) | (F.size(ws) == 0), F.lit(0.0)
     ).otherwise(
         F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))) / F.size(ws)
     )
-    stop = stopword_hits(t_, LANG_PROFILES["en"])
+    stop = stopword_hits(tq, LANG_PROFILES["en"])
     r_wc = (wc >= 10) & (wc <= 1000)
     r_ml = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
     r_al = frac_alpha >= 0.8

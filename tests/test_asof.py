@@ -2,7 +2,7 @@
 
 from pyspark.sql import functions as F
 
-from dbcut_spark.operators.asof import asof_join_backward
+from dbcut_spark.operators.asof import asof_join_backward, asof_join_forward
 
 
 def _frames(spark):
@@ -217,3 +217,33 @@ def test_asof_null_timestamps(spark):
         ).collect()
     }
     assert back[1] == 100
+
+
+def test_asof_null_keys_never_match(spark):
+    """Equi-join NULL semantics (round-10 review): a NULL-key right row
+    must never attach to NULL-key left rows — the window partition
+    groups NULLs together, but no SQL/merge_asof equi-join matches
+    NULL to NULL. NULL-key left rows survive with NULL picks."""
+    left = spark.createDataFrame(
+        [(1, None, "2024-01-01 10:00:00"), (2, 7, "2024-01-01 10:00:00")],
+        "lid long, key long, lts string",
+    ).select("lid", "key", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(100, None, "2024-01-01 09:00:00"), (200, 7, "2024-01-01 09:00:00")],
+        "rid long, key long, rts string",
+    ).select("rid", "key", F.col("rts").cast("timestamp").alias("rts"))
+    for fn in (asof_join_backward, asof_join_forward):
+        got = {
+            r["lid"]: r["match_id"]
+            for r in fn(
+                left, right.withColumn(
+                    "rts",
+                    F.when(F.lit(fn is asof_join_forward),
+                           F.col("rts") + F.expr("INTERVAL 2 HOURS"))
+                    .otherwise(F.col("rts")),
+                ),
+                ["key"], "lts", "rts", {"rid": "match_id"}, tiebreak="rid",
+            ).collect()
+        }
+        assert got[1] is None, fn.__name__  # NULL key: no match, row kept
+        assert got[2] in (100, 200) and got[2] == 200, fn.__name__

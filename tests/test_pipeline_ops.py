@@ -1715,3 +1715,33 @@ def test_bpe_apply_null_array_both_forms(spark):
         }
         assert got[1] == ["ab"], fold_max
         assert got[2] is None, fold_max
+
+
+def test_text_feature_edge_semantics(spark):
+    """occurrence_count counts adjacent repeats and (after collapse)
+    newline-separated words; token counts are NULL for NULL text, 0
+    for empty — the silent -1/undercount defects of round-10 review."""
+    from dbcut_spark.functions.text import (
+        bpe_token_count,
+        collapse_ws,
+        occurrence_count,
+        ws_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the cat the"), (2, "a\nthe b"), (3, "  "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["occ"], r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            occurrence_count(collapse_ws(F.col("text")), "the").alias("occ"),
+            ws_token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    assert out[1] == (3, 4, 4)   # adjacent 'the the' counts both
+    assert out[2] == (1, 3, 3)   # newline-separated stopword counted
+    assert out[3][1] == 0        # whitespace-only: zero tokens
+    assert out[4] == (None, None, None)  # NULL text: NULL, never -1

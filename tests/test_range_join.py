@@ -108,3 +108,29 @@ def test_interval_overlap_randomized_vs_brute(spark):
         ]
         assert len(got) == len(set(got)), f"bin={bin_us}: duplicate pairs"
         assert set(got) == brute, f"bin={bin_us}: pair set mismatch"
+
+
+def test_range_join_caps_runaway_interval_fanout(spark):
+    """One corrupt-but-ordered interval (end in year 2200) must fail
+    loudly via the in-plan fan-out cap, not F.sequence billions of
+    bins and OOM a task (round-10 review)."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from dbcut_spark.operators.range_join import point_in_interval_join
+
+    points = spark.createDataFrame([(1, 5_000_000)], "key long, t long")
+    bad = spark.createDataFrame(
+        [(1, 0, 7_000_000_000_000_000)], "key long, s long, e long"
+    )
+    with pytest.raises(PySparkException, match="explodes to more than"):
+        point_in_interval_join(
+            points, bad, ["key"], "t", "s", "e",
+            bin_us=1_000_000, max_bins=1000,
+        ).count()
+    # a sane interval under the cap still joins
+    ok = spark.createDataFrame([(1, 0, 9_000_000)], "key long, s long, e long")
+    got = point_in_interval_join(
+        points, ok, ["key"], "t", "s", "e", bin_us=1_000_000, max_bins=1000
+    ).count()
+    assert got == 1

@@ -1929,3 +1929,35 @@ def test_scd2_stream_upsert_empty_first_batches(spark, tmp_path):
     )
     # created partitioned despite the empty leading batches
     assert detect_partition_cols(target) == ["state"]
+
+
+def test_packing_guards_and_duplicate_id_determinism(spark):
+    """budget/batch_size must be validated up front (a zero from a
+    config typo otherwise NULLs or aborts mid-shuffle), and offsets
+    must be reproducible even when duplicate ids carry UNEQUAL token
+    counts — (md5(id), id) alone was a total tie there (round-10
+    review)."""
+    import pytest
+
+    from dbcut_spark.operators.packing import length_batches, pack_sequences
+
+    df = spark.createDataFrame(
+        [("d1", "s0", 100), ("d1", "s0", 7), ("d2", "s0", 3)],
+        "doc_id string, source string, n_tokens long",
+    )
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tokens", "source", budget=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        length_batches(df, "doc_id", "n_tokens", "source", batch_size=-1)
+
+    def offs(frame):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["start_off"])
+            for r in pack_sequences(
+                frame, "doc_id", "n_tokens", "source", budget=64
+            ).collect()
+        )
+
+    base = offs(df)
+    for n in (1, 3, 17):
+        assert offs(df.repartition(n)) == base

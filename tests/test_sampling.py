@@ -96,3 +96,22 @@ def test_pack_sequences_semantics(spark):
     assert {(r["doc_id"], r["start_off"]) for r in out2} == {
         (r["doc_id"], r["start_off"]) for r in out
     }
+
+
+def test_hash_sample_null_ids_kept_and_deterministic(spark):
+    """NULL-id rows must flow through the samplers like any other row
+    (sentinel-hashed), not silently vanish: md5(NULL) is NULL, so the
+    threshold filter dropped them even at fraction=1.0, violating the
+    full-sample identity (round-10 review)."""
+    from dbcut_spark.operators.sampling import hash_sample
+
+    rows = [(i, f"d{i}") for i in range(50)] + [(None, "n1"), (None, "n2")]
+    df = spark.createDataFrame(rows, "doc_id long, v string")
+    full = hash_sample(df, "doc_id", 1.0)
+    assert full.count() == 52  # identity includes the NULL-id rows
+    half_a = {tuple(r) for r in hash_sample(df, "doc_id", 0.5).collect()}
+    half_b = {
+        tuple(r)
+        for r in hash_sample(df.repartition(7), "doc_id", 0.5).collect()
+    }
+    assert half_a == half_b  # deterministic, partition-invariant
