@@ -257,9 +257,13 @@ class Engine:
         """Yield CREATE TABLE + INSERT statements (reference dumpsql).
         Reflected server defaults from the catalog ride into the DDL
         (cross-dialect current-timestamp rewrite applied)."""
-        from dbcut_spark.sinks.sqldump import catalog_raw_defaults, dump_sql
+        from dbcut_spark.sinks.sqldump import (
+            catalog_raw_defaults,
+            dump_sql,
+            topo_frames,
+        )
 
-        frames = self.extract(query)
+        frames = topo_frames(self.catalog, self.extract(query))
         pks = {t: list(self.catalog.table(t).pk) for t in frames}
         defaults = catalog_raw_defaults(self.catalog, frames)
         try:

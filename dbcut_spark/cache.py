@@ -66,8 +66,16 @@ class ResultCache:
             # count from the written files (parquet footer metadata) —
             # df.count() would re-execute the whole upstream plan
             counts[table] = df.sparkSession.read.parquet(path).count()
-        with open(os.path.join(d, "meta.json"), "w") as f:
+        # atomic tmp+replace: meta.json is the entry's commit point —
+        # exists() keys off it, so a torn write would make every later
+        # run see exists()==True and crash in counts() forever, with
+        # only a manual purge as the way out (round-10 review; same
+        # pattern as record.py's manifest)
+        mpath = os.path.join(d, "meta.json")
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({"counts": counts}, f, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)
         return counts
 
     def load(self, spark: SparkSession, key: str) -> dict[str, DataFrame]:

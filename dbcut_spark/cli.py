@@ -281,10 +281,14 @@ def dumpjson(ctx: Ctx):
 def dumpsql(ctx: Ctx, dialect: str):
     """Print the extraction as CREATE TABLE + INSERT statements
     (reference ``cmd_dumpsql``)."""
-    from dbcut_spark.sinks.sqldump import catalog_raw_defaults, dump_sql
+    from dbcut_spark.sinks.sqldump import (
+        catalog_raw_defaults,
+        dump_sql,
+        topo_frames,
+    )
 
     for _, plan in ctx.plans():
-        frames = ctx.run_closure(plan)
+        frames = topo_frames(ctx.catalog, ctx.run_closure(plan))
         pks = {t: list(ctx.catalog.table(t).pk) for t in frames}
         defaults = catalog_raw_defaults(ctx.catalog, frames)
         for stmt in dump_sql(frames, pks, dialect, defaults=defaults):

@@ -36,6 +36,16 @@ def _assemble(
         rel = child.relationship
         assert rel is not None
         child_df = _assemble(plan, child, frontiers)
+        # disambiguate colliding relation names (two FKs between the
+        # same pair of tables both yield '<child>_collection' / the
+        # same scalar stem): withColumn REPLACES an existing column, so
+        # the first edge's collection would silently vanish and the
+        # scalar mirror would die on an ambiguous reference (round-10
+        # review). The first edge keeps the reference-convention name;
+        # later ones append their FK source columns.
+        rel_name = rel.name
+        if rel_name in rel_cols or rel_name in own_cols:
+            rel_name = f"{rel_name}__{'_'.join(rel.source_cols)}"
         # collapse the child subtree into one struct column; PK first so
         # sort_array gives deterministic collection order
         pk = list(plan.catalog.table(child.table).pk)
@@ -44,7 +54,6 @@ def _assemble(
             *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(rel.target_cols)],
             F.struct(*struct_cols).alias("__doc"),
         )
-        on = [df[s] == packed[f"__k_{i}"] for i, s in enumerate(rel.source_cols)]
         if rel.direction is Direction.ONETOMANY:
             grouped = packed.groupBy(*[f"__k_{i}" for i in range(len(rel.source_cols))]).agg(
                 F.sort_array(F.collect_list("__doc")).alias("__docs")
@@ -54,7 +63,7 @@ def _assemble(
                 df.join(grouped, on, "left_outer")
                 .drop(*[f"__k_{i}" for i in range(len(rel.source_cols))])
                 .withColumn(
-                    rel.name,
+                    rel_name,
                     # cast to the DataType OBJECT: simpleString() DDL
                     # fails to re-parse column names needing quoting
                     F.coalesce(
@@ -65,12 +74,16 @@ def _assemble(
                 .drop("__docs")
             )
         else:
+            on = [
+                df[s] == packed[f"__k_{i}"]
+                for i, s in enumerate(rel.source_cols)
+            ]
             df = (
                 df.join(packed, on, "left_outer")
                 .drop(*[f"__k_{i}" for i in range(len(rel.source_cols))])
-                .withColumnRenamed("__doc", rel.name)
+                .withColumnRenamed("__doc", rel_name)
             )
-        rel_cols.append(rel.name)
+        rel_cols.append(rel_name)
     return df.select(*own_cols, *rel_cols)
 
 

@@ -50,11 +50,24 @@ _SPARK_TO_SQL = {
     T.TimestampNTZType: "TIMESTAMP",
 }
 
+# dialect exceptions to the portable map (round-10 review): PG has no
+# BLOB type (bytea); MySQL's TIMESTAMP is range-limited to 1970-2038
+# and truncates fractional seconds at the default fsp=0 — DATETIME(6)
+# carries the full Spark timestamp domain.
+_DIALECT_TYPE_OVERRIDES: dict[str, dict] = {
+    "postgresql": {T.BinaryType: "BYTEA"},
+    "mysql": {
+        T.TimestampType: "DATETIME(6)",
+        T.TimestampNTZType: "DATETIME(6)",
+    },
+}
 
-def sql_type(dt: T.DataType) -> str:
+
+def sql_type(dt: T.DataType, dialect: str = "sqlite") -> str:
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
-    return _SPARK_TO_SQL.get(type(dt), "TEXT")
+    over = _DIALECT_TYPE_OVERRIDES.get(dialect, {})
+    return over.get(type(dt), _SPARK_TO_SQL.get(type(dt), "TEXT"))
 
 
 class _RawNum(str):
@@ -82,6 +95,10 @@ def render_value(v, dialect: str = "sqlite") -> str:
     if isinstance(v, (_dt.datetime, _dt.date)):
         return f"'{v.isoformat(sep=' ') if isinstance(v, _dt.datetime) else v.isoformat()}'"
     if isinstance(v, (bytes, bytearray)):
+        if dialect == "postgresql":
+            # X'...' is a BIT-STRING literal in PG (type error against
+            # bytea); the hex-format bytea literal is '\x...'
+            return "'\\x" + v.hex() + "'"
         return "X'" + v.hex() + "'"
     s = str(v).replace("'", "''")
     if dialect == "mysql":
@@ -174,7 +191,7 @@ def create_table_sql(
     q = DIALECTS[dialect]["quote"]
     cols = []
     for f in df.schema.fields:
-        ftype = sql_type(f.dataType)
+        ftype = sql_type(f.dataType, dialect)
         col = f"{q}{f.name}{q} {ftype}"
         if not f.nullable:
             col += " NOT NULL"
@@ -266,6 +283,23 @@ def _insert_stmt(table: str, columns: list[str], row, dialect: str) -> str:
     cols = ", ".join(q + c + q for c in columns)
     vals = ", ".join(render_value(v, dialect) for v in row)
     return f"{d['insert']} {q}{table}{q} ({cols}) VALUES ({vals}){d['suffix']};"
+
+
+def topo_frames(catalog, frames: dict) -> dict:
+    """Reorder extraction frames parents-before-children — the INSERT
+    order an FK-enforcing target needs. Dump statements previously
+    flowed in closure/BFS order (root first), so a child table's
+    INSERTs could precede the parent rows they reference: silently
+    skipped rows under MySQL's INSERT IGNORE, an aborted transaction
+    on sqlite/PG (round-10 review; catalog.topo_order already serves
+    every LOAD path for the same reason). Tables unknown to the
+    catalog keep their original relative order at the end."""
+    from dbcut_spark.catalog import topo_order
+
+    ordered = [t for t in topo_order(catalog) if t in frames]
+    known = set(ordered)
+    tail = [t for t in frames if t not in known]
+    return {t: frames[t] for t in [*ordered, *tail]}
 
 
 def dump_sql(

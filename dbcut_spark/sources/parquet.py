@@ -18,12 +18,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-@lru_cache(maxsize=256)
 def _nanos_columns(path: str) -> tuple[str, ...]:
-    """Column names stored as TIMESTAMP(NANOS) in the parquet footer."""
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer.
+    Cached per (resolved file, mtime) — NOT per path alone: a table
+    rewritten at the same path inside one session (compaction, test
+    harness regeneration) would otherwise serve stale footer metadata,
+    either failing the read or silently leaving an ns column as raw
+    bigint (round-10 review)."""
+    f = _one_file(path)
+    try:
+        mtime = os.stat(f).st_mtime_ns
+    except OSError:
+        mtime = 0
+    return _nanos_columns_cached(f, mtime)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns_cached(one_file: str, _mtime_ns: int) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(_one_file(path))
+    schema = pq.read_schema(one_file)
     out = []
     for field in schema:
         t = field.type

@@ -30,7 +30,20 @@ class RecordingLoader:
         self.dir = cassette_dir
         self.source_id = source_id
         os.makedirs(self.dir, exist_ok=True)
-        self._recorded: set[str] = set(self.manifest().get("tables", []))
+        m = self.manifest()
+        # provenance guard: resuming a cassette recorded from a
+        # DIFFERENT source would serve the old source's tables as if
+        # they were the new one's AND rewrite the manifest's source
+        # field, silently poisoning the cassette beyond detection —
+        # the field exists precisely to catch this (round-10 review)
+        prev = m.get("source")
+        if m and prev != source_id:
+            raise ValueError(
+                f"cassette {cassette_dir!r} was recorded from source "
+                f"{prev!r}, not {source_id!r}; use a fresh cassette "
+                "directory per source"
+            )
+        self._recorded: set[str] = set(m.get("tables", []))
 
     def _path(self, table: str) -> str:
         return os.path.join(self.dir, f"{table}.parquet")
@@ -73,11 +86,21 @@ class ReplayLoader:
     def __init__(self, spark: SparkSession, cassette_dir: str):
         self.spark = spark
         self.dir = cassette_dir
+        mpath = os.path.join(cassette_dir, "manifest.json")
+        try:
+            with open(mpath) as f:
+                self._tables = set(json.load(f).get("tables", []))
+        except (OSError, ValueError):
+            self._tables = set()
 
     def __call__(self, table: str) -> DataFrame:
-        path = os.path.join(self.dir, f"{table}.parquet")
-        if not os.path.exists(path):
+        # membership comes from the MANIFEST, not bare file existence:
+        # a crashed recording leaves a partially-committed parquet dir
+        # for a table the manifest never acknowledged, and serving it
+        # would silently return truncated data instead of the KeyError
+        # this class promises (round-10 review)
+        if table not in self._tables:
             raise KeyError(
                 f"table {table!r} was not recorded in cassette {self.dir!r}"
             )
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(os.path.join(self.dir, f"{table}.parquet"))

@@ -2077,3 +2077,136 @@ def test_manifest_torn_head_does_not_deadlock_publish(spark, tmp_path):
             spark.createDataFrame([(3,)], "id long"), tbl,
             mode="append", expected_parent=7,
         )
+
+
+def test_nested_export_dual_fk_same_tables(spark):
+    """Two FKs between the same pair of tables must export BOTH
+    relations: collection names collided ('message_collection' twice),
+    so withColumn silently replaced the first edge's column and the
+    scalar mirror died on an ambiguous reference (round-10 review).
+    The first edge keeps the reference-convention name; later ones
+    append their FK source columns."""
+    from dbcut_spark.catalog import Catalog, ForeignKey, TableSpec
+    from dbcut_spark.plans.extraction import build_plan
+
+    cat = Catalog()
+    cat.tables["usr"] = TableSpec("usr", ("id",), ("id", "name"))
+    cat.tables["message"] = TableSpec(
+        "message", ("id",), ("id", "sender", "recipient", "body")
+    )
+    cat.fks += [
+        ForeignKey("message", ("sender",), "usr", ("id",)),
+        ForeignKey("message", ("recipient",), "usr", ("id",)),
+    ]
+    frames = {
+        "usr": spark.createDataFrame(
+            [(1, "alice"), (2, "bob")], "id long, name string"
+        ),
+        "message": spark.createDataFrame(
+            [(10, 1, 2, "hi"), (11, 2, 1, "yo")],
+            "id long, sender long, recipient long, body string",
+        ),
+    }
+    plan = build_plan(
+        cat,
+        {"from": "usr", "limit": "no", "backref_limit": "no",
+         "join_depth": 1, "backref_depth": 1},
+    )
+    ex = ClosureExecutor(spark, lambda t: frames[t])
+    _, frontiers = ex.execute_nodes(plan)
+    docs = nested_documents(plan, frontiers)
+    rel_cols = [c for c in docs.columns if c.startswith("message_collection")]
+    assert len(rel_cols) == 2, docs.columns  # both edges survive
+    d = {r["id"]: r.asDict(recursive=True) for r in docs.collect()}
+    # each user appears once as sender, once as recipient
+    for uid in (1, 2):
+        sizes = sorted(len(d[uid][c]) for c in rel_cols)
+        assert sizes == [1, 1]
+    all_msgs = {
+        m["id"] for uid in (1, 2) for c in rel_cols for m in d[uid][c]
+    }
+    assert all_msgs == {10, 11}  # nothing silently dropped
+
+
+def test_sqldump_dialect_types_and_topo_order(spark):
+    """PG gets BYTEA + hex-bytea literals (BLOB / X'..' are invalid
+    there), MySQL timestamps dump as DATETIME(6) (TIMESTAMP is
+    1970-2038 with fsp=0), and dump statements flow parents before
+    children so FK-enforcing targets accept them (round-10 review)."""
+    from dbcut_spark.catalog import TPCH_CATALOG
+    from dbcut_spark.sinks.sqldump import (
+        create_table_sql,
+        render_value,
+        topo_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x01\xff", "2024-01-01 00:00:00.600000")],
+        "id long, payload binary, ts string",
+    ).select("id", "payload", F.col("ts").cast("timestamp").alias("ts"))
+    pg_ddl = create_table_sql("t", df, ["id"], "postgresql")
+    assert "BYTEA" in pg_ddl and "BLOB" not in pg_ddl
+    my_ddl = create_table_sql("t", df, ["id"], "mysql")
+    assert "DATETIME(6)" in my_ddl and " TIMESTAMP" not in my_ddl
+    assert render_value(b"\x01\xff", "postgresql") == "'\\x01ff'"
+    assert render_value(b"\x01\xff", "sqlite") == "X'01ff'"
+
+    frames = {t: None for t in ("lineitem", "orders", "customer", "nation")}
+    ordered = list(topo_frames(TPCH_CATALOG, frames))
+    assert ordered.index("nation") < ordered.index("customer")
+    assert ordered.index("customer") < ordered.index("orders")
+    assert ordered.index("orders") < ordered.index("lineitem")
+
+
+def test_cassette_provenance_and_manifest_membership(spark, tmp_path):
+    """A cassette resumed against a different source must refuse
+    loudly, and replay must trust the MANIFEST, not bare file
+    existence (a crashed recording's partial parquet dir would
+    otherwise serve truncated data)."""
+    import pytest as _pt
+
+    from dbcut_spark.sources.record import RecordingLoader, ReplayLoader
+
+    cassette = str(tmp_path / "cassette")
+    src = {"region": spark.createDataFrame([(1, "r1")], "id long, v string")}
+    rec = RecordingLoader(lambda t: src[t], spark, cassette, "source-A")
+    rec("region").count()
+    with _pt.raises(ValueError, match="source-A"):
+        RecordingLoader(lambda t: src[t], spark, cassette, "source-B")
+
+    # a parquet dir the manifest never acknowledged (crashed recording)
+    src["orders"] = spark.createDataFrame([(1,)], "id long")
+    src["orders"].write.parquet(f"{cassette}/orders.parquet")
+    rl = ReplayLoader(spark, cassette)
+    assert rl("region").count() == 1
+    with _pt.raises(KeyError, match="orders"):
+        rl("orders")
+
+
+def test_parquet_footer_cache_tracks_rewrites(spark, tmp_path):
+    """_nanos_columns is cached per (file, mtime): rewriting a table at
+    the same path inside one session must serve FRESH footer metadata,
+    not the first read's (round-10 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbcut_spark.sources.parquet import read_table
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    path = str(d / "events.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.int64())}),
+        path,
+    )
+    assert read_table(spark, str(d), "events").count() == 1
+    # rewrite IN PLACE with a true nanosecond timestamp column
+    pq.write_table(
+        pa.table({
+            "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+        }),
+        path,
+    )
+    got = read_table(spark, str(d), "events")
+    assert got.count() == 1
+    assert "timestamp" in got.schema["ts"].dataType.simpleString()
