@@ -68,10 +68,18 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Plan: one split projection, one bigram explode, two hash
     aggregations keyed by doc_id — no joins wider than doc_id."""
     w = _words(df, text_col, id_col)
+    # explicit NULL guard: non-ANSI Spark has size(NULL) = -1, so a
+    # failed-extraction (NULL text) doc would report n_words = -1 and
+    # poison every SUM / threshold gate downstream (same fix pattern
+    # as functions.text.ws_token_count; round-10 review)
     base = w.select(
         F.col(id_col),
-        F.size("w").alias("n_words"),
-        F.size(F.array_distinct("w")).alias("distinct_words"),
+        F.when(F.col("w").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size("w"))
+        .alias("n_words"),
+        F.when(F.col("w").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(F.array_distinct("w")))
+        .alias("distinct_words"),
     )
     bigrams = F.when(
         F.size("w") >= 2,
@@ -193,7 +201,13 @@ def incremental_dedup(
     Scale shape: the exact probe is an equi-join on a 32-char hash; the
     near probe reuses the banded LSH join (id-pairs only) and filters to
     boundary-crossing pairs."""
-    flagged = df.withColumn("__is_new", is_new)
+    # NULL-safe flag: filter(col) and filter(~col) BOTH drop NULL
+    # rows, so a NULL batch tag would vanish from the exact probe while
+    # its signature still landed on the reference side of the LSH
+    # probe — inconsistent semantics with no error. NULL counts as
+    # reference (the conservative side: existing corpus), consistently
+    # in both probes (round-10 review).
+    flagged = df.withColumn("__is_new", F.coalesce(is_new, F.lit(False)))
     newh = flagged.filter(F.col("__is_new")).select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("__h")
     )
@@ -301,8 +315,13 @@ def pii_stats(df: DataFrame, text_col: str | Column, id_col: str) -> DataFrame:
     word-soup, so the registered query injects deterministic PII first
     — the operator itself is the scan/redact)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # NULL text → NULL counts, never -1 (non-ANSI size(NULL); same
+    # guard as functions.text.ws_token_count — round-10 review): a -1
+    # would both deflate SUM aggregates and trip 'n_emails != 0' gates
     counts = [
-        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}s")
+        F.when(c.isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        .alias(f"n_{name}s")
         for name, (pat, _) in PII_PATTERNS.items()
     ]
     redacted = c
@@ -398,9 +417,18 @@ def remove_repeated_spans(
             f"i -> array_join(slice(split({text_col}, ' '), i+1, {n}), ' '))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    grams = df.select(
-        F.col(id_col), F.posexplode(gram_arr).alias("p0", "g")
-    ).select(id_col, (F.col("p0") + 1).alias("pos"), "g")
+    from dbcut_spark.operators.pinning import pin
+
+    # pinned: the corpus-sized n-gram explode feeds BOTH the
+    # doc-frequency aggregation and the coverage expansion — unpinned,
+    # the full explode (and its source text scan) would re-execute per
+    # consumer, the one unpinned multi-consumer fan-out in this family
+    # (round-10 review)
+    grams = pin(
+        df.select(
+            F.col(id_col), F.posexplode(gram_arr).alias("p0", "g")
+        ).select(id_col, (F.col("p0") + 1).alias("pos"), "g")
+    )
     freq = (
         grams.groupBy("g")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -428,7 +456,14 @@ def remove_repeated_spans(
             " ",
         ).alias("clean_text"),
     )
-    base = df.select(F.col(id_col), F.size(split).alias("n_tokens"))
+    # NULL text → NULL n_tokens/n_removed, never the non-ANSI -1
+    # (round-10 review; clean_text stays '' and n_kept 0 via coalesce)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(split))
+        .alias("n_tokens"),
+    )
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

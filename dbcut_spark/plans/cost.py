@@ -241,13 +241,16 @@ def estimate_plan(
 
             n_bound = bounds.get(id(node))
             if bounded:
-                # lockstep with closure.py: a bounded spec force-
-                # broadcasts only while the propagated bound stays
-                # under the threshold (or is unknown); a provably-huge
-                # bounded frontier routes adaptively at runtime
+                # lockstep with closure.py (round-10): a bounded spec
+                # force-broadcasts only while the propagated bound is
+                # KNOWN and under the threshold; an unknown bound (m2o
+                # hop through a non-PK column) routes adaptively at
+                # runtime exactly like the unbounded path — predicting
+                # "broadcast" there promised a free plan exactly where
+                # the executor pays a metadata/count/Bloom decision
                 route = (
                     "broadcast"
-                    if n_bound is None or n_bound <= max_rows
+                    if n_bound is not None and n_bound <= max_rows
                     else "runtime"
                 )
             else:

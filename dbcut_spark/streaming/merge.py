@@ -76,6 +76,32 @@ def apply_cdc_batch(
             batch = batch.drop(order_within_batch)
     deleted = 0
     if op_col is not None:
+        if order_within_batch is None:
+            # a PK carrying BOTH a delete and an upsert in one batch is
+            # unresolvable without an ordering column: deletes apply
+            # first here, so the upsert would ALWAYS win — silently
+            # resurrecting rows whose true CDC order was
+            # insert-then-delete (round-10 review). Detect and refuse;
+            # one batch-sized aggregate, no target scan.
+            amb = (
+                batch.groupBy(*pk)
+                .agg(
+                    F.count_distinct(
+                        F.col(op_col).eqNullSafe("D")
+                    ).alias("__nops")
+                )
+                .filter(F.col("__nops") > 1)
+                .select(*pk)
+                .first()
+            )
+            if amb is not None:
+                raise ValueError(
+                    f"micro-batch carries both a delete and an upsert "
+                    f"for PK {tuple(amb)}: pass order_within_batch (a "
+                    "sequence/updated_at column) so last-writer-wins "
+                    "can resolve them; without it the merge order is "
+                    "arbitrary"
+                )
         dels = batch.filter(F.col(op_col) == "D").select(*pk)
         batch = batch.filter(
             F.col(op_col).isNull() | (F.col(op_col) != "D")

@@ -450,3 +450,25 @@ def test_stream_dedup_ingest_matches_batch_loop(spark, sf_dir, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(corpus_b).collect()
     ) == exp
+
+
+def test_null_text_counts_never_negative(spark):
+    """Non-ANSI Spark's size(NULL) = -1 must never leak into the
+    per-doc counts: NULL-text (failed-extraction) docs report NULL,
+    not -1 (round-10 review)."""
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, None)], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in
+           cur.repetition_stats(d, "text", "doc_id").collect()}
+    assert rep[1]["n_words"] == 3
+    assert rep[2]["n_words"] is None and rep[2]["distinct_words"] is None
+    pii = {r["doc_id"]: r for r in
+           cur.pii_stats(d, "text", "doc_id").collect()}
+    assert pii[1]["n_emails"] == 0
+    assert pii[2]["n_emails"] is None and pii[2]["n_ips"] is None
+    spans = {r["doc_id"]: r for r in
+             cur.remove_repeated_spans(d, "text", "doc_id").collect()}
+    assert spans[2]["n_tokens"] is None if "n_tokens" in spans[2] else True
+    assert spans[2]["n_removed"] is None
+    assert spans[2]["clean_text"] == "" and spans[2]["n_kept"] == 0

@@ -1961,3 +1961,41 @@ def test_packing_guards_and_duplicate_id_determinism(spark):
     base = offs(df)
     for n in (1, 3, 17):
         assert offs(df.repartition(n)) == base
+
+
+def test_cdc_same_batch_delete_and_upsert_requires_order(spark, tmp_path):
+    """Without an ordering column, a PK carrying both a delete and an
+    upsert in ONE micro-batch is unresolvable — deletes applied first
+    meant the upsert ALWAYS won, silently resurrecting rows whose true
+    CDC order was insert-then-delete (round-10 review). The merge must
+    refuse; with order_within_batch it resolves last-writer-wins."""
+    import pytest
+
+    from dbcut_spark.streaming.merge import apply_cdc_batch
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a", "U", 1)],
+                          "id long, v string, op string, seq long") \
+        .drop("op", "seq").write.parquet(path)
+    batch = spark.createDataFrame(
+        [(1, "new", "U", 2), (1, None, "D", 3), (2, "b", "U", 1)],
+        "id long, v string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="order_within_batch"):
+        apply_cdc_batch(batch.drop("seq"), path, ["id"], op_col="op")
+    # with the ordering column, the DELETE (seq 3) wins for id=1
+    apply_cdc_batch(
+        batch, path, ["id"], op_col="op", order_within_batch="seq"
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(2, "b")]
+    # delete-then-insert in one batch resolves to the INSERT
+    batch2 = spark.createDataFrame(
+        [(2, None, "D", 10), (2, "reborn", "U", 11)],
+        "id long, v string, op string, seq long",
+    )
+    apply_cdc_batch(
+        batch2, path, ["id"], op_col="op", order_within_batch="seq"
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(2, "reborn")]
