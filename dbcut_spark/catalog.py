@@ -206,9 +206,17 @@ def infer_catalog(spark, sf_dir: str, tables: list[str] | None = None) -> Catalo
         cols_by_table[name] = cols
         pk, synthetic = synthesize_pk(cols)
         cat.tables[name] = TableSpec(name, pk, tuple(cols), synthetic)
-    pk_owner = {
-        cat.tables[n].pk[0]: n for n in names if len(cat.tables[n].pk) == 1
-    }
+    # FK inference requires an UNAMBIGUOUS PK-name → table mapping: two
+    # tables both keyed 'id' would previously collapse onto one
+    # arbitrary 'owner', fabricating an FK from every other table's own
+    # id column into it — the closure would then join unrelated id
+    # spaces (round-10 review). A PK name owned by more than one table
+    # infers no edges; generic schemas should supply explicit FKs.
+    owners: dict[str, list[str]] = {}
+    for n in names:
+        if len(cat.tables[n].pk) == 1:
+            owners.setdefault(cat.tables[n].pk[0], []).append(n)
+    pk_owner = {col: ts[0] for col, ts in owners.items() if len(ts) == 1}
     for name in names:
         for col in cols_by_table[name]:
             owner = pk_owner.get(col)
@@ -249,9 +257,25 @@ def detect_catalog(spark, source: str) -> "Catalog":
         from dbcut_spark.sources.jdbc import reflect_catalog_metadata
 
         return reflect_catalog_metadata(spark, source)
-    if all(
-        _os.path.exists(_os.path.join(source, f"{t}.parquet"))
-        for t in ("region", "nation", "customer", "orders", "lineitem")
+    present = {
+        f[: -len(".parquet")]
+        for f in _os.listdir(source)
+        if f.endswith(".parquet")
+    } if _os.path.isdir(source) else set()
+    # the curated catalog applies only when the directory holds the
+    # harness tables AND nothing else: a real dump with extra tables
+    # (partsupp, user tables) previously got the static catalog too,
+    # making the extras invisible to every command — silently
+    # referentially-incomplete cuts with exit code 0 (round-10
+    # review). A deep COPY, not the module singleton: callers mutate
+    # their catalog (fks.append in notebooks), and handing out the
+    # shared instance let one Engine's edit pollute every other
+    # consumer and the fixture plans.
+    if (
+        {"region", "nation", "customer", "orders", "lineitem"} <= present
+        and present <= set(TPCH_CATALOG.tables)
     ):
-        return TPCH_CATALOG
+        import copy as _copy
+
+        return _copy.deepcopy(TPCH_CATALOG)
     return infer_catalog(spark, source)

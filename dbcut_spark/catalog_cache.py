@@ -54,14 +54,25 @@ def source_digest(source: str) -> str | None:
     (round-9 ADVICE fix: the digest is now exact for any content
     change that moves a file's mtime or size, at any depth). Cost is
     one scandir stat per directory entry — the DirEntry stat is served
-    from the readdir batch on the common platforms, and a source with
-    enough files for this walk to hurt should be fronted by a real
-    metastore anyway."""
+    from the readdir batch on the common platforms. The walk is
+    BOUNDED (``_DIGEST_MAX_ENTRIES``, env-overridable): every cache
+    load pays it, so on a millions-of-part-files source an exact
+    digest would cost more metadata I/O than the reflection it caches;
+    past the bound the digest degrades to the truncated prefix (still
+    change-sensitive for everything it statted) and such sources
+    should be fronted by a real metastore (round-10 review)."""
     if source.startswith("jdbc:"):
         return None
 
+    max_entries = int(
+        os.environ.get("DBCUT_SPARK_DIGEST_MAX_ENTRIES", "100000")
+    )
+
     def walk(root: str, rel: str, out: list) -> None:
         for c in sorted(os.scandir(root), key=lambda x: x.name):
+            if len(out) >= max_entries:
+                out.append(("__truncated__", 0, 0))
+                return
             st = c.stat(follow_symlinks=False)
             out.append((f"{rel}/{c.name}", st.st_mtime_ns, st.st_size))
             if c.is_dir(follow_symlinks=False):

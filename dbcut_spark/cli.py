@@ -88,7 +88,19 @@ class Ctx:
         self.last_only = last_only
         self._spark = None
         self.cache = ResultCache(self.config.get("cache", "~/.cache/dbcut_spark"))
-        self.catalog = self._load_catalog()
+        self._catalog: Catalog | None = None
+
+    @property
+    def catalog(self) -> Catalog:
+        """Lazily reflected: commands that never touch the source
+        (purgecache with a cold cache, --help paths) previously paid a
+        SparkSession start plus full source reflection in __init__ —
+        and purgecache against an UNREACHABLE source failed outright
+        even though it only deletes a local directory (round-10
+        review). Same laziness pattern as .spark."""
+        if self._catalog is None:
+            self._catalog = self._load_catalog()
+        return self._catalog
 
     def _load_catalog(self) -> Catalog:
         cat_path = self.config.get("catalog")
@@ -662,8 +674,15 @@ def explain(ctx: Ctx, mode: str):
 
 
 @cli.command()
+@click.option(
+    "--max-rows",
+    default=1_000_000,
+    show_default=True,
+    help="per-table cap for exact value comparison; bigger closures "
+    "compare row counts only (both engines still run)",
+)
 @click.pass_obj
-def verify(ctx: Ctx):
+def verify(ctx: Ctx, max_rows: int):
     """Differential-check THIS config's extraction queries: run every
     per-table closure on Spark AND re-derive it with DuckDB from the
     same parquet source via the inline-SQL renderer (plans/oracle.py),
@@ -671,7 +690,13 @@ def verify(ctx: Ctx):
     command for a migration: before switching a pipeline onto this
     engine, prove the extraction semantics match a second, independent
     SQL engine on your own queries — not just on the built-in suite.
-    Parquet sources only (the oracle needs files DuckDB can read)."""
+    Parquet sources only (the oracle needs files DuckDB can read).
+
+    Tables past ``--max-rows`` downgrade to a count-only check: the
+    exact comparison collects both result sets into driver memory, and
+    an unbounded `limit: no` closure over a big source would OOM the
+    driver on exactly the big-migration runs this command exists for
+    (round-10 review)."""
     if ctx.source.startswith("jdbc:"):
         raise click.UsageError(
             "verify needs a parquet source (DuckDB re-derives the "
@@ -708,9 +733,29 @@ def verify(ctx: Ctx):
         frames = ctx.executor().execute(plan)
         for table in sorted(frames):
             sdf = frames[table]
+            n_spark = sdf.count()
+            oracle_sql = plan_oracle_sql(plan, table)
+            if n_spark > max_rows:
+                # count-only: collecting both sides would hold the full
+                # closure twice in driver memory
+                (n_duck,) = con.execute(
+                    f"SELECT COUNT(*) FROM ({oracle_sql})"
+                ).fetchone()
+                if n_spark != n_duck:
+                    failures += 1
+                    click.echo(
+                        f"FAIL  query {i} {table}: rows {n_spark} != "
+                        f"oracle {n_duck} (count-only, > --max-rows)"
+                    )
+                else:
+                    click.echo(
+                        f"ok    query {i} {table} rows={n_spark} "
+                        "(count-only, > --max-rows)"
+                    )
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
-            cur = con.execute(plan_oracle_sql(plan, table))
+            cur = con.execute(oracle_sql)
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
             problems = compare_result_sets(s_cols, s_rows, d_cols, d_rows)

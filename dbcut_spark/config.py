@@ -155,9 +155,19 @@ def normalize_query(raw: dict, config: dict | None = None) -> QuerySpec:
 
 
 def load_config(path: str) -> dict:
+    """Load + env-expand a YAML config. The ``queries`` subtree is NOT
+    expanded here: normalize_query expands each query once at plan
+    time (the Engine front door's only pass), and expanding both
+    places broke the documented ``$$`` escape ('$$NAME' → '$NAME' →
+    substituted/KeyError on the second pass) and re-expanded '$'
+    arriving inside env-var VALUES (round-10 review)."""
     import yaml
 
     with open(path) as f:
         cfg = dict(DEFAULT_CONFIG)
         cfg.update(yaml.safe_load(f) or {})
-    return expand_env_variables(cfg)
+    queries = cfg.pop("queries", None)
+    cfg = expand_env_variables(cfg)
+    if queries is not None:
+        cfg["queries"] = queries
+    return cfg

@@ -119,8 +119,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shipping-priority (TPC-H Q3 shape): filtered customer dim is small →
-    broadcast to the orders/lineitem join; top-10 is TakeOrderedAndProject."""
+    """Shipping-priority (TPC-H Q3 shape): the filtered customer dim is
+    genuinely small → forced broadcast; the orders⋈customer result is
+    FACT-scale (half the orders table) and is deliberately NOT forced —
+    a hard F.broadcast there dies at the 8 GB broadcast cap on a real
+    scale factor (round-10 review), while AQE still broadcasts it
+    automatically whenever it measures small; top-10 is
+    TakeOrderedAndProject."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -131,7 +136,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))),
+            o.join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -160,9 +165,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier revenue per nation (TPC-H Q5 shape). All dims
-    broadcast; only orders⋈lineitem shuffles — and AQE can turn even that
-    into a broadcast join after the region filter cuts the build side."""
+    """Local-supplier revenue per nation (TPC-H Q5 shape). The TINY
+    dims (region, nation) broadcast by force; the region-filtered
+    customer set (~20% of a fact-scale table) and the full supplier
+    table are left to AQE — forcing them would hit the 8 GB broadcast
+    cap / driver OOM at a real scale factor (round-10 review), and AQE
+    still broadcasts both automatically whenever the measured size
+    allows (it does at every gate SF)."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation").join(
         F.broadcast(r.select("r_regionkey")),
@@ -179,9 +188,9 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

@@ -105,9 +105,17 @@ def estimate_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        # RECURSIVE: hive-partitioned tables keep their part-files
+        # under col=value/ subdirectories — a depth-1 listing counted
+        # them as 0 rows, and the closure routing treats rows(T)=0 as
+        # the cheapest broadcastability proof, force-broadcasting a
+        # billion-row partitioned table (round-10 review)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
     return pq.ParquetFile(path).metadata.num_rows

@@ -281,3 +281,96 @@ def test_digest_sees_inplace_nested_overwrite(tmp_path):
     for p, t_ns in dir_times.items():
         os.utime(p, ns=(t_ns, t_ns))
     assert source_digest(str(src)) != d1
+
+
+def test_infer_catalog_ambiguous_pk_names_infer_no_fks(spark, tmp_path):
+    """Two tables both keyed 'id' must infer NO foreign keys: the old
+    single-owner dict picked an arbitrary winner and fabricated an FK
+    from every other table's own PK into it, joining unrelated id
+    spaces (round-10 review)."""
+    from dbcut_spark.catalog import infer_catalog
+
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        str(tmp_path / "alpha.parquet")
+    )
+    spark.createDataFrame([(1, "b")], "id long, w string").write.parquet(
+        str(tmp_path / "beta.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 1, 1)], "pair_id long, alpha_id long, beta_id long"
+    ).write.parquet(str(tmp_path / "pair.parquet"))
+    cat = infer_catalog(spark, str(tmp_path))
+    # 'id' is ambiguous -> no edges from it; unique PK names still infer
+    assert all("id" not in fk.child_cols or fk.child_cols[0] != "id"
+               for fk in cat.fks)
+    assert not any(
+        fk.child_cols == ("id",) for fk in cat.fks
+    ), cat.fks
+
+
+def test_detect_catalog_extras_fall_through_and_copy(spark, tmp_path):
+    """A dir with the five probe tables PLUS an unknown table must not
+    get the static harness catalog (the extra table would be invisible
+    to every command); and the harness catalog comes back as a COPY,
+    not the shared module singleton (round-10 review)."""
+    from dbcut_spark.catalog import TPCH_CATALOG, detect_catalog
+
+    for t_ in ("region", "nation", "customer", "orders", "lineitem"):
+        spark.createDataFrame([(1,)], "id long").write.parquet(
+            str(tmp_path / f"{t_}.parquet")
+        )
+    spark.createDataFrame([(1,)], "ps_id long").write.parquet(
+        str(tmp_path / "partsupp_extra.parquet")
+    )
+    cat = detect_catalog(spark, str(tmp_path))
+    assert "partsupp_extra" in cat.tables  # inferred, nothing dropped
+
+    # exact harness subset -> curated catalog, as a fresh copy
+    import shutil
+
+    shutil.rmtree(tmp_path / "partsupp_extra.parquet")
+    cat2 = detect_catalog(spark, str(tmp_path))
+    assert set(cat2.tables) == set(TPCH_CATALOG.tables)
+    assert cat2 is not TPCH_CATALOG
+    cat2.fks.append("sentinel")
+    assert "sentinel" not in TPCH_CATALOG.fks
+
+
+def test_estimate_row_count_recurses_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned tables counted 0 under the depth-1 listing —
+    and rows(T)=0 is the closure's cheapest broadcastability proof, so
+    a huge partitioned table got force-broadcast (round-10 review)."""
+    from dbcut_spark.sources.parquet import estimate_row_count
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id long, p int"
+    ).write.partitionBy("p").parquet(path)
+    assert estimate_row_count(path) == 90
+
+
+def test_load_config_queries_expanded_once(tmp_path, monkeypatch):
+    """The CLI path env-expanded queries twice (load_config AND
+    normalize_query), breaking the documented $$ escape and
+    re-expanding '$' inside env-var VALUES (round-10 review)."""
+    from dbcut_spark.config import load_config, normalize_query
+
+    monkeypatch.setenv("WHO", "alice")
+    monkeypatch.setenv("TEMPLATED", "${WHO}")
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text(
+        """
+databases:
+  source_uri: ${TEMPLATED}-dir
+queries:
+  - from: "customer"
+    where: {name: "$$WHO"}
+"""
+    )
+    cfg = load_config(str(cfg_path))
+    # non-query config expands once: the env VALUE lands verbatim
+    assert cfg["databases"]["source_uri"] == "${WHO}-dir"
+    # queries reach normalize_query unexpanded; ONE expansion turns
+    # the documented $$ escape into a literal dollar string
+    spec = normalize_query(cfg["queries"][0], cfg)
+    assert spec.where == {"name": "$WHO"}
