@@ -917,7 +917,11 @@ def semantic_dedup(
     as duplicates vectors whose cosine to a LOWER-id vector in the SAME
     cluster reaches ``threshold`` (the lower id is the canonical
     survivor). Clustering bounds the quadratic: pairs form only within
-    a cluster, so the pair count is sum_c n_c² instead of n² — the
+    a cluster, so the pair count is sum_c n_c² instead of n² — note
+    this bounds the quadratic only if the CLUSTER COUNT scales with
+    the corpus (k ~ √n keeps pair work at ~n^1.5; a fixed k leaves
+    n²/k, still quadratic — round-10 review; callers fitting fresh
+    centroids should size k from the corpus row estimate) — the
     property that makes embedding-level dedup tractable at corpus
     scale. Returns (id, cluster_id, is_dup).
 

@@ -2531,7 +2531,24 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tp(spark, sf_dir, "embeddings")
     cents = sim.stored_centroids(sf_dir)
     if cents is None:
-        cents = sim.fit_centroids(e, "embedding")
+        # the n²/k quadratic fence only holds if k SCALES with the
+        # corpus: a fixed k leaves sum_c n_c² ~ n²/k — still quadratic
+        # (round-10 review; published SemDeDup uses cluster counts in
+        # the tens of thousands). √n keeps within-cluster pair work at
+        # ~n^1.5; the row estimate is footer metadata, no Spark job.
+        import math
+        import os as _os
+
+        from dbcut_spark.sources.parquet import estimate_row_count
+
+        n = max(1, estimate_row_count(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        ))
+        cents = sim.fit_centroids(
+            e, "embedding",
+            n_centroids=max(16, int(math.isqrt(n))),
+            sample_fraction=min(1.0, 1_000_000 / n) if n > 1_000_000 else None,
+        )
     return sim.semantic_dedup(
         e, cents, id_col="vec_id", vec_col="embedding", threshold=0.35
     ).orderBy("vec_id")
@@ -3185,16 +3202,23 @@ def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = pin(toks)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs, avgdl = dlen.agg(
-        F.count(F.lit(1)), F.avg("dl")
-    ).first()
+    # N/avgdl ride as a broadcast 1-row cross join, NOT a .first():
+    # the eager collect ran a separate blocking corpus-pass job at
+    # plan-build time just to embed two literals (round-10 review;
+    # same scalar-subquery shape as tfidf_top_terms, and exactly how
+    # the oracle models it)
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+    )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     scored = (
         tf.join(df_, "tok")
         .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             "tok",
@@ -3204,7 +3228,7 @@ def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (k1 + 1.0)
                 / (
                     F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
                 ),
                 6,
             ).alias("bm25"),

@@ -52,7 +52,14 @@ def _rf_scratch() -> str:
     import tempfile as _tempfile
     import time as _time
 
-    tmp_root = _tempfile.gettempdir()
+    # configurable root (round-10 review): the default tempdir is
+    # NODE-LOCAL — fine for the single-JVM gate harness, but on a real
+    # cluster executors each see their own /tmp, so a fact-sized
+    # staged table must land on a SHARED filesystem; deployments set
+    # SPARK_GRAFT_SCRATCH_DIR to an HDFS-mounted / shared path
+    tmp_root = _os.environ.get(
+        "SPARK_GRAFT_SCRATCH_DIR", _tempfile.gettempdir()
+    )
     pid = _os.getpid()
     with _RF_LOCK:
         prev = getattr(_RF_TLOCAL, "scratch", None)
@@ -193,8 +200,11 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between two nations (TPC-H Q7 shape). Both nation
-    dims and supplier broadcast; the disjunctive nation-pair predicate is
-    applied after the broadcast joins so the only shuffle is
+    nation dims broadcast; the 2-nation customer/supplier sides scale
+    with SF, so their joins are left to AQE (it broadcasts them at
+    gate sizes; a forced hint dies at the 8 GB cap at 100 TB —
+    round-10 review). The disjunctive nation-pair predicate is
+    applied after the joins so the only shuffle is
     orders⋈lineitem. Grouping is on low-cardinality keys (2×2×years)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
@@ -214,9 +224,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -247,7 +257,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): who returned the most
     revenue last quarter. Quarter + returnflag filters push to the scans;
-    customer and nation broadcast; top-20 is TakeOrderedAndProject.
+    nation broadcasts; the full customer dim scales with SF and is
+    AQE-decided (round-10 review). Top-20 is TakeOrderedAndProject.
     The quarter-filtered orders side is NOT hinted: it scales with the
     fact table (~1/8 of orders), so the orderkey join is left to
     Spark/AQE, which still broadcasts it when it measures small."""
@@ -262,7 +273,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_rev_col("revenue"))
@@ -289,7 +300,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion-effect (TPC-H Q14 shape): % of month revenue from PROMO
-    parts. Part broadcasts; both sums accumulate in DECIMAL then the
+    parts. The part join is AQE-decided (part scales with SF —
+    round-10 review); both sums accumulate in DECIMAL then the
     ratio divides as DOUBLE (bit-identical in both engines)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -299,7 +311,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -372,22 +384,31 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 shape): lineitems under
     half the part's average quantity, for one brand. The correlated AVG
-    is a broadcast of the per-part aggregate (decimal-sum / count so the
+    is a join against the brand-pruned per-part aggregate
+    (decimal-sum / count so the
     threshold is bit-identical across engines); the brand filter prunes
     part before the join so only matching parts' lineitems survive."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
-    pavg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
+    # the per-part average is computed ONLY for the brand's parts —
+    # unfiltered it aggregates (and previously broadcast!) one row per
+    # distinct l_partkey, ~|part| rows, which scales linearly with SF
+    # (round-10 review); the semi join prunes ~96% before the agg
+    pavg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(pavg), F.col("l_partkey") == F.col("ap_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -417,7 +438,7 @@ def tpch_q17_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers (TPC-H Q18 shape): orders whose total
     quantity exceeds 260. The HAVING subquery is ONE aggregation of
-    lineitem reused as a semi-join filter (broadcast — it's the ~1% tail
+    lineitem reused as a semi-join filter (AQE-decided: the ~1% tail
     by construction); the outer re-aggregation then runs on the
     surviving ~100 orders only."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -428,15 +449,15 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     o = t(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+        big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
     )
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(
-            F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")),
+            o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -461,8 +482,9 @@ def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted-revenue under a 3-branch disjunctive predicate (TPC-H
     Q19 shape). Catalyst extracts the common-across-branches implications
     (brand IN (...), size/quantity envelope bounds) and pushes them into
-    both scans; the residual OR evaluates post-join inside codegen. Part
-    broadcasts."""
+    both scans; the residual OR evaluates post-join inside codegen.
+    The part join is AQE-decided — part scales with SF (round-10
+    review)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -473,7 +495,7 @@ def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(_rev_col("revenue"))
     )
@@ -545,7 +567,7 @@ def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -644,9 +666,11 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region-restricted supplier set; partsupp -> DISTINCT lineitem
     pairs, min supplycost -> max account balance). The correlated
     subquery compiles to a window max over p_partkey + equality filter
-    — one pass, no re-scan per part. The filtered part list (~0.3% of
-    rows) and the 5-nation supplier dim are both broadcast; the only
-    shuffle is the DISTINCT on (partkey, suppkey) id pairs."""
+    — one pass, no re-scan per part. The filtered part list and the
+    5-nation supplier dim are constant FRACTIONS of SF-linear tables,
+    so their joins are AQE-decided rather than force-broadcast
+    (round-10 review); the only shuffle is the DISTINCT on
+    (partkey, suppkey) id pairs."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
     ).distinct()
@@ -667,8 +691,8 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        li.join(F.broadcast(p), F.col("p_key") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("s_key") == F.col("s_suppkey"))
+        li.join(p, F.col("p_key") == F.col("p_partkey"))
+        .join(eu, F.col("s_key") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
     w = Window.partitionBy("p_partkey")
@@ -708,9 +732,10 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share (TPC-H Q8 shape, fully faithful — every
     column it needs exists): NATION_2's fraction of ASIA's ECONOMY-part
-    revenue by order year. Star join: lineitem is the fact; part
-    (type-filtered), supplier+nation, customer+nation+region are all
-    broadcast dims; one shuffle for the year aggregation. Numerator
+    revenue by order year. Star join: lineitem is the fact; the
+    constant-size nation/region lookups broadcast, while the
+    SF-linear part/supplier/customer sides stay AQE-decided (round-10
+    review); one shuffle for the year aggregation. Numerator
     and denominator run in the SAME aggregate (conditional sum), so
     the fact table is scanned once."""
     li = t(spark, sf_dir, "lineitem")
@@ -752,10 +777,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2", rev.cast("decimal(25,8)")
     ).otherwise(F.lit(0).cast("decimal(25,8)"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
@@ -787,7 +812,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-type profit (TPC-H Q9 shape; ps_supplycost substituted
     by 0.5*p_retailprice) for parts named like '%bolt%', by supplier
     nation and order year. The name-filtered part dim and the
-    supplier->nation dim are broadcast; orders joins shuffle on
+    supplier->nation dim scale with SF and stay AQE-decided (round-10
+    review); orders joins shuffle on
     orderkey; profit accumulates through DECIMAL(25,8) with the exact
     same expression tree as the oracle (IEEE double arithmetic is
     order-deterministic inside the cast)."""
@@ -809,8 +835,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("double")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
@@ -867,7 +893,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     val = (
-        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey")
         .agg(
@@ -961,9 +987,10 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers per (brand, type, size) bucket, excluding one brand, one
     type class, and blacklisted suppliers; partsupp -> DISTINCT
     lineitem pairs, complaint suppliers -> negative account balance).
-    The NOT IN compiles to a broadcast LEFT ANTI join against the
-    (tiny) blacklist; part attributes broadcast onto the id pairs; one
-    distinct-count aggregation."""
+    The NOT IN compiles to a LEFT ANTI join against the blacklist
+    and the part attributes join onto the id pairs — both SF-linear,
+    both AQE-decided (round-10 review); one distinct-count
+    aggregation."""
     ps = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
     ).distinct()
@@ -976,8 +1003,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("bad_key")
     )
     return (
-        ps.join(F.broadcast(p), F.col("p_key") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("s_key") == F.col("bad_key"), "left_anti")
+        ps.join(p, F.col("p_key") == F.col("p_partkey"))
+        .join(bad, F.col("s_key") == F.col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("s_key")).alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1032,7 +1059,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualifying = (
         sq.join(pt, "p_key")
-        .join(F.broadcast(blue), F.col("p_key") == F.col("p_partkey"))
+        .join(blue, F.col("p_key") == F.col("p_partkey"))
         .filter(
             (F.col("n_supp") >= 3)
             & (
@@ -1253,11 +1280,18 @@ def tpch_rf_refresh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    # co-locate each year before partitionBy: otherwise every shuffle
-    # partition emits a file into every year dir (tasks x years small
-    # files), tripling downstream scan/listing cost — the same layout
-    # rule sinks/compact.py enforces
-    base.repartition("o_year").write.partitionBy("o_year").parquet(target)
+    # co-locate each year before partitionBy — but SALTED to cluster
+    # width: a bare repartition("o_year") hashes onto ~7 distinct year
+    # values, so ~7 tasks each write one year's ENTIRE data (a
+    # multi-TB straggler per task at 100 TB; round-10 review). The
+    # salt bounds files-per-year at ceil(parallelism/years) while
+    # keeping every file single-year (partitionBy still routes rows);
+    # same trade as dedup._bands_for_write
+    par = max(1, spark.sparkContext.defaultParallelism)
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(max(1, par // 7)))
+    base.repartition(par, F.col("o_year"), salt).write.partitionBy(
+        "o_year"
+    ).parquet(target)
 
     recent = base.filter(F.col("o_year") >= 2000)
     upd = recent.filter(

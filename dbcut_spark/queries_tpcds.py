@@ -35,14 +35,17 @@ ALL = "(all)"
 
 
 def _orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer ⋈ nation — the shared star-join spine; both
-    dimensions are broadcast (small at any sf: customers per nation
-    fan-in happens in the orders-side aggregate, nation is 25 rows)."""
+    """orders ⋈ customer ⋈ nation — the shared star-join spine.
+    nation (25 rows, constant) broadcasts by force; customer SCALES
+    with SF, so its join is AQE-decided — the old hint claimed it was
+    'small at any sf', which is false at 100 TB (~15B rows) and would
+    die at the 8 GB broadcast cap (round-10 review; AQE still
+    broadcasts it at every gate size)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
+        c, o.o_custkey == c.c_custkey
     ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
 
 
@@ -308,11 +311,18 @@ def tpcds_except_browsers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 spenders per nation with share-of-nation (TPC-DS q67
-    ranking shape). Both windows partition by nation over the
-    pre-aggregated one-row-per-customer frame — one exchange feeds
-    rank and share. row_number over (total DESC, custkey) keeps ties
-    deterministic cross-engine."""
-    spend = (
+    ranking shape). The RANK window stays (its rnk<=3 filter group-
+    limit-prunes, so only 3 rows per nation survive the exchange), but
+    the share denominator is a 25-row groupBy aggregate broadcast
+    back — a frameless sum window over the per-customer frame must
+    materialize EVERY row in its 25 nation partitions (a 25-task
+    parallelism ceiling buffering ~600M rows each at 100 TB; round-10
+    review). The per-customer frame is pinned: it feeds the totals
+    aggregate and the ranked join. row_number over (total DESC,
+    custkey) keeps ties deterministic cross-engine."""
+    from dbcut_spark.operators.pinning import pin
+
+    spend = pin(
         _orders_nation(spark, sf_dir)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -320,21 +330,20 @@ def tpcds_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum("o_totalprice", "cust_total"))
     )
+    totals = spend.groupBy("nation").agg(
+        F.sum(F.col("cust_total").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("__nation_total")
+    )
     w_rank = Window.partitionBy("nation").orderBy(
         F.col("cust_total").desc(), F.col("custkey")
     )
-    w_all = Window.partitionBy("nation")
     return (
-        spend.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        spend.join(F.broadcast(totals), "nation")
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
         .withColumn(
             "nation_share",
-            F.round(
-                F.col("cust_total")
-                / F.sum(F.col("cust_total").cast("decimal(25,6)"))
-                .over(w_all)
-                .cast("double"),
-                6,
-            ),
+            F.round(F.col("cust_total") / F.col("__nation_total"), 6),
         )
         .filter(F.col("rnk") <= 3)
         .select("nation", "custkey", "cust_total", "rnk", "nation_share")
@@ -360,16 +369,22 @@ def tpcds_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated above-average filter (TPC-DS q6 pattern): orders
     priced >1.3× their priority class's mean. The class mean is a
-    window sum(DECIMAL)/count — no second scan, no self-join, and the
-    identical fold order makes the float comparison engine-exact."""
+    5-row groupBy aggregate BROADCAST back onto the fact scan — NOT a
+    window: a window partitioned by a 5-value key funnels the entire
+    un-aggregated fact table into 5 reducer tasks (~1/5 of all orders
+    each at 100 TB — the parallelism collapse, round-10 review),
+    while the aggregate gets map-side partials at full width and the
+    join side is constant-size. Decimal-sum/count keeps the float
+    comparison engine-exact either way."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority")
+    means = o.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("prio_avg")
+    )
     return (
-        o.withColumn(
-            "prio_avg",
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-        )
+        o.join(F.broadcast(means), "o_orderpriority")
         .filter(F.col("o_totalprice") > 1.3 * F.col("prio_avg"))
         .select(
             "o_orderkey",

@@ -381,8 +381,14 @@ def test_tpcds_pack_plan_shapes(spark, sf_dir):
     # windows ride one pre-aggregated exchange; no extra self-join scan
     plan = plan_of(spark, sf_dir, "tpcds_yoy_nation")
     assert "Window" in plan and plan.count("FileScan") == 3  # o + c + n
+    # above-avg: the class mean is a 5-row aggregate BROADCAST back
+    # onto the fact scan, NOT a window — a window partitioned on the
+    # 5-value priority key funnels the whole fact table into 5 reducer
+    # tasks (round-10 review); two scans (means + fact) is the price
+    # of keeping full map-side parallelism
     plan = plan_of(spark, sf_dir, "tpcds_above_avg_orders")
-    assert "Window" in plan and plan.count("FileScan") == 1
+    assert "BroadcastHashJoin" in plan and plan.count("FileScan") == 2
+    assert "Window [" not in plan  # no partition-collapse window
 
 
 def test_closure_frontier_shape_gets_dynamic_partition_pruning(spark, tmp_path):
