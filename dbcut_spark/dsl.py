@@ -51,9 +51,19 @@ def _field_ref(name: str, root_table: str, foreign: set[str]) -> Column:
 
 
 def _compile_comparator(col: Column, op: str, value: Any) -> Column:
+    # NULL equality compiles to IS [NOT] NULL, matching the reference's
+    # SQLAlchemy semantics (Model.field == None → IS NULL). A literal
+    # `col == lit(NULL)` is UNKNOWN for every row — the extraction
+    # would silently return zero matches, and the oracle generator
+    # previously rendered the same `= NULL`, so the parity gate was
+    # structurally blind to the divergence (round-10 review).
     if op == "$eq":
+        if value is None:
+            return col.isNull()
         return col == F.lit(value)
     if op == "$neq":
+        if value is None:
+            return col.isNotNull()
         return col != F.lit(value)
     if op == "$gt":
         return col > F.lit(value)
@@ -80,6 +90,16 @@ def _compile_fragment(fragment: Any, root_table: str, foreign: set[str]) -> Colu
             if key == "$not":
                 clauses.append(~_compile_fragment(value, root_table, foreign))
             else:
+                if not isinstance(value, dict):
+                    # mlalchemy's combinators take a MAPPING; a
+                    # Mongo-style list previously died with a bare
+                    # AttributeError here while the metadata walker
+                    # silently skipped it (round-10 review)
+                    raise ValueError(
+                        f"{key} expects a mapping of sub-conditions, "
+                        f"got {type(value).__name__}; write "
+                        f"{key}: {{field1: v1, field2: v2}}"
+                    )
                 sub = [
                     _compile_fragment({k: v}, root_table, foreign)
                     for k, v in value.items()
@@ -107,6 +127,8 @@ def _compile_fragment(fragment: Any, root_table: str, foreign: set[str]) -> Colu
                     clauses.append(_compile_comparator(col, op, v))
             elif isinstance(value, (list, tuple)):
                 clauses.append(col.isin(list(value)))
+            elif value is None:
+                clauses.append(col.isNull())  # reference IS NULL semantics
             else:
                 clauses.append(col == F.lit(value))
     if not clauses:
@@ -128,6 +150,14 @@ def where_foreign_tables(fragment: dict | None, root_table: str) -> set[str]:
             return
         for key, value in frag.items():
             if key in COMBINATORS:
+                if key != "$not" and not isinstance(value, dict):
+                    # same loud contract as compile_where — the two
+                    # walkers previously disagreed (compile crashed,
+                    # this one silently reported no foreign tables)
+                    raise ValueError(
+                        f"{key} expects a mapping of sub-conditions, "
+                        f"got {type(value).__name__}"
+                    )
                 walk(value)
             elif key in COMPARATORS:
                 if isinstance(value, dict):

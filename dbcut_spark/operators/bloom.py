@@ -96,43 +96,60 @@ def bloom_prefilter(
     join's coercing equality would keep. The key side is therefore cast
     to the CHILD's column types before hashing (a key that overflows
     the child's narrower type casts to NULL, which can never match the
-    child anyway)."""
+    child anyway). That cast is only value-faithful when both sides
+    are the SAME type or both integral: a STRING/NUMERIC mix coerces
+    through DOUBLE in the exact join (child '05' == key 5 matches!)
+    but hashes as strings ('05' vs '5' — different words), so for any
+    such mismatch the prefilter BAILS to the identity (the exact semi
+    join after it does all the work — degrade, never drop; round-10
+    review)."""
+    import pyspark.sql.types as _T
+
+    _integral = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
     child_types = dict(zip(child.schema.names, [f.dataType for f in child.schema.fields]))
+    key_types = dict(zip(keys.schema.names, [f.dataType for f in keys.schema.fields]))
+    for c in cols:
+        ct, kt = child_types.get(c), key_types.get(c)
+        same = type(ct) is type(kt)
+        both_integral = isinstance(ct, _integral) and isinstance(kt, _integral)
+        if not (same or both_integral):
+            return child  # hash representations can't be aligned safely
     keys = keys.select(
         *[F.col(c).cast(child_types[c]).alias(c) if c in child_types else F.col(c) for c in keys.columns]
     )
     from dbcut_spark.operators.pinning import pin
 
-    # pinned: the k per-seed broadcasts alias the word/bits columns
-    # differently (plan-distinct, so ReusedExchange can't kick in) —
-    # without the cache each broadcast would re-run the whole
+    # pinned: without the cache each broadcast would re-run the whole
     # keys-distinct + bitmap aggregation, k extra shuffles of a
-    # multi-million-row key set on the slow path
+    # multi-million-row key set on the slow path. Memory bound, stated
+    # honestly (round-10 review): the k joins each materialize their
+    # OWN broadcast of the bitmap relation — self-join disambiguation
+    # gives every probe fresh attribute ids, so ReusedExchange never
+    # dedupes them (verified empirically) — so peak broadcast footprint
+    # is ~k x the word-table relation, ~4 x 64 MB of (long,long) rows
+    # at the MAX_BITS cap plus hash-relation overhead. Executors need
+    # that headroom on the capped path; routing only chooses Bloom for
+    # frontiers where the alternative (shuffling the ENTIRE child
+    # table) dwarfs it, and smaller frontiers size m (and the
+    # footprint) proportionally down.
     bitmap = pin(bloom_bitmap(keys, cols, m, k))
     out = child
     for seed in range(k):
-        pcol, wcol, bcol = (
-            f"__dbcut_bp{seed}",
-            f"__dbcut_bw{seed}",
-            f"__dbcut_bb{seed}",
-        )
+        pcol = f"__dbcut_bp{seed}"
         out = out.withColumn(pcol, _positions(cols, seed, m))
-        bm = bitmap.select(
-            F.col("word_idx").alias(wcol), F.col("bits").alias(bcol)
-        )
         out = (
             out.join(
-                F.broadcast(bm),
-                (F.col(pcol) / 64).cast("long") == F.col(wcol),
+                F.broadcast(bitmap),
+                (F.col(pcol) / 64).cast("long") == F.col("word_idx"),
                 "inner",
             )
             .filter(
-                F.col(bcol).bitwiseAND(
+                F.col("bits").bitwiseAND(
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pcol} % 64 AS INT))")
                 )
                 != 0
             )
-            .drop(pcol, wcol, bcol)
+            .drop(pcol, "word_idx", "bits")
         )
     return out
 

@@ -73,12 +73,12 @@ def salted_join(
     shuffle spill it prevents)."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner/left joins")
-    salted_left = left.withColumn("__salt", _row_salt(left, on, n_salts))
+    salted_left = left.withColumn("__dbcut_salt", _row_salt(left, on, n_salts))
     exploded_right = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        "__dbcut_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    out = salted_left.join(exploded_right, on=[*on, "__salt"], how=how)
-    return out.drop("__salt")
+    out = salted_left.join(exploded_right, on=[*on, "__dbcut_salt"], how=how)
+    return out.drop("__dbcut_salt")
 
 
 def salted_top_per_key(
@@ -110,21 +110,21 @@ def salted_top_per_key(
     differ, not because their physical placement does."""
     oc = [F.col(c) for c in order_cols]
     salted = df.withColumn(
-        "__cap_salt", F.pmod(F.xxhash64(*oc), F.lit(n_salts))
+        "__dbcut_cap_salt", F.pmod(F.xxhash64(*oc), F.lit(n_salts))
     )
-    w1 = Window.partitionBy(*keys, "__cap_salt").orderBy(
+    w1 = Window.partitionBy(*keys, "__dbcut_cap_salt").orderBy(
         *[c.desc() for c in oc]
     )
     survivors = (
-        salted.withColumn("__cap_rn", F.row_number().over(w1))
-        .filter(F.col("__cap_rn") <= k)
-        .drop("__cap_salt", "__cap_rn")
+        salted.withColumn("__dbcut_cap_rn", F.row_number().over(w1))
+        .filter(F.col("__dbcut_cap_rn") <= k)
+        .drop("__dbcut_cap_salt", "__dbcut_cap_rn")
     )
     w2 = Window.partitionBy(*keys).orderBy(*[c.desc() for c in oc])
     return (
-        survivors.withColumn("__cap_rn", F.row_number().over(w2))
-        .filter(F.col("__cap_rn") <= k)
-        .drop("__cap_rn")
+        survivors.withColumn("__dbcut_cap_rn", F.row_number().over(w2))
+        .filter(F.col("__dbcut_cap_rn") <= k)
+        .drop("__dbcut_cap_rn")
     )
 
 
@@ -139,8 +139,8 @@ def salted_agg_count(
     (For avg/sum-style aggregates the same shape applies to any
     algebraic aggregate: carry partial (sum, count) pairs.)"""
     partial = (
-        df.withColumn("__salt", _row_salt(df, keys, n_salts))
-        .groupBy(*keys, "__salt")
+        df.withColumn("__dbcut_salt", _row_salt(df, keys, n_salts))
+        .groupBy(*keys, "__dbcut_salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial").alias("count"))

@@ -39,6 +39,14 @@ def _field_sql(name: str, root_table: str) -> str:
 
 def _cmp_sql(field: str, op: str, value: Any) -> str:
     ops = {"$eq": "=", "$neq": "<>", "$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}
+    # IS [NOT] NULL, in lockstep with dsl._compile_comparator: a
+    # rendered `= NULL` is UNKNOWN everywhere — and because BOTH
+    # engines carried the same rendering, the parity gate could not
+    # see the divergence from the reference (round-10 review)
+    if op == "$eq" and value is None:
+        return f"{field} IS NULL"
+    if op == "$neq" and value is None:
+        return f"{field} IS NOT NULL"
     if op in ops:
         return f"{field} {ops[op]} {sql_literal(value)}"
     if op == "$like":
@@ -62,6 +70,11 @@ def where_to_sql(fragment: dict, root_table: str) -> str:
             if key == "$not":
                 clauses.append(f"(NOT {where_to_sql(value, root_table)})")
             else:
+                if not isinstance(value, dict):
+                    raise ValueError(
+                        f"{key} expects a mapping of sub-conditions, "
+                        f"got {type(value).__name__}"
+                    )  # same loud contract as dsl.compile_where
                 joiner = " OR " if key == "$or" else " AND "
                 subs = [where_to_sql({k: v}, root_table) for k, v in value.items()]
                 if not subs:

@@ -185,12 +185,12 @@ def compact_parquet(
         out = (
             df.join(F.broadcast(per), cond)
             .withColumn(
-                "__salt",
+                "__dbcut_salt",
                 F.pmod(F.xxhash64(*salt_src), F.col("__nfiles")).cast("int"),
             )
             .localCheckpoint(eager=False)
-            .repartition(*part_cols, "__salt")
-            .drop("__salt", "__nfiles", *[f"__pv_{c}" for c in part_cols])
+            .repartition(*part_cols, "__dbcut_salt")
+            .drop("__dbcut_salt", "__nfiles", *[f"__pv_{c}" for c in part_cols])
         )
         writer = out.write.mode("overwrite")
         if max_records_per_file:

@@ -21,14 +21,23 @@ from datetime import datetime
 
 def canon(v):
     """Hashable canonical form of one cell, identical for Spark and
-    DuckDB client types (naive timestamps, NaN sentinel, nested
-    lists/dicts)."""
+    DuckDB client types (naive timestamps, NaN sentinel, binary,
+    nested lists/dicts)."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # tuple sentinel, not the string 'NaN': a genuine STRING
+            # cell holding the text 'NaN' must not collide with a
+            # float NaN on the other engine (type drift would pass the
+            # gate silently; round-10 review)
+            return ("__nan__",)
         return float(v)
+    if isinstance(v, bytearray):
+        # PySpark collects BinaryType as bytearray — unhashable, so
+        # the multiset build crashed on any binary column; DuckDB
+        # returns bytes (round-10 review)
+        return bytes(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
@@ -88,8 +97,13 @@ def register_parquet_views(con, source: str, tables) -> list[str]:
         if not os.path.exists(path):
             continue
         pat = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        # quoted identifier + escaped path literal: a table named
+        # 'order'/'group' (reserved words) or a path containing a
+        # quote previously broke the CREATE VIEW (round-10 review)
+        ident = '"' + t.replace('"', '""') + '"'
+        lit = pat.replace("'", "''")
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+            f"CREATE OR REPLACE VIEW {ident} AS SELECT * FROM read_parquet('{lit}')"
         )
         registered.append(t)
     return registered

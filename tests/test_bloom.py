@@ -234,3 +234,41 @@ def test_bloom_key_type_mismatch_no_false_negatives(spark):
         r.k for r in exact.collect()
     )
     assert got.count() == 34  # 0,3,...,99
+
+
+def test_bloom_bails_on_uncoercible_type_mix(spark):
+    """STRING child vs NUMERIC keys: the exact semi join coerces
+    through DOUBLE ('05' matches 5) but hash representations can't be
+    aligned ('05' vs '5'), so the prefilter must BAIL to the identity
+    instead of dropping rows the exact join keeps (round-10 review)."""
+    from pyspark.sql import functions as F2
+
+    from dbcut_spark.operators.bloom import bloom_prefilter, bloom_semi_join
+
+    # note: no non-numeric strings — under ANSI the EXACT reference
+    # join itself strict-casts the string side and would abort on them
+    child = spark.createDataFrame(
+        [("05",), ("5",), ("7",)], "k string"
+    )
+    keys = spark.createDataFrame([(5,)], "k bigint")
+    # prefilter is the identity on the unsafe mix — nothing dropped
+    assert bloom_prefilter(child, keys, ["k"], m=1 << 10).count() == 3
+    got = {r["k"] for r in bloom_semi_join(child, keys, ["k"]).collect()}
+    exact = {
+        r["k"] for r in child.join(keys, ["k"], "left_semi").collect()
+    }
+    assert got == exact and "05" in got
+
+
+def test_salted_ops_tolerate_user_salt_columns(spark):
+    """A frame already carrying a __salt-like user column must survive
+    salted_join unchanged — internal columns use the __dbcut_ prefix
+    now (round-10 review)."""
+    from dbcut_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "keep-me")], "k long, __salt string"
+    )
+    right = spark.createDataFrame([(1, "r")], "k long, rv string")
+    out = salted_join(left, right, ["k"]).collect()
+    assert out[0]["__salt"] == "keep-me"

@@ -76,3 +76,80 @@ def test_where_fragment_parity(spark, duck, orders_df, fragment):
         ).fetchall()
     }
     assert got == expected, f"fragment {fragment!r} → spark {len(got)} vs duckdb {len(expected)}"
+
+
+def test_null_equality_is_null_semantics(spark):
+    """{field: null} / $eq null / $neq null compile to IS [NOT] NULL on
+    BOTH engines — a literal '= NULL' is UNKNOWN for every row, the
+    extraction silently returned zero matches, and the oracle rendered
+    the same SQL so parity was structurally blind (round-10 review;
+    the reference's SQLAlchemy compiles == None to IS NULL)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, v string"
+    )
+    for frag, expected in [
+        ({"v": None}, {2, 3}),
+        ({"$eq": {"v": None}}, {2, 3}),
+        ({"$neq": {"v": None}}, {1, 4}),
+        ({"$or": {"v": None, "id": 4}}, {2, 3, 4}),
+    ]:
+        got = {
+            r["id"] for r in df.filter(compile_where(frag, "t").predicate).collect()
+        }
+        assert got == expected, frag
+        sql = where_to_sql(frag, "t")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW r AS SELECT * FROM (VALUES (1, 'a'), (2, NULL),"
+            " (3, NULL), (4, 'b')) AS t(id, v)"
+        )
+        oracle = {
+            row[0] for row in con.execute(f"SELECT id FROM r WHERE {sql}").fetchall()
+        }
+        assert oracle == expected, (frag, sql)
+
+
+def test_combinator_list_value_fails_loudly():
+    """$or/$and with a Mongo-style LIST must raise one clear ValueError
+    from every walker — compile previously died with a raw
+    AttributeError while where_foreign_tables silently ignored the
+    fragment (round-10 review)."""
+    import pytest
+
+    from dbcut_spark.dsl import where_foreign_tables
+
+    frag = {"$or": [{"a": 1}, {"b": 2}]}
+    with pytest.raises(ValueError, match="mapping"):
+        compile_where(frag, "t")
+    with pytest.raises(ValueError, match="mapping"):
+        where_foreign_tables(frag, "t")
+    with pytest.raises(ValueError, match="mapping"):
+        where_to_sql(frag, "t")
+
+
+def test_verify_canon_edge_cells(tmp_path):
+    """canon(): bytearray (PySpark BinaryType) must hash, and a float
+    NaN must not collide with the string 'NaN' (round-10 review);
+    register_parquet_views must survive reserved-word table names."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbcut_spark.verify import canon, compare_result_sets, register_parquet_views
+
+    assert canon(bytearray(b"\x01")) == b"\x01"
+    assert canon(float("nan")) != canon("NaN")
+    # a bytearray row set compares cleanly against its bytes twin
+    assert compare_result_sets(
+        ["b"], [(bytearray(b"\x01"),)], ["b"], [(b"\x01",)]
+    ) == []
+    # string-'NaN' vs float-NaN is a VALUE difference, not a match
+    assert compare_result_sets(["x"], [("NaN",)], ["x"], [(float("nan"),)])
+
+    pq.write_table(pa.table({"id": [1, 2]}), str(tmp_path / "order.parquet"))
+    con = duckdb.connect()
+    got = register_parquet_views(con, str(tmp_path), ["order"])
+    assert got == ["order"]
+    assert con.execute('SELECT count(*) FROM "order"').fetchone()[0] == 2

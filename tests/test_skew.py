@@ -166,8 +166,8 @@ def test_closure_backref_cap_skew_routing(spark):
     salted = run(salted_backref_cap=True).select("id", "parent_id")
     # plan pin: the salted form carries the two-phase salt window, the
     # plain form must not
-    assert "__cap_salt" in salted._jdf.queryExecution().toString()
-    assert "__cap_salt" not in plain._jdf.queryExecution().toString()
+    assert "__dbcut_cap_salt" in salted._jdf.queryExecution().toString()
+    assert "__dbcut_cap_salt" not in plain._jdf.queryExecution().toString()
     got_s = sorted(map(tuple, salted.collect()))
     got_p = sorted(map(tuple, plain.collect()))
     assert got_s == got_p
@@ -186,9 +186,9 @@ def test_closure_backref_cap_skew_routing(spark):
     per_group = (
         frames["child"]
         .withColumn(
-            "__cap_salt", F2.pmod(F2.xxhash64(F2.col("id")), F2.lit(n_salts))
+            "__dbcut_cap_salt", F2.pmod(F2.xxhash64(F2.col("id")), F2.lit(n_salts))
         )
-        .groupBy("parent_id", "__cap_salt")
+        .groupBy("parent_id", "__dbcut_cap_salt")
         .count()
         .agg(F2.max("count").alias("mx"))
         .first()["mx"]
@@ -200,11 +200,11 @@ def test_closure_backref_cap_skew_routing(spark):
     auto_small = ClosureExecutor(
         spark, lambda t: frames[t], table_rows=lambda t: 40_010
     ).execute(plan)["child"]
-    assert "__cap_salt" not in auto_small._jdf.queryExecution().toString()
+    assert "__dbcut_cap_salt" not in auto_small._jdf.queryExecution().toString()
     auto_big = ClosureExecutor(
         spark, lambda t: frames[t], table_rows=lambda t: 2_000_000
     ).execute(plan)["child"]
-    assert "__cap_salt" in auto_big._jdf.queryExecution().toString()
+    assert "__dbcut_cap_salt" in auto_big._jdf.queryExecution().toString()
     assert sorted(
         map(tuple, auto_big.select("id", "parent_id").collect())
     ) == got_p
