@@ -732,7 +732,13 @@ def verify(ctx: Ctx, max_rows: int):
             continue
         frames = ctx.executor().execute(plan)
         for table in sorted(frames):
-            sdf = frames[table]
+            # persist across the count + collect pair: the cap check
+            # needs a count BEFORE collecting (that is the whole OOM
+            # guard), and without the cache the closure plan would
+            # execute twice for every under-cap table (round-10
+            # second-pass review); MEMORY_AND_DISK so an over-cap
+            # table's count spills instead of evicting executors
+            sdf = frames[table].persist()
             n_spark = sdf.count()
             oracle_sql = plan_oracle_sql(plan, table)
             if n_spark > max_rows:
@@ -752,6 +758,7 @@ def verify(ctx: Ctx, max_rows: int):
                         f"ok    query {i} {table} rows={n_spark} "
                         "(count-only, > --max-rows)"
                     )
+                sdf.unpersist()
                 continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
@@ -759,6 +766,7 @@ def verify(ctx: Ctx, max_rows: int):
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
             problems = compare_result_sets(s_cols, s_rows, d_cols, d_rows)
+            sdf.unpersist()
             if problems:
                 failures += 1
                 click.echo(

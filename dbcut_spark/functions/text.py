@@ -147,11 +147,24 @@ def quality_score(text_col: str | Column) -> dict[str, Column]:
     stop = stopword_hits(tq, LANG_PROFILES["en"])
     # uppercase count via regexp removal (same char class in DuckDB RE2)
     upper = n_chars - F.length(F.regexp_replace(raw, "[A-Z]", ""))
-    mean_wlen = F.when(wc > 0, (F.length(tq) - (wc - 1)) / wc).otherwise(F.lit(0.0))
-    stop_ratio = F.when(wc > 0, stop / wc).otherwise(F.lit(0.0))
-    score = F.round(
-        stop_ratio + F.least(wc, F.lit(100)) / 100.0 - F.when(n_chars > 0, upper / n_chars).otherwise(0.0),
-        6,
+    # the explicit wc == 0 branch (instead of otherwise) lets NULL
+    # text fall through to NULL rather than 0.0
+    mean_wlen = F.when(wc > 0, (F.length(tq) - (wc - 1)) / wc).when(
+        wc == 0, F.lit(0.0)
+    )
+    stop_ratio = F.when(wc > 0, stop / wc).when(wc == 0, F.lit(0.0))
+    # NULL text scores NULL, explicitly: Spark's least() SKIPS null
+    # args, so least(NULL_wc, 100) is 100 and a failed-extraction doc
+    # would otherwise score a PERFECT 1.0 — every quality-gate filter
+    # would then keep exactly the junk rows (round-10 second-pass
+    # review; the oracle carries the same explicit NULL case)
+    score = F.when(
+        raw.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            stop_ratio + F.least(wc, F.lit(100)) / 100.0 - F.when(n_chars > 0, upper / n_chars).otherwise(0.0),
+            6,
+        )
     )
     return {
         "word_count": wc.cast("int"),

@@ -682,21 +682,27 @@ def build_lsh_index(
             f"num_hashes ({num_hashes}) must be divisible by band_rows "
             f"({band_rows}) - trailing hashes would silently never band"
         )
-    if ref.isEmpty():
+    sigs = minhash_signatures(ref, text_col, id_col, num_hashes, shingle_n)
+    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
+        "bucket", _lsh_bucket(n_buckets)
+    )
+    if bands.isEmpty():
         # a zero-row PARTITIONED write creates no partition dirs and
         # loses the partition columns from the on-disk schema — the
         # index would be permanently unreadable (every probe fails on
         # schema inference) and append could never repair the mixed
         # layout. Fail loudly at build time instead (round-9 review
-        # fix): bootstrap from the first accepted batch.
+        # fix): bootstrap from the first non-empty batch. The probe is
+        # on BANDS, not the raw ref: a non-empty reference whose texts
+        # are all NULL bands to zero rows too (the NULL-signature
+        # filter) and previously slipped past an isEmpty(ref) check
+        # into the same unreadable state (round-10 second-pass
+        # review).
         raise ValueError(
-            "build_lsh_index: reference corpus is empty — build the "
-            "index from the first non-empty batch instead"
+            "build_lsh_index: reference corpus has no hashable "
+            "documents (empty, or every text NULL) — build the index "
+            "from the first batch that has content instead"
         )
-    sigs = minhash_signatures(ref, text_col, id_col, num_hashes, shingle_n)
-    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
-        "bucket", _lsh_bucket(n_buckets)
-    )
     (
         _bands_for_write(bands, num_hashes // band_rows, n_buckets)
         .write.partitionBy("band_idx", "bucket")
@@ -949,6 +955,17 @@ def lsh_index_compact(
 
     mb = DEFAULT_TARGET_FILE_MB if target_file_mb is None else target_file_mb
     exact_path = os.path.join(index_path, "exact")
+    # crash recovery for the dedupe swap below (round-10 second-pass
+    # review): a crash between its two renames leaves the index with
+    # NO exact/ dir but a complete .dedupe.old — restore it; leftover
+    # .dedupe.old next to a present exact/ would wedge the NEXT sweep's
+    # rename (ENOTEMPTY) — clean it
+    old_path, tmp_path_ = exact_path + ".dedupe.old", exact_path + ".dedupe.tmp"
+    if not os.path.exists(exact_path) and os.path.exists(old_path):
+        os.rename(old_path, exact_path)
+        spark.catalog.refreshByPath(exact_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+    shutil.rmtree(tmp_path_, ignore_errors=True)
     extra = (
         spark.read.parquet(exact_path)
         .groupBy("text_hash")

@@ -41,14 +41,19 @@ def _guard_all_dropped(n_in: int, n_valid: int, vecs, dim: int,
     whose ``dim`` simply mismatches the data makes EVERY row 'bad',
     and silently dropping the whole batch turns a config error into
     empty-but-successful results (zero recall, all-false dedup flags).
-    An all-dropped Arrow batch of at least ``_GUARD_MIN_BATCH`` rows
-    is that config error with overwhelming likelihood, so raise it
-    loudly with the observed lengths. Smaller batches pass (a lone bad
-    row isolated in a partition tail must stay a drop, not an abort) —
-    a genuine global mismatch on any real dataset produces thousands-
-    row all-dropped batches immediately. Runs per batch, pure Python
-    ints — no per-row cost."""
-    if n_in < _GUARD_MIN_BATCH or n_valid > 0:
+    An all-dropped Arrow batch of at least ``_GUARD_MIN_BATCH``
+    NON-NULL rows is that config error with overwhelming likelihood,
+    so raise it loudly with the observed lengths. NULL vectors are
+    excluded from the count entirely: they are legitimate data (failed
+    embeddings, the population every sibling path drops), and a batch
+    that happens to be all-NULL — input clustered by a broken source —
+    must stay a silent drop, not an abort (round-10 second-pass
+    review). Smaller non-NULL batches also pass (a lone bad row at a
+    partition tail) — a genuine global mismatch on any real dataset
+    produces thousands-row all-dropped batches immediately. Runs per
+    batch, pure Python ints — no per-row cost."""
+    n_nonnull = sum(1 for v in vecs if v is not None)
+    if n_nonnull < _GUARD_MIN_BATCH or n_valid > 0:
         return
     import numpy as np
 
@@ -57,11 +62,12 @@ def _guard_all_dropped(n_in: int, n_valid: int, vecs, dim: int,
         for v in vecs if v is not None
     })[:5]
     raise ValueError(
-        f"{where}: every vector in a batch of {n_in} was dropped — "
-        f"expected dim {dim}, observed lengths {lens or '[all NULL]'}. "
-        "A full-batch mismatch almost always means the dim/centroid "
-        "parameter does not match the data; pre-filter ragged vectors "
-        "explicitly if this input is intentional"
+        f"{where}: every one of {n_nonnull} non-NULL vectors in a "
+        f"batch of {n_in} was dropped — expected dim {dim}, observed "
+        f"lengths {lens}. A full-batch mismatch almost always means "
+        "the dim/centroid parameter does not match the data; "
+        "pre-filter ragged vectors explicitly if this input is "
+        "intentional"
     )
 
 

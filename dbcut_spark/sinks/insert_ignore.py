@@ -69,11 +69,20 @@ def _recover_staging(spark: SparkSession, path: str) -> None:
       module's step order (the target is only removed after the
       staged write succeeded), so it means outside interference —
       raise rather than guess.
-    - target present + staging leftover: the crash was before (or
-      mid-way through) the swap — the retry re-derives its merge from
-      the CURRENT target, so the stale staging is garbage; discard it.
-      (A partial touched-partition swap leaves the target mixed
-      old/new, and the PK-keyed retry converges over it.)"""
+    - target present + staging COMPLETE (_SUCCESS): the crash was
+      between the staged write and the end of the swap — possibly
+      MID-rmtree of the target (rmtree is not atomic), leaving the
+      target missing part-files. The staged dir is the one provably
+      complete copy of that operation's intended state, so the swap
+      is COMPLETED, never the staging discarded (discarding and then
+      merging against a half-deleted target would silently lose the
+      deleted part-files' rows; round-10 second-pass review). Under
+      this module's single-writer contract, at most one operation's
+      leftover can exist, and its staged state either equals or
+      strictly succeeds the target.
+    - target present + staging INCOMPLETE (no _SUCCESS): a crash
+      mid-staged-write; the target was never touched — discard the
+      partial staging."""
     import shutil
 
     # __empty__ first: in the delete path it is created AFTER the
@@ -84,9 +93,15 @@ def _recover_staging(spark: SparkSession, path: str) -> None:
         staged = path + suffix
         if not os.path.exists(staged):
             continue
+        complete = os.path.exists(os.path.join(staged, "_SUCCESS"))
         if os.path.exists(path):
-            shutil.rmtree(staged)
-        elif os.path.exists(os.path.join(staged, "_SUCCESS")):
+            if complete:
+                shutil.rmtree(path)
+                os.rename(staged, path)
+            else:
+                shutil.rmtree(staged)
+            spark.catalog.refreshByPath(path)
+        elif complete:
             os.rename(staged, path)
             spark.catalog.refreshByPath(path)
         else:

@@ -202,7 +202,12 @@ def stateful_sessionize(
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         def _ripe(s):
-            return wm_us > 0 and s[1] + gap_us <= wm_us
+            # STRICT <: an event at exactly ts = last + gap still
+            # merges (the merge rule is inclusive <=) and a row with
+            # ts == watermark is still admissible, so emitting at
+            # equality could finalize a session one boundary event
+            # later bridges (round-10 second-pass review)
+            return wm_us > 0 and s[1] + gap_us < wm_us
 
         ripe = [s for s in merged if _ripe(s)]
         pending = [s for s in merged if not _ripe(s)]

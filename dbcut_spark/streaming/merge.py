@@ -41,10 +41,21 @@ def apply_cdc_batch(
     op_col: str | None = None,
     order_within_batch: str | None = None,
     schema_evolution: str = "strict",
+    ambiguous_ops: str = "error",
 ) -> tuple[int, int, int]:
     """Merge ONE change batch into the parquet target. Returns
     (updated, inserted, deleted). Pure batch function — used by the
-    streaming sink below and directly testable."""
+    streaming sink below and directly testable. ``ambiguous_ops``
+    governs a same-batch delete+upsert on one PK when no
+    ``order_within_batch`` column exists: ``'error'`` (default)
+    refuses loudly, ``'upsert-wins'`` applies deletes first (the
+    legacy order — correct ONLY when the source's same-batch pattern
+    is delete-then-reinsert)."""
+    if ambiguous_ops not in ("error", "upsert-wins"):
+        raise ValueError(
+            f"ambiguous_ops must be 'error' or 'upsert-wins', got "
+            f"{ambiguous_ops!r}"
+        )
     from dbcut_spark.sinks.insert_ignore import (
         delete_keys_parquet,
         upsert_parquet,
@@ -76,13 +87,19 @@ def apply_cdc_batch(
             batch = batch.drop(order_within_batch)
     deleted = 0
     if op_col is not None:
-        if order_within_batch is None:
+        if order_within_batch is None and ambiguous_ops == "error":
             # a PK carrying BOTH a delete and an upsert in one batch is
             # unresolvable without an ordering column: deletes apply
             # first here, so the upsert would ALWAYS win — silently
             # resurrecting rows whose true CDC order was
-            # insert-then-delete (round-10 review). Detect and refuse;
-            # one batch-sized aggregate, no target scan.
+            # insert-then-delete (round-10 review). Detect and refuse
+            # by default; one batch-sized aggregate, no target scan.
+            # ``ambiguous_ops='upsert-wins'`` restores the legacy
+            # deletes-first order for sources whose only same-batch
+            # pattern is delete-then-reinsert (key recycling), where
+            # upsert-wins IS the correct resolution — an explicit
+            # opt-in, since the guard cannot tell the two apart
+            # (round-10 second-pass review).
             amb = (
                 batch.groupBy(*pk)
                 .agg(
@@ -122,6 +139,7 @@ def stream_upsert_parquet(
     order_within_batch: str | None = None,
     trigger: dict | None = None,
     schema_evolution: str = "strict",
+    ambiguous_ops: str = "error",
 ):
     """Start a streaming query that merges the change stream into the
     parquet table at ``path``. Returns the StreamingQuery.
@@ -143,7 +161,8 @@ def stream_upsert_parquet(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(
-            batch, path, pk, op_col, order_within_batch, schema_evolution
+            batch, path, pk, op_col, order_within_batch, schema_evolution,
+            ambiguous_ops,
         )
 
     return (

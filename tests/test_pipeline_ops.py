@@ -215,12 +215,12 @@ def test_vectorized_kernels_raise_on_full_dim_mismatch(spark):
         spark.sparkContext.parallelize(rows, 1),
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(PySparkException, match="every vector"):
+    with pytest.raises(PySparkException, match="was dropped"):
         sim.signatures_vectorized(
             big, "embedding", n_planes=8, dim=64
         ).count()
     cents8 = [[0.0] * 8, [1.0] * 8]  # 8-dim centroids vs 4-dim data
-    with pytest.raises(PySparkException, match="every vector"):
+    with pytest.raises(PySparkException, match="was dropped"):
         sim.semantic_dedup(big, cents8).count()
     # a single ragged row among good ones still degrades silently
     bad = spark.createDataFrame(
@@ -386,7 +386,10 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
             r["n_events"],
         )
         for r in batch
-        if r["session_end"].timestamp() * 1_000_000 + gap_us <= max_us
+        # strict <, matching the operator's maturity rule: a session
+        # ending exactly gap before the watermark could still be
+        # bridged by a boundary event, so it stays pending
+        if r["session_end"].timestamp() * 1_000_000 + gap_us < max_us
     }
 
     # the data batch runs with the PREVIOUS batch's watermark (0), so
@@ -1745,3 +1748,43 @@ def test_text_feature_edge_semantics(spark):
     assert out[2] == (1, 3, 3)   # newline-separated stopword counted
     assert out[3][1] == 0        # whitespace-only: zero tokens
     assert out[4] == (None, None, None)  # NULL text: NULL, never -1
+
+
+def test_second_pass_null_edge_regressions(spark):
+    """Round-10 second-pass review: (a) an all-NULL-vector batch is a
+    silent drop, never an abort (NULL embeddings are data, not a
+    config error); (b) building an LSH index from a non-empty but
+    all-NULL-text reference fails loudly instead of writing a
+    permanently unreadable zero-partition index; (c) NULL text scores
+    NULL quality, not a perfect 1.0 (least() skips NULLs)."""
+    import pytest
+
+    # (a) 40 NULL vectors in one slice: dropped, no abort
+    rows = [(i, None) for i in range(40)] + [(99, [1.0, 0.0, 0.0, 0.0])]
+    nulls = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "vec_id long, embedding array<float>",
+    )
+    sigs = sim.signatures_vectorized(nulls, "embedding", n_planes=8, dim=4)
+    assert sigs.count() == 1  # only the real vector signs
+
+    # (b) all-NULL-text reference refuses at build time
+    import tempfile
+
+    ref = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="no hashable"):
+            dd.build_lsh_index(ref, f"{d}/ix", "text", "doc_id")
+
+    # (c) NULL text -> NULL quality score (was 1.0: top of every gate)
+    from dbcut_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([(1, "the cat sat"), (2, None)],
+                               "doc_id long, text string")
+    cols = quality_score("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[e.alias(n) for n, e in cols.items()]
+    ).collect()}
+    assert out[1]["quality_score"] is not None
+    assert out[2]["quality_score"] is None
+    assert out[2]["mean_word_len"] is None

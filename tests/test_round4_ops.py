@@ -1677,10 +1677,8 @@ def test_stream_cdc_merge_restart_converges_partitioned(
     # its offset never commits, so the restart must replay it
     real = apply_cdc_batch
 
-    def crashing(batch, path, pk, op_col=None, order_within_batch=None,
-                 schema_evolution="strict"):
-        out = real(batch, path, pk, op_col, order_within_batch,
-                   schema_evolution)
+    def crashing(batch, path, pk, *args, **kwargs):
+        out = real(batch, path, pk, *args, **kwargs)
         crashing.seen += 1
         if crashing.arm and crashing.seen == 2:
             raise RuntimeError("injected crash after merge, before commit")

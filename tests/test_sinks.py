@@ -1442,15 +1442,29 @@ def test_staging_swap_crash_recovery(spark, tmp_path):
     assert got == [(1, "A"), (2, "B"), (3, "C"), (4, "d")]
     assert not os.path.exists(staged)
 
-    # stale staging next to an INTACT target is garbage: discarded
+    # a COMPLETE staging next to a present target is the crashed op's
+    # intended state (the target may be missing part-files from a
+    # mid-rmtree crash): the swap completes — never discarded, which
+    # could silently lose half-deleted targets' rows
     spark.createDataFrame([(9, "x")], "id long, v string").write.parquet(
         staged
     )
     upsert_parquet(spark, delta, path, ["id"])
     assert not os.path.exists(staged)
     assert sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    ) == [(4, "d"), (9, "x")]
+
+    # an INCOMPLETE staging (no _SUCCESS: crash mid-staged-write) next
+    # to an intact target is garbage: discarded, target untouched
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-y.parquet"), "w") as f:
+        f.write("partial")
+    upsert_parquet(spark, delta, path, ["id"])
+    assert not os.path.exists(staged)
+    assert sorted(
         r["id"] for r in spark.read.parquet(path).collect()
-    ) == [1, 2, 3, 4]
+    ) == [4, 9]
 
     # torn staging (no _SUCCESS) with a missing target: refuse loudly
     os.makedirs(staged)
