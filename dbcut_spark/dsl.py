@@ -88,6 +88,16 @@ def _compile_fragment(fragment: Any, root_table: str, foreign: set[str]) -> Colu
     for key, value in fragment.items():
         if key in COMBINATORS:
             if key == "$not":
+                if not isinstance(value, dict):
+                    # same loud contract as $and/$or — previously $not
+                    # with a list died with a bare AttributeError here
+                    # while the metadata walker accepted it (round-10
+                    # ADVICE: the walker disagreement had just moved)
+                    raise ValueError(
+                        f"{key} expects a mapping of sub-conditions, "
+                        f"got {type(value).__name__}; write "
+                        f"{key}: {{field1: v1, field2: v2}}"
+                    )
                 clauses.append(~_compile_fragment(value, root_table, foreign))
             else:
                 if not isinstance(value, dict):
@@ -150,10 +160,11 @@ def where_foreign_tables(fragment: dict | None, root_table: str) -> set[str]:
             return
         for key, value in frag.items():
             if key in COMBINATORS:
-                if key != "$not" and not isinstance(value, dict):
+                if not isinstance(value, dict):
                     # same loud contract as compile_where — the two
                     # walkers previously disagreed (compile crashed,
-                    # this one silently reported no foreign tables)
+                    # this one silently reported no foreign tables);
+                    # $not included (round-10 ADVICE)
                     raise ValueError(
                         f"{key} expects a mapping of sub-conditions, "
                         f"got {type(value).__name__}"

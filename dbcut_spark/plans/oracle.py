@@ -67,14 +67,14 @@ def where_to_sql(fragment: dict, root_table: str) -> str:
     clauses: list[str] = []
     for key, value in fragment.items():
         if key in COMBINATORS:
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"{key} expects a mapping of sub-conditions, "
+                    f"got {type(value).__name__}"
+                )  # same loud contract as dsl.compile_where, $not incl.
             if key == "$not":
                 clauses.append(f"(NOT {where_to_sql(value, root_table)})")
             else:
-                if not isinstance(value, dict):
-                    raise ValueError(
-                        f"{key} expects a mapping of sub-conditions, "
-                        f"got {type(value).__name__}"
-                    )  # same loud contract as dsl.compile_where
                 joiner = " OR " if key == "$or" else " AND "
                 subs = [where_to_sql({k: v}, root_table) for k, v in value.items()]
                 if not subs:

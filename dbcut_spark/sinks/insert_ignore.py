@@ -55,12 +55,28 @@ def _require_local_path(path: str, op: str) -> None:
         )
 
 
+_PRUNED_SUFFIX = ".__pruned__"
+_TOUCHED_MARKER = "_DBCUT_TOUCHED"
+
+
 def _recover_staging(spark: SparkSession, path: str) -> None:
     """Crash-recovery preamble for the staging-swap writers. Without
     it, a writer that died between ``shutil.rmtree(path)`` and
     ``os.rename(staged, path)`` leaves the table missing — and the
     RETRY would take the first-contact branch and silently rebuild the
     table from the delta alone, losing every pre-existing row.
+
+    Partition-PRUNED swaps stage under a DISTINCT suffix
+    (``.__pruned__``) holding only the touched partitions — they must
+    never take the full-table swap below, which would replace the
+    whole table with the touched slice and silently delete every
+    untouched partition (round-10 ADVICE, high). They recover via
+    :func:`_recover_pruned` first: the staged dir carries a fsync'd
+    ``_DBCUT_TOUCHED`` marker written before any target mutation, so
+    the partition-wise swap can be idempotently re-applied.
+
+    Full-rewrite swaps (``.__staging__`` / ``.__empty__``, the staged
+    dir holds the COMPLETE table):
 
     - target missing + staging COMPLETE (_SUCCESS marker): the crash
       was between rmtree and rename — complete the swap; the staged
@@ -85,6 +101,7 @@ def _recover_staging(spark: SparkSession, path: str) -> None:
       partial staging."""
     import shutil
 
+    _recover_pruned(spark, path)
     # __empty__ first: in the delete path it is created AFTER the
     # staging dir, so when both survive a crash it is the intended
     # final state (a leftover post-swap staging dir may hold only a
@@ -133,12 +150,23 @@ def insert_ignore_parquet(
         # schema guard (same data-loss shape upsert_parquet blocks):
         # appending files whose column set/types differ from the
         # standing footers leaves a table where spark.read picks ONE
-        # footer's schema and silently drops the other files' columns
-        diff = {
-            (f.name, f.dataType.simpleString()) for f in df.schema.fields
-        } ^ {
-            (f.name, f.dataType.simpleString())
-            for f in existing.schema.fields
+        # footer's schema and silently drops the other files' columns.
+        # Partition columns compare by NAME only: their read-back type
+        # is INFERRED from the path strings (a string partition column
+        # holding numeric-looking values reads back as int), so a type
+        # comparison would spuriously reject a legitimate append
+        # (round-10 ADVICE) — and the append re-renders them into
+        # paths anyway, so no footer ever carries their type.
+        part_set = set(part_cols)
+
+        def _sig(f):
+            return (
+                f.name,
+                None if f.name in part_set else f.dataType.simpleString(),
+            )
+
+        diff = {_sig(f) for f in df.schema.fields} ^ {
+            _sig(f) for f in existing.schema.fields
         }
         if diff:
             raise ValueError(
@@ -344,24 +372,67 @@ def _staged_partition_dirs(staged: str, depth: int) -> list[str]:
     return rels
 
 
-def _swap_touched_partitions(
-    staged: str, path: str, part_cols: list[str], touched_rows
+def _write_touched_marker(
+    staged: str,
+    staged_rels: set[str],
+    touched_rels: set[str],
+    schema_json: str | None = None,
 ) -> None:
-    """Replace in ``path`` exactly the partition dirs present in the
-    staged output, and remove touched target partitions the staged
-    output has no rows for (they became empty). Untouched partition
-    dirs are never opened, moved, or rewritten."""
+    """Persist the swap's intent INSIDE the staged dir before any
+    target mutation: which partition dirs the staged output holds and
+    which target partitions the operation touched (the difference =
+    partitions that became empty and must be removed). fsync'd temp +
+    rename so a torn marker can never be mistaken for a complete one
+    — recovery treats staging without a marker as pre-swap and
+    discards it (the target is untouched at that point)."""
+    import json
+
+    final = os.path.join(staged, _TOUCHED_MARKER)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "staged": sorted(staged_rels),
+                "touched": sorted(touched_rels),
+                # full table schema (partition cols as plain cols): lets
+                # recovery leave a READABLE empty table when a delete
+                # emptied every partition and crashed mid-swap — the
+                # same .__empty__ normalization the non-crash flow does
+                "schema": schema_json,
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    dfd = os.open(staged, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # make the rename itself durable
+    finally:
+        os.close(dfd)
+
+
+def _apply_pruned_swap(
+    staged: str, path: str, staged_rels, touched_rels
+) -> None:
+    """Partition-wise swap, IDEMPOTENT so crash recovery can simply
+    re-run it: a staged rel already moved by the crashed attempt is
+    absent from the staging dir and skipped (never re-rmtree'd at the
+    destination — that would delete the moved data); emptied-partition
+    removal is naturally re-runnable."""
     import shutil
 
-    staged_rels = set(_staged_partition_dirs(staged, len(part_cols)))
+    staged_rels = set(staged_rels)
     for rel in staged_rels:
+        src = os.path.join(staged, rel)
+        if not os.path.exists(src):
+            continue  # moved before the crash
         dst = os.path.join(path, rel)
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(os.path.join(staged, rel), dst)
-    for row in touched_rows:
-        rel = _partition_reldir(part_cols, row)
+        os.rename(src, dst)
+    for rel in touched_rels:
         if rel not in staged_rels:
             dst = os.path.join(path, rel)
             if os.path.exists(dst):
@@ -377,7 +448,80 @@ def _swap_touched_partitions(
             ):
                 os.rmdir(parent)
                 parent = os.path.dirname(parent)
-    shutil.rmtree(staged)  # leftover _SUCCESS + emptied value dirs
+    shutil.rmtree(staged)  # marker, leftover _SUCCESS + emptied value dirs
+
+
+def _recover_pruned(spark: SparkSession, path: str) -> None:
+    """Recovery for a leftover partition-pruned staging dir. The marker
+    is written AFTER the staged write completes and BEFORE the first
+    target mutation, so:
+
+    - staging WITHOUT marker (or without _SUCCESS): the crash was
+      mid-staged-write or pre-swap — the target is untouched; discard.
+    - staging WITH _SUCCESS + marker, target present: the crash was
+      mid-swap — re-apply the partition-wise swap from the marker
+      (idempotent; see :func:`_apply_pruned_swap`).
+    - target missing: unreachable from this module (a pruned swap
+      never removes the table root) — outside interference; raise."""
+    import json
+    import shutil
+
+    staged = path + _PRUNED_SUFFIX
+    if not os.path.exists(staged):
+        return
+    marker = os.path.join(staged, _TOUCHED_MARKER)
+    complete = os.path.exists(
+        os.path.join(staged, "_SUCCESS")
+    ) and os.path.exists(marker)
+    if not complete:
+        shutil.rmtree(staged)
+        return
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"pruned-swap leftover {staged!r} exists but the table "
+            f"{path!r} is gone — a pruned swap never removes the table "
+            "root, so this is outside interference; refusing to guess"
+        )
+    with open(marker) as f:
+        intent = json.load(f)
+    _apply_pruned_swap(staged, path, intent["staged"], set(intent["touched"]))
+    if intent.get("schema") and not any(
+        e.is_dir() and "=" in e.name for e in os.scandir(path)
+    ):
+        # the recovered delete emptied every partition: a dir without
+        # partition dirs (at most a stray _SUCCESS) is unreadable —
+        # normalize to a readable empty table carrying the recorded
+        # schema, exactly as the non-crash delete flow does
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(intent["schema"]))
+        empty_staged = path + ".__empty__"
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            empty_staged
+        )
+        shutil.rmtree(path)
+        os.rename(empty_staged, path)
+    spark.catalog.refreshByPath(path)
+
+
+def _swap_touched_partitions(
+    staged: str,
+    path: str,
+    part_cols: list[str],
+    touched_rows,
+    schema_json: str | None = None,
+) -> None:
+    """Replace in ``path`` exactly the partition dirs present in the
+    staged output, and remove touched target partitions the staged
+    output has no rows for (they became empty). Untouched partition
+    dirs are never opened, moved, or rewritten. The swap's intent is
+    persisted first (:func:`_write_touched_marker`) so a crash at any
+    later point recovers by re-applying, never by the full-table swap
+    (which would silently drop every untouched partition)."""
+    staged_rels = set(_staged_partition_dirs(staged, len(part_cols)))
+    touched_rels = {_partition_reldir(part_cols, r) for r in touched_rows}
+    _write_touched_marker(staged, staged_rels, touched_rels, schema_json)
+    _apply_pruned_swap(staged, path, staged_rels, touched_rels)
 
 
 def upsert_parquet(
@@ -493,14 +637,16 @@ def upsert_parquet(
             scoped = existing.filter(_partition_filter(part_cols, touched))
             keep = anti_new_rows(scoped, df, pk)
             updated = incoming - anti_new_rows(df, scoped, pk).count()
-            staged = path + ".__staging__"
+            staged = path + _PRUNED_SUFFIX
             (
                 _merged(keep)
                 .write.mode("overwrite")
                 .partitionBy(*part_cols)
                 .parquet(staged)
             )
-            _swap_touched_partitions(staged, path, part_cols, touched)
+            _swap_touched_partitions(
+                staged, path, part_cols, touched, keep.schema.json()
+            )
         else:
             keep = anti_new_rows(existing, df, pk)
             updated = incoming - anti_new_rows(df, existing, pk).count()
@@ -570,7 +716,7 @@ def delete_keys_parquet(
         scoped = existing.filter(_partition_filter(part_cols, touched))
         remaining = anti_new_rows(scoped, keys, pk)
         n_before = scoped.count()
-        staged = path + ".__staging__"
+        staged = path + _PRUNED_SUFFIX
         remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(staged)
         # every touched partition emptied ⇒ staged holds only _SUCCESS,
         # which parquet cannot infer a schema from
@@ -579,7 +725,9 @@ def delete_keys_parquet(
             if _staged_partition_dirs(staged, len(part_cols))
             else 0
         )
-        _swap_touched_partitions(staged, path, part_cols, touched)
+        _swap_touched_partitions(
+            staged, path, part_cols, touched, remaining.schema.json()
+        )
         if not any(
             e.is_dir() and "=" in e.name for e in os.scandir(path)
         ):

@@ -18,6 +18,14 @@ from __future__ import annotations
 import math
 from datetime import datetime
 
+# Unforgeable NaN sentinel: compares/hashes by identity, so no
+# canonicalized container value can ever equal it. The previous
+# ("__nan__",) tuple collided with a one-element string array
+# ["__nan__"] — a float NaN on one engine could silently multiset-match
+# that array on the other, passing the gate on a genuine type
+# divergence (round-10 ADVICE).
+_NAN = object()
+
 
 def canon(v):
     """Hashable canonical form of one cell, identical for Spark and
@@ -27,11 +35,11 @@ def canon(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            # tuple sentinel, not the string 'NaN': a genuine STRING
-            # cell holding the text 'NaN' must not collide with a
-            # float NaN on the other engine (type drift would pass the
-            # gate silently; round-10 review)
-            return ("__nan__",)
+            # identity-sentinel, not a string or tuple: a genuine
+            # STRING cell 'NaN' or a 1-element array ['__nan__'] must
+            # not collide with a float NaN on the other engine (type
+            # drift would pass the gate silently)
+            return _NAN
         return float(v)
     if isinstance(v, bytearray):
         # PySpark collects BinaryType as bytearray — unhashable, so

@@ -120,13 +120,16 @@ def test_combinator_list_value_fails_loudly():
 
     from dbcut_spark.dsl import where_foreign_tables
 
-    frag = {"$or": [{"a": 1}, {"b": 2}]}
-    with pytest.raises(ValueError, match="mapping"):
-        compile_where(frag, "t")
-    with pytest.raises(ValueError, match="mapping"):
-        where_foreign_tables(frag, "t")
-    with pytest.raises(ValueError, match="mapping"):
-        where_to_sql(frag, "t")
+    for frag in (
+        {"$or": [{"a": 1}, {"b": 2}]},
+        {"$not": [{"a": 1}]},  # round-10 ADVICE: $not had the same hole
+    ):
+        with pytest.raises(ValueError, match="mapping"):
+            compile_where(frag, "t")
+        with pytest.raises(ValueError, match="mapping"):
+            where_foreign_tables(frag, "t")
+        with pytest.raises(ValueError, match="mapping"):
+            where_to_sql(frag, "t")
 
 
 def test_verify_canon_edge_cells(tmp_path):
@@ -141,6 +144,11 @@ def test_verify_canon_edge_cells(tmp_path):
 
     assert canon(bytearray(b"\x01")) == b"\x01"
     assert canon(float("nan")) != canon("NaN")
+    # the sentinel must be unforgeable: a 1-element array whose cell is
+    # any string must never collide with a float NaN (round-10 ADVICE —
+    # the old ("__nan__",) tuple sentinel collided with ["__nan__"])
+    assert canon(float("nan")) != canon(["__nan__"])
+    assert canon(float("nan")) == canon(float("nan"))
     # a bytearray row set compares cleanly against its bytes twin
     assert compare_result_sets(
         ["b"], [(bytearray(b"\x01"),)], ["b"], [(b"\x01",)]

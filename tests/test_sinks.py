@@ -1475,6 +1475,130 @@ def test_staging_swap_crash_recovery(spark, tmp_path):
         upsert_parquet(spark, delta, path, ["id"])
 
 
+def test_pruned_swap_crash_recovery(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE (high): a crash between the pruned staged write
+    and the end of the partition swap used to leave a COMPLETE
+    ``.__staging__`` holding ONLY the touched partitions — and the next
+    writer's recovery full-table-swapped it in, silently deleting every
+    untouched partition. Pruned swaps now stage under ``.__pruned__``
+    with a persisted intent marker; recovery re-applies the
+    partition-wise swap instead."""
+    import pytest as _pt
+
+    from dbcut_spark.sinks import insert_ignore as ii
+
+    path = str(tmp_path / "p.parquet")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 3)],
+        "id long, v string, p long",
+    )
+    base.write.partitionBy("p").parquet(path)
+
+    # crash INSIDE the swap, after the intent marker is durable
+    delta = spark.createDataFrame(
+        [(1, "A", 1), (5, "e", 1)], "id long, v string, p long"
+    )
+    real_apply = ii._apply_pruned_swap
+    monkeypatch.setattr(
+        ii, "_apply_pruned_swap",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with _pt.raises(RuntimeError, match="injected crash"):
+        ii.upsert_parquet(spark, delta, path, ["id"])
+    staged = path + ii._PRUNED_SUFFIX
+    assert os.path.exists(os.path.join(staged, ii._TOUCHED_MARKER))
+    # target untouched so far; p=2 and p=3 must SURVIVE the recovery
+    # (the old full-swap recovery would have deleted them here)
+    monkeypatch.setattr(ii, "_apply_pruned_swap", real_apply)
+    delta2 = spark.createDataFrame([(6, "f", 2)], "id long, v string, p long")
+    ii.upsert_parquet(spark, delta2, path, ["id"])
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "p").collect())
+    )
+    assert got == [
+        (1, "A", 1), (2, "b", 1), (3, "c", 2),
+        (4, "d", 3), (5, "e", 1), (6, "f", 2),
+    ]
+    assert not os.path.exists(staged)
+
+    # markerless pruned staging (crash between staged write and marker):
+    # the target was never touched — discarded, table unchanged
+    spark.createDataFrame(
+        [(99, "z", 1)], "id long, v string, p long"
+    ).write.partitionBy("p").parquet(staged)
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    ii._recover_staging(spark, path)
+    assert not os.path.exists(staged)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+
+
+def test_pruned_swap_midswap_idempotent_recovery(spark, tmp_path):
+    """Recovery of a crash HALFWAY through the partition swap: one
+    staged partition already moved, one still staged, one touched
+    partition pending removal (emptied). Re-applying must not
+    re-rmtree the already-moved partition's new content."""
+    import shutil
+
+    from dbcut_spark.sinks import insert_ignore as ii
+
+    path = str(tmp_path / "p.parquet")
+    spark.createDataFrame(
+        [(1, "old1", 1), (2, "old2", 2), (3, "old3", 3), (4, "keep", 4)],
+        "id long, v string, p long",
+    ).write.partitionBy("p").parquet(path)
+
+    staged = path + ii._PRUNED_SUFFIX
+    spark.createDataFrame(
+        [(1, "new1", 1), (2, "new2", 2)], "id long, v string, p long"
+    ).write.partitionBy("p").parquet(staged)
+    ii._write_touched_marker(
+        staged, {"p=1", "p=2"}, {"p=1", "p=2", "p=3"}
+    )
+    # simulate: p=1 was already swapped before the crash
+    shutil.rmtree(os.path.join(path, "p=1"))
+    os.rename(os.path.join(staged, "p=1"), os.path.join(path, "p=1"))
+
+    ii._recover_staging(spark, path)
+    assert not os.path.exists(staged)
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "p").collect())
+    )
+    # p=1/p=2 carry the staged content, p=3 (emptied) is gone, p=4 kept
+    assert got == [(1, "new1", 1), (2, "new2", 2), (4, "keep", 4)]
+
+
+def test_pruned_swap_delete_all_crash_recovery(spark, tmp_path, monkeypatch):
+    """A delete that empties EVERY partition, crashing mid-swap: the
+    recovered table must be a READABLE empty table (the marker carries
+    the schema), matching the non-crash flow's .__empty__
+    normalization."""
+    import pytest as _pt
+
+    from dbcut_spark.sinks import insert_ignore as ii
+
+    path = str(tmp_path / "p.parquet")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, v string, p long"
+    ).write.partitionBy("p").parquet(path)
+
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    real_apply = ii._apply_pruned_swap
+    monkeypatch.setattr(
+        ii, "_apply_pruned_swap",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with _pt.raises(RuntimeError, match="injected crash"):
+        ii.delete_keys_parquet(spark, keys, path, ["id"])
+    monkeypatch.setattr(ii, "_apply_pruned_swap", real_apply)
+    ii._recover_staging(spark, path)
+    assert not os.path.exists(path + ii._PRUNED_SUFFIX)
+    got = spark.read.parquet(path)
+    assert got.count() == 0
+    assert sorted(got.columns) == ["id", "p", "v"]
+
+
 def test_insert_ignore_schema_guard(spark, tmp_path):
     """insert_ignore_parquet must refuse a frame whose column set or
     types differ from the target (mixed-schema footers make spark.read
@@ -1494,6 +1618,28 @@ def test_insert_ignore_schema_guard(spark, tmp_path):
     with _pt.raises(ValueError, match="schema mismatch"):
         insert_ignore_parquet(
             spark, spark.createDataFrame([(2,)], "id long"), path, ["id"]
+        )
+    # a string partition column holding numeric-looking values reads
+    # back as int (hive path inference) — the guard must compare
+    # partition columns by NAME only, so this legit append succeeds
+    # (round-10 ADVICE)
+    p2 = str(tmp_path / "t2.parquet")
+    spark.createDataFrame(
+        [(1, "x", "10")], "id long, v string, p string"
+    ).write.partitionBy("p").parquet(p2)
+    n2 = insert_ignore_parquet(
+        spark,
+        spark.createDataFrame([(2, "y", "11")], "id long, v string, p string"),
+        p2, ["id"],
+    )
+    assert n2 == 1
+    assert spark.read.parquet(p2).count() == 2
+    # a genuinely different DATA column type still raises
+    with _pt.raises(ValueError, match="schema mismatch"):
+        insert_ignore_parquet(
+            spark,
+            spark.createDataFrame([(3, 5, "12")], "id long, v long, p string"),
+            p2, ["id"],
         )
     # matching schema still inserts
     n = insert_ignore_parquet(
