@@ -413,6 +413,12 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float, lsh_index: str | None):
             f"  exact: {st['exact_files']} files, "
             f"{st['exact_bytes'] / 1024 / 1024:.1f}MB"
         )
+        click.echo(
+            f"  snapshots: bands v{st['bands_version']}, exact "
+            f"v{st['exact_version']}; "
+            f"{st['orphan_bytes'] / 1024 / 1024:.1f}MB expired/staged "
+            "awaiting vacuum"
+        )
 
 
 @cli.command()

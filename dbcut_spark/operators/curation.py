@@ -274,11 +274,14 @@ def incremental_dedup_indexed(
     import os
 
     from dbcut_spark.operators.dedup import probe_lsh_index
+    from dbcut_spark.sinks.manifest import read_snapshot
 
     newh = batch.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash")
     )
-    refh = spark.read.parquet(os.path.join(index_path, "exact"))
+    # manifest-resolved: the exact probe pins one immutable snapshot,
+    # so appends landing mid-probe are old-or-new, never partial
+    refh = read_snapshot(spark, os.path.join(index_path, "exact"))
     # LEFT SEMI, not left_outer + flag: semi join is duplicate-PROOF —
     # a text_hash appearing twice in the exact table (append retries,
     # overlapping appends; lsh_index_append is a blind O(batch) write

@@ -653,19 +653,23 @@ def build_lsh_index(
     re-hashing the reference corpus per batch (round-9 verdict ask #3;
     same persisted-index pattern as ``similarity.build_ivf_index``).
 
-    Layout under ``path``:
-    - ``bands/``  — parquet PARTITIONED BY (band_idx, bucket):
-      one row per (doc, band) with the banded hash and the full
-      signature payload (k longs), where bucket = xxhash64(band_hash)
-      mod ``n_buckets``. n_bands × n_buckets directories total —
-      bounded whatever the corpus size, and a probe touches only the
-      directories its own band hashes map to (static partition
-      pruning, pinned in tests).
-    - ``exact/``  — parquet of the DISTINCT normalized-text md5s
-      (column ``text_hash``) for the exact-dup probe.
-    - ``_lsh_meta.json`` — hashing parameters; underscore-prefixed so
-      Spark's reader ignores it (sidecar convention shared with
-      ``_centroids.json``).
+    Layout under ``path`` (both sides are MANIFEST-COMMIT tables,
+    round-10 verdict ask #1 — appends become atomically visible:
+    a reader concurrent with an append resolves the old snapshot or
+    the new one, never a half-written batch):
+    - ``bands/``  — manifest table whose data files are PARTITIONED BY
+      (band_idx, bucket): one row per (doc, band) with the banded hash
+      and the full signature payload (k longs), where bucket =
+      xxhash64(band_hash) mod ``n_buckets``. n_bands × n_buckets
+      directories total — bounded whatever the corpus size, and a
+      probe touches only the directories its own band hashes map to
+      (partition pruning survives the manifest's explicit-file-list
+      read: PartitionFilters pinned in tests).
+    - ``exact/``  — manifest table of the DISTINCT normalized-text
+      md5s (column ``text_hash``) for the exact-dup probe.
+    - ``_lsh_meta.json`` — hashing parameters; written LAST, so a
+      crash mid-build leaves no meta and the next builder re-publishes
+      clean overwrite snapshots (bootstrap detection keys on meta).
 
     Build cost: one signature pass (explode + grouped agg) + one
     partitioned write — O(corpus), paid once instead of per batch.
@@ -703,17 +707,19 @@ def build_lsh_index(
             "documents (empty, or every text NULL) — build the index "
             "from the first batch that has content instead"
         )
-    (
-        _bands_for_write(bands, num_hashes // band_rows, n_buckets)
-        .write.partitionBy("band_idx", "bucket")
-        .mode("overwrite")
-        .parquet(os.path.join(path, "bands"))
+    from dbcut_spark.sinks.manifest import publish_snapshot
+
+    publish_snapshot(
+        _bands_for_write(bands, num_hashes // band_rows, n_buckets),
+        os.path.join(path, "bands"),
+        mode="overwrite",
+        partition_by=["band_idx", "bucket"],
+        repartition=False,  # _bands_for_write's salted spread layout
     )
-    (
-        ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "exact"))
+    publish_snapshot(
+        ref.select(F.md5(norm_text(text_col)).alias("text_hash")).distinct(),
+        os.path.join(path, "exact"),
+        mode="overwrite",
     )
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
         json.dump(
@@ -741,10 +747,14 @@ def lsh_index_append(
     reference index so the next batch dedups against them too), without
     ever re-hashing the existing reference corpus.
 
-    Band rows append into their (band_idx, bucket) partitions (an
-    O(batch) partitioned append; existing directories gain files, new
-    buckets appear). Exact hashes are a BLIND O(batch) append too: the
-    exact probe is a duplicate-proof LEFT SEMI join (curation.
+    Band rows append as a new MANIFEST SNAPSHOT of the bands table (an
+    O(batch) staged write + one atomic manifest publish): a probe
+    running concurrently with the append resolves either the pre- or
+    post-append snapshot, never a half-written batch — the raw
+    mode('append') this replaced could expose a partially-landed file
+    set to a mid-append listing (round-10 verdict ask #1). Exact
+    hashes are a BLIND O(batch) append too: the exact probe is a
+    duplicate-proof LEFT SEMI join (curation.
     incremental_dedup_indexed), so a hash landing twice — append
     retries, overlapping appends — changes no probe result, and the
     earlier design's anti-join against the standing table (which made
@@ -754,9 +764,13 @@ def lsh_index_append(
     distincts the exact side. Appending the SAME document id twice
     only duplicates band rows (the probe's groupBy(doc_a, doc_b)
     collapses them), but callers should append each accepted batch
-    once."""
+    once. Concurrent appends serialize through the manifest version
+    race (losers re-publish against the winner, inheriting its files —
+    the staged data is written once)."""
     import json
     import os
+
+    from dbcut_spark.sinks.manifest import publish_snapshot
 
     with open(os.path.join(index_path, "_lsh_meta.json")) as f:
         meta = json.load(f)
@@ -769,22 +783,25 @@ def lsh_index_append(
     if meta["id_col"] != id_col:
         bands = bands.withColumnRenamed(id_col, meta["id_col"])
     # same small-files/parallel-write guard as the initial build
-    (
+    publish_snapshot(
         _bands_for_write(
             bands,
             meta["num_hashes"] // meta["band_rows"],
             meta["n_buckets"],
-        )
-        .write.partitionBy("band_idx", "bucket")
-        .mode("append")
-        .parquet(os.path.join(index_path, "bands"))
+        ),
+        os.path.join(index_path, "bands"),
+        mode="append",
+        partition_by=["band_idx", "bucket"],
+        repartition=False,
+        retries=2,
     )
-    exact_path = os.path.join(index_path, "exact")
     newh = (
         new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
         .distinct()  # within-batch dedup only: never scans the corpus
     )
-    newh.write.mode("append").parquet(exact_path)
+    publish_snapshot(
+        newh, os.path.join(index_path, "exact"), mode="append", retries=2
+    )
     spark.catalog.refreshByPath(index_path)
 
 
@@ -808,9 +825,16 @@ def probe_lsh_index(
     and reads ONLY the matching bucket directories (PartitionFilters;
     a small batch touches a small fraction of the reference index).
     est_sim arithmetic (signature-agreement / num_hashes) is identical
-    to the in-memory form."""
+    to the in-memory form.
+
+    The index side resolves through the manifest protocol
+    (sinks/manifest.read_snapshot): the probe pins ONE snapshot's
+    immutable file set up front, so appends landing mid-probe are
+    invisible — old-or-new, never partial."""
     import json
     import os
+
+    from dbcut_spark.sinks.manifest import read_snapshot
 
     with open(os.path.join(index_path, "_lsh_meta.json")) as f:
         meta = json.load(f)
@@ -835,9 +859,9 @@ def probe_lsh_index(
         # non-empty path (which aliases the meta id_col) — building it
         # from the batch id column could diverge in type/nullability
         # and break a union across per-batch probe results (round-9
-        # ADVICE); reading the bands schema touches footers only
+        # ADVICE); resolving the snapshot touches footers at most
         idx_type = (
-            spark.read.parquet(os.path.join(index_path, "bands"))
+            read_snapshot(spark, os.path.join(index_path, "bands"))
             .schema[meta["id_col"]]
             .dataType
         )
@@ -853,7 +877,7 @@ def probe_lsh_index(
         c = (F.col("band_idx") == b) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
     idx = (
-        spark.read.parquet(os.path.join(index_path, "bands"))
+        read_snapshot(spark, os.path.join(index_path, "bands"))
         .filter(cond)
         .select(
             F.col(meta["id_col"]).alias("doc_b"),
@@ -881,36 +905,68 @@ def probe_lsh_index(
     return _pair_sims(left, idx, num_hashes)
 
 
+def _live_files(table_path: str) -> list[str]:
+    """Table-relative data files of the CURRENT manifest snapshot."""
+    from dbcut_spark.sinks import manifest as mf
+
+    v = mf.current_version(table_path)
+    if v is None:
+        return []
+    m = mf._load_manifest(table_path, v)
+    return list(m["files"]) if m else []
+
+
 def lsh_index_inspect(index_path: str) -> dict:
     """Index-health stats for a persisted LSH index (round-9 verdict
     ask #6): every :func:`lsh_index_append` adds at least one file per
-    touched (band_idx, bucket) directory, so a recurring-ingestion
+    touched (band_idx, bucket) partition, so a recurring-ingestion
     index fragments exactly like any append-heavy table — this is the
     staleness signal that says 'run :func:`lsh_index_compact` before
-    probes pay per-file open cost'. Pure filesystem walk, no Spark
-    jobs. Returns meta plus per-side file counts, byte totals, and the
-    bucket-level max/avg file counts (max is the probe's worst-case
-    opens for one bucket directory)."""
+    probes pay per-file open cost'. Counts the LIVE file set (current
+    manifest snapshot — what a probe actually opens), not the raw
+    directory walk: expired-snapshot files awaiting vacuum are
+    reported separately as ``orphan_bytes``. No Spark jobs. Returns
+    meta plus per-side live file counts, byte totals, snapshot
+    versions, and the bucket-level max/avg file counts (max is the
+    probe's worst-case opens for one bucket partition)."""
     import json
     import os
 
+    from dbcut_spark.sinks import manifest as mf
+
     with open(os.path.join(index_path, "_lsh_meta.json")) as f:
         meta = json.load(f)
+    bands_root = os.path.join(index_path, "bands")
+    exact_root = os.path.join(index_path, "exact")
     per_bucket: dict[str, int] = {}
     bands_bytes = 0
-    bands_root = os.path.join(index_path, "bands")
-    for root, _dirs, files in os.walk(bands_root):
-        data = [f for f in files if not f.startswith(("_", "."))]
-        if data:
-            per_bucket[os.path.relpath(root, bands_root)] = len(data)
-            bands_bytes += sum(
-                os.stat(os.path.join(root, f)).st_size for f in data
-            )
-    from dbcut_spark.sinks.compact import data_file_stats
-
-    exact_files, exact_bytes = data_file_stats(
-        os.path.join(index_path, "exact")
-    )
+    live_bands = set(_live_files(bands_root))
+    for rel in live_bands:
+        # data/<uuid>/band_idx=?/bucket=?/part-*.parquet
+        bucket_dir = os.path.dirname(rel).split(os.sep, 2)[-1]
+        per_bucket[bucket_dir] = per_bucket.get(bucket_dir, 0) + 1
+        try:
+            bands_bytes += os.stat(os.path.join(bands_root, rel)).st_size
+        except FileNotFoundError:
+            pass  # concurrent vacuum/compact: stats stay best-effort
+    live_exact = set(_live_files(exact_root))
+    exact_bytes = 0
+    for rel in live_exact:
+        try:
+            exact_bytes += os.stat(os.path.join(exact_root, rel)).st_size
+        except FileNotFoundError:
+            pass
+    orphan_bytes = 0
+    for root_path, live in ((bands_root, live_bands), (exact_root, live_exact)):
+        data_root = os.path.join(root_path, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for f in files:
+                full = os.path.join(root, f)
+                if os.path.relpath(full, root_path) not in live:
+                    try:
+                        orphan_bytes += os.stat(full).st_size
+                    except FileNotFoundError:
+                        pass
     band_files = sum(per_bucket.values())
     return {
         "meta": meta,
@@ -921,8 +977,11 @@ def lsh_index_inspect(index_path: str) -> dict:
             band_files / len(per_bucket), 2
         ) if per_bucket else 0.0,
         "bands_bytes": bands_bytes,
-        "exact_files": exact_files,
+        "exact_files": len(live_exact),
         "exact_bytes": exact_bytes,
+        "bands_version": mf.current_version(bands_root),
+        "exact_version": mf.current_version(exact_root),
+        "orphan_bytes": orphan_bytes,
     }
 
 
@@ -931,81 +990,96 @@ def lsh_index_compact(
     index_path: str,
     target_file_mb: int | None = None,
     min_frag_mb: float = 0.0,
+    keep_last: int = 1,
+    grace_seconds: float = 86400.0,
 ) -> dict:
     """Compact both sides of a persisted LSH index after N appends
-    (round-9 verdict ask #6) — probe results are layout-invariant
-    (hash-identical before/after, pinned in tests) because the probe
-    filters on partition VALUES, not files. Reuses the standard
-    compaction machinery: the bands side is hive-partitioned by
-    (band_idx, bucket) and compacts in ONE Spark job across all
-    n_bands x n_buckets directories; the exact side is a plain
-    size-targeted rewrite, preceded by a duplicate SWEEP — appends are
-    blind O(batch) writes (see :func:`lsh_index_append`), so retried /
-    overlapping appends leave physical duplicate hashes that the
-    semi-join probe ignores but storage shouldn't keep forever. The
-    sweep costs one aggregate job and rewrites DISTINCT through a
-    stage-and-swap only when duplicates actually exist.
-    ``min_frag_mb`` applies the same skip-if-healthy gate as
-    `cli compact`. Returns the per-side stats dicts plus
-    ``exact_deduped`` (duplicate rows removed)."""
+    (round-9 verdict ask #6; manifest-versioned since round 11) —
+    probe results are layout-invariant (hash-identical before/after,
+    pinned in tests) because the probe filters on partition VALUES and
+    each probe pins one immutable snapshot. Each side compacts by
+    reading the current snapshot, rewriting it into fresh data files
+    (bands re-shaped through the same salted-spread layout as the
+    build; exact DISTINCT-ed — blind appends leave physical duplicate
+    hashes the semi-join probe ignores but storage shouldn't keep),
+    publishing the rewrite as an OVERWRITE snapshot, then vacuuming
+    data files only expired manifests reference. A probe that resolved
+    the pre-compact snapshot before the vacuum may fail loudly
+    mid-read (retention error), never read mixed state; raise
+    ``keep_last`` to give long-running probes a wider window.
+    ``min_frag_mb``-style skip: a side whose live layout is already
+    1 file per bucket (bands) / 1 file (exact) with no duplicates is
+    left untouched. Returns per-side stats plus ``exact_deduped``."""
+    import json
     import os
-    import shutil
 
-    from dbcut_spark.sinks.compact import DEFAULT_TARGET_FILE_MB, compact_parquet
+    from dbcut_spark.sinks.manifest import (
+        publish_snapshot,
+        read_snapshot,
+        vacuum,
+    )
 
-    mb = DEFAULT_TARGET_FILE_MB if target_file_mb is None else target_file_mb
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    bands_path = os.path.join(index_path, "bands")
     exact_path = os.path.join(index_path, "exact")
-    # crash recovery for the dedupe swap below (round-10 second-pass
-    # review): a crash between its two renames leaves the index with
-    # NO exact/ dir but a complete .dedupe.old — restore it; leftover
-    # .dedupe.old next to a present exact/ would wedge the NEXT sweep's
-    # rename (ENOTEMPTY) — clean it
-    old_path, tmp_path_ = exact_path + ".dedupe.old", exact_path + ".dedupe.tmp"
-    if not os.path.exists(exact_path) and os.path.exists(old_path):
-        os.rename(old_path, exact_path)
-        spark.catalog.refreshByPath(exact_path)
-    shutil.rmtree(old_path, ignore_errors=True)
-    shutil.rmtree(tmp_path_, ignore_errors=True)
+
+    exact_df = read_snapshot(spark, exact_path)
     extra = (
-        spark.read.parquet(exact_path)
-        .groupBy("text_hash")
+        exact_df.groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .agg(F.sum(F.col("n") - 1).alias("extra"))
         .first()["extra"]
     )
-    if extra:
-        tmp, old = exact_path + ".dedupe.tmp", exact_path + ".dedupe.old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # eager localCheckpoint: finish READING the standing files
-        # before the swap replaces them under the reader
-        (
-            spark.read.parquet(exact_path)
-            .distinct()
-            .localCheckpoint()
-            .write.parquet(tmp)
+    exact_files_before = len(_live_files(exact_path))
+    exact_stats = {"skipped": True, "files_before": exact_files_before}
+    if extra or exact_files_before > 1:
+        # eager localCheckpoint: finish READING the standing snapshot
+        # before vacuum may expire its files under a lazy plan
+        publish_snapshot(
+            exact_df.distinct().localCheckpoint().coalesce(1),
+            exact_path,
+            mode="overwrite",
         )
-        os.rename(exact_path, old)
-        os.rename(tmp, exact_path)
-        shutil.rmtree(old)
-        spark.catalog.refreshByPath(exact_path)
-    out = {
-        "exact_deduped": int(extra or 0),
-        "bands": compact_parquet(
-            spark,
-            os.path.join(index_path, "bands"),
-            target_file_mb=mb,
-            min_frag_mb=min_frag_mb,
-        ),
-        "exact": compact_parquet(
-            spark,
-            os.path.join(index_path, "exact"),
-            target_file_mb=mb,
-            min_frag_mb=min_frag_mb,
-        ),
-    }
+        vacuum(exact_path, keep_last=keep_last, grace_seconds=grace_seconds)
+        exact_stats = {
+            "skipped": False,
+            "files_before": exact_files_before,
+            "files_after": len(_live_files(exact_path)),
+        }
+
+    per_bucket: dict[str, int] = {}
+    for rel in _live_files(bands_path):
+        bucket_dir = os.path.dirname(rel).split(os.sep, 2)[-1]
+        per_bucket[bucket_dir] = per_bucket.get(bucket_dir, 0) + 1
+    bands_files_before = sum(per_bucket.values())
+    bands_stats = {"skipped": True, "files_before": bands_files_before}
+    if per_bucket and max(per_bucket.values()) > 1:
+        bands_df = read_snapshot(spark, bands_path).localCheckpoint()
+        publish_snapshot(
+            _bands_for_write(
+                bands_df,
+                meta["num_hashes"] // meta["band_rows"],
+                meta["n_buckets"],
+            ),
+            bands_path,
+            mode="overwrite",
+            partition_by=["band_idx", "bucket"],
+            repartition=False,
+        )
+        vacuum(bands_path, keep_last=keep_last, grace_seconds=grace_seconds)
+        bands_stats = {
+            "skipped": False,
+            "files_before": bands_files_before,
+            "files_after": len(_live_files(bands_path)),
+        }
     spark.catalog.refreshByPath(index_path)
-    return out
+    return {
+        "exact_deduped": int(extra or 0),
+        "bands": bands_stats,
+        "exact": exact_stats,
+    }
 
 
 def ngram_jaccard_pairs(

@@ -1327,6 +1327,65 @@ def dedup_ingest_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(corpus).select("doc_id").orderBy("doc_id")
 
 
+import threading as _threading
+
+_PREBUILT_LSH: dict[str, str] = {}
+_PREBUILT_LSH_LOCK = _threading.Lock()
+
+
+def _prebuilt_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped fixture LSH index over the reference slice
+    (sources 0-9), built ONCE per (process, sf_dir) and reused by the
+    probe-only gate below — the production shape, where the index is a
+    standing artifact and per-batch cost is probe-only (round-10
+    verdict ask #2: the in-gate builds made the ingest gates track
+    bootstrap cost, not the steady-state loop). Removed at process
+    exit; per-PID temp prefix keeps concurrent sessions disjoint."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    with _PREBUILT_LSH_LOCK:
+        path = _PREBUILT_LSH.get(sf_dir)
+        if path is not None and os.path.exists(
+            os.path.join(path, "_lsh_meta.json")
+        ):
+            return path
+        root = tempfile.mkdtemp(prefix=f"dbcut_lsh_fixture_{os.getpid()}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "idx")
+        d = tp(spark, sf_dir, "documents")
+        is_new = F.substring("source", 4, 10).cast("int") >= 10
+        dd.build_lsh_index(
+            d.filter(~is_new), path, "text", "doc_id", n_buckets=16
+        )
+        _PREBUILT_LSH[sf_dir] = path
+        return path
+
+
+@register("dedup_probe_prebuilt", sql=ORACLES["dedup_incremental"])
+def dedup_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of ``dedup_incremental_indexed`` against a
+    SESSION-PREBUILT fixture index (round-10 verdict ask #2): identical
+    output and oracle, but the index build happens once per session
+    (:func:`_prebuilt_lsh_index`), so the number the bench tracks for
+    THIS query is the recurring per-batch cost — minhash the batch,
+    read only its colliding bucket partitions of the standing snapshot,
+    semi-join the exact hashes — which is the cost model a production
+    ingestion loop actually pays per batch (the build is amortized over
+    every batch that follows). `dedup_incremental_indexed` keeps the
+    build in-gate deliberately (it certifies build+probe end-to-end);
+    this query isolates the steady state. The gate never MUTATES the
+    shared index, so bench best-of-N repeats measure the same probe."""
+    d = tp(spark, sf_dir, "documents")
+    idx = _prebuilt_lsh_index(spark, sf_dir)
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    return cur.incremental_dedup_indexed(
+        spark, idx, d.filter(is_new), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
 def _pii_sql() -> str:
     email_pat, email_tok = cur.PII_PATTERNS["email"]
     phone_pat, phone_tok = cur.PII_PATTERNS["phone"]

@@ -108,19 +108,26 @@ def current_version(table_path: str) -> int | None:
 
 
 def _stage(
-    df: DataFrame, table_path: str, partition_by: list[str] | None
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None,
+    repartition: bool = True,
 ) -> list[str]:
     """Write df's files under a fresh data/<uuid>/ dir and return their
     table-relative paths. Staged files are invisible until a manifest
-    references them — this is the writer's crash-safe half."""
+    references them — this is the writer's crash-safe half.
+    ``repartition=False`` trusts the caller's shuffle shape (e.g. the
+    LSH band writer's salted spread layout, which a plain column
+    repartition here would undo)."""
     commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     dst = os.path.join(table_path, commit_dir)
     writer = df.write
     if partition_by:
         # co-locate partitions before partitionBy — same layout rule as
         # sinks/compact.py (tasks x partitions small-file blowup)
-        writer = df.repartition(*[F.col(c) for c in partition_by]).write
-        writer = writer.partitionBy(*partition_by)
+        if repartition:
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        writer = df.write.partitionBy(*partition_by)
     writer.parquet(dst)
     rels: list[str] = []
     for root, _dirs, files in os.walk(dst):
@@ -249,6 +256,7 @@ def publish_snapshot(
     partition_by: list[str] | None = None,
     retries: int = 0,
     expected_parent: int | None = ...,
+    repartition: bool = True,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -295,7 +303,7 @@ def publish_snapshot(
             pm0 = _load_manifest(table_path, pre_parent)
             if pm0 is not None:
                 _check_append_schema(df, pm0, pre_parent)
-    staged = _stage(df, table_path, partition_by)
+    staged = _stage(df, table_path, partition_by, repartition)
     for attempt in range(retries + 1):
         parent = expected_parent if pin_parent else current_version(table_path)
         files: list[str] = []

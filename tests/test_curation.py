@@ -223,7 +223,9 @@ def test_lsh_index_append_grows_reference(spark, sf_dir, tmp_path):
     # overlapping re-append: blind O(batch) write leaves duplicate
     # hashes on disk (the O(corpus) anti-join per batch is gone)...
     lsh_index_append(spark, grown, ref2, "text", "doc_id")
-    exact = spark.read.parquet(f"{grown}/exact")
+    from dbcut_spark.sinks.manifest import read_snapshot
+
+    exact = read_snapshot(spark, f"{grown}/exact")
     n_total, n_distinct = exact.count(), exact.distinct().count()
     assert n_total > n_distinct
     # ...but the semi-join probe is duplicate-proof: results identical
@@ -236,7 +238,7 @@ def test_lsh_index_append_grows_reference(spark, sf_dir, tmp_path):
 
     stats = lsh_index_compact(spark, grown)
     assert stats["exact_deduped"] == n_total - n_distinct
-    exact2 = spark.read.parquet(f"{grown}/exact")
+    exact2 = read_snapshot(spark, f"{grown}/exact")
     assert exact2.count() == n_distinct == exact2.distinct().count()
     got3 = cur.incremental_dedup_indexed(spark, grown, batch, "text", "doc_id")
     assert sorted(map(tuple, got3.collect())) == sorted(
@@ -288,6 +290,145 @@ def test_lsh_index_compact_lifecycle(spark, sf_dir, tmp_path):
     assert got == exp
     # meta sidecar untouched by the rewrite
     assert after["meta"] == before["meta"]
+
+
+def test_lsh_probe_during_append_never_partial(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-10 verdict ask #1: index appends are manifest commits, so
+    a probe concurrent with an append sees the OLD snapshot or the NEW
+    one — never a half-landed batch. Simulated deterministically: an
+    append that crashed AFTER staging its band files but BEFORE the
+    manifest publish leaves those files on disk, and a probe must
+    return exactly the pre-append result (staged files invisible);
+    completing the append flips probes atomically to the grown
+    result."""
+    import pytest as _pt
+
+    from dbcut_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_index_append,
+        probe_lsh_index,
+    )
+    from dbcut_spark.sinks import manifest as mf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_i = F.substring("source", 4, 10).cast("int")
+    ref1 = docs.filter(src_i < 5)
+    ref2 = docs.filter((src_i >= 5) & (src_i < 10))
+    batch = docs.filter(src_i >= 10).limit(50)
+
+    idx = str(tmp_path / "ix")
+    build_lsh_index(ref1, idx, "text", "doc_id")
+    before = sorted(
+        map(tuple, probe_lsh_index(spark, idx, batch, "text", "doc_id")
+            .collect())
+    )
+
+    # crash the append between staging and publish: band files land
+    # under data/<uuid>/ but no manifest references them
+    real_publish = mf._publish
+    monkeypatch.setattr(
+        mf, "_publish",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with _pt.raises(RuntimeError, match="injected crash"):
+        lsh_index_append(spark, idx, ref2, "text", "doc_id")
+    monkeypatch.setattr(mf, "_publish", real_publish)
+    import glob as _glob
+
+    assert _glob.glob(f"{idx}/bands/data/*/*")  # staged wreckage exists
+    mid = sorted(
+        map(tuple, probe_lsh_index(spark, idx, batch, "text", "doc_id")
+            .collect())
+    )
+    assert mid == before  # old snapshot exactly — nothing partial
+
+    lsh_index_append(spark, idx, ref2, "text", "doc_id")
+    after = sorted(
+        map(tuple, probe_lsh_index(spark, idx, batch, "text", "doc_id")
+            .collect())
+    )
+    assert len(after) >= len(before)
+    # the grown result equals a fresh union index's probe (atomic flip
+    # to exactly the new snapshot)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_lsh_index(ref1.unionByName(ref2), rebuilt, "text", "doc_id")
+    exp = sorted(
+        map(tuple, probe_lsh_index(spark, rebuilt, batch, "text", "doc_id")
+            .collect())
+    )
+    assert after == exp
+
+
+def test_lsh_probe_concurrent_appends_snapshot_isolation(
+    spark, sf_dir, tmp_path
+):
+    """True-concurrency smoke: a prober thread races three appends;
+    every probe result must equal the probe of SOME append prefix
+    (snapshot isolation) — a partially-visible append would produce a
+    result matching no prefix."""
+    import threading
+
+    from dbcut_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_index_append,
+        probe_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_i = F.substring("source", 4, 10).cast("int")
+    slices = [
+        docs.filter((src_i >= lo) & (src_i < hi)).localCheckpoint()
+        for lo, hi in [(0, 3), (3, 6), (6, 9), (9, 12)]
+    ]
+    batch = docs.filter(src_i >= 12).limit(40).localCheckpoint()
+
+    # expected result per prefix, from independently built indexes
+    expected = []
+    for i in range(1, 5):
+        p = str(tmp_path / f"pfx{i}")
+        pref = slices[0]
+        for s in slices[1:i]:
+            pref = pref.unionByName(s)
+        build_lsh_index(pref, p, "text", "doc_id")
+        expected.append(
+            sorted(map(tuple, probe_lsh_index(
+                spark, p, batch, "text", "doc_id").collect()))
+        )
+
+    idx = str(tmp_path / "live")
+    build_lsh_index(slices[0], idx, "text", "doc_id")
+    stop = threading.Event()
+    seen: list = []
+    errs: list = []
+
+    def prober():
+        try:
+            while not stop.is_set():
+                seen.append(sorted(map(tuple, probe_lsh_index(
+                    spark, idx, batch, "text", "doc_id").collect())))
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    t = threading.Thread(target=prober, daemon=True)
+    t.start()
+    try:
+        for s in slices[1:]:
+            lsh_index_append(spark, idx, s, "text", "doc_id")
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errs, errs
+    assert seen, "prober never completed a probe"
+    for got in seen:
+        assert got in expected, (
+            "a probe saw a band set matching no append prefix — "
+            "snapshot isolation violated"
+        )
+    # and the final state is the full union
+    assert seen[-1] == expected[-1] or sorted(
+        map(tuple, probe_lsh_index(spark, idx, batch, "text", "doc_id")
+            .collect())
+    ) == expected[-1]
 
 
 def test_probe_lsh_index_empty_batch_schema_matches(spark, tmp_path):
