@@ -1410,6 +1410,29 @@ def _mrows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.fixture(params=["posix", "object_store"])
+def manifest_backend(request):
+    """Run a manifest test against both commit backends: POSIX
+    hard-link create-if-absent (default) and the conditional-PUT
+    object-store mapping via the in-memory store double (round-10
+    verdict ask #3 — the crash matrix must hold on a store with no
+    rename/link)."""
+    from dbcut_spark.sinks import manifest as mf
+
+    if request.param == "object_store":
+        from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+        mf.set_manifest_store(InMemoryObjectStore())
+    try:
+        yield request.param
+    finally:
+        mf.set_manifest_store(None)
+
+
 def test_staging_swap_crash_recovery(spark, tmp_path):
     """A writer that dies between rmtree(target) and rename(staging)
     leaves the table missing; the RETRY previously took the
@@ -1671,7 +1694,7 @@ def test_parquet_sinks_reject_remote_uris(spark):
         delete_keys_parquet(spark, df, "hdfs://nn/warehouse/t", ["id"])
 
 
-def test_manifest_publish_read_roundtrip(spark, tmp_path):
+def test_manifest_publish_read_roundtrip(spark, tmp_path, manifest_backend):
     """overwrite -> append -> time travel, plus hive partition columns
     reconstructing across commit directories."""
     from dbcut_spark.sinks.manifest import (
@@ -1704,7 +1727,7 @@ def test_manifest_publish_read_roundtrip(spark, tmp_path):
     assert _mrows(read_snapshot(spark, tbl).select("id")) == [(3,)]
 
 
-def test_manifest_crash_never_leaves_mixed_state(spark, tmp_path):
+def test_manifest_crash_never_leaves_mixed_state(spark, tmp_path, manifest_backend):
     """The round-9 verdict's Done criterion: kill the writer between
     protocol steps and prove a concurrent reader sees either old or
     new, NEVER mixed. The commit point is one manifest creation, so
@@ -1775,7 +1798,7 @@ def test_manifest_torn_manifest_and_version_conflict(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl, version=1)) == [(1,)]
 
 
-def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
+def test_manifest_vacuum_orphans_and_retention(spark, tmp_path, manifest_backend):
     """vacuum deletes crashed writers' orphans and out-of-retention
     snapshots' files, never a kept snapshot's — and retains every
     MANIFEST file (version slots are never freed; expired versions
@@ -1802,7 +1825,7 @@ def test_manifest_vacuum_orphans_and_retention(spark, tmp_path):
         mf.read_snapshot(spark, tbl, version=1)
 
 
-def test_manifest_vacuum_grace_protects_inflight_staging(spark, tmp_path):
+def test_manifest_vacuum_grace_protects_inflight_staging(spark, tmp_path, manifest_backend):
     """An in-flight writer's staged-but-unpublished files look exactly
     like crashed-writer orphans; the grace window keeps vacuum from
     deleting them under a live commit (whose publish would then point
@@ -1828,7 +1851,7 @@ def test_manifest_vacuum_grace_protects_inflight_staging(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
 
 
-def test_manifest_vacuum_never_frees_version_slots(spark, tmp_path):
+def test_manifest_vacuum_never_frees_version_slots(spark, tmp_path, manifest_backend):
     """The lost-update hole vacuum retention closes: a writer pinned to
     a stale parent must CONFLICT after vacuum, not link into a freed
     slot below the current version (a 'successful' commit no reader
@@ -1856,7 +1879,7 @@ def test_manifest_vacuum_never_frees_version_slots(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(3,)]
 
 
-def test_manifest_append_schema_mismatch_fails_at_publish(spark, tmp_path):
+def test_manifest_append_schema_mismatch_fails_at_publish(spark, tmp_path, manifest_backend):
     """mode='append' validates the new df against the parent snapshot's
     schema at PUBLISH time: a column-set or type drift must fail the
     appender loudly, not publish a manifest whose read_snapshot breaks
@@ -1886,7 +1909,7 @@ def test_manifest_append_schema_mismatch_fails_at_publish(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
 
 
-def test_manifest_upsert_null_op_is_upsert(spark, tmp_path):
+def test_manifest_upsert_null_op_is_upsert(spark, tmp_path, manifest_backend):
     """A NULL op_col value is an upsert, never a silent delete: the
     plain `op != 'D'` filter would NULL out the row from the upsert
     set while its key still anti-joins the existing row away."""
@@ -1906,7 +1929,7 @@ def test_manifest_upsert_null_op_is_upsert(spark, tmp_path):
     assert _mrows(mf.read_snapshot(spark, tbl)) == [(1, "A"), (3, "c")]
 
 
-def test_manifest_vacuum_idempotent_and_partial_group_probe(spark, tmp_path):
+def test_manifest_vacuum_idempotent_and_partial_group_probe(spark, tmp_path, manifest_backend):
     """vacuum is safe to re-run (a concurrent/prior vacuum having taken
     files is not an error), and a PARTIALLY-expired commit group — the
     crash-mid-vacuum state — still surfaces as a loud retention error
@@ -1946,7 +1969,7 @@ def test_manifest_vacuum_idempotent_and_partial_group_probe(spark, tmp_path):
     assert first  # silence unused warning
 
 
-def test_manifest_append_schema_checked_before_staging(spark, tmp_path):
+def test_manifest_append_schema_checked_before_staging(spark, tmp_path, manifest_backend):
     """The append schema check must run BEFORE the expensive data
     write: a doomed commit should not burn a full parquet pass and
     leave day-long grace-protected orphans."""
@@ -2038,7 +2061,128 @@ def test_manifest_torn_recovery_restores_stolen_winner(spark, tmp_path):
     assert [n for n in os.listdir(mdir) if not n.endswith(".json")] == []
 
 
-def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path):
+def test_store_torn_occupant_stolen_and_publish_lands(spark, tmp_path):
+    """Object-store backend: a TORN object occupying the next version
+    slot (weak store, non-atomic write) must not deadlock publishing —
+    the conditional-delete steal confirms it torn, frees the slot, and
+    the PUT retries (the store twin of
+    test_manifest_torn_head_does_not_deadlock_publish)."""
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    store = InMemoryObjectStore()
+    mf.set_manifest_store(store)
+    try:
+        tbl = str(tmp_path / "tbl")
+        mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+        # weak-store writer died mid-PUT of version 2: torn occupant
+        store.put_torn(
+            mf._manifest_path(tbl, 2), b'{"version": 2, "files": []}',
+            keep=15,
+        )
+        assert mf.current_version(tbl) == 1  # readers skip the wreck
+        v = mf.publish_snapshot(
+            spark.createDataFrame([(2,)], "id long"), tbl,
+            mode="overwrite",
+        )
+        assert v == 2
+        assert _mrows(mf.read_snapshot(spark, tbl)) == [(2,)]
+    finally:
+        mf.set_manifest_store(None)
+
+
+def test_store_torn_read_restores_stolen_winner(spark, tmp_path):
+    """Object-store backend, the weak-store window the POSIX branch
+    documents as unreachable: a recoverer whose READ of a committed
+    manifest came back TORN steals it via conditional delete, then the
+    re-validation of the full deleted bytes reveals a committed winner
+    — it must be restored byte-for-byte and this writer loses
+    (manifest._publish_conditional_put's restore branch, executed for
+    real)."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    store = InMemoryObjectStore()
+    mf.set_manifest_store(store)
+    try:
+        tbl = str(tmp_path / "tbl")
+        mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+        final = mf._manifest_path(tbl, 1)
+        winner_bytes = store.read(final)[0]
+        schema = json.loads(
+            spark.createDataFrame([(1,)], "id long").schema.json()
+        )
+        store.inject_torn_read(final, keep=10)  # next GET is partial
+        with pytest.raises(mf.VersionConflictError):
+            mf._publish(tbl, {
+                "version": 1, "parent": None, "mode": "overwrite",
+                "files": [], "n_files": 0, "partition_by": [],
+                "schema": schema,
+            })
+        # the winner survived the steal, byte-for-byte, and still reads
+        assert store.read(final)[0] == winner_bytes
+        assert _mrows(mf.read_snapshot(spark, tbl)) == [(1,)]
+        # the steal actually happened (conditional delete executed)
+        assert any(op[0] == "delete_if_match" for op in store.ops)
+    finally:
+        mf.set_manifest_store(None)
+
+
+def test_store_retaken_slot_preserves_displaced_winner(spark, tmp_path):
+    """Object-store backend: if a third writer re-takes the slot while
+    a recoverer holds a stolen committed manifest, the restore must not
+    clobber the new occupant — the displaced winner is preserved at a
+    .wreck- key and the error names it (the store twin of
+    test_manifest_torn_restore_never_destroys_displaced_winner)."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    store = InMemoryObjectStore()
+    mf.set_manifest_store(store)
+    try:
+        tbl = str(tmp_path / "tbl")
+        mf.publish_snapshot(spark.createDataFrame([(1,)], "id long"), tbl)
+        final = mf._manifest_path(tbl, 1)
+        winner_bytes = store.read(final)[0]
+        schema = json.loads(
+            spark.createDataFrame([(1,)], "id long").schema.json()
+        )
+        store.inject_torn_read(final, keep=10)
+
+        # a third writer lands in the freed slot between our steal and
+        # our restore: hijack the restore PUT to plant a foreign
+        # occupant first
+        orig_create = store.create_if_absent
+
+        def retake_then_create(path, data):
+            if path == final and data == winner_bytes:
+                store.force_put(final, b"foreign-occupant")
+            orig_create(path, data)
+
+        store.create_if_absent = retake_then_create
+        with pytest.raises(mf.VersionConflictError, match="preserved at"):
+            mf._publish(tbl, {
+                "version": 1, "parent": None, "mode": "overwrite",
+                "files": [], "n_files": 0, "partition_by": [],
+                "schema": schema,
+            })
+        store.create_if_absent = orig_create
+        # the displaced committed manifest survives at a wreck key
+        mdir = os.path.join(tbl, "_manifests")
+        wrecks = [n for n in store.list(mdir) if n.startswith(".wreck-")]
+        assert len(wrecks) == 1
+        assert store.read(os.path.join(mdir, wrecks[0]))[0] == winner_bytes
+        # and the foreign occupant was never clobbered
+        assert store.read(final)[0] == b"foreign-occupant"
+    finally:
+        mf.set_manifest_store(None)
+
+
+def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path, manifest_backend):
     from dbcut_spark.sinks import manifest as mf
 
     tbl = str(tmp_path / "tbl")
@@ -2085,7 +2229,7 @@ def test_zorder_null_keys_cluster_at_origin(spark, tmp_path):
     assert not (file_of(F.col("a").isNull()) & max_corner)
 
 
-def test_manifest_conflict_retry_merges_appends(spark, tmp_path, monkeypatch):
+def test_manifest_conflict_retry_merges_appends(spark, tmp_path, monkeypatch, manifest_backend):
     """Losing a version race with retries>0 re-publishes WITHOUT
     re-staging, and an append retry inherits the winner's files — the
     serializable two-appenders outcome."""
@@ -2143,7 +2287,7 @@ def test_manifest_conflict_retry_merges_appends(spark, tmp_path, monkeypatch):
         )
 
 
-def test_manifest_upsert_snapshot_merge_and_occ(spark, tmp_path, monkeypatch):
+def test_manifest_upsert_snapshot_merge_and_occ(spark, tmp_path, monkeypatch, manifest_backend):
     """upsert_snapshot: MERGE semantics match the staging-swap upsert
     (replace on pk, insert new, delete on op='D'), every version stays
     readable, and the pinned-parent OCC loop re-derives after losing a
