@@ -759,6 +759,98 @@ def reflect_catalog_metadata(spark, url: str, schema: str | None = None):
         conn.close()
 
 
+def url_dialect(url: str) -> str:
+    """``jdbc:<dialect>:...`` → the dialect token (lowercased)."""
+    parts = url.split(":", 2)
+    return parts[1].lower() if len(parts) > 1 else ""
+
+
+def jdbc_table_rows(
+    spark, url: str, schema: str | None = None, exact_fallback: bool = True
+):
+    """Source-metadata row counts for the closure executor's routing
+    (round-10 verdict ask #4) — the JDBC twin of
+    ``closure.parquet_table_rows``: the salted backref cap and the
+    broadcast-vs-Bloom frontier choice route on table-level row
+    bounds, which parquet gets free from footers while a ``jdbc:``
+    extraction previously routed on NOTHING (falling back to
+    plain/unbounded — a stall, not a wrong answer, but a stall at
+    exactly the 100 TB deployment target).
+
+    Tiering per lookup, all driver-side (zero Spark jobs):
+
+    1. the dialect's statistics store, fetched ONCE per source and
+       cached (ESTIMATE_QUERY: mysql ``information_schema.table_rows``,
+       pg ``reltuples``, sqlite ``sqlite_stat1`` — reference parity:
+       ``dbcut/database.py:329-338``). Estimates the database already
+       maintains, so they are free; NULL/negative values (pg
+       pre-ANALYZE ``reltuples = -1``) are treated as unknown;
+    2. for dialects without a statistics store (Derby, ...) or tables
+       the statistics missed: one exact ``COUNT(*)`` per table,
+       memoized for the callable's lifetime (``exact_fallback=True``,
+       the default). Bounded by the catalog size, never per-edge or
+       per-row; pass ``exact_fallback=False`` for operational sources
+       where even one full count is unacceptable — routing then
+       degrades exactly as before this channel existed.
+
+    Routing uses these as UPPER BOUNDS on frontier sizes, so a stale
+    statistics row can only mis-route between two CORRECT plans (plain
+    vs salted window, broadcast vs Bloom), never change results."""
+    cache: dict[str, int | None] = {}
+    state = {"stats_loaded": False}
+
+    def _load_stats() -> None:
+        dialect = url_dialect(url)
+        if dialect not in ESTIMATE_QUERY:
+            return
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            sch = schema
+            if sch is None:
+                try:
+                    sch = conn.getSchema()
+                except Exception:  # noqa: BLE001 - optional JDBC 4.1 API
+                    sch = None
+            if sch is None:
+                try:
+                    sch = conn.getCatalog()  # mysql: database == catalog
+                except Exception:  # noqa: BLE001
+                    sch = None
+            sql = reflection_sql("estimate", dialect, sch or "")
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(sql)
+                while rs.next():
+                    name = rs.getString(1)
+                    n = rs.getLong(2)
+                    if name and not rs.wasNull() and n >= 0:
+                        cache[name.lower()] = int(n)
+            finally:
+                st.close()
+        except Exception:  # noqa: BLE001 - stats store absent/stale
+            pass  # sqlite pre-ANALYZE errors at prepare; tier 2 covers
+        finally:
+            conn.close()
+
+    def rows(table: str) -> int | None:
+        if not state["stats_loaded"]:
+            state["stats_loaded"] = True
+            _load_stats()
+        key = table.lower()
+        if key in cache:
+            return cache[key]
+        if exact_fallback:
+            try:
+                cache[key] = jdbc_count(spark, url, table)
+            except Exception:  # noqa: BLE001 - missing table etc.
+                cache[key] = None
+        else:
+            cache[key] = None
+        return cache[key]
+
+    return rows
+
+
 def source_loader(spark, url: str, catalog) -> "object":
     """TableLoader over a JDBC source for the closure executor: tables
     with a single integer-looking PK read range-partitioned

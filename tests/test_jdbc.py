@@ -546,6 +546,25 @@ def test_cli_load_from_live_jdbc_source(spark, tmp_path):
     assert [(r["ID"], r["NAME"]) for r in owners] == [(1, "ana")]
     assert sorted(r["ID"] for r in pets) == [10, 11]  # ana's pets only
 
+    # the executor routes on REAL row bounds for jdbc: sources too
+    # (round-10 verdict ask #4): Derby has no statistics store, so the
+    # table_rows channel answers via the memoized exact-count fallback,
+    # and the salted-cap router sees sizes, not None
+    from dbcut_spark.cli import Ctx
+    from dbcut_spark.operators.closure import SALTED_CAP_MIN_CHILD_ROWS
+
+    ctx = Ctx(cfg_path, no_cache=True, force_refresh=False, only=())
+    ctx._spark = spark
+    ex = ctx.executor()
+    assert ex.table_rows is not None
+    assert ex._source_rows("PETS") == 4
+    assert ex._source_rows("OWNERS") == 3
+    # memoized: a second ask must not re-count (cache hit)
+    assert ex._table_rows_memo["PETS"] == 4
+    # and routing consumes the bound: tiny child → plain window form
+    assert ex._cap_salted("PETS") is False
+    assert 4 < SALTED_CAP_MIN_CHILD_ROWS  # the assertion's premise
+
 
 def test_group_imported_keys_anonymous_fks_stay_distinct():
     """Two unnamed single-column FKs to the same parent must reflect as
