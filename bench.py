@@ -143,6 +143,7 @@ HEADLINE = [
     "events_scd2_state",
     "events_scd2_incremental",
     "dedup_incremental_indexed",
+    "dedup_probe_prebuilt",
     "docs_bpe_vocab",
     "docs_bpe_tokenize",
     "events_scd2_asof",

