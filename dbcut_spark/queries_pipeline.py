@@ -1300,12 +1300,19 @@ def dedup_ingest_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bench cost model (documented, by design): this gate runs THREE
     full ingest rounds — each a probe + corpus insert-ignore + index
-    append/build, ~15 Spark actions — so at gate scale its ~12 s is
-    job-scheduling and file-commit overhead, not data (halving the
-    corpus moved it <10%). The per-batch cost of the operator is the
-    single-round twin `dedup_incremental_indexed` (~3 s, which itself
-    includes an index build); at 100 TB each round is data-bound and
-    the protocol's whole point is that it stays O(batch)."""
+    append/build, ~15 Spark actions plus (round 11) two manifest
+    snapshot publishes per round for atomic index visibility — so at
+    gate scale its ~13 s is job-scheduling and file-commit overhead,
+    not data (halving the corpus moved it <10%); the manifest commits
+    added ~2-3 s of fsync'd-publish + per-commit-group scan overhead,
+    the measured price of old-or-new-never-partial probes. It has a
+    standing isolate (BENCH_ISOLATE.json) for adjudicating suite
+    drift. The per-batch STEADY-STATE cost of the operator is
+    `dedup_probe_prebuilt` (~1.7 s: probe + accept against a standing
+    index, no build in-gate); `dedup_incremental_indexed` (~3-4 s)
+    keeps the build in-gate to certify build+probe end-to-end. At
+    100 TB each round is data-bound and the protocol's whole point is
+    that it stays O(batch)."""
     import dbcut_spark.queries_relational as qr
     from dbcut_spark.streaming.dedup import dedup_ingest_batch
 
