@@ -634,8 +634,14 @@ def _lsh_bucket(n_buckets: int):
     """Stable bucket assignment for a band_hash: xxhash64 (fixed seed)
     mod n_buckets. Used identically at index-build and probe time, so
     a probe knows statically which partition directories can contain
-    its collisions."""
-    return F.pmod(F.xxhash64(F.col("band_hash")), F.lit(n_buckets))
+    its collisions. Cast to INT deliberately: the value is a partition
+    column, and hive path inference reads partition values back as int
+    — an uncast bigint here would make the first append AFTER a
+    compaction (whose snapshot records the read-back schema) fail the
+    manifest append-schema check (found by the compact-cadence test)."""
+    return F.pmod(F.xxhash64(F.col("band_hash")), F.lit(n_buckets)).cast(
+        "int"
+    )
 
 
 def build_lsh_index(

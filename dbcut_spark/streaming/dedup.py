@@ -115,21 +115,38 @@ def stream_dedup_ingest(
     checkpoint: str,
     threshold: float = 0.5,
     trigger: dict | None = None,
+    compact_every: int | None = None,
     **index_params,
 ):
     """Start the streaming ingestion loop (foreachBatch over
     :func:`dedup_ingest_batch`). Returns the StreamingQuery. Default
     trigger drains available input and stops (test/batch-drain mode);
     pass e.g. ``{"processingTime": "1 minute"}`` for continuous
-    ingestion. Compose with ``dedup.lsh_index_compact`` on a
-    maintenance cadence — every batch's append fragments the touched
-    bucket dirs (``cli inspect --lsh-index`` shows when)."""
+    ingestion.
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    ``compact_every=N`` runs ``dedup.lsh_index_compact`` after every
+    Nth micro-batch (keyed on the checkpointed batch_id, so a restart
+    keeps the cadence instead of resetting it): every batch's append
+    publishes at least one new file per touched bucket partition, so
+    an unmaintained index makes probes pay per-file open cost growing
+    with batch count — the compaction republishes a 1-file-per-bucket
+    snapshot and vacuums expired files. Probe results are
+    layout-invariant (pinned in tests), and since round 11 the index
+    is manifest-versioned, so the compaction's overwrite snapshot is
+    atomically visible too — an in-flight probe keeps its pinned
+    pre-compact snapshot. Left None, maintenance stays manual
+    (``cli inspect --lsh-index`` shows when it's due)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
             batch, index_path, corpus_path, text_col, id_col,
             threshold, **index_params,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from dbcut_spark.operators.dedup import lsh_index_compact
+
+            if os.path.exists(os.path.join(index_path, "_lsh_meta.json")):
+                lsh_index_compact(batch.sparkSession, index_path)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -593,6 +593,71 @@ def test_stream_dedup_ingest_matches_batch_loop(spark, sf_dir, tmp_path):
     ) == exp
 
 
+def test_stream_dedup_ingest_compact_cadence(spark, sf_dir, tmp_path):
+    """compact_every=N: the streaming loop self-maintains the index —
+    after the drain the live snapshot is compacted back to one file
+    per bucket, and probes match a never-compacted batch-loop index
+    (layout invariance through the cadence)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from dbcut_spark.operators.dedup import lsh_index_inspect, probe_lsh_index
+    from dbcut_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        stream_dedup_ingest,
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        F.substring("source", 4, 10).cast("int").alias("si"),
+    )
+    slices = [
+        full.filter(F.col("si") < 4).drop("si"),
+        full.filter((F.col("si") >= 4) & (F.col("si") < 8)).drop("si"),
+        full.filter((F.col("si") >= 8) & (F.col("si") < 12)).drop("si"),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    t0 = 1_700_000_000
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"st_{i}")
+        sl.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src_dir / f"s_{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    idx_s, corpus_s = str(tmp_path / "idx_s"), str(tmp_path / "corp_s")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = stream_dedup_ingest(
+        stream, idx_s, corpus_s, "text", "doc_id",
+        checkpoint=str(tmp_path / "ck"), compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    st = lsh_index_inspect(idx_s)
+    assert st["max_files_per_bucket"] == 1  # cadence kept it compact
+
+    # semantics unchanged vs the never-compacted batch loop
+    idx_b, corpus_b = str(tmp_path / "idx_b"), str(tmp_path / "corp_b")
+    for sl in slices:
+        dedup_ingest_batch(sl, idx_b, corpus_b, "text", "doc_id")
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_s).collect()
+    ) == sorted(r["doc_id"] for r in spark.read.parquet(corpus_b).collect())
+    probe = full.filter(F.col("si") >= 12).drop("si").limit(30)
+    pa = sorted(map(tuple, probe_lsh_index(
+        spark, idx_s, probe, "text", "doc_id").collect()))
+    pb = sorted(map(tuple, probe_lsh_index(
+        spark, idx_b, probe, "text", "doc_id").collect()))
+    assert pa == pb
+
+
 def test_null_text_counts_never_negative(spark):
     """Non-ANSI Spark's size(NULL) = -1 must never leak into the
     per-doc counts: NULL-text (failed-extraction) docs report NULL,
