@@ -334,8 +334,21 @@ def dumpsql(ctx: Ctx, dialect: str):
     "operators.dedup.lsh_index_compact before probes pay per-file "
     "open cost)",
 )
+@click.option(
+    "--manifest",
+    default=None,
+    metavar="PATH",
+    help="also report a manifest table's snapshot state: versions, live "
+    "files/bytes, and bytes reclaimable by sinks.manifest.vacuum",
+)
 @click.pass_obj
-def inspect(ctx: Ctx, estimate: bool, frag_mb: float, lsh_index: str | None):
+def inspect(
+    ctx: Ctx,
+    estimate: bool,
+    frag_mb: float,
+    lsh_index: str | None,
+    manifest: str | None,
+):
     """Source-vs-destination row counts (reference ``cmd_inspect``,
     estimate-by-default like its ``--estimate`` flag — parquet footer
     metadata instead of information_schema.table_rows), plus a
@@ -422,6 +435,25 @@ def inspect(ctx: Ctx, estimate: bool, frag_mb: float, lsh_index: str | None):
             f"v{st['exact_version']}; "
             f"{st['orphan_bytes'] / 1024 / 1024:.1f}MB expired/staged "
             "awaiting vacuum"
+        )
+
+    if manifest:
+        from dbcut_spark.sinks.manifest import manifest_inspect
+
+        mi = manifest_inspect(manifest)
+        torn = (
+            f", {mi['torn_manifests']} torn" if mi["torn_manifests"] else ""
+        )
+        click.echo(
+            f"\nmanifest table {manifest}: v{mi['current_version']} "
+            f"({mi['versions']} snapshots{torn})"
+        )
+        click.echo(
+            f"  live: {mi['live_files']} files, "
+            f"{mi['live_bytes'] / 1024 / 1024:.1f}MB; on disk: "
+            f"{mi['files_on_disk']} files; reclaimable "
+            f"(sinks.manifest.vacuum): "
+            f"{mi['reclaimable_bytes'] / 1024 / 1024:.1f}MB"
         )
 
 

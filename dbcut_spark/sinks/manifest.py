@@ -577,6 +577,58 @@ def upsert_snapshot(
     raise AssertionError("unreachable")
 
 
+def manifest_inspect(table_path: str) -> dict:
+    """Operational stats for a manifest table (no Spark jobs): current
+    and oldest version, live file count/bytes (what a reader of the
+    head snapshot opens), total referenced-by-any-manifest files, and
+    orphan/expired bytes awaiting :func:`vacuum`. Surfaced by
+    ``cli inspect --manifest PATH``; the LSH index's richer
+    `lsh_index_inspect` builds per-bucket stats on top of the same
+    channel."""
+    versions = _list_versions(table_path)
+    manifests = {
+        v: m
+        for v in versions
+        if (m := _load_manifest(table_path, v)) is not None
+    }
+    cur = max(manifests) if manifests else None
+    live = set(manifests[cur]["files"]) if cur is not None else set()
+    referenced: set[str] = set()
+    for m in manifests.values():
+        referenced.update(m["files"])
+    live_bytes = 0
+    for rel in live:
+        try:
+            live_bytes += os.stat(os.path.join(table_path, rel)).st_size
+        except FileNotFoundError:
+            pass  # expired by vacuum while we walked
+    reclaimable_bytes = 0
+    on_disk = 0
+    data_root = os.path.join(table_path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for root, _dirs, files in os.walk(data_root):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, table_path)
+                try:
+                    size = os.stat(full).st_size
+                except FileNotFoundError:
+                    continue
+                on_disk += 1
+                if rel not in live:
+                    reclaimable_bytes += size
+    return {
+        "current_version": cur,
+        "versions": len(manifests),
+        "torn_manifests": len(versions) - len(manifests),
+        "live_files": len(live),
+        "live_bytes": live_bytes,
+        "referenced_files": len(referenced),
+        "files_on_disk": on_disk,
+        "reclaimable_bytes": reclaimable_bytes,
+    }
+
+
 def vacuum(
     table_path: str, keep_last: int = 1, grace_seconds: float = 86400.0
 ) -> list[str]:

@@ -2193,6 +2193,50 @@ def test_manifest_empty_snapshot_keeps_schema(spark, tmp_path, manifest_backend)
     assert got.schema.simpleString() == "struct<id:bigint,v:string>"
 
 
+def test_manifest_inspect_and_cli(spark, sf_dir, tmp_path):
+    """manifest_inspect reports snapshot state and reclaimable bytes
+    without Spark jobs; `cli inspect --manifest PATH` surfaces it."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    mf.publish_snapshot(a, tbl)
+    mf.publish_snapshot(a.limit(10), tbl, mode="overwrite")
+    orphans = mf._stage(a.limit(5), tbl, None)  # crashed writer
+    st = mf.manifest_inspect(tbl)
+    assert st["current_version"] == 2 and st["versions"] == 2
+    assert st["torn_manifests"] == 0
+    assert st["live_files"] >= 1 and st["live_bytes"] > 0
+    # v1's files + the orphans are on disk but not live
+    assert st["files_on_disk"] > st["live_files"]
+    assert st["reclaimable_bytes"] > 0
+    assert st["referenced_files"] >= st["live_files"] + 1
+    assert orphans  # the staged files exist
+
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    res = CliRunner().invoke(
+        cli, ["-c", cfg_path, "inspect", "--manifest", tbl],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert f"manifest table {tbl}: v2 (2 snapshots)" in res.output
+    assert "reclaimable" in res.output
+
+
 def test_zorder_null_keys_cluster_at_origin(spark, tmp_path):
     """NULL z-order key values must route to cell 0 (co-located at the
     curve's origin), not silently join the max-range rows via least()'s
