@@ -878,6 +878,9 @@ _GATE_ROTATION = [
     "dedup_ingest_sequential",
     "docs_bpe_token_ids",
     "docs_bpe_tokenize50",
+    # -- round-11 additions: appended at the END (append-only rule);
+    # never-sampled-first debuts them in round 11's window --
+    "dedup_probe_prebuilt",
 ]
 
 GATE_WINDOW = 50
