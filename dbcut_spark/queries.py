@@ -881,6 +881,9 @@ _GATE_ROTATION = [
     # -- round-11 additions: appended at the END (append-only rule);
     # never-sampled-first debuts them in round 11's window --
     "dedup_probe_prebuilt",
+    "orders_manifest_skipping",
+    "orders_manifest_time_travel",
+    "orders_rollup_incremental",
 ]
 
 GATE_WINDOW = 50

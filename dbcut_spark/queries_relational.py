@@ -1390,3 +1390,200 @@ def orders_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "orders_manifest_skipping",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def orders_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest footer-stats file skipping (round 11): orders lands in
+    THREE append commits time-sliced on o_orderdate, each publishing
+    per-file min/max stats (``stats_cols``), and the reader's
+    ``where=o_orderdate >= 1997`` must (a) PROVABLY skip the pre-1997
+    commits' files — the query raises if ``prune_report`` shows zero
+    skips, so the gate certifies pruning happened, not just that the
+    filter worked — and (b) return exactly the predicate's rows (the
+    DuckDB hash pins that skipping never changes semantics).
+
+    Scale: manifests list explicit files, which bypasses the parquet
+    reader's directory-level pruning across commits — at 100 TB of
+    time-ordered ingest, footer-stats skipping is what keeps a
+    time-windowed read O(window), the same data-skipping contract as
+    Iceberg/Delta. Stats collection reads footers only and fans out as
+    a Spark job past 64 staged files (sinks/manifest.py:_collect_stats)."""
+    import datetime
+
+    from dbcut_spark.sinks.manifest import (
+        prune_report,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    target = _rf_scratch() + "/orders_skip"
+    base = t(spark, sf_dir, "orders")
+    stats = ["o_orderdate", "o_totalprice"]
+    slices = [
+        base.filter(F.year("o_orderdate") < 1995),
+        base.filter(
+            (F.year("o_orderdate") >= 1995) & (F.year("o_orderdate") < 1997)
+        ),
+        base.filter(F.year("o_orderdate") >= 1997),
+    ]
+    publish_snapshot(slices[0], target, mode="overwrite", stats_cols=stats)
+    for sl in slices[1:]:
+        publish_snapshot(sl, target, mode="append", stats_cols=stats)
+    where = [("o_orderdate", ">=", datetime.datetime(1997, 1, 1))]
+    rep = prune_report(target, where)
+    if not rep["skipped_files"] or rep["stats_files"] != rep["total_files"]:
+        raise RuntimeError(
+            f"footer-stats skipping did not engage: {rep} — the gate "
+            "exists to certify pruning, not just filtering"
+        )
+    return (
+        read_snapshot(spark, target, where=where)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "orders_manifest_time_travel",
+    sql="""
+    SELECT 1 AS at_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE year(o_orderdate) < 1996
+    UNION ALL
+    SELECT 2 AS at_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    ORDER BY at_version
+    """,
+)
+def orders_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (round 11): after an append supersedes the
+    head, ``read_snapshot(version=1)`` must still see EXACTLY the first
+    commit's rows while the head sees everything — both pinned in one
+    cross-engine hash (version 1 == the pre-1996 slice, version 2 ==
+    the whole table). This is the reader-isolation half of the manifest
+    contract: a resolved version's file set is immutable under later
+    publishes, so a long-running 100 TB job joins against ONE
+    consistent snapshot no matter how many commits land mid-flight."""
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_snapshot
+
+    target = _rf_scratch() + "/orders_tt"
+    base = t(spark, sf_dir, "orders")
+    publish_snapshot(
+        base.filter(F.year("o_orderdate") < 1996), target, mode="overwrite"
+    )
+    publish_snapshot(
+        base.filter(F.year("o_orderdate") >= 1996), target, mode="append"
+    )
+
+    def agg_at(version: int) -> DataFrame:
+        return (
+            read_snapshot(spark, target, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(version).alias("at_version"), "n_orders", "total_price")
+        )
+
+    return agg_at(1).unionByName(agg_at(2)).orderBy("at_version")
+
+
+@register(
+    "orders_rollup_incremental",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2 ORDER BY o_orderstatus, o_year
+    """,
+)
+def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup
+    (operators/matview.py, round 11): orders lands in three append
+    commits with a refresh after each; the second and third refresh
+    MUST take the incremental path (the query raises otherwise — the
+    gate certifies delta maintenance, not recompute), reading ONLY the
+    files that commit added (the manifest diff is the change capture).
+    The DuckDB hash pins the end state == a flat GROUP BY over the
+    whole table, i.e. merging per-delta partials (sum/count/min/max)
+    is bit-identical to recomputing.
+
+    Scale: each refresh is O(view + delta) — at 100 TB of append-only
+    facts the rollup stays fresh for the cost of aggregating the new
+    files, never a full rescan; a non-append commit in the window is
+    detected from manifest history alone and falls back to a full
+    recompute (silently-correct, never silently-stale)."""
+    from dbcut_spark.operators.matview import refresh_rollup
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_snapshot
+
+    scratch = _rf_scratch()
+    base_path, view_path = scratch + "/rollup_base", scratch + "/rollup_view"
+    base = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    keys = ["o_orderstatus", "o_year"]
+    measures = {
+        "n_orders": ("count", None),
+        "total_price": ("sum", "o_totalprice"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    slices = [
+        base.filter(F.col("o_year") < 1997),
+        base.filter((F.col("o_year") >= 1997) & (F.col("o_year") < 1999)),
+        base.filter(F.col("o_year") >= 1999),
+    ]
+    publish_snapshot(slices[0], base_path, mode="overwrite")
+    modes = [refresh_rollup(spark, base_path, view_path, keys, measures)["mode"]]
+    for sl in slices[1:]:
+        publish_snapshot(sl, base_path, mode="append")
+        modes.append(
+            refresh_rollup(spark, base_path, view_path, keys, measures)["mode"]
+        )
+    if modes != ["full", "incremental", "incremental"]:
+        raise RuntimeError(
+            f"rollup refresh modes {modes} != ['full', 'incremental', "
+            "'incremental'] — the gate certifies delta maintenance"
+        )
+    return (
+        read_snapshot(spark, view_path)
+        .select(
+            "o_orderstatus",
+            "o_year",
+            "n_orders",
+            F.col("total_price").cast("double").alias("total_price"),
+            "min_price",
+            "max_price",
+        )
+        .orderBy("o_orderstatus", "o_year")
+    )

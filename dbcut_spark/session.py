@@ -49,6 +49,12 @@ def get_spark(
         # classic TimestampType, not TIMESTAMP_NTZ — one timestamp type
         # everywhere (see sources.parquet.read_table)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as INT64 micros, not the deprecated INT96:
+        # INT96 column chunks carry NO footer statistics, which blinds
+        # the manifest file-skipping layer (sinks/manifest.py stats_cols)
+        # on every timestamp column — at 100 TB that is the difference
+        # between pruning time-ordered commits and scanning all of them
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -62,6 +62,14 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Above this many freshly-staged files, footer stats are collected by a
+# Spark job over the file list instead of a driver loop: the manifest
+# already holds the file list driver-side, so the collect is O(files)
+# tiny dicts either way, but the FOOTER READS (one object GET each on a
+# real store) must not serialize through the driver at 100 TB file
+# counts.
+_STATS_DISTRIBUTED_MIN_FILES = 64
+
 # Manifest-IO backend. None → POSIX primitives (hard-link
 # create-if-absent, the default). A configured store routes every
 # manifest read/list/commit through the CONDITIONAL-PUT protocol
@@ -179,6 +187,185 @@ def _stage(
                     os.path.relpath(os.path.join(root, name), table_path)
                 )
     return sorted(rels)
+
+
+def _stat_encode(v):
+    """(tag, json-form) for a footer min/max or predicate value, or None
+    for types whose ordering the pruner does not reason about (binary,
+    nested, NaN). Tags partition the comparison domains — a stored tag
+    and a predicate tag that differ are never compared, so a type
+    divergence can only LOSE pruning, never rows."""
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(v, bool):
+        return ("num", int(v))
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and v != v:  # NaN orders as garbage
+            return None
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, datetime.datetime):
+        # tz-aware values normalize to UTC; NAIVE values are taken as
+        # UTC too — sound because the engine pins
+        # spark.sql.session.timeZone=UTC (session.get_spark), so a
+        # naive predicate literal and a stored instant mean the same
+        # wall clock on both the pruning and the residual-filter side
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # fixed-width ISO form: lexicographic order == temporal order
+        return ("ts", v.strftime("%Y-%m-%dT%H:%M:%S.%f"))
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    return None
+
+
+def _stat_comparable(tag_stored, stored, tag_pred, pred):
+    """Bridge a stored bound and a predicate value into one ordered
+    domain, or None when they cannot be compared safely. num/dec
+    interoperate through exact Decimal (a float boundary re-rounded
+    through float could wrongly SKIP a file; Decimal('%r') is exact)."""
+    from decimal import Decimal
+
+    if tag_stored == tag_pred and tag_stored in ("num", "str", "ts", "date"):
+        return (stored, pred)
+    if {tag_stored, tag_pred} <= {"num", "dec"}:
+        return (Decimal(repr(stored) if isinstance(stored, float) else str(stored)),
+                Decimal(repr(pred) if isinstance(pred, float) else str(pred)))
+    return None
+
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _file_may_match(file_stats: dict | None, where: list) -> bool:
+    """Conservative footer-stats check: False ONLY when no row of the
+    file can satisfy every predicate. Missing stats, unknown columns,
+    or uncomparable domains always keep the file — correctness never
+    depends on pruning (read_snapshot re-applies the predicate)."""
+    if not file_stats:
+        return True
+    for col, op, val in where:
+        s = file_stats.get(col)
+        if not s:
+            continue
+        rows = s.get("rows")
+        if rows and s.get("nulls") == rows:
+            return False  # all-NULL column: no comparison matches
+        if "min" not in s or "max" not in s:
+            continue
+        pv = _stat_encode(val)
+        if pv is None:
+            continue
+        lo = _stat_comparable(s.get("t"), s["min"], pv[0], pv[1])
+        hi = _stat_comparable(s.get("t"), s["max"], pv[0], pv[1])
+        if lo is None or hi is None:
+            continue
+        smin, v = lo
+        smax, _ = hi
+        try:
+            if op in ("=", "==") and not (smin <= v <= smax):
+                return False
+            if op == "<" and not (smin < v):
+                return False
+            if op == "<=" and not (smin <= v):
+                return False
+            if op == ">" and not (smax > v):
+                return False
+            if op == ">=" and not (smax >= v):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _footer_stats(abs_path: str, rel: str, cols: list) -> tuple:
+    """Per-file column stats from the parquet FOOTER only (no data
+    pages): aggregated min/max/null_count across row groups for each
+    requested top-level column. A row group without statistics drops
+    min/max (never guesses); parquet writers that omit or truncate
+    binary stats still publish VALID bounds per the format contract.
+    Top-level function so the distributed route can pickle it."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    rows = md.num_rows
+    out = {}
+    want = set(cols)
+    chunks: dict[str, list] = {c: [] for c in want}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            if c.path_in_schema in want:
+                chunks[c.path_in_schema].append(c)
+    for col in cols:
+        got = chunks.get(col) or []
+        if len(got) != md.num_row_groups:
+            continue  # not a leaf at this path (nested/absent): no entry
+        entry = {"rows": rows}
+        nulls = 0
+        nulls_ok = True
+        mins, maxs = [], []
+        bounds_ok = True
+        for c in got:
+            st = c.statistics
+            if st is None:
+                nulls_ok = bounds_ok = False
+                break
+            if st.null_count is None:
+                nulls_ok = False
+            else:
+                nulls += st.null_count
+            if st.has_min_max and st.min is not None and st.max is not None:
+                mins.append(st.min)
+                maxs.append(st.max)
+            else:
+                bounds_ok = False
+        if nulls_ok:
+            entry["nulls"] = nulls
+        if bounds_ok and mins:
+            try:
+                emin = _stat_encode(min(mins))
+                emax = _stat_encode(max(maxs))
+            except TypeError:
+                emin = emax = None
+            if emin is not None and emax is not None and emin[0] == emax[0]:
+                entry["t"] = emin[0]
+                entry["min"] = emin[1]
+                entry["max"] = emax[1]
+        out[col] = entry
+    return rel, out
+
+
+def _collect_stats(
+    spark: SparkSession | None,
+    table_path: str,
+    rels: list[str],
+    cols: list[str],
+) -> dict:
+    """Footer stats for freshly-staged files. Small commits read
+    footers in a driver loop; past _STATS_DISTRIBUTED_MIN_FILES the
+    reads fan out as a Spark job over the file list — the result is
+    O(files) tiny dicts either way (the manifest already holds the
+    file list driver-side), but footer GETs must not serialize through
+    the driver at 100 TB file counts."""
+    pairs = [(os.path.join(table_path, r), r) for r in rels]
+    if spark is not None and len(pairs) > _STATS_DISTRIBUTED_MIN_FILES:
+        colv = list(cols)
+        res = (
+            spark.sparkContext.parallelize(
+                pairs, max(1, min(len(pairs) // 8 + 1, 256))
+            )
+            .map(lambda p: _footer_stats(p[0], p[1], colv))
+            .collect()
+        )
+    else:
+        res = [_footer_stats(a, r, cols) for a, r in pairs]
+    return {r: st for r, st in res if st}
 
 
 def _publish(table_path: str, manifest: dict) -> None:
@@ -366,6 +553,8 @@ def publish_snapshot(
     retries: int = 0,
     expected_parent: int | None = ...,
     repartition: bool = True,
+    stats_cols: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -390,7 +579,21 @@ def publish_snapshot(
     :class:`VersionConflictError` instead of letting a stale
     derivation silently overwrite the winner — incompatible with
     internal retries (which re-resolve the parent), so it requires
-    ``retries=0``; pass None to pin 'the table must be empty'."""
+    ``retries=0``; pass None to pin 'the table must be empty'.
+
+    ``stats_cols`` records per-file footer min/max/null_count for the
+    named top-level columns in the manifest (Iceberg-style file
+    skipping metadata); :func:`read_snapshot`'s ``where`` prunes on
+    them. Stats are collected from footers ONLY (no data pages),
+    distributed past _STATS_DISTRIBUTED_MIN_FILES staged files, and
+    an append inherits the parent's entries for inherited files, so
+    skipping metadata accumulates per commit without rescans.
+    Partition columns are rejected (they are not in footers; hive
+    path pruning already covers them).
+
+    ``properties`` is an opaque JSON dict stored verbatim on this
+    snapshot's manifest (not inherited by appends) — e.g. the
+    materialized-view refresh cursor (operators/matview.py)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     pin_parent = expected_parent is not ...
@@ -400,6 +603,19 @@ def publish_snapshot(
             "retries would re-resolve the parent and break the "
             "optimistic-concurrency contract — retry by re-deriving df"
         )
+    if stats_cols:
+        missing = [c for c in stats_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"stats_cols not in df: {missing}")
+        parted = [c for c in stats_cols if c in (partition_by or [])]
+        if parted:
+            raise ValueError(
+                f"stats_cols {parted} are partition columns — they are "
+                "not in parquet footers; hive path pruning already "
+                "covers them"
+            )
+    if properties is not None:
+        json.dumps(properties)  # fail a non-JSON dict before staging
     os.makedirs(table_path, exist_ok=True)
     if mode == "append":
         # validate schema BEFORE the expensive data write: staging
@@ -413,9 +629,15 @@ def publish_snapshot(
             if pm0 is not None:
                 _check_append_schema(df, pm0, pre_parent)
     staged = _stage(df, table_path, partition_by, repartition)
+    staged_stats = (
+        _collect_stats(df.sparkSession, table_path, staged, stats_cols)
+        if stats_cols
+        else {}
+    )
     for attempt in range(retries + 1):
         parent = expected_parent if pin_parent else current_version(table_path)
         files: list[str] = []
+        stats: dict = {}
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_path, parent)
             if pm is None:
@@ -430,21 +652,28 @@ def publish_snapshot(
             # winner's schema than the pre-stage check saw
             _check_append_schema(df, pm, parent)
             files.extend(pm["files"])
+            # inherited files keep their recorded stats even when THIS
+            # publish doesn't collect any: they are facts about
+            # immutable files, not about this commit
+            stats.update(pm.get("stats") or {})
         files.extend(staged)
+        stats.update(staged_stats)
         version = (parent or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "files": files,
+            "n_files": len(files),
+            "partition_by": list(partition_by or []),
+            "schema": json.loads(df.schema.json()),
+        }
+        if stats:
+            manifest["stats"] = stats
+        if properties is not None:
+            manifest["properties"] = properties
         try:
-            _publish(
-                table_path,
-                {
-                    "version": version,
-                    "parent": parent,
-                    "mode": mode,
-                    "files": files,
-                    "n_files": len(files),
-                    "partition_by": list(partition_by or []),
-                    "schema": json.loads(df.schema.json()),
-                },
-            )
+            _publish(table_path, manifest)
             return version
         except VersionConflictError:
             if attempt >= retries:
@@ -452,33 +681,24 @@ def publish_snapshot(
     raise AssertionError("unreachable")
 
 
-def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    rels: list[str],
+    schema: StructType,
+    version: int,
 ) -> DataFrame:
-    """Resolve a snapshot (newest parseable manifest by default; pass
-    ``version`` for time travel) and read exactly its files. Files are
-    grouped per commit directory and read with that directory as
-    basePath, so hive partition columns written by ``partition_by``
-    reconstruct; groups union by name. A 0-file snapshot returns an
-    empty frame with the manifest's schema. A version whose data files
-    :func:`vacuum` has expired raises FileNotFoundError up front
-    (manifests outlive their files as version history — see vacuum)."""
-    if version is None:
-        version = current_version(table_path)
-        if version is None:
-            raise FileNotFoundError(
-                f"no published snapshot under {table_path}"
-            )
-    m = _load_manifest(table_path, version)
-    if m is None:
-        raise FileNotFoundError(
-            f"snapshot version {version} missing or torn under {table_path}"
-        )
-    schema = StructType.fromJson(m["schema"])
-    if not m["files"]:
+    """Read an explicit list of a snapshot's table-relative data files.
+    Files are grouped per commit directory and read with that directory
+    as basePath, so hive partition columns written by ``partition_by``
+    reconstruct; groups union by name. An empty list returns an empty
+    frame with the snapshot's schema. Shared by :func:`read_snapshot`
+    and the materialized-view delta reader (operators/matview.py),
+    which reads exactly the files one append added."""
+    if not rels:
         return spark.createDataFrame([], schema)
     by_commit: dict[str, list[str]] = {}
-    for rel in m["files"]:
+    for rel in rels:
         parts = rel.split(os.sep)
         base = os.path.join(table_path, *parts[:2])  # data/<uuid>
         by_commit.setdefault(base, []).append(os.path.join(table_path, rel))
@@ -502,6 +722,120 @@ def read_snapshot(
     return out
 
 
+def _where_column(where: list):
+    cond = None
+    for col, op, val in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported where op {op!r}; one of {_PRUNE_OPS}"
+            )
+        if val is None:
+            raise ValueError(
+                f"where value for {col!r} is None: comparison predicates "
+                "never match NULL — filter NULLs explicitly"
+            )
+        c = F.col(col)
+        e = {
+            "=": c == F.lit(val),
+            "==": c == F.lit(val),
+            "<": c < F.lit(val),
+            "<=": c <= F.lit(val),
+            ">": c > F.lit(val),
+            ">=": c >= F.lit(val),
+        }[op]
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    where: list | None = None,
+) -> DataFrame:
+    """Resolve a snapshot (newest parseable manifest by default; pass
+    ``version`` for time travel) and read exactly its files. A 0-file
+    snapshot returns an empty frame with the manifest's schema. A
+    version whose data files :func:`vacuum` has expired raises
+    FileNotFoundError up front (manifests outlive their files as
+    version history — see vacuum).
+
+    ``where`` — a list of ``(column, op, value)`` with op in
+    ``= == < <= > >=`` — SKIPS whole data files whose manifest footer
+    stats (see ``publish_snapshot(stats_cols=...)``) prove no row can
+    match, then applies the same predicate to the surviving rows, so
+    the result is exactly the predicate's rows regardless of which
+    files carry stats: pruning is purely a scan-size optimization,
+    conjunctive over the predicates, and conservative everywhere
+    (missing stats keep the file). At 100 TB this is the difference
+    between opening every file of every commit and opening the few
+    whose [min,max] straddle the predicate — the same file-skipping
+    contract as Iceberg/Delta data skipping."""
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_path}"
+            )
+    m = _load_manifest(table_path, version)
+    if m is None:
+        raise FileNotFoundError(
+            f"snapshot version {version} missing or torn under {table_path}"
+        )
+    schema = StructType.fromJson(m["schema"])
+    rels = m["files"]
+    cond = None
+    if where:
+        cond = _where_column(where)  # validate ops/values BEFORE pruning
+        stats = m.get("stats") or {}
+        rels = [r for r in rels if _file_may_match(stats.get(r), where)]
+    out = _read_files(spark, table_path, rels, schema, version)
+    if cond is not None:
+        out = out.filter(cond)
+    return out
+
+
+def prune_report(
+    table_path: str, where: list, version: int | None = None
+) -> dict:
+    """Zero-job visibility into file skipping: how many of a snapshot's
+    files a ``read_snapshot(where=...)`` would open. Gates and tests
+    use this to PROVE pruning happened instead of trusting it."""
+    if version is None:
+        version = current_version(table_path)
+    m = _load_manifest(table_path, version) if version is not None else None
+    if m is None:
+        raise FileNotFoundError(
+            f"no readable snapshot version {version} under {table_path}"
+        )
+    _where_column(where)
+    stats = m.get("stats") or {}
+    kept = [r for r in m["files"] if _file_may_match(stats.get(r), where)]
+    return {
+        "version": version,
+        "total_files": len(m["files"]),
+        "kept_files": len(kept),
+        "skipped_files": len(m["files"]) - len(kept),
+        "stats_files": len(stats),
+    }
+
+
+def snapshot_properties(
+    table_path: str, version: int | None = None
+) -> dict:
+    """The opaque ``properties`` dict stored on a snapshot's manifest
+    (empty if none). Not inherited across versions: each snapshot's
+    properties describe that commit (e.g. a matview refresh cursor)."""
+    if version is None:
+        version = current_version(table_path)
+    m = _load_manifest(table_path, version) if version is not None else None
+    if m is None:
+        raise FileNotFoundError(
+            f"no readable snapshot version {version} under {table_path}"
+        )
+    return dict(m.get("properties") or {})
+
+
 def upsert_snapshot(
     spark: SparkSession,
     delta: DataFrame,
@@ -509,6 +843,8 @@ def upsert_snapshot(
     pk: list[str],
     op_col: str | None = None,
     retries: int = 2,
+    stats_cols: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """MERGE a delta into a manifest table: rows keyed on ``pk`` are
     replaced, new keys insert, and (with ``op_col``) rows marked
@@ -570,6 +906,7 @@ def upsert_snapshot(
             return publish_snapshot(
                 merged, table_path, mode="overwrite",
                 expected_parent=base_version,
+                stats_cols=stats_cols, properties=properties,
             )
         except VersionConflictError:
             if attempt >= retries:
@@ -617,6 +954,7 @@ def manifest_inspect(table_path: str) -> dict:
                 on_disk += 1
                 if rel not in live:
                     reclaimable_bytes += size
+    head_stats = (manifests[cur].get("stats") or {}) if cur is not None else {}
     return {
         "current_version": cur,
         "versions": len(manifests),
@@ -626,6 +964,9 @@ def manifest_inspect(table_path: str) -> dict:
         "referenced_files": len(referenced),
         "files_on_disk": on_disk,
         "reclaimable_bytes": reclaimable_bytes,
+        # file-skipping coverage of the head snapshot: live files that
+        # carry footer stats a read_snapshot(where=...) can prune on
+        "stats_files": sum(1 for r in live if head_stats.get(r)),
     }
 
 

@@ -2558,3 +2558,229 @@ def test_parquet_footer_cache_tracks_rewrites(spark, tmp_path):
     got = read_table(spark, str(d), "events")
     assert got.count() == 1
     assert "timestamp" in got.schema["ts"].dataType.simpleString()
+
+
+# ---------------------------------------------------------------------------
+# Manifest footer stats + file skipping (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _three_range_commits(spark, tbl, stats_cols=("v",)):
+    """Three append commits with DISJOINT v ranges — the canonical
+    skipping layout (time-ordered ingest)."""
+    from dbcut_spark.sinks.manifest import publish_snapshot
+
+    dfs = [
+        spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+        )
+        for lo in (0, 100, 200)
+    ]
+    publish_snapshot(
+        dfs[0].coalesce(1), tbl, mode="overwrite",
+        stats_cols=list(stats_cols), repartition=False,
+    )
+    for d in dfs[1:]:
+        publish_snapshot(
+            d.coalesce(1), tbl, mode="append",
+            stats_cols=list(stats_cols), repartition=False,
+        )
+    return dfs
+
+
+def test_manifest_stats_prune_exact_rows(spark, tmp_path, manifest_backend):
+    """read_snapshot(where=...) must open only the files whose [min,max]
+    straddle the predicate AND still return exactly the predicate's
+    rows — pruning is a scan optimization, never a semantics change."""
+    from dbcut_spark.sinks.manifest import prune_report, read_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    _three_range_commits(spark, tbl)
+    rep = prune_report(tbl, [("v", ">=", 250.0)])
+    assert rep["total_files"] == 3 and rep["kept_files"] == 1
+    got = read_snapshot(spark, tbl, where=[("v", ">=", 250.0)])
+    assert _mrows(got) == [(float(k), float(k))[::-1] for k in []] or got.count() == 50
+    assert _mrows(got.select("k")) == [(k,) for k in range(250, 300)]
+    # equality predicate: one file
+    rep_eq = prune_report(tbl, [("v", "=", 150.0)])
+    assert rep_eq["kept_files"] == 1
+    assert _mrows(read_snapshot(spark, tbl, where=[("v", "=", 150.0)]).select("k")) == [(150,)]
+    # impossible predicate: zero files, empty typed frame
+    rep0 = prune_report(tbl, [("v", ">", 1e9)])
+    assert rep0["kept_files"] == 0
+    empty = read_snapshot(spark, tbl, where=[("v", ">", 1e9)])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    # conjunction narrows across predicates
+    rep_and = prune_report(tbl, [("v", ">=", 50.0), ("v", "<", 150.0)])
+    assert rep_and["kept_files"] == 2
+
+
+def test_manifest_stats_conservative_without_stats(spark, tmp_path):
+    """Files published WITHOUT stats_cols are never skipped, and the
+    residual filter still makes the result exact."""
+    from dbcut_spark.sinks.manifest import (
+        prune_report,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.range(0, 100).select(F.col("id").alias("k"),
+                                   F.col("id").cast("double").alias("v"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"),
+                                     F.col("id").cast("double").alias("v"))
+    publish_snapshot(a.coalesce(1), tbl, repartition=False)  # no stats
+    publish_snapshot(b.coalesce(1), tbl, mode="append",
+                     stats_cols=["v"], repartition=False)
+    rep = prune_report(tbl, [("v", "<", 50.0)])
+    # the stats-bearing file (100-199) is skipped; the statless one kept
+    assert rep["total_files"] == 2 and rep["kept_files"] == 1
+    assert rep["stats_files"] == 1
+    got = read_snapshot(spark, tbl, where=[("v", "<", 50.0)])
+    assert got.count() == 50
+
+
+def test_manifest_stats_all_null_file_skipped(spark, tmp_path):
+    """A file whose column is entirely NULL can never satisfy a
+    comparison predicate — null_count==rows skips it even though it
+    has no min/max."""
+    from dbcut_spark.sinks.manifest import (
+        prune_report,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    )
+    b = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    publish_snapshot(a.coalesce(1), tbl, stats_cols=["v"], repartition=False)
+    publish_snapshot(b.coalesce(1), tbl, mode="append",
+                     stats_cols=["v"], repartition=False)
+    rep = prune_report(tbl, [("v", ">=", 0.0)])
+    assert rep["total_files"] == 2 and rep["kept_files"] == 1
+    assert read_snapshot(spark, tbl, where=[("v", ">=", 0.0)]).count() == 10
+
+
+def test_manifest_stats_append_inherits_parent_entries(spark, tmp_path):
+    """An append that collects no stats still inherits the parent's
+    entries: stats are facts about immutable files, not about the
+    committing writer."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.range(0, 50).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(50, 100).select(F.col("id").cast("double").alias("v"))
+    mf.publish_snapshot(a.coalesce(1), tbl, stats_cols=["v"], repartition=False)
+    mf.publish_snapshot(b.coalesce(1), tbl, mode="append", repartition=False)
+    m = mf._load_manifest(tbl, 2)
+    assert len(m.get("stats") or {}) == 1  # v1's file entry survived
+    # a predicate OUTSIDE v1's range skips v1 (inherited stats) while
+    # the statless v2 file is kept blindly
+    rep = mf.prune_report(tbl, [("v", ">=", 200.0)])
+    assert rep["total_files"] == 2
+    assert rep["skipped_files"] == 1 and rep["kept_files"] == 1
+
+
+def test_manifest_stats_distributed_route_matches_driver(spark, tmp_path, monkeypatch):
+    """Past the threshold, footer stats collect through a Spark job;
+    the recorded manifest must be identical to the driver loop's."""
+    from dbcut_spark.sinks import manifest as mf
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).repartition(8)
+    t1 = str(tmp_path / "driver")
+    t2 = str(tmp_path / "dist")
+    mf.publish_snapshot(df, t1, stats_cols=["v"], repartition=False)
+    monkeypatch.setattr(mf, "_STATS_DISTRIBUTED_MIN_FILES", 0)
+    mf.publish_snapshot(df, t2, stats_cols=["v"], repartition=False)
+    s1 = mf._load_manifest(t1, 1)["stats"]
+    s2 = mf._load_manifest(t2, 1)["stats"]
+    # same multiset of per-file stat payloads (file names are uuids)
+    assert sorted(map(json.dumps, map(dict, s1.values()))) == sorted(
+        map(json.dumps, map(dict, s2.values()))
+    )
+    assert len(s2) == 8
+
+
+def test_manifest_stats_typed_pruning(spark, tmp_path):
+    """Timestamp and decimal domains prune; a predicate in a foreign
+    domain (string vs numeric) is ignored conservatively."""
+    import datetime
+
+    from dbcut_spark.sinks.manifest import prune_report, publish_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    rows = [
+        (1, datetime.datetime(2020, 1, 1), 10.5),
+        (2, datetime.datetime(2020, 6, 1), 20.5),
+    ]
+    rows2 = [
+        (3, datetime.datetime(2021, 1, 1), 30.5),
+        (4, datetime.datetime(2021, 6, 1), 40.5),
+    ]
+    schema = "k long, ts timestamp, v double"
+    publish_snapshot(spark.createDataFrame(rows, schema).coalesce(1), tbl,
+                     stats_cols=["ts", "v"], repartition=False)
+    publish_snapshot(spark.createDataFrame(rows2, schema).coalesce(1), tbl,
+                     mode="append", stats_cols=["ts", "v"], repartition=False)
+    rep = prune_report(tbl, [("ts", ">=", datetime.datetime(2021, 1, 1))])
+    assert rep["kept_files"] == 1
+    # decimal predicate bridges into the double column's num domain
+    from decimal import Decimal
+
+    rep2 = prune_report(tbl, [("v", ">", Decimal("25.0"))])
+    assert rep2["kept_files"] == 1
+    # foreign domain: string predicate on a numeric column prunes nothing
+    rep3 = prune_report(tbl, [("v", ">", "zzz")])
+    assert rep3["kept_files"] == 2
+
+
+def test_manifest_stats_validation_errors(spark, tmp_path):
+    """Loud contracts: unknown stats col, partition stats col, bad op,
+    NULL predicate value, non-JSON properties — all before staging."""
+    import pytest
+
+    from dbcut_spark.sinks.manifest import (
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(5).select(F.col("id").alias("k"),
+                               (F.col("id") % 2).alias("p"))
+    with pytest.raises(ValueError, match="stats_cols not in df"):
+        publish_snapshot(df, tbl, stats_cols=["nope"])
+    with pytest.raises(ValueError, match="partition columns"):
+        publish_snapshot(df, tbl, stats_cols=["p"], partition_by=["p"])
+    with pytest.raises(TypeError):
+        publish_snapshot(df, tbl, properties={"bad": object()})
+    assert not os.path.exists(os.path.join(tbl, "_manifests"))
+    publish_snapshot(df, tbl, stats_cols=["k"])
+    with pytest.raises(ValueError, match="unsupported where op"):
+        read_snapshot(spark, tbl, where=[("k", "!=", 1)])
+    with pytest.raises(ValueError, match="never match NULL"):
+        read_snapshot(spark, tbl, where=[("k", "=", None)])
+
+
+def test_snapshot_properties_roundtrip(spark, tmp_path, manifest_backend):
+    """properties ride ONE snapshot's manifest and are not inherited."""
+    import pytest
+
+    from dbcut_spark.sinks.manifest import (
+        publish_snapshot,
+        snapshot_properties,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(3)
+    publish_snapshot(df, tbl, properties={"cursor": 7, "tag": "x"})
+    publish_snapshot(df, tbl, mode="append")
+    assert snapshot_properties(tbl, 1) == {"cursor": 7, "tag": "x"}
+    assert snapshot_properties(tbl) == {}
+    with pytest.raises(FileNotFoundError):
+        snapshot_properties(str(tmp_path / "missing"))
