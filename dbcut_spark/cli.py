@@ -455,6 +455,11 @@ def inspect(
             f"(sinks.manifest.vacuum): "
             f"{mi['reclaimable_bytes'] / 1024 / 1024:.1f}MB"
         )
+        click.echo(
+            f"  skip stats: {mi['stats_files']}/{mi['live_files']} live "
+            "files carry footer min/max (read_snapshot(where=...) "
+            "prunes on them)"
+        )
 
 
 @cli.command()
@@ -878,6 +883,57 @@ def sql(ctx: Ctx, statement: str, limit: int):
         click.echo("\t".join("NULL" if v is None else str(v) for v in r))
     if len(rows) > limit:
         click.echo(f"... (> {limit} rows, use -n to raise)")
+
+
+@cli.command()
+@click.argument("base_path")
+@click.argument("view_path")
+@click.option(
+    "--key",
+    "keys",
+    multiple=True,
+    required=True,
+    help="group-by column (repeatable)",
+)
+@click.option(
+    "--measure",
+    "measure_specs",
+    multiple=True,
+    required=True,
+    help="ALIAS=OP[:COLUMN] with OP in sum|count|min|max "
+    "(repeatable), e.g. --measure n=count --measure "
+    "total=sum:o_totalprice",
+)
+@click.pass_obj
+def rollup(ctx: Ctx, base_path: str, view_path: str, keys, measure_specs):
+    """Refresh an incrementally-maintained rollup view of a manifest
+    table (operators/matview.py): reads ONLY the data files appended
+    since the view's cursor and merges their partial aggregates —
+    O(view + delta) per refresh, full recompute only when the base
+    history has a non-append commit."""
+    from dbcut_spark.operators.matview import refresh_rollup
+
+    measures = {}
+    for spec in measure_specs:
+        alias, _, rest = spec.partition("=")
+        op, _, col = rest.partition(":")
+        if not alias or not op:
+            raise click.BadParameter(
+                f"--measure {spec!r}: expected ALIAS=OP[:COLUMN]"
+            )
+        measures[alias] = (op, col or None)
+    res = refresh_rollup(
+        ctx.spark, base_path, view_path, list(keys), measures
+    )
+    delta = (
+        f", {res['delta_files']} delta files"
+        if res["delta_files"] is not None
+        else ""
+    )
+    click.echo(
+        f"{res['mode']}: view v{res['view_version']} now at base "
+        f"v{res['base_version']}{delta}"
+    )
 
 
 def main():

@@ -2784,3 +2784,59 @@ def test_snapshot_properties_roundtrip(spark, tmp_path, manifest_backend):
     assert snapshot_properties(tbl) == {}
     with pytest.raises(FileNotFoundError):
         snapshot_properties(str(tmp_path / "missing"))
+
+
+def test_cli_rollup_refresh(spark, sf_dir, tmp_path):
+    """`cli rollup BASE VIEW --key --measure` drives matview refresh
+    end-to-end: bootstrap full, then an append refreshes incrementally
+    and reports its delta file count."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sinks import manifest as mf
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mf.publish_snapshot(orders.filter(F.year("o_orderdate") < 1997), base)
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    # chain-mode click parses options before positionals
+    args = [
+        "-c", cfg_path, "rollup",
+        "--key", "o_orderstatus",
+        "--measure", "n=count",
+        "--measure", "total=sum:o_totalprice",
+        base, view,
+    ]
+    r1 = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert r1.exit_code == 0, r1.output
+    assert r1.output.startswith("full: view v1")
+    mf.publish_snapshot(
+        orders.filter(F.year("o_orderdate") >= 1997), base, mode="append"
+    )
+    r2 = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert r2.exit_code == 0, r2.output
+    assert r2.output.startswith("incremental: view v2")
+    assert "delta files" in r2.output
+    # and the numbers are the flat rollup's
+    from dbcut_spark.operators.matview import rollup as mv_rollup
+
+    got = sorted(tuple(r) for r in mf.read_snapshot(spark, view).collect())
+    exp = sorted(
+        tuple(r)
+        for r in mv_rollup(
+            orders, ["o_orderstatus"],
+            {"n": ("count", None), "total": ("sum", "o_totalprice")},
+        ).collect()
+    )
+    assert got == exp
