@@ -589,6 +589,17 @@ def purgecache(ctx: Ctx):
     default=None,
     help="compact only this table (required with --zorder)",
 )
+@click.option(
+    "--manifest",
+    "manifest_path",
+    default=None,
+    metavar="PATH",
+    help="compact a MANIFEST table instead of the destination tables: "
+    "rewrites the head snapshot into size-targeted files as a new "
+    "version (sinks.manifest.compact_snapshot), inheriting its "
+    "skip-stat columns and vacuuming expired files; a writer landing "
+    "mid-compaction wins",
+)
 @click.pass_obj
 def compact(
     ctx: Ctx,
@@ -596,6 +607,7 @@ def compact(
     min_frag_mb: float,
     zorder: str | None,
     only_table: str | None,
+    manifest_path: str | None,
 ):
     """Compact fragmented destination parquet tables (small-files
     maintenance: incremental loads leave many tiny files; this rewrites
@@ -608,6 +620,26 @@ def compact(
     two-dimensional file skipping."""
     from dbcut_spark.sinks.compact import compact_parquet
 
+    if manifest_path:
+        from dbcut_spark.sinks.manifest import compact_snapshot
+
+        res = compact_snapshot(
+            ctx.spark, manifest_path,
+            target_file_mb=target_file_mb, min_frag_mb=min_frag_mb,
+        )
+        if res["compacted"]:
+            click.echo(
+                f"compacted manifest {manifest_path}: "
+                f"{res['before_files']} -> {res['after_files']} files "
+                f"(v{res['version']}, {res['vacuumed']} expired files "
+                "vacuumed)"
+            )
+        else:
+            click.echo(
+                f"skipped manifest {manifest_path}: not fragmented "
+                f"({res['before_files']} files)"
+            )
+        return
     if ctx.dest.startswith("jdbc:"):
         raise click.UsageError("compact applies to parquet destinations only")
     zcols: tuple[str, str] | None = None

@@ -970,6 +970,112 @@ def manifest_inspect(table_path: str) -> dict:
     }
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_mb: int = 128,
+    min_frag_mb: float = 0.0,
+    stats_cols: list[str] | None = None,
+    keep_last: int = 1,
+    grace_seconds: float = 86400.0,
+    vacuum_after: bool = True,
+) -> dict:
+    """Rewrite a manifest table's HEAD snapshot into size-targeted data
+    files and publish the rewrite as the next version — the generic
+    manifest twin of ``sinks/compact.py`` (and of the LSH-specific
+    ``dedup.lsh_index_compact``): every append commit adds at least one
+    file, so an ingest table or matview base left unmaintained makes
+    readers pay per-file open cost growing with commit count.
+
+    - the publish pins ``expected_parent`` to the compacted head, so a
+      writer landing mid-compaction WINS and this compaction raises
+      :class:`VersionConflictError` (re-run later) — maintenance must
+      never clobber data;
+    - readers are unaffected mid-flight (they hold the pre-compact
+      snapshot; with ``vacuum_after`` a long-running reader past
+      ``keep_last`` fails loudly on retention, never reads mixed state);
+    - ``stats_cols=None`` INHERITS the stat columns present on the head
+      manifest (compaction must not silently drop file-skipping
+      coverage); pass ``[]`` to disable;
+    - partitioned tables keep their ``partition_by`` layout (one file
+      per partition value via the staging repartition rule);
+      unpartitioned tables hash into ``ceil(bytes / target_file_mb)``
+      files;
+    - ``min_frag_mb`` skips tables whose average live file is already
+      at least that big; single-file tables are a no-op.
+
+    Returns ``{"compacted": bool, "version": ..., "before_files": ...,
+    "after_files": ..., "vacuumed": ...}``."""
+    import math
+
+    head = current_version(table_path)
+    if head is None:
+        raise FileNotFoundError(f"no published snapshot under {table_path}")
+    m = _load_manifest(table_path, head)
+    before_files = len(m["files"])
+    before_bytes = 0
+    for rel in m["files"]:
+        try:
+            before_bytes += os.stat(os.path.join(table_path, rel)).st_size
+        except FileNotFoundError:
+            pass
+    if before_files <= 1:
+        return {
+            "compacted": False,
+            "version": head,
+            "before_files": before_files,
+            "after_files": before_files,
+            "vacuumed": 0,
+        }
+    avg_mb = before_bytes / before_files / (1024 * 1024)
+    if min_frag_mb and avg_mb >= min_frag_mb:
+        return {
+            "compacted": False,
+            "version": head,
+            "before_files": before_files,
+            "after_files": before_files,
+            "vacuumed": 0,
+        }
+    if stats_cols is None:
+        # inherit the head's skip-stat coverage: a maintenance rewrite
+        # must not silently blind read_snapshot(where=...) pruning
+        seen: list[str] = []
+        for st in (m.get("stats") or {}).values():
+            for c in st:
+                if c not in seen and c not in (m.get("partition_by") or []):
+                    seen.append(c)
+        stats_cols = seen
+    df = read_snapshot(spark, table_path, head)
+    partition_by = list(m.get("partition_by") or [])
+    if not partition_by:
+        n_out = max(
+            1, math.ceil(before_bytes / (target_file_mb * 1024 * 1024))
+        )
+        df = df.repartition(n_out)
+    new_v = publish_snapshot(
+        df,
+        table_path,
+        mode="overwrite",
+        partition_by=partition_by or None,
+        expected_parent=head,
+        stats_cols=stats_cols or None,
+    )
+    vacuumed = (
+        len(vacuum(table_path, keep_last=keep_last,
+                   grace_seconds=grace_seconds))
+        if vacuum_after
+        else 0
+    )
+    after = _load_manifest(table_path, new_v)
+    return {
+        "compacted": True,
+        "version": new_v,
+        "before_files": before_files,
+        "after_files": len(after["files"]),
+        "vacuumed": vacuumed,
+    }
+
+
 def vacuum(
     table_path: str, keep_last: int = 1, grace_seconds: float = 86400.0
 ) -> list[str]:

@@ -2840,3 +2840,139 @@ def test_cli_rollup_refresh(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Generic manifest-table compaction (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_compact_snapshot(spark, tmp_path, manifest_backend):
+    """Five 1-file append commits compact into few size-targeted files:
+    rows identical, version bumped, expired files vacuumed, inherited
+    skip stats still prune."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    for lo in range(0, 500, 100):
+        d = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+        ).coalesce(1)
+        mf.publish_snapshot(
+            d, tbl, mode="overwrite" if lo == 0 else "append",
+            stats_cols=["v"], repartition=False,
+        )
+    before = _mrows(mf.read_snapshot(spark, tbl))
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    assert res["compacted"] and res["version"] == 6
+    assert res["before_files"] == 5 and res["after_files"] < 5
+    assert res["vacuumed"] >= 5  # the five expired 1-file commits
+    assert _mrows(mf.read_snapshot(spark, tbl)) == before
+    # inherited stats: the rewrite re-collected v's footer stats
+    rep = mf.prune_report(tbl, [("v", ">", 1e9)])
+    assert rep["stats_files"] == rep["total_files"]
+    assert rep["kept_files"] == 0
+    # single-file / already-big layouts are no-ops
+    res2 = mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    if res2["before_files"] == 1:
+        assert not res2["compacted"]
+    res3 = mf.compact_snapshot(spark, tbl, min_frag_mb=0.000001,
+                               grace_seconds=0)
+    assert not res3["compacted"]
+
+
+def test_manifest_compact_keeps_partition_layout(spark, tmp_path):
+    """A partitioned table compacts within its hive layout and the
+    partition columns reconstruct."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    mf.publish_snapshot(df, tbl, partition_by=["p"])
+    mf.publish_snapshot(df.withColumn("k", F.col("k") + 1000), tbl,
+                        mode="append", partition_by=["p"])
+    before = _mrows(mf.read_snapshot(spark, tbl))
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    assert res["compacted"]
+    got = mf.read_snapshot(spark, tbl)
+    assert set(got.columns) == {"k", "p"}
+    assert _mrows(got) == before
+    m = mf._load_manifest(tbl, res["version"])
+    assert m["partition_by"] == ["p"]
+    # one file per partition value after the co-locating rewrite
+    assert res["after_files"] == 3
+
+
+def test_manifest_compact_loses_to_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A writer landing mid-compaction WINS: the compaction's pinned
+    publish raises VersionConflictError and the append's rows are
+    never lost."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    a = spark.range(0, 50).select(F.col("id").alias("k"))
+    mf.publish_snapshot(a.coalesce(1), tbl, repartition=False)
+    mf.publish_snapshot(a.coalesce(1), tbl, mode="append",
+                        repartition=False)
+
+    orig = mf.publish_snapshot
+
+    def racing(df, table_path, **kw):
+        if kw.get("expected_parent") is not None:
+            monkeypatch.setattr(mf, "publish_snapshot", orig)
+            orig(
+                spark.range(100, 110).select(F.col("id").alias("k")),
+                table_path, mode="append",
+            )
+        return orig(df, table_path, **kw)
+
+    monkeypatch.setattr(mf, "publish_snapshot", racing)
+    with pytest.raises(mf.VersionConflictError):
+        mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    # the racer's append is intact and the table readable
+    assert mf.read_snapshot(spark, tbl).count() == 110
+
+
+def test_cli_compact_manifest(spark, sf_dir, tmp_path):
+    """`cli compact --manifest PATH` drives compact_snapshot."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        mf.publish_snapshot(
+            spark.range(lo, lo + 100).coalesce(1), tbl,
+            mode="overwrite" if lo == 0 else "append", repartition=False,
+        )
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    res = CliRunner().invoke(
+        cli, ["-c", cfg_path, "compact", "--manifest", tbl],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert f"compacted manifest {tbl}: 3 -> " in res.output
+    assert mf.read_snapshot(spark, tbl).count() == 300
+    res2 = CliRunner().invoke(
+        cli, ["-c", cfg_path, "compact", "--manifest", tbl],
+        catch_exceptions=False,
+    )
+    assert "skipped manifest" in res2.output
