@@ -157,6 +157,10 @@ HEADLINE = [
     "dedup_ingest_sequential",
     "docs_bpe_token_ids",
     "docs_bpe_tokenize50",
+    # round-11 additions
+    "orders_manifest_skipping",
+    "orders_manifest_time_travel",
+    "orders_rollup_incremental",
 ]
 
 

@@ -66,6 +66,11 @@ def _normalize(keys: list[str], measures: dict) -> dict:
         raise ValueError("rollup needs at least one group key")
     if not out:
         raise ValueError("rollup needs at least one measure")
+    clash = sorted(set(out) & set(keys))
+    if clash:
+        raise ValueError(
+            f"measure aliases collide with group keys: {clash}"
+        )
     return {"keys": list(keys), "measures": out}
 
 

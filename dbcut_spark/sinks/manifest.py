@@ -47,6 +47,15 @@ final names (dbcut/query.py:108-118 save_to_cache) — fine for a
 single-user local cache directory, not for a shared 100 TB table;
 this module is that publish contract made concurrent, versioned and
 object-store-safe.
+
+Known scaling boundary, stated: manifests are SINGLE full-snapshot
+JSON objects (files + per-file skip stats), so a snapshot of F files
+with S stat columns costs O(F·S) manifest bytes — ~100 B per
+(file, column). Fine through ~10^5 files (a few tens of MB, read
+once per resolution); past that the next step is Iceberg's
+manifest-list sharding, which this protocol's version/commit
+semantics would carry over unchanged. compact_snapshot keeps F down
+as part of normal maintenance.
 """
 
 from __future__ import annotations

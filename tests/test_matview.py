@@ -164,3 +164,5 @@ def test_matview_rejects_non_decomposable(spark, tmp_path, orders):
         rollup(orders, KEYS, {"s": ("sum", None)})
     with pytest.raises(ValueError, match="at least one group key"):
         rollup(orders, [], MEASURES)
+    with pytest.raises(ValueError, match="collide with group keys"):
+        rollup(orders, KEYS, {"o_orderstatus": ("count", None)})
