@@ -247,7 +247,7 @@ def _stat_comparable(tag_stored, stored, tag_pred, pred):
     return None
 
 
-_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
 
 
 def _file_may_match(file_stats: dict | None, where: list) -> bool:
@@ -266,28 +266,40 @@ def _file_may_match(file_stats: dict | None, where: list) -> bool:
             return False  # all-NULL column: no comparison matches
         if "min" not in s or "max" not in s:
             continue
-        pv = _stat_encode(val)
-        if pv is None:
-            continue
-        lo = _stat_comparable(s.get("t"), s["min"], pv[0], pv[1])
-        hi = _stat_comparable(s.get("t"), s["max"], pv[0], pv[1])
-        if lo is None or hi is None:
-            continue
-        smin, v = lo
-        smax, _ = hi
-        try:
-            if op in ("=", "==") and not (smin <= v <= smax):
-                return False
-            if op == "<" and not (smin < v):
-                return False
-            if op == "<=" and not (smin <= v):
-                return False
-            if op == ">" and not (smax > v):
-                return False
-            if op == ">=" and not (smax >= v):
-                return False
-        except TypeError:
-            continue
+        vals = list(val) if op == "in" else [val]
+        # "in" keeps the file if ANY member can be inside [min,max];
+        # any member the stats cannot reason about keeps it too
+        decided_out = True
+        for one in vals:
+            pv = _stat_encode(one)
+            if pv is None:
+                decided_out = False
+                break
+            lo = _stat_comparable(s.get("t"), s["min"], pv[0], pv[1])
+            hi = _stat_comparable(s.get("t"), s["max"], pv[0], pv[1])
+            if lo is None or hi is None:
+                decided_out = False
+                break
+            smin, v = lo
+            smax, _ = hi
+            try:
+                if op in ("=", "==", "in"):
+                    if smin <= v <= smax:
+                        decided_out = False
+                        break
+                elif op == "<":
+                    decided_out = not (smin < v)
+                elif op == "<=":
+                    decided_out = not (smin <= v)
+                elif op == ">":
+                    decided_out = not (smax > v)
+                else:  # ">="
+                    decided_out = not (smax >= v)
+            except TypeError:
+                decided_out = False
+                break
+        if decided_out:
+            return False
     return True
 
 
@@ -564,6 +576,7 @@ def publish_snapshot(
     repartition: bool = True,
     stats_cols: list[str] | None = None,
     properties: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -602,7 +615,16 @@ def publish_snapshot(
 
     ``properties`` is an opaque JSON dict stored verbatim on this
     snapshot's manifest (not inherited by appends) — e.g. the
-    materialized-view refresh cursor (operators/matview.py)."""
+    materialized-view refresh cursor (operators/matview.py).
+
+    ``cluster_by`` range-partitions and sorts the staged files on the
+    named columns before the write, so each file covers a NARROW value
+    range and ``stats_cols`` skipping actually bites: time-ordered
+    ingest is naturally clustered, but a backfill/compaction of
+    unsorted data would otherwise produce files whose [min,max] all
+    span the whole domain — stats that keep every file are dead
+    weight. Mutually exclusive with ``repartition=False`` (the caller
+    would be asking for two different layouts)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     pin_parent = expected_parent is not ...
@@ -625,6 +647,20 @@ def publish_snapshot(
             )
     if properties is not None:
         json.dumps(properties)  # fail a non-JSON dict before staging
+    if cluster_by:
+        if not repartition:
+            raise ValueError(
+                "cluster_by lays files out by range; repartition=False "
+                "asks to keep the caller's layout — pick one"
+            )
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by not in df: {missing}")
+        layout = list(partition_by or []) + [
+            c for c in cluster_by if c not in (partition_by or [])
+        ]
+        df = df.repartitionByRange(*layout).sortWithinPartitions(*layout)
+        repartition = False  # _stage must not undo the range layout
     os.makedirs(table_path, exist_ok=True)
     if mode == "append":
         # validate schema BEFORE the expensive data write: staging
@@ -738,6 +774,16 @@ def _where_column(where: list):
             raise ValueError(
                 f"unsupported where op {op!r}; one of {_PRUNE_OPS}"
             )
+        if op == "in":
+            members = list(val) if isinstance(val, (list, tuple, set)) else None
+            if not members or any(m is None for m in members):
+                raise ValueError(
+                    f"where 'in' for {col!r} needs a non-empty sequence "
+                    "of non-NULL values"
+                )
+            e = F.col(col).isin(members)
+            cond = e if cond is None else (cond & e)
+            continue
         if val is None:
             raise ValueError(
                 f"where value for {col!r} is None: comparison predicates "
@@ -985,6 +1031,7 @@ def compact_snapshot(
     target_file_mb: int = 128,
     min_frag_mb: float = 0.0,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
     keep_last: int = 1,
     grace_seconds: float = 86400.0,
     vacuum_after: bool = True,
@@ -1011,7 +1058,11 @@ def compact_snapshot(
       unpartitioned tables hash into ``ceil(bytes / target_file_mb)``
       files;
     - ``min_frag_mb`` skips tables whose average live file is already
-      at least that big; single-file tables are a no-op.
+      at least that big; single-file tables are a no-op;
+    - ``cluster_by`` (unpartitioned tables) makes the rewrite
+      range-clustered on the named columns — the maintenance moment to
+      establish tight per-file [min,max] so ``where`` skipping bites
+      on a table whose commits arrived unsorted.
 
     Returns ``{"compacted": bool, "version": ..., "before_files": ...,
     "after_files": ..., "vacuumed": ...}``."""
@@ -1060,7 +1111,19 @@ def compact_snapshot(
         n_out = max(
             1, math.ceil(before_bytes / (target_file_mb * 1024 * 1024))
         )
-        df = df.repartition(n_out)
+        if cluster_by:
+            # size-targeted AND range-clustered: the rewrite is the one
+            # moment to establish tight per-file [min,max] for stats
+            # skipping over an unsorted accumulation of commits
+            df = df.repartitionByRange(n_out, *cluster_by)
+            df = df.sortWithinPartitions(*cluster_by)
+        else:
+            df = df.repartition(n_out)
+    elif cluster_by:
+        raise ValueError(
+            "cluster_by on a hive-partitioned manifest table is not "
+            "supported: the partition layout already owns file placement"
+        )
     new_v = publish_snapshot(
         df,
         table_path,

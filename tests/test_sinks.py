@@ -2976,3 +2976,82 @@ def test_cli_compact_manifest(spark, sf_dir, tmp_path):
         catch_exceptions=False,
     )
     assert "skipped manifest" in res2.output
+
+
+def test_manifest_where_in_pruning(spark, tmp_path):
+    """'in' predicates prune to the files whose [min,max] contains ANY
+    member; empty or NULL-bearing member lists fail loudly."""
+    import pytest
+
+    from dbcut_spark.sinks.manifest import prune_report, read_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    _three_range_commits(spark, tbl)
+    rep = prune_report(tbl, [("v", "in", [150.0, 160.0])])
+    assert rep["total_files"] == 3 and rep["kept_files"] == 1
+    got = read_snapshot(spark, tbl, where=[("v", "in", [150.0, 160.0])])
+    assert _mrows(got.select("k")) == [(150,), (160,)]
+    # members straddling two files keep both
+    rep2 = prune_report(tbl, [("v", "in", [50.0, 250.0])])
+    assert rep2["kept_files"] == 2
+    with pytest.raises(ValueError, match="non-empty sequence"):
+        read_snapshot(spark, tbl, where=[("v", "in", [])])
+    with pytest.raises(ValueError, match="non-empty sequence"):
+        read_snapshot(spark, tbl, where=[("v", "in", [1.0, None])])
+
+
+def test_manifest_cluster_by_restores_skipping(spark, tmp_path):
+    """Unsorted commits produce files whose ranges all span the whole
+    domain (stats keep everything); a cluster_by publish — and a
+    cluster_by compaction — re-establish tight per-file ranges so the
+    same predicate actually skips."""
+    from dbcut_spark.sinks import manifest as mf
+
+    n_rows = 200_000
+    shuffled = spark.range(0, n_rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 999_983 % n_rows).cast("double").alias("v"),
+    ).repartition(4)
+
+    # unsorted: every file spans ~the whole v domain
+    t1 = str(tmp_path / "unsorted")
+    mf.publish_snapshot(shuffled, t1, stats_cols=["v"], repartition=False)
+    rep1 = mf.prune_report(t1, [("v", "<", 100.0)])
+    assert rep1["kept_files"] == rep1["total_files"] >= 2
+
+    # cluster_by at publish: tight ranges, the predicate prunes (AQE
+    # small-data coalescing would legitimately fold this tiny frame to
+    # one file; pin it off so the layout shape is observable)
+    t2 = str(tmp_path / "clustered")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        mf.publish_snapshot(shuffled, t2, stats_cols=["v"],
+                            cluster_by=["v"])
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    rep2 = mf.prune_report(t2, [("v", "<", 100.0)])
+    assert rep2["kept_files"] < rep2["total_files"]
+    got = mf.read_snapshot(spark, t2, where=[("v", "<", 100.0)])
+    assert got.count() == 100
+
+    # cluster_by at compaction rewrites the unsorted table into a
+    # skipping-friendly layout with identical rows (explicit n_out from
+    # target_file_mb, so no AQE pinning needed)
+    before = _mrows(mf.read_snapshot(spark, t1))
+    res = mf.compact_snapshot(
+        spark, t1, target_file_mb=1, cluster_by=["v"], grace_seconds=0
+    )
+    assert res["compacted"] and res["after_files"] >= 2
+    assert _mrows(mf.read_snapshot(spark, t1)) == before
+    rep3 = mf.prune_report(t1, [("v", "<", 100.0)])
+    assert rep3["kept_files"] < rep3["total_files"]
+
+    # guardrails
+    import pytest
+
+    with pytest.raises(ValueError, match="pick one"):
+        mf.publish_snapshot(shuffled, t2, cluster_by=["v"],
+                            repartition=False)
+    with pytest.raises(ValueError, match="cluster_by not in df"):
+        mf.publish_snapshot(shuffled, t2, cluster_by=["nope"])
