@@ -1079,7 +1079,10 @@ def compact_snapshot(
             before_bytes += os.stat(os.path.join(table_path, rel)).st_size
         except FileNotFoundError:
             pass
-    if before_files <= 1:
+    # cluster_by is an explicit re-LAYOUT request: a single big
+    # unsorted file is exactly what it exists to split into prunable
+    # range files, so only the size-driven shortcuts skip it
+    if before_files <= (0 if cluster_by else 1):
         return {
             "compacted": False,
             "version": head,
@@ -1088,7 +1091,7 @@ def compact_snapshot(
             "vacuumed": 0,
         }
     avg_mb = before_bytes / before_files / (1024 * 1024)
-    if min_frag_mb and avg_mb >= min_frag_mb:
+    if not cluster_by and min_frag_mb and avg_mb >= min_frag_mb:
         return {
             "compacted": False,
             "version": head,

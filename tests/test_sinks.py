@@ -3047,6 +3047,18 @@ def test_manifest_cluster_by_restores_skipping(spark, tmp_path):
     rep3 = mf.prune_report(t1, [("v", "<", 100.0)])
     assert rep3["kept_files"] < rep3["total_files"]
 
+    # a SINGLE big unsorted file is exactly what cluster_by exists to
+    # split — the 1-file no-op shortcut must not swallow the request
+    t3 = str(tmp_path / "onefile")
+    mf.publish_snapshot(shuffled.coalesce(1), t3, stats_cols=["v"],
+                        repartition=False)
+    res1f = mf.compact_snapshot(
+        spark, t3, target_file_mb=1, cluster_by=["v"], grace_seconds=0
+    )
+    assert res1f["compacted"] and res1f["after_files"] >= 2
+    rep4 = mf.prune_report(t3, [("v", "<", 100.0)])
+    assert rep4["kept_files"] < rep4["total_files"]
+
     # guardrails
     import pytest
 
