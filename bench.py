@@ -161,6 +161,7 @@ HEADLINE = [
     "orders_manifest_skipping",
     "orders_manifest_time_travel",
     "orders_rollup_incremental",
+    "events_stream_manifest_rollup",
 ]
 
 

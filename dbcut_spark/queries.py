@@ -884,6 +884,7 @@ _GATE_ROTATION = [
     "orders_manifest_skipping",
     "orders_manifest_time_travel",
     "orders_rollup_incremental",
+    "events_stream_manifest_rollup",
 ]
 
 GATE_WINDOW = 50

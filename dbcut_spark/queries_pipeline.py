@@ -5701,3 +5701,71 @@ def docs_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score > 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "events_stream_manifest_rollup",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def events_stream_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion + streaming-maintained rollup
+    (round 11, streaming/manifest_sink.py — the batch core of the
+    foreachBatch sink, whose stream==batch equivalence and
+    fresh-checkpoint replay are pinned in tests/test_manifest_sink.py):
+    the events table arrives as three micro-batches, each committed
+    through the per-(query, batch) txn map and followed by an
+    incremental rollup refresh that reads ONLY the files that batch
+    added. The gate RAISES unless (a) the refresh modes were
+    full/incremental/incremental, (b) a replayed batch is a no-op
+    BEFORE staging, and (c) the refresh after the replay is a noop —
+    then the DuckDB hash pins the final view == a flat GROUP BY over
+    the whole table, i.e. exactly-once delivery composed with delta
+    maintenance loses and double-counts nothing.
+
+    Scale: per trigger this is O(batch) append + O(view + batch)
+    refresh, with replay protection decided by ONE manifest read —
+    the Delta-txn-style contract a 100 TB event-log ingest needs
+    (per-row insert-ignore cannot protect log rows with no natural
+    PK)."""
+    from dbcut_spark.operators.matview import refresh_rollup
+    from dbcut_spark.sinks.manifest import read_snapshot
+    from dbcut_spark.streaming.manifest_sink import append_batch_exactly_once
+
+    import dbcut_spark.queries_relational as qr
+
+    scratch = qr._rf_scratch()
+    tbl, view = scratch + "/ev_stream", scratch + "/ev_view"
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    keys = ["event_type"]
+    measures = {"n_events": ("count", None), "total_value": ("sum", "value")}
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    modes = []
+    for i, sl in enumerate(slices):
+        v = append_batch_exactly_once(sl, i, tbl, "gate")
+        if v is None:
+            raise RuntimeError(f"batch {i} wrongly judged a replay")
+        modes.append(refresh_rollup(spark, tbl, view, keys, measures)["mode"])
+    if modes != ["full", "incremental", "incremental"]:
+        raise RuntimeError(
+            f"rollup refresh modes {modes} != full/incremental/incremental"
+        )
+    if append_batch_exactly_once(slices[0], 0, tbl, "gate") is not None:
+        raise RuntimeError("replayed batch 0 was not a no-op")
+    if refresh_rollup(spark, tbl, view, keys, measures)["mode"] != "noop":
+        raise RuntimeError("refresh after a replayed batch must be a noop")
+    return (
+        read_snapshot(spark, view)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1127,6 +1127,11 @@ def compact_snapshot(
             "cluster_by on a hive-partitioned manifest table is not "
             "supported: the partition layout already owns file placement"
         )
+    # a compaction rewrites the LAYOUT of the same logical snapshot, so
+    # the head's properties carry forward verbatim — dropping them
+    # would break consumers that ride them across commits (the
+    # streaming sink's exactly-once stream_txn map, a matview cursor)
+    head_props = m.get("properties")
     new_v = publish_snapshot(
         df,
         table_path,
@@ -1134,6 +1139,7 @@ def compact_snapshot(
         partition_by=partition_by or None,
         expected_parent=head,
         stats_cols=stats_cols or None,
+        properties=head_props,
     )
     vacuumed = (
         len(vacuum(table_path, keep_last=keep_last,

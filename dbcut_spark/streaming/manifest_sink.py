@@ -1,0 +1,161 @@
+"""Exactly-once streaming appends into manifest tables.
+
+``foreachBatch`` re-runs a micro-batch after a crash, so a plain
+``publish_snapshot(mode='append')`` per batch would double its rows.
+This sink makes the append idempotent the way Delta's transaction log
+does: every commit carries a ``stream_txn`` map — ``{query_id: last
+committed batch_id}`` — in its manifest ``properties``, copied forward
+from the previous commit and updated with this batch. A replayed batch
+finds its id already recorded and becomes a no-op BEFORE staging any
+data; a batch racing another writer loses the version CAS, re-resolves
+the head (whose txn map may now include itself — e.g. its own publish
+succeeded but the acknowledgement was lost) and re-checks before
+retrying. The check and the data commit are the same atomic manifest
+publish, so there is no window where the data landed but the txn
+didn't.
+
+Map maintenance contract: any writer that REWRITES the table without
+changing its logical content must carry the map forward —
+``sinks.manifest.compact_snapshot`` preserves the head's properties
+verbatim for exactly this reason. A manual append that drops the map
+degrades replay detection for batches older than the last map-carrying
+commit, so the resolver walks BACK from the head to the newest commit
+that carries a map (normally the head itself, one manifest read).
+
+Composes with ``operators/matview.py``: appends through this sink are
+ordinary manifest ``append`` commits, so an incremental rollup refresh
+per micro-batch reads exactly the files that batch added — a
+streaming-maintained aggregate for O(view + batch) per trigger (the
+``events_stream_manifest_rollup`` gate pins the composition
+cross-engine).
+
+Reference parity: the reference's idempotent load path is the
+INSERT-IGNORE re-insertion of cached rows (dbcut/cli/operations.py) —
+per-ROW idempotence keyed on PKs. This sink is the per-BATCH
+equivalent for append-only tables where rows have no natural PK (log
+and event ingestion), which insert-ignore cannot protect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+TXN_KEY = "stream_txn"
+
+
+def _resolve_txn(table_path: str, head: int | None) -> dict:
+    """The newest committed ``stream_txn`` map at or below ``head``.
+    Normally one manifest read (the head carries it); walks past
+    map-less commits (manual appends) and overwrites (a reset table's
+    old map still marks those batch ids as consumed — the conservative
+    reading for replay detection)."""
+    from dbcut_spark.sinks.manifest import _load_manifest
+
+    v = head
+    while v is not None and v >= 1:
+        m = _load_manifest(table_path, v)
+        if m is not None:
+            props = m.get("properties") or {}
+            if TXN_KEY in props:
+                return dict(props[TXN_KEY])
+        # follow the parent chain; a torn/missing manifest steps down
+        # one version (conservative: may visit a side branch's commit,
+        # whose txn map is still a valid committed-batch record)
+        v = m.get("parent") if m is not None else v - 1
+    return {}
+
+
+def append_batch_exactly_once(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    query_id: str,
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    retries: int = 4,
+) -> int | None:
+    """Append one micro-batch to a manifest table, exactly once per
+    (query_id, batch_id). Returns the published version, or None when
+    the batch was already committed (replay) — decided BEFORE staging,
+    so a replay costs one manifest read, not a parquet write.
+
+    The publish pins ``expected_parent`` to the head the txn check ran
+    against: a racer (another query's batch, a compaction) taking that
+    version fails THIS commit with a version conflict, and the retry
+    re-reads the new head's txn map — which is how a writer whose
+    previous publish succeeded but crashed before acknowledging
+    discovers its own batch and returns None instead of double-writing."""
+    from dbcut_spark.sinks.manifest import (
+        VersionConflictError,
+        current_version,
+        publish_snapshot,
+    )
+
+    for attempt in range(retries + 1):
+        head = current_version(table_path)
+        txn = _resolve_txn(table_path, head)
+        last = txn.get(query_id)
+        if last is not None and last >= batch_id:
+            return None
+        txn[query_id] = batch_id
+        try:
+            return publish_snapshot(
+                batch,
+                table_path,
+                mode="append",
+                partition_by=partition_by,
+                stats_cols=stats_cols,
+                cluster_by=cluster_by,
+                expected_parent=head,
+                properties={TXN_KEY: txn},
+            )
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def stream_manifest_append(
+    stream: DataFrame,
+    table_path: str,
+    query_id: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    rollup: dict | None = None,
+    **publish_opts,
+):
+    """Start a streaming append into a manifest table (foreachBatch over
+    :func:`append_batch_exactly_once`). Returns the StreamingQuery.
+    Default trigger drains available input and stops; pass e.g.
+    ``{"processingTime": "1 minute"}`` for continuous ingestion.
+
+    ``rollup={"view_path": ..., "keys": [...], "measures": {...}}``
+    refreshes an incrementally-maintained rollup view after each
+    batch's append — the refresh reads exactly the files the batch
+    added (manifest diff), so the view stays fresh for O(view + batch)
+    per trigger. The refresh runs AFTER the exactly-once append and is
+    itself idempotent (a replayed batch appends nothing, so the
+    refresh is a noop)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        append_batch_exactly_once(
+            batch, batch_id, table_path, query_id, **publish_opts
+        )
+        if rollup:
+            from dbcut_spark.operators.matview import refresh_rollup
+
+            refresh_rollup(
+                batch.sparkSession,
+                table_path,
+                rollup["view_path"],
+                rollup["keys"],
+                rollup["measures"],
+            )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

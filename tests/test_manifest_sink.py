@@ -1,0 +1,147 @@
+"""Exactly-once streaming appends into manifest tables
+(streaming/manifest_sink.py): replayed micro-batches are no-ops keyed
+on the per-query txn map, the map survives compaction and races, and
+the streaming rollup composition stays exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbcut_spark.sinks import manifest as mf
+from dbcut_spark.streaming.manifest_sink import (
+    TXN_KEY,
+    append_batch_exactly_once,
+    stream_manifest_append,
+)
+
+
+def _mrows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_batch_replay_is_noop(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    b0 = spark.range(0, 10).select(F.col("id").alias("k"))
+    b1 = spark.range(10, 20).select(F.col("id").alias("k"))
+    v = append_batch_exactly_once(b0, 0, tbl, "q")
+    assert v == 1
+    assert append_batch_exactly_once(b0, 0, tbl, "q") is None  # replay
+    assert mf.read_snapshot(spark, tbl).count() == 10
+    assert append_batch_exactly_once(b1, 1, tbl, "q") == 2
+    assert mf.read_snapshot(spark, tbl).count() == 20
+    # a LOWER batch id than the recorded one is also a replay
+    assert append_batch_exactly_once(b0, 0, tbl, "q") is None
+    # a different query's ids are independent
+    assert append_batch_exactly_once(b0, 0, tbl, "q2") == 3
+    assert mf.read_snapshot(spark, tbl).count() == 30
+    props = mf.snapshot_properties(tbl)
+    assert props[TXN_KEY] == {"q": 1, "q2": 0}
+
+
+def test_txn_map_survives_compaction(spark, tmp_path):
+    """compact_snapshot preserves the head's properties, so replay
+    detection survives layout maintenance."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):
+        append_batch_exactly_once(
+            spark.range(i * 10, i * 10 + 10).coalesce(1), i, tbl, "q"
+        )
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    assert res["compacted"]
+    assert mf.snapshot_properties(tbl)[TXN_KEY] == {"q": 2}
+    # replays of all three batches are still no-ops
+    for i in range(3):
+        assert (
+            append_batch_exactly_once(
+                spark.range(i * 10, i * 10 + 10), i, tbl, "q"
+            )
+            is None
+        )
+    assert mf.read_snapshot(spark, tbl).count() == 30
+
+
+def test_txn_resolver_walks_past_mapless_commits(spark, tmp_path):
+    """A manual append without the map does not erase replay detection
+    for older batches — the resolver walks back to the newest commit
+    that carries one."""
+    tbl = str(tmp_path / "tbl")
+    append_batch_exactly_once(spark.range(10), 0, tbl, "q")
+    mf.publish_snapshot(spark.range(5), tbl, mode="append")  # mapless
+    assert append_batch_exactly_once(spark.range(10), 0, tbl, "q") is None
+    v = append_batch_exactly_once(spark.range(3), 1, tbl, "q")
+    assert v == 3
+    assert mf.snapshot_properties(tbl)[TXN_KEY] == {"q": 1}
+
+
+def test_race_recheck_discovers_own_lost_ack(spark, tmp_path, monkeypatch):
+    """A writer whose publish succeeded but crashed before the ack
+    retries, loses the version CAS to its own committed manifest, and
+    the re-resolved txn map turns the retry into a no-op instead of a
+    double write. Simulated: a racer lands a commit carrying the same
+    (query, batch) entry between our txn check and our publish."""
+    tbl = str(tmp_path / "tbl")
+    append_batch_exactly_once(spark.range(10), 0, tbl, "q")
+
+    orig = mf.publish_snapshot
+
+    def racing(df, table_path, **kw):
+        if kw.get("properties", {}).get(TXN_KEY, {}).get("q") == 1:
+            monkeypatch.setattr(mf, "publish_snapshot", orig)
+            orig(
+                spark.range(100, 110), table_path, mode="append",
+                properties={TXN_KEY: {"q": 1}},
+            )
+        return orig(df, table_path, **kw)
+
+    monkeypatch.setattr(mf, "publish_snapshot", racing)
+    assert append_batch_exactly_once(spark.range(10, 20), 1, tbl, "q") is None
+    # only the racer's copy of batch 1 landed
+    assert mf.read_snapshot(spark, tbl).count() == 20
+
+
+def test_stream_manifest_append_with_rollup(spark, sf_dir, tmp_path):
+    """End-to-end: a 3-file stream appends exactly-once per batch and
+    maintains an incremental rollup; a FRESH checkpoint replays the
+    same batches and the txn map keeps the table and view unchanged."""
+    from dbcut_spark.operators.matview import rollup
+    from dbcut_spark.sources.parquet import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    # three deterministic slices, one file each
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stage))
+    tbl = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    keys = ["event_type"]
+    measures = {"n": ("count", None), "total": ("sum", "value")}
+
+    def run(checkpoint: str):
+        q = stream_manifest_append(
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage)),
+            tbl,
+            "evq",
+            checkpoint,
+            rollup={"view_path": view, "keys": keys, "measures": measures},
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    got_tbl = _mrows(mf.read_snapshot(spark, tbl))
+    assert len(got_tbl) == events.count()
+    got_view = _mrows(mf.read_snapshot(spark, view))
+    exp_view = _mrows(rollup(events, keys, measures))
+    assert got_view == exp_view
+    # a fresh checkpoint re-delivers batches 0..2: every one is a
+    # replay by txn map, so nothing changes
+    run(str(tmp_path / "ckpt2"))
+    assert _mrows(mf.read_snapshot(spark, tbl)) == got_tbl
+    assert _mrows(mf.read_snapshot(spark, view)) == got_view
