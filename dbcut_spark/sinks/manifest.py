@@ -544,12 +544,20 @@ def _publish_conditional_put(store, table_path: str, manifest: dict) -> None:
     raise conflict
 
 
-def _check_append_schema(df: DataFrame, pm: dict, parent: int) -> None:
+def _check_append_schema(
+    df: DataFrame, pm: dict, parent: int, schema_evolution: str | None = None
+) -> None:
     """Fail schema drift at PUBLISH time: read_snapshot unions commit
     groups by name, so an append whose column set or types diverge
     from the parent would otherwise publish fine and leave the table
     HEAD unreadable for everyone until a repair overwrite (nullability
-    is layout-free and allowed to differ)."""
+    is layout-free and allowed to differ).
+
+    ``schema_evolution='add'`` permits the append to carry NEW columns
+    (the manifest schema widens to the union; older files read back
+    NULL for them) — same contract as insert_ignore's
+    ``schema_evolution="add"``. Type changes and dropped columns stay
+    rejected: a writer MISSING parent columns is a bug, not evolution."""
     parent_cols = {
         (f.name, f.dataType.simpleString())
         for f in StructType.fromJson(pm["schema"]).fields
@@ -557,12 +565,32 @@ def _check_append_schema(df: DataFrame, pm: dict, parent: int) -> None:
     df_cols = {
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     }
+    extra = df_cols - parent_cols
+    if schema_evolution == "add":
+        parent_names = {n for n, _t in parent_cols}
+        # an "extra" sharing a parent column's NAME is a type change
+        retyped = sorted(n for n, _t in extra if n in parent_names)
+        if retyped:
+            raise ValueError(
+                f"append schema mismatch vs snapshot {parent}: column "
+                f"type changes {retyped} are not evolution; publish "
+                "mode='overwrite' to retype the table"
+            )
+        missing = parent_cols - df_cols
+        if missing:
+            raise ValueError(
+                f"append schema mismatch vs snapshot {parent}: "
+                f"missing {sorted(missing)} — schema_evolution='add' "
+                "only widens; dropped columns need mode='overwrite'"
+            )
+        return
     if parent_cols != df_cols:
         raise ValueError(
             f"append schema mismatch vs snapshot {parent}: "
             f"missing {sorted(parent_cols - df_cols)}, "
             f"extra {sorted(df_cols - parent_cols)}; publish "
-            "mode='overwrite' to change the table schema"
+            "mode='overwrite' to change the table schema, or "
+            "schema_evolution='add' to append new columns"
         )
 
 
@@ -577,6 +605,7 @@ def publish_snapshot(
     stats_cols: list[str] | None = None,
     properties: dict | None = None,
     cluster_by: list[str] | None = None,
+    schema_evolution: str | None = None,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -624,9 +653,20 @@ def publish_snapshot(
     unsorted data would otherwise produce files whose [min,max] all
     span the whole domain — stats that keep every file are dead
     weight. Mutually exclusive with ``repartition=False`` (the caller
-    would be asking for two different layouts)."""
+    would be asking for two different layouts).
+
+    ``schema_evolution='add'`` lets an append carry NEW columns: the
+    snapshot's schema widens to the union and files from older commits
+    read back NULL for the added columns (readers union by name with
+    missing columns allowed, then project the manifest schema order).
+    Type changes and dropped columns stay loud errors — a log table
+    grows columns; it does not silently retype them."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if schema_evolution not in (None, "add"):
+        raise ValueError(
+            f"schema_evolution must be None or 'add', got {schema_evolution!r}"
+        )
     pin_parent = expected_parent is not ...
     if pin_parent and retries:
         raise ValueError(
@@ -672,7 +712,7 @@ def publish_snapshot(
         if pre_parent is not None:
             pm0 = _load_manifest(table_path, pre_parent)
             if pm0 is not None:
-                _check_append_schema(df, pm0, pre_parent)
+                _check_append_schema(df, pm0, pre_parent, schema_evolution)
     staged = _stage(df, table_path, partition_by, repartition)
     staged_stats = (
         _collect_stats(df.sparkSession, table_path, staged, stats_cols)
@@ -695,7 +735,7 @@ def publish_snapshot(
                 )
             # re-checked per attempt: a retry may inherit a DIFFERENT
             # winner's schema than the pre-stage check saw
-            _check_append_schema(df, pm, parent)
+            _check_append_schema(df, pm, parent, schema_evolution)
             files.extend(pm["files"])
             # inherited files keep their recorded stats even when THIS
             # publish doesn't collect any: they are facts about
@@ -704,6 +744,25 @@ def publish_snapshot(
         files.extend(staged)
         stats.update(staged_stats)
         version = (parent or 0) + 1
+        schema_fields = list(df.schema.fields)
+        if mode == "append" and parent is not None and schema_evolution:
+            # the snapshot schema is the UNION: parent fields keep
+            # their positions, genuinely-new columns append after —
+            # so readers of older snapshots and of this one agree on
+            # every shared column's slot
+            parent_schema = StructType.fromJson(pm["schema"])
+            df_by_name = {f.name: f for f in df.schema.fields}
+            schema_fields = list(parent_schema.fields) + [
+                f
+                for f in df.schema.fields
+                if f.name not in {p.name for p in parent_schema.fields}
+            ]
+            # shared columns take the df's (equal-typed) field to keep
+            # nullability current
+            schema_fields = [
+                df_by_name.get(f.name, f) if f.name in df_by_name else f
+                for f in schema_fields
+            ]
         manifest = {
             "version": version,
             "parent": parent,
@@ -711,7 +770,7 @@ def publish_snapshot(
             "files": files,
             "n_files": len(files),
             "partition_by": list(partition_by or []),
-            "schema": json.loads(df.schema.json()),
+            "schema": json.loads(StructType(schema_fields).json()),
         }
         if stats:
             manifest["stats"] = stats
@@ -763,7 +822,20 @@ def _read_files(
     out: DataFrame | None = None
     for base, paths in sorted(by_commit.items()):
         piece = spark.read.option("basePath", base).parquet(*paths)
-        out = piece if out is None else out.unionByName(piece)
+        # allowMissingColumns: commits published before a
+        # schema_evolution='add' lack the added columns and read back
+        # NULL for them; publish-time checks guarantee shared columns
+        # agree in type, so this can never paper over real drift
+        out = (
+            piece
+            if out is None
+            else out.unionByName(piece, allowMissingColumns=True)
+        )
+    names = [f.name for f in schema.fields]
+    if set(names) == set(out.columns):
+        # deterministic column order: the manifest schema's, not
+        # whichever commit group happened to sort first
+        out = out.select(*names)
     return out
 
 

@@ -3067,3 +3067,45 @@ def test_manifest_cluster_by_restores_skipping(spark, tmp_path):
                             repartition=False)
     with pytest.raises(ValueError, match="cluster_by not in df"):
         mf.publish_snapshot(shuffled, t2, cluster_by=["nope"])
+
+
+def test_manifest_schema_evolution_add(spark, tmp_path, manifest_backend):
+    """schema_evolution='add': an append may carry NEW columns — the
+    snapshot schema widens, older files read back NULL for them, the
+    column order is the manifest's — while type changes and dropped
+    columns stay loud errors."""
+    import pytest
+
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    v1_df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    publish_snapshot(v1_df, tbl)
+    wide = spark.createDataFrame(
+        [(3, "c", 1.5)], "k long, s string, score double"
+    )
+    # strict append still refuses
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_snapshot(wide, tbl, mode="append")
+    publish_snapshot(wide, tbl, mode="append", schema_evolution="add")
+    got = read_snapshot(spark, tbl)
+    assert got.columns == ["k", "s", "score"]
+    assert _mrows(got) == [(1, "a", None), (2, "b", None), (3, "c", 1.5)]
+    # the widened schema is now the table's: strict appends of the
+    # WIDE shape pass, narrow ones fail
+    publish_snapshot(
+        spark.createDataFrame([(4, "d", 2.5)], "k long, s string, score double"),
+        tbl, mode="append",
+    )
+    with pytest.raises(ValueError, match="only widens"):
+        publish_snapshot(v1_df, tbl, mode="append", schema_evolution="add")
+    # a type change is never evolution
+    retyped = spark.createDataFrame(
+        [(5, "e", "oops")], "k long, s string, score string"
+    )
+    with pytest.raises(ValueError, match="not evolution"):
+        publish_snapshot(retyped, tbl, mode="append", schema_evolution="add")
+    # time travel to the pre-evolution snapshot keeps the narrow schema
+    assert read_snapshot(spark, tbl, version=1).columns == ["k", "s"]
+    with pytest.raises(ValueError, match="schema_evolution must be"):
+        publish_snapshot(wide, tbl, mode="append", schema_evolution="merge")
