@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_manifest_time_travel",
     "orders_rollup_incremental",
     "events_stream_manifest_rollup",
+    "events_rollup_approx_users",
 ]
 
 

@@ -13,9 +13,14 @@ view — O(view + delta) work instead of O(base).
 Correctness contract:
 
 - measures are restricted to the self-decomposable aggregates —
-  ``sum`` / ``count`` / ``min`` / ``max`` — whose merge is the same
-  aggregate over partials (``avg`` derives from sum/count;
-  ``count_distinct`` is NOT decomposable and is rejected loudly);
+  ``sum`` / ``count`` / ``min`` / ``max``, plus ``approx_distinct``
+  (a Datasketches HLL sketch column: partials are ``hll_sketch_agg``,
+  the merge is ``hll_union_agg``, and :func:`finalize_rollup` renders
+  estimates — merged partials estimate EXACTLY what one full-pass
+  sketch would, pinned by tests) — whose merge is the same aggregate
+  over partials (``avg`` derives from sum/count; exact
+  ``count_distinct`` is NOT decomposable and is rejected loudly,
+  pointing at approx_distinct);
 - the incremental path is taken only when every base version since the
   cursor is an ``append`` whose file list is a superset of the
   cursor's. An overwrite/upsert in the window (rows may have VANISHED,
@@ -39,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-MEASURE_OPS = ("sum", "count", "min", "max")
+MEASURE_OPS = ("sum", "count", "min", "max", "approx_distinct")
 
 # fixed output type for sums: Spark widens decimal sums per aggregation
 # level (25,6 → 35,6 → …), so without a pin the view's schema would
@@ -56,8 +61,10 @@ def _normalize(keys: list[str], measures: dict) -> dict:
         if op not in MEASURE_OPS:
             raise ValueError(
                 f"measure {alias!r}: op {op!r} is not decomposable; "
-                f"supported: {MEASURE_OPS} (avg = sum/count; "
-                "count_distinct cannot be merged from partials)"
+                f"supported: {MEASURE_OPS} (avg = sum/count; exact "
+                "count_distinct cannot be merged from partials — use "
+                "approx_distinct, an HLL sketch whose union is exact "
+                "over partials)"
             )
         if op != "count" and not col:
             raise ValueError(f"measure {alias!r}: op {op!r} needs a column")
@@ -86,6 +93,8 @@ def _partial_exprs(measures: dict) -> list:
             exprs.append(F.count(F.lit(1)).alias(alias))
         elif op == "min":
             exprs.append(F.min(col).alias(alias))
+        elif op == "approx_distinct":
+            exprs.append(F.hll_sketch_agg(col).alias(alias))
         else:
             exprs.append(F.max(col).alias(alias))
     return exprs
@@ -103,9 +112,26 @@ def _merge_exprs(measures: dict) -> list:
             exprs.append(merged.alias(alias))
         elif op == "min":
             exprs.append(F.min(alias).alias(alias))
+        elif op == "approx_distinct":
+            exprs.append(F.hll_union_agg(alias).alias(alias))
         else:
             exprs.append(F.max(alias).alias(alias))
     return exprs
+
+
+def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
+    """Render a view for consumption: HLL sketch columns become
+    estimates (bigint, same alias); everything else passes through.
+    The view TABLE keeps the sketches — they are the mergeable state;
+    an estimate cannot be merged further."""
+    cols = []
+    spec = {a: op for a, (op, _c) in measures.items()}
+    for name in df.columns:
+        if spec.get(name) == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(name).alias(name))
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols)
 
 
 def rollup(df: DataFrame, keys: list[str], measures: dict) -> DataFrame:

@@ -885,6 +885,7 @@ _GATE_ROTATION = [
     "orders_manifest_time_travel",
     "orders_rollup_incremental",
     "events_stream_manifest_rollup",
+    "events_rollup_approx_users",
 ]
 
 GATE_WINDOW = 50

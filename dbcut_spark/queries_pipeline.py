@@ -5769,3 +5769,79 @@ def events_stream_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_rollup_approx_users",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def events_rollup_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX-DISTINCT rollup (round 11,
+    operators/matview.py 'approx_distinct'): exact count_distinct is
+    not decomposable — a delta's distinct users overlap the view's —
+    so the view maintains a Datasketches HLL sketch per group
+    (partials via hll_sketch_agg, merge via hll_union_agg; the merged
+    sketch estimates EXACTLY what a one-pass sketch over the whole
+    base would, pinned in tests). The gate drives three append +
+    refresh rounds (raising unless the 2nd/3rd took the incremental
+    path), finalizes the sketches to estimates, and checks them
+    against the EXACT per-type distinct count within the sketch's 5%
+    contract — the oracle expects the bound-check TRUE, so the gate
+    fails iff the approximation breaks its contract (the same pattern
+    as events_approx_distinct_users, now for the MAINTAINED view).
+
+    Scale: per-group state is one KB-scale sketch regardless of user
+    cardinality; each refresh merges O(view + delta) sketches — the
+    only way a 100 TB event log keeps a fresh distinct-users rollup
+    without re-shuffling every user id per refresh."""
+    from dbcut_spark.operators.matview import finalize_rollup, refresh_rollup
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_snapshot
+
+    import dbcut_spark.queries_relational as qr
+
+    scratch = qr._rf_scratch()
+    base_path, view = scratch + "/ev_approx_base", scratch + "/ev_approx_view"
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    keys = ["event_type"]
+    measures = {
+        "n_events": ("count", None),
+        "approx_users": ("approx_distinct", "user_id"),
+    }
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    publish_snapshot(slices[0], base_path)
+    modes = [refresh_rollup(spark, base_path, view, keys, measures)["mode"]]
+    for sl in slices[1:]:
+        publish_snapshot(sl, base_path, mode="append")
+        modes.append(
+            refresh_rollup(spark, base_path, view, keys, measures)["mode"]
+        )
+    if modes != ["full", "incremental", "incremental"]:
+        raise RuntimeError(
+            f"rollup refresh modes {modes} != full/incremental/incremental"
+        )
+    est = finalize_rollup(read_snapshot(spark, view), measures)
+    exact = (
+        read_snapshot(spark, base_path)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -166,3 +166,45 @@ def test_matview_rejects_non_decomposable(spark, tmp_path, orders):
         rollup(orders, [], MEASURES)
     with pytest.raises(ValueError, match="collide with group keys"):
         rollup(orders, KEYS, {"o_orderstatus": ("count", None)})
+
+
+def test_matview_approx_distinct_incremental(spark, tmp_path, orders):
+    """approx_distinct maintains an HLL sketch through incremental
+    merges; the merged estimates equal a one-pass sketch over the
+    whole base (union-of-partials exactness), and the view stores the
+    mergeable sketch, not the estimate."""
+    from dbcut_spark.operators.matview import finalize_rollup
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    measures = {
+        "n_orders": ("count", None),
+        "approx_custs": ("approx_distinct", "o_custkey"),
+    }
+    slices = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    mf.publish_snapshot(slices[0], base)
+    modes = [refresh_rollup(spark, base, view, KEYS, measures)["mode"]]
+    for sl in slices[1:]:
+        mf.publish_snapshot(sl, base, mode="append")
+        modes.append(refresh_rollup(spark, base, view, KEYS, measures)["mode"])
+    assert modes == ["full", "incremental", "incremental"]
+    got = mf.read_snapshot(spark, view)
+    assert got.schema["approx_custs"].dataType.simpleString() == "binary"
+    est = _mrows(finalize_rollup(got, measures))
+    exp = _mrows(
+        finalize_rollup(
+            rollup(mf.read_snapshot(spark, base), KEYS, measures), measures
+        )
+    )
+    assert est == exp
+    # and the estimates are honest: within 5% of exact per key
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in mf.read_snapshot(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for status, _n, approx in est:
+        assert abs(approx - exact[status]) <= 0.05 * exact[status]
