@@ -389,6 +389,50 @@ def _collect_stats(
     return {r: st for r, st in res if st}
 
 
+_PART_IDX_RE = None  # compiled lazily (module import stays light)
+
+
+def _file_bucket_ids(rels: list[str]) -> dict[str, int]:
+    """Map staged files to their hash-bucket id. Spark names each
+    task's output part-{taskIndex:05d}-... and ``repartition(n, col)``
+    makes task index == ``pmod(hash(col), n)`` (pinned by tests), so
+    the bucket id rides the filename; empty buckets simply write no
+    file."""
+    import re
+
+    global _PART_IDX_RE
+    if _PART_IDX_RE is None:
+        _PART_IDX_RE = re.compile(r"part-(\d+)-")
+    out = {}
+    for rel in rels:
+        m = _PART_IDX_RE.search(os.path.basename(rel))
+        if m is None:
+            raise ValueError(
+                f"staged file {rel!r} has no part-NNNNN index; cannot "
+                "record its bucket id"
+            )
+        out[rel] = int(m.group(1))
+    return out
+
+
+def _probe_bucket_ids(
+    spark: SparkSession, schema: StructType, col: str, n: int, values: list
+) -> set[int]:
+    """Bucket ids of probe values, computed by SPARK'S OWN hash in a
+    1-row job — never a Python reimplementation: unlike min/max
+    skipping (conservative by design), a wrong bucket id would SKIP a
+    file that holds matching rows and silently lose them, so
+    exactness here must be by construction. Values cast to the
+    column's declared type first (hash(int) != hash(long))."""
+    dtype = schema[col].dataType
+    exprs = [
+        F.pmod(F.hash(F.lit(v).cast(dtype)), F.lit(n)).alias(f"b{i}")
+        for i, v in enumerate(values)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    return {row[i] for i in range(len(values))}
+
+
 def _publish(table_path: str, manifest: dict) -> None:
     """Atomically create the manifest at its final, versioned name:
     fully write + flush a temp file, then hard-link it into place —
@@ -606,6 +650,7 @@ def publish_snapshot(
     properties: dict | None = None,
     cluster_by: list[str] | None = None,
     schema_evolution: str | None = None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -660,7 +705,18 @@ def publish_snapshot(
     read back NULL for the added columns (readers union by name with
     missing columns allowed, then project the manifest schema order).
     Type changes and dropped columns stay loud errors — a log table
-    grows columns; it does not silently retype them."""
+    grows columns; it does not silently retype them.
+
+    ``bucket_by=(col, n)`` hash-buckets the staged files on ``col``
+    into ``n`` files and records each file's bucket id in the
+    manifest, so an equality/'in' ``where`` on that column opens 1/n
+    of every commit's files — the skipping complement to min/max
+    stats for UNIFORM keys (ids, hashes) that clustering cannot help.
+    Appends must keep the parent's bucket spec (or overwrite to
+    change it); the same Iceberg bucket-transform contract, with the
+    probe's bucket ids computed by Spark's own hash so a skip can
+    never lose rows. Incompatible with ``partition_by``/``cluster_by``
+    (each owns file placement)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if schema_evolution not in (None, "add"):
@@ -701,6 +757,18 @@ def publish_snapshot(
         ]
         df = df.repartitionByRange(*layout).sortWithinPartitions(*layout)
         repartition = False  # _stage must not undo the range layout
+    if bucket_by:
+        bcol, bn = bucket_by
+        if partition_by or cluster_by or not repartition:
+            raise ValueError(
+                "bucket_by owns file placement; it cannot combine with "
+                "partition_by, cluster_by, or repartition=False"
+            )
+        if bcol not in df.columns:
+            raise ValueError(f"bucket_by column {bcol!r} not in df")
+        if not isinstance(bn, int) or bn < 1:
+            raise ValueError(f"bucket_by needs n >= 1, got {bn!r}")
+        df = df.repartition(bn, F.col(bcol))
     os.makedirs(table_path, exist_ok=True)
     if mode == "append":
         # validate schema BEFORE the expensive data write: staging
@@ -719,10 +787,15 @@ def publish_snapshot(
         if stats_cols
         else {}
     )
+    staged_buckets = _file_bucket_ids(staged) if bucket_by else {}
+    bucket_spec = (
+        {"col": bucket_by[0], "n": bucket_by[1]} if bucket_by else None
+    )
     for attempt in range(retries + 1):
         parent = expected_parent if pin_parent else current_version(table_path)
         files: list[str] = []
         stats: dict = {}
+        buckets: dict = {}
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_path, parent)
             if pm is None:
@@ -736,13 +809,24 @@ def publish_snapshot(
             # re-checked per attempt: a retry may inherit a DIFFERENT
             # winner's schema than the pre-stage check saw
             _check_append_schema(df, pm, parent, schema_evolution)
+            parent_spec = pm.get("bucket_by")
+            if parent_spec != bucket_spec:
+                # mixed layouts would silently blind (or worse, corrupt)
+                # bucket pruning for every probe after this commit
+                raise ValueError(
+                    f"append bucket layout {bucket_spec} != parent "
+                    f"snapshot {parent}'s {parent_spec}; publish "
+                    "mode='overwrite' to change the bucket spec"
+                )
             files.extend(pm["files"])
             # inherited files keep their recorded stats even when THIS
             # publish doesn't collect any: they are facts about
             # immutable files, not about this commit
             stats.update(pm.get("stats") or {})
+            buckets.update(pm.get("buckets") or {})
         files.extend(staged)
         stats.update(staged_stats)
+        buckets.update(staged_buckets)
         version = (parent or 0) + 1
         schema_fields = list(df.schema.fields)
         if mode == "append" and parent is not None and schema_evolution:
@@ -774,6 +858,9 @@ def publish_snapshot(
         }
         if stats:
             manifest["stats"] = stats
+        if bucket_spec:
+            manifest["bucket_by"] = bucket_spec
+            manifest["buckets"] = buckets
         if properties is not None:
             manifest["properties"] = properties
         try:
@@ -874,6 +961,31 @@ def _where_column(where: list):
     return cond
 
 
+def _bucket_prune(
+    spark: SparkSession, m: dict, rels: list[str], where: list
+) -> list[str]:
+    """Keep only the files whose recorded bucket id can hold a row
+    matching every equality/'in' predicate on the bucket column.
+    Files without a recorded bucket (pre-bucketing commits after an
+    overwrite race, never in practice) are kept conservatively; probe
+    ids come from Spark's own hash (see _probe_bucket_ids)."""
+    spec = m.get("bucket_by")
+    if not spec:
+        return rels
+    buckets = m.get("buckets") or {}
+    schema = StructType.fromJson(m["schema"])
+    allowed: set[int] | None = None
+    for col, op, val in where:
+        if col != spec["col"] or op not in ("=", "==", "in"):
+            continue
+        values = list(val) if op == "in" else [val]
+        ids = _probe_bucket_ids(spark, schema, col, spec["n"], values)
+        allowed = ids if allowed is None else (allowed & ids)
+    if allowed is None:
+        return rels
+    return [r for r in rels if r not in buckets or buckets[r] in allowed]
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -916,6 +1028,7 @@ def read_snapshot(
         cond = _where_column(where)  # validate ops/values BEFORE pruning
         stats = m.get("stats") or {}
         rels = [r for r in rels if _file_may_match(stats.get(r), where)]
+        rels = _bucket_prune(spark, m, rels, where)
     out = _read_files(spark, table_path, rels, schema, version)
     if cond is not None:
         out = out.filter(cond)
@@ -923,11 +1036,16 @@ def read_snapshot(
 
 
 def prune_report(
-    table_path: str, where: list, version: int | None = None
+    table_path: str,
+    where: list,
+    version: int | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
-    """Zero-job visibility into file skipping: how many of a snapshot's
-    files a ``read_snapshot(where=...)`` would open. Gates and tests
-    use this to PROVE pruning happened instead of trusting it."""
+    """Visibility into file skipping: how many of a snapshot's files a
+    ``read_snapshot(where=...)`` would open. Gates and tests use this
+    to PROVE pruning happened instead of trusting it. Stats pruning is
+    zero-job; BUCKET pruning needs ``spark`` (probe ids come from
+    Spark's own hash, a 1-row job) and is skipped without it."""
     if version is None:
         version = current_version(table_path)
     m = _load_manifest(table_path, version) if version is not None else None
@@ -938,12 +1056,15 @@ def prune_report(
     _where_column(where)
     stats = m.get("stats") or {}
     kept = [r for r in m["files"] if _file_may_match(stats.get(r), where)]
+    if spark is not None:
+        kept = _bucket_prune(spark, m, kept, where)
     return {
         "version": version,
         "total_files": len(m["files"]),
         "kept_files": len(kept),
         "skipped_files": len(m["files"]) - len(kept),
         "stats_files": len(stats),
+        "bucketed": bool(m.get("bucket_by")),
     }
 
 
@@ -1182,7 +1303,18 @@ def compact_snapshot(
         stats_cols = seen
     df = read_snapshot(spark, table_path, head)
     partition_by = list(m.get("partition_by") or [])
-    if not partition_by:
+    bspec = m.get("bucket_by")
+    if bspec and cluster_by:
+        raise ValueError(
+            "cluster_by on a bucketed manifest table is not supported: "
+            "the bucket layout owns file placement (overwrite without "
+            "bucket_by to change layouts)"
+        )
+    if bspec:
+        # the rewrite folds each bucket's accumulated files into ONE
+        # file per bucket; publish re-derives the layout + bucket map
+        pass
+    elif not partition_by:
         n_out = max(
             1, math.ceil(before_bytes / (target_file_mb * 1024 * 1024))
         )
@@ -1212,6 +1344,7 @@ def compact_snapshot(
         expected_parent=head,
         stats_cols=stats_cols or None,
         properties=head_props,
+        bucket_by=(bspec["col"], bspec["n"]) if bspec else None,
     )
     vacuumed = (
         len(vacuum(table_path, keep_last=keep_last,

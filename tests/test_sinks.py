@@ -3109,3 +3109,119 @@ def test_manifest_schema_evolution_add(spark, tmp_path, manifest_backend):
     assert read_snapshot(spark, tbl, version=1).columns == ["k", "s"]
     with pytest.raises(ValueError, match="schema_evolution must be"):
         publish_snapshot(wide, tbl, mode="append", schema_evolution="merge")
+
+
+# ---------------------------------------------------------------------------
+# Manifest hash-bucket layout + equality pruning (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_bucket_pruning_exact(spark, tmp_path):
+    """Equality/'in' probes on the bucket column open 1/n of each
+    commit's files and return exactly the predicate's rows; range ops
+    and other columns never bucket-prune. The recorded file->bucket map
+    is verified row-by-row against Spark's own hash."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    n = 8
+    a = spark.range(0, 100).select(F.col("id").alias("k"),
+                                   (F.col("id") * 3).alias("v"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"),
+                                     (F.col("id") * 3).alias("v"))
+    mf.publish_snapshot(a, tbl, bucket_by=("k", n))
+    mf.publish_snapshot(b, tbl, mode="append", bucket_by=("k", n))
+    m = mf._load_manifest(tbl, 2)
+    assert m["bucket_by"] == {"col": "k", "n": n}
+    assert set(m["buckets"]) == set(m["files"])
+
+    # COMPLETE map verification: every row's file must be the bucket
+    # Spark's hash assigns its key
+    rows = (
+        mf.read_snapshot(spark, tbl)
+        .select(
+            "k",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"),
+            F.pmod(F.hash(F.col("k")), F.lit(n)).alias("expected_b"),
+        )
+        .collect()
+    )
+    by_name = {os.path.basename(r): bkt for r, bkt in m["buckets"].items()}
+    for r in rows:
+        assert by_name[r["f"]] == r["expected_b"], r
+
+    # equality probe: at most one file per commit group
+    for k in (0, 7, 42, 150, 199):
+        rep = mf.prune_report(tbl, [("k", "=", k)], spark=spark)
+        assert rep["bucketed"] and rep["kept_files"] <= 2
+        got = mf.read_snapshot(spark, tbl, where=[("k", "=", k)])
+        assert _mrows(got) == [(k, k * 3)]
+    # 'in' probe unions buckets
+    rep = mf.prune_report(tbl, [("k", "in", [5, 105])], spark=spark)
+    assert rep["kept_files"] <= 4
+    got = mf.read_snapshot(spark, tbl, where=[("k", "in", [5, 105])])
+    assert _mrows(got.select("k")) == [(5,), (105,)]
+    # an ABSENT key reads zero rows through <= 2 files
+    got = mf.read_snapshot(spark, tbl, where=[("k", "=", 10_000)])
+    assert got.count() == 0
+    # range ops and other columns keep everything (no stats recorded)
+    rep = mf.prune_report(tbl, [("k", ">", 50)], spark=spark)
+    assert rep["kept_files"] == rep["total_files"]
+    rep = mf.prune_report(tbl, [("v", "=", 15)], spark=spark)
+    assert rep["kept_files"] == rep["total_files"]
+
+
+def test_manifest_bucket_spec_guards(spark, tmp_path):
+    """Appends must keep the parent's bucket spec; bucket_by cannot
+    combine with partition_by/cluster_by."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") % 3).alias("p"))
+    mf.publish_snapshot(df, tbl, bucket_by=("k", 4))
+    with pytest.raises(ValueError, match="bucket layout"):
+        mf.publish_snapshot(df, tbl, mode="append", bucket_by=("k", 8))
+    with pytest.raises(ValueError, match="bucket layout"):
+        mf.publish_snapshot(df, tbl, mode="append")  # spec dropped
+    with pytest.raises(ValueError, match="owns file placement"):
+        mf.publish_snapshot(df, tbl, bucket_by=("k", 4),
+                            partition_by=["p"])
+    with pytest.raises(ValueError, match="owns file placement"):
+        mf.publish_snapshot(df, tbl, bucket_by=("k", 4), cluster_by=["k"])
+    with pytest.raises(ValueError, match="not in df"):
+        mf.publish_snapshot(df, tbl, mode="overwrite",
+                            bucket_by=("nope", 4))
+    # a plain table cannot sneak INTO a bucketed spec via append either
+    t2 = str(tmp_path / "t2")
+    mf.publish_snapshot(df, t2)
+    with pytest.raises(ValueError, match="bucket layout"):
+        mf.publish_snapshot(df, t2, mode="append", bucket_by=("k", 4))
+
+
+def test_manifest_bucket_compact_preserves_layout(spark, tmp_path):
+    """Compaction folds each bucket's accumulated files into one file
+    per bucket and keeps the bucket map, so probes stay pruned AND
+    exact across maintenance."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    n = 4
+    for lo in range(0, 300, 100):
+        mf.publish_snapshot(
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")),
+            tbl, mode="overwrite" if lo == 0 else "append",
+            bucket_by=("k", n),
+        )
+    before = _mrows(mf.read_snapshot(spark, tbl))
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0)
+    assert res["compacted"] and res["after_files"] <= n
+    m = mf._load_manifest(tbl, res["version"])
+    assert m["bucket_by"] == {"col": "k", "n": n}
+    assert _mrows(mf.read_snapshot(spark, tbl)) == before
+    rep = mf.prune_report(tbl, [("k", "=", 250)], spark=spark)
+    assert rep["kept_files"] == 1
+    got = mf.read_snapshot(spark, tbl, where=[("k", "=", 250)])
+    assert _mrows(got) == [(250,)]
