@@ -163,6 +163,7 @@ HEADLINE = [
     "orders_rollup_incremental",
     "events_stream_manifest_rollup",
     "events_rollup_approx_users",
+    "orders_bucket_lookup",
 ]
 
 

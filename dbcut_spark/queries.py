@@ -886,6 +886,7 @@ _GATE_ROTATION = [
     "orders_rollup_incremental",
     "events_stream_manifest_rollup",
     "events_rollup_approx_users",
+    "orders_bucket_lookup",
 ]
 
 GATE_WINDOW = 50

@@ -1587,3 +1587,66 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_year")
     )
+
+
+@register(
+    "orders_bucket_lookup",
+    sql="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_custkey IN (7, 400, 911)
+    GROUP BY 1 ORDER BY o_custkey
+    """,
+)
+def orders_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest hash-bucket equality pruning (round 11,
+    sinks/manifest.py bucket_by): orders lands in two append commits
+    hash-bucketed on o_custkey, and a 3-key 'in' probe must (a)
+    PROVABLY open at most |keys| buckets of each commit — the query
+    raises if prune_report shows no skips — and (b) return exactly the
+    predicate's rows (the DuckDB hash pins that bucket routing never
+    loses or duplicates a key's rows; the probe's bucket ids come from
+    Spark's own hash, so a skip cannot lose rows by construction).
+
+    Scale: uniform keys (ids, hashes) defeat min/max skipping — every
+    file's range spans the domain — so bucket routing is what turns a
+    100 TB key lookup from a full scan into 1/n of each commit's
+    files, the Iceberg bucket-transform contract."""
+    from dbcut_spark.sinks.manifest import (
+        prune_report,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    target = _rf_scratch() + "/orders_bucket"
+    base = t(spark, sf_dir, "orders")
+    n = 16
+    publish_snapshot(
+        base.filter(F.col("o_orderkey") % 2 == 0), target,
+        mode="overwrite", bucket_by=("o_custkey", n),
+    )
+    publish_snapshot(
+        base.filter(F.col("o_orderkey") % 2 == 1), target,
+        mode="append", bucket_by=("o_custkey", n),
+    )
+    where = [("o_custkey", "in", [7, 400, 911])]
+    rep = prune_report(target, where, spark=spark)
+    if not rep["bucketed"] or not rep["skipped_files"]:
+        raise RuntimeError(
+            f"bucket pruning did not engage: {rep} — the gate exists "
+            "to certify bucket routing, not just filtering"
+        )
+    return (
+        read_snapshot(spark, target, where=where)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_custkey")
+    )
