@@ -932,9 +932,9 @@ def sql(ctx: Ctx, statement: str, limit: int):
     "measure_specs",
     multiple=True,
     required=True,
-    help="ALIAS=OP[:COLUMN] with OP in sum|count|min|max "
-    "(repeatable), e.g. --measure n=count --measure "
-    "total=sum:o_totalprice",
+    help="ALIAS=OP[:COLUMN] with OP in sum|count|min|max|"
+    "approx_distinct (repeatable), e.g. --measure n=count --measure "
+    "total=sum:o_totalprice --measure users=approx_distinct:o_custkey",
 )
 @click.pass_obj
 def rollup(ctx: Ctx, base_path: str, view_path: str, keys, measure_specs):

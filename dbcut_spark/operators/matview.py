@@ -155,10 +155,11 @@ def refresh_rollup(
     "base_version": ..., "view_version": ..., "delta_files": ...}``.
 
     ``measures`` maps output column → ``(op, column)`` with op in
-    ``sum|count|min|max`` (count ignores its column). The incremental
-    path reads ONLY the data files appended since the cursor — the
-    manifest diff IS the change capture; no log, no timestamps, no
-    rescan."""
+    ``sum|count|min|max|approx_distinct`` (count ignores its column;
+    approx_distinct stores a mergeable HLL sketch — render estimates
+    with :func:`finalize_rollup`). The incremental path reads ONLY the
+    data files appended since the cursor — the manifest diff IS the
+    change capture; no log, no timestamps, no rescan."""
     from dbcut_spark.sinks.manifest import (
         VersionConflictError,
         _load_manifest,

@@ -1215,6 +1215,9 @@ def manifest_inspect(table_path: str) -> dict:
         # file-skipping coverage of the head snapshot: live files that
         # carry footer stats a read_snapshot(where=...) can prune on
         "stats_files": sum(1 for r in live if head_stats.get(r)),
+        # equality-probe routing layout, if any
+        "bucket_by": (manifests[cur].get("bucket_by") if cur is not None
+                      else None),
     }
 
 
