@@ -918,6 +918,46 @@ def sql(ctx: Ctx, statement: str, limit: int):
 
 
 @cli.command()
+@click.option(
+    "--manifest",
+    "manifest_path",
+    required=True,
+    metavar="PATH",
+    help="manifest table to vacuum",
+)
+@click.option(
+    "--keep-last",
+    default=1,
+    show_default=True,
+    help="retention: data files of this many most-recent snapshots "
+    "stay readable (time travel past it fails loudly)",
+)
+@click.option(
+    "--grace-hours",
+    default=24.0,
+    show_default=True,
+    help="age gate for UNREFERENCED files: younger ones may be a live "
+    "writer's in-flight staging and are left alone",
+)
+@click.pass_obj
+def vacuum(ctx: Ctx, manifest_path: str, keep_last: int, grace_hours: float):
+    """Delete a manifest table's expired data files (older snapshots
+    past --keep-last) and aged-out orphans from crashed writers.
+    Version slots are never freed — manifests stay as the table's
+    history (sinks.manifest.vacuum)."""
+    from dbcut_spark.sinks.manifest import vacuum as mf_vacuum
+
+    deleted = mf_vacuum(
+        manifest_path, keep_last=keep_last,
+        grace_seconds=grace_hours * 3600.0,
+    )
+    click.echo(
+        f"vacuumed {manifest_path}: {len(deleted)} expired/orphaned "
+        "data files deleted"
+    )
+
+
+@cli.command()
 @click.argument("base_path")
 @click.argument("view_path")
 @click.option(

@@ -3225,3 +3225,40 @@ def test_manifest_bucket_compact_preserves_layout(spark, tmp_path):
     assert rep["kept_files"] == 1
     got = mf.read_snapshot(spark, tbl, where=[("k", "=", 250)])
     assert _mrows(got) == [(250,)]
+
+
+def test_cli_vacuum_manifest(spark, sf_dir, tmp_path):
+    """`cli vacuum --manifest PATH` reclaims expired snapshot files."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(100).coalesce(1)
+    mf.publish_snapshot(df, tbl, repartition=False)
+    mf.publish_snapshot(df, tbl, mode="overwrite", repartition=False)
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    res = CliRunner().invoke(
+        cli,
+        ["-c", cfg_path, "vacuum", "--manifest", tbl, "--grace-hours", "0"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    # v1's data file plus its commit dir's _SUCCESS/.crc sidecars
+    import re as _re
+
+    m = _re.search(r"vacuumed .*: (\d+) expired", res.output)
+    assert m and int(m.group(1)) >= 1, res.output
+    assert mf.read_snapshot(spark, tbl).count() == 100
