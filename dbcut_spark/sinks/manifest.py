@@ -1125,6 +1125,18 @@ def upsert_snapshot(
         raise ValueError(f"op_col {op_col!r} not in delta")
     for attempt in range(retries + 1):
         base_version = current_version(table_path)
+        # the merge rewrites CONTENT; the table's physical layout
+        # (hive partitioning, bucket routing) must survive it, or one
+        # upsert silently strips every reader's pruning
+        layout_partition_by = None
+        layout_bucket_by = None
+        if base_version is not None:
+            bm = _load_manifest(table_path, base_version)
+            if bm is not None:
+                layout_partition_by = bm.get("partition_by") or None
+                bspec = bm.get("bucket_by")
+                if bspec:
+                    layout_bucket_by = (bspec["col"], bspec["n"])
         if base_version is None:
             merged = (
                 delta.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
@@ -1155,6 +1167,8 @@ def upsert_snapshot(
                 merged, table_path, mode="overwrite",
                 expected_parent=base_version,
                 stats_cols=stats_cols, properties=properties,
+                partition_by=layout_partition_by,
+                bucket_by=layout_bucket_by,
             )
         except VersionConflictError:
             if attempt >= retries:

@@ -3262,3 +3262,37 @@ def test_cli_vacuum_manifest(spark, sf_dir, tmp_path):
     m = _re.search(r"vacuumed .*: (\d+) expired", res.output)
     assert m and int(m.group(1)) >= 1, res.output
     assert mf.read_snapshot(spark, tbl).count() == 100
+
+
+def test_manifest_upsert_preserves_layout(spark, tmp_path):
+    """An upsert rewrites CONTENT, not layout: hive partitioning and
+    bucket routing survive the merge (previously one upsert silently
+    stripped every reader's pruning)."""
+    from dbcut_spark.sinks import manifest as mf
+
+    # partitioned table
+    t1 = str(tmp_path / "part")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") % 3).alias("p"))
+    mf.publish_snapshot(df, t1, partition_by=["p"])
+    delta = spark.createDataFrame([(5, 99)], "k long, p long")
+    mf.upsert_snapshot(spark, delta, t1, ["k"])
+    m = mf._load_manifest(t1, mf.current_version(t1))
+    assert m["partition_by"] == ["p"]
+    got = mf.read_snapshot(spark, t1)
+    assert got.filter("k = 5").collect()[0]["p"] == 99
+    assert got.count() == 100
+
+    # bucketed table: routing still prunes after the merge
+    t2 = str(tmp_path / "bucket")
+    mf.publish_snapshot(df.select("k"), t2, bucket_by=("k", 4))
+    mf.upsert_snapshot(
+        spark, spark.createDataFrame([(500,)], "k long"), t2, ["k"]
+    )
+    m2 = mf._load_manifest(t2, mf.current_version(t2))
+    assert m2["bucket_by"] == {"col": "k", "n": 4}
+    rep = mf.prune_report(t2, [("k", "=", 500)], spark=spark)
+    assert rep["kept_files"] <= 1
+    assert mf.read_snapshot(
+        spark, t2, where=[("k", "=", 500)]
+    ).count() == 1
