@@ -273,15 +273,22 @@ def incremental_dedup_indexed(
     and skip re-appending, not re-interpret exact flags."""
     import os
 
-    from dbcut_spark.operators.dedup import probe_lsh_index
+    from dbcut_spark.operators.dedup import _set_versions, probe_lsh_index
     from dbcut_spark.sinks.manifest import read_snapshot
 
     newh = batch.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash")
     )
     # manifest-resolved: the exact probe pins one immutable snapshot,
-    # so appends landing mid-probe are old-or-new, never partial
-    refh = read_snapshot(spark, os.path.join(index_path, "exact"))
+    # so appends landing mid-probe are old-or-new, never partial; the
+    # SET pointer (round 11) pins the version that is CONSISTENT with
+    # the bands side probe_lsh_index reads (pointer-less legacy
+    # indexes fall back to head resolution)
+    refh = read_snapshot(
+        spark,
+        os.path.join(index_path, "exact"),
+        _set_versions(index_path).get("exact"),
+    )
     # LEFT SEMI, not left_outer + flag: semi join is duplicate-PROOF —
     # a text_hash appearing twice in the exact table (append retries,
     # overlapping appends; lsh_index_append is a blind O(batch) write

@@ -644,6 +644,66 @@ def _lsh_bucket(n_buckets: int):
     )
 
 
+def _publish_set(index_path: str, versions: dict) -> int:
+    """Record a CONSISTENT (bands, exact) version pair as a zero-file
+    pointer snapshot at ``<index>/_set``. Each side commits its own
+    manifest independently, so a probe resolving both heads can see a
+    bands batch whose exact hashes haven't landed yet (or vice versa);
+    resolving the SET first pins one logical index state. Racing
+    writers merge by per-table MAX with a pinned-parent CAS — a
+    pointer landing late can never point a side BACKWARD past another
+    writer's committed batch."""
+    import os
+
+    from dbcut_spark.sinks.manifest import (
+        VersionConflictError,
+        current_version,
+        publish_pointer,
+        snapshot_properties,
+    )
+
+    set_path = os.path.join(index_path, "_set")
+    for _ in range(6):
+        head = current_version(set_path)
+        cur = (
+            snapshot_properties(set_path, head).get("tables", {})
+            if head is not None
+            else {}
+        )
+        merged = {
+            k: max(int(cur.get(k, 0)), int(v))
+            for k, v in {**cur, **versions}.items()
+        }
+        try:
+            return publish_pointer(
+                set_path, {"tables": merged}, expected_parent=head
+            )
+        except VersionConflictError:
+            continue
+    raise VersionConflictError(
+        f"could not publish index set pointer under {set_path}"
+    )
+
+
+def _set_versions(index_path: str) -> dict:
+    """The pinned (bands, exact) versions of the newest set pointer,
+    or {} for a pointer-less index (pre-pointer layout, or a crash
+    before the very first pointer) — callers fall back to per-side
+    head resolution, the pre-round-11 behavior."""
+    import os
+
+    from dbcut_spark.sinks.manifest import (
+        current_version,
+        snapshot_properties,
+    )
+
+    set_path = os.path.join(index_path, "_set")
+    head = current_version(set_path)
+    if head is None:
+        return {}
+    return dict(snapshot_properties(set_path, head).get("tables") or {})
+
+
 def build_lsh_index(
     ref: DataFrame,
     path: str,
@@ -715,18 +775,19 @@ def build_lsh_index(
         )
     from dbcut_spark.sinks.manifest import publish_snapshot
 
-    publish_snapshot(
+    vb = publish_snapshot(
         _bands_for_write(bands, num_hashes // band_rows, n_buckets),
         os.path.join(path, "bands"),
         mode="overwrite",
         partition_by=["band_idx", "bucket"],
         repartition=False,  # _bands_for_write's salted spread layout
     )
-    publish_snapshot(
+    ve = publish_snapshot(
         ref.select(F.md5(norm_text(text_col)).alias("text_hash")).distinct(),
         os.path.join(path, "exact"),
         mode="overwrite",
     )
+    _publish_set(path, {"bands": vb, "exact": ve})
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
         json.dump(
             {
@@ -789,7 +850,7 @@ def lsh_index_append(
     if meta["id_col"] != id_col:
         bands = bands.withColumnRenamed(id_col, meta["id_col"])
     # same small-files/parallel-write guard as the initial build
-    publish_snapshot(
+    vb = publish_snapshot(
         _bands_for_write(
             bands,
             meta["num_hashes"] // meta["band_rows"],
@@ -805,9 +866,14 @@ def lsh_index_append(
         new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
         .distinct()  # within-batch dedup only: never scans the corpus
     )
-    publish_snapshot(
+    ve = publish_snapshot(
         newh, os.path.join(index_path, "exact"), mode="append", retries=2
     )
+    # the pointer lands LAST: a crash between the side publishes and
+    # here leaves set-pinned probes on the previous consistent pair,
+    # and the ingest loop's replay re-appends (the documented
+    # benign-duplicate contract) before re-pointing
+    _publish_set(index_path, {"bands": vb, "exact": ve})
     spark.catalog.refreshByPath(index_path)
 
 
@@ -856,6 +922,11 @@ def probe_lsh_index(
         "bucket", _lsh_bucket(n_buckets)
     )
     bands = pin(bands)
+    # pin the SET pointer's bands version (round 11): the sides commit
+    # independently, and per-side head resolution could pair a bands
+    # batch with an exact table from a different logical state; None
+    # (pointer-less legacy index) falls back to head resolution
+    bands_version = _set_versions(index_path).get("bands")
     # driver-bounded: ≤ n_bands × n_buckets rows whatever the batch size
     combos: dict[int, list[int]] = {}
     for r in bands.select("band_idx", "bucket").distinct().collect():
@@ -867,7 +938,9 @@ def probe_lsh_index(
         # and break a union across per-batch probe results (round-9
         # ADVICE); resolving the snapshot touches footers at most
         idx_type = (
-            read_snapshot(spark, os.path.join(index_path, "bands"))
+            read_snapshot(
+                spark, os.path.join(index_path, "bands"), bands_version
+            )
             .schema[meta["id_col"]]
             .dataType
         )
@@ -883,7 +956,9 @@ def probe_lsh_index(
         c = (F.col("band_idx") == b) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
     idx = (
-        read_snapshot(spark, os.path.join(index_path, "bands"))
+        read_snapshot(
+            spark, os.path.join(index_path, "bands"), bands_version
+        )
         .filter(cond)
         .select(
             F.col(meta["id_col"]).alias("doc_b"),
@@ -1040,15 +1115,15 @@ def lsh_index_compact(
     )
     exact_files_before = len(_live_files(exact_path))
     exact_stats = {"skipped": True, "files_before": exact_files_before}
+    repoint: dict[str, int] = {}
     if extra or exact_files_before > 1:
         # eager localCheckpoint: finish READING the standing snapshot
         # before vacuum may expire its files under a lazy plan
-        publish_snapshot(
+        repoint["exact"] = publish_snapshot(
             exact_df.distinct().localCheckpoint().coalesce(1),
             exact_path,
             mode="overwrite",
         )
-        vacuum(exact_path, keep_last=keep_last, grace_seconds=grace_seconds)
         exact_stats = {
             "skipped": False,
             "files_before": exact_files_before,
@@ -1063,7 +1138,7 @@ def lsh_index_compact(
     bands_stats = {"skipped": True, "files_before": bands_files_before}
     if per_bucket and max(per_bucket.values()) > 1:
         bands_df = read_snapshot(spark, bands_path).localCheckpoint()
-        publish_snapshot(
+        repoint["bands"] = publish_snapshot(
             _bands_for_write(
                 bands_df,
                 meta["num_hashes"] // meta["band_rows"],
@@ -1074,12 +1149,27 @@ def lsh_index_compact(
             partition_by=["band_idx", "bucket"],
             repartition=False,
         )
-        vacuum(bands_path, keep_last=keep_last, grace_seconds=grace_seconds)
         bands_stats = {
             "skipped": False,
             "files_before": bands_files_before,
             "files_after": len(_live_files(bands_path)),
         }
+    if repoint:
+        # re-POINT before vacuuming: a probe resolving the set between
+        # the rewrite and the vacuum must land on the compacted
+        # versions, not on a stale pointer whose files are being
+        # expired under it. The MAX merge in _publish_set lands the
+        # compacted versions even against a racing appender (overwrites
+        # take the next version number).
+        _publish_set(index_path, repoint)
+        if "exact" in repoint:
+            vacuum(
+                exact_path, keep_last=keep_last, grace_seconds=grace_seconds
+            )
+        if "bands" in repoint:
+            vacuum(
+                bands_path, keep_last=keep_last, grace_seconds=grace_seconds
+            )
     spark.catalog.refreshByPath(index_path)
     return {
         "exact_deduped": int(extra or 0),

@@ -986,6 +986,57 @@ def _bucket_prune(
     return [r for r in rels if r not in buckets or buckets[r] in allowed]
 
 
+def publish_pointer(
+    table_path: str,
+    properties: dict,
+    expected_parent: int | None = ...,
+    retries: int = 0,
+) -> int:
+    """Publish a ZERO-FILE snapshot whose entire value is its
+    ``properties`` — a versioned, atomically-swapped pointer (no
+    staging, no Spark jobs, one manifest create). The multi-table
+    consistency primitive: a pointer recording ``{table: version}``
+    pairs gives readers a CONSISTENT cross-table cut even though each
+    table commits independently — resolve the pointer once, then
+    ``read_snapshot(version=...)`` every member at its recorded
+    version (operators/dedup.py pins the LSH index's bands+exact pair
+    this way). Same optimistic-concurrency contract as
+    publish_snapshot: ``expected_parent`` pins the CAS, losers raise
+    :class:`VersionConflictError`."""
+    json.dumps(properties)  # fail a non-JSON dict before taking a slot
+    pin_parent = expected_parent is not ...
+    if pin_parent and retries:
+        raise ValueError(
+            "expected_parent pins the commit to one version; retry by "
+            "re-deriving the pointer contents"
+        )
+    os.makedirs(table_path, exist_ok=True)
+    for attempt in range(retries + 1):
+        parent = (
+            expected_parent if pin_parent else current_version(table_path)
+        )
+        version = (parent or 0) + 1
+        try:
+            _publish(
+                table_path,
+                {
+                    "version": version,
+                    "parent": parent,
+                    "mode": "pointer",
+                    "files": [],
+                    "n_files": 0,
+                    "partition_by": [],
+                    "schema": json.loads(StructType([]).json()),
+                    "properties": properties,
+                },
+            )
+            return version
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,

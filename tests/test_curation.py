@@ -678,3 +678,88 @@ def test_null_text_counts_never_negative(spark):
     assert spans[2]["n_tokens"] is None if "n_tokens" in spans[2] else True
     assert spans[2]["n_removed"] is None
     assert spans[2]["clean_text"] == "" and spans[2]["n_kept"] == 0
+
+
+def test_lsh_index_set_pointer_consistency(spark, sf_dir, tmp_path):
+    """The _set pointer pins a CONSISTENT (bands, exact) pair: a bands
+    append whose pointer has not landed yet (crash window) is invisible
+    to probes — both sides still resolve the previous logical state —
+    and re-pointing makes it visible. Compaction re-points before
+    vacuuming, and probe results are layout-invariant across it."""
+    from dbcut_spark.operators import dedup as dd
+    from dbcut_spark.operators.curation import incremental_dedup_indexed
+    from dbcut_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2).limit(200)
+
+    idx = str(tmp_path / "idx")
+    dd.build_lsh_index(ref, idx, "text", "doc_id", n_buckets=4)
+    sv = dd._set_versions(idx)
+    assert sv == {"bands": 1, "exact": 1}
+
+    baseline = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in incremental_dedup_indexed(
+            spark, idx, probe, "text", "doc_id", 0.5
+        ).collect()
+    }
+
+    # simulate the crash window: batch1's bands land WITHOUT a pointer
+    # update (publish directly, bypassing lsh_index_append)
+    from dbcut_spark.sinks.manifest import publish_snapshot
+
+    meta_bands = dd._sig_bands(
+        dd.minhash_signatures(batch1, "text", "doc_id", 16, 4),
+        "doc_id", 16, 4,
+    ).withColumn("bucket", dd._lsh_bucket(4))
+    publish_snapshot(
+        dd._bands_for_write(meta_bands, 4, 4),
+        idx + "/bands", mode="append",
+        partition_by=["band_idx", "bucket"], repartition=False,
+    )
+    # pointer unchanged -> probes still see the consistent OLD pair
+    assert dd._set_versions(idx) == sv
+    mid = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in incremental_dedup_indexed(
+            spark, idx, probe, "text", "doc_id", 0.5
+        ).collect()
+    }
+    assert mid == baseline
+
+    # a proper append re-points; compaction keeps results and advances
+    # the pointer to the compacted versions
+    dd.lsh_index_append(spark, idx, batch1, "text", "doc_id")
+    sv2 = dd._set_versions(idx)
+    assert sv2["bands"] > sv["bands"] and sv2["exact"] > sv["exact"]
+    after_append = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in incremental_dedup_indexed(
+            spark, idx, probe, "text", "doc_id", 0.5
+        ).collect()
+    }
+    dd.lsh_index_compact(spark, idx, grace_seconds=0)
+    sv3 = dd._set_versions(idx)
+    assert sv3["bands"] >= sv2["bands"] and sv3["exact"] >= sv2["exact"]
+    after_compact = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in incremental_dedup_indexed(
+            spark, idx, probe, "text", "doc_id", 0.5
+        ).collect()
+    }
+    assert after_compact == after_append
+
+    # pointer-less legacy index: head-resolution fallback still works
+    import shutil
+
+    shutil.rmtree(idx + "/_set")
+    legacy = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in incremental_dedup_indexed(
+            spark, idx, probe, "text", "doc_id", 0.5
+        ).collect()
+    }
+    assert legacy == after_compact
