@@ -612,8 +612,43 @@ def _publish_ivf_vectors(
         os.path.join(path, "vectors"),
         mode="overwrite",
         partition_by=["cluster_id"],
+        # the quantizer rides the SAME snapshot as the assignments it
+        # produced: a probe resolving this version gets centroids and
+        # buckets from one atomic commit — the root _centroids.json
+        # stays as a human-readable mirror, but a crash between the
+        # publish and the sidecar write can no longer pair new
+        # assignments with an old quantizer (round 11)
+        properties={"centroids": centroids},
     )
     vacuum(os.path.join(path, "vectors"), keep_last=1)
+
+
+def _ivf_snapshot(index_path: str) -> tuple[int | None, list | None]:
+    """(version, centroids) of the inverted file's current snapshot:
+    centroids from the SNAPSHOT'S manifest properties when present
+    (atomic with the assignments), falling back to the legacy
+    _centroids.json sidecar for pre-round-11 indexes. Callers pass the
+    version to read_snapshot so files and quantizer come from the same
+    commit."""
+    import json
+    import os
+
+    from dbcut_spark.sinks.manifest import (
+        current_version,
+        snapshot_properties,
+    )
+
+    vectors = os.path.join(index_path, "vectors")
+    v = current_version(vectors)
+    if v is not None:
+        cents = snapshot_properties(vectors, v).get("centroids")
+        if cents is not None:
+            return v, cents
+    side = os.path.join(index_path, "_centroids.json")
+    if os.path.exists(side):
+        with open(side) as f:
+            return v, json.load(f)
+    return v, None
 
 
 def ivf_topk_indexed(
@@ -635,13 +670,16 @@ def ivf_topk_indexed(
     Scoring equals :func:`ivf_topk` with the same centroids (pinned in
     tests). The scan pins ONE immutable snapshot of the inverted file,
     so concurrent maintenance republishing it is invisible."""
-    import json
     import os
 
     from dbcut_spark.sinks.manifest import read_snapshot
 
-    with open(os.path.join(index_path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    pinned_v, centroids = _ivf_snapshot(index_path)
+    if centroids is None:
+        raise FileNotFoundError(
+            f"no IVF quantizer under {index_path} (neither snapshot "
+            "properties nor _centroids.json)"
+        )
     probe_n = _nearest_centroids_udf(centroids, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -652,7 +690,7 @@ def ivf_topk_indexed(
     q = pin(q)
     probed = sorted({r["cluster_id"] for r in q.select("cluster_id").distinct().collect()})
     c = (
-        read_snapshot(spark, os.path.join(index_path, "vectors"))
+        read_snapshot(spark, os.path.join(index_path, "vectors"), pinned_v)
         .filter(F.col("cluster_id").isin(probed))
         .select(
             F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -702,11 +740,9 @@ def update_ivf_index(
     holds; after real drift the stale centroids misroute vectors into
     the wrong buckets and probe recall decays, which is exactly what
     :func:`ivf_maintain`'s drift gate exists to catch."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    _v, centroids = _ivf_snapshot(path)
+    if centroids is None:
+        raise FileNotFoundError(f"no IVF quantizer under {path}")
     # snapshot publish under vectors/ never touches the root sidecars
     # (the old in-place overwrite wiped them and had to restore both)
     _publish_ivf_vectors(candidates, path, id_col, vec_col, centroids)
@@ -747,7 +783,7 @@ def ivf_maintain(
 
     cur = corpus_mean(candidates, vec_col)
     stats_path = os.path.join(path, "_corpus_stats.json")
-    if not os.path.exists(os.path.join(path, "_centroids.json")):
+    if _ivf_snapshot(path)[1] is None:
         build_ivf_index(candidates, path, id_col, vec_col, n_centroids, seed)
         with open(stats_path, "w") as f:
             json.dump({"mean": cur}, f)

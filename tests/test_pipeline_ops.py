@@ -1867,3 +1867,71 @@ def test_second_pass_null_edge_regressions(spark):
     assert out[1]["quality_score"] is not None
     assert out[2]["quality_score"] is None
     assert out[2]["mean_word_len"] is None
+
+
+def test_ivf_quantizer_rides_the_snapshot(spark, sf_dir, tmp_path):
+    """The IVF quantizer is stored IN the vectors snapshot's manifest
+    properties, so a crash between the vectors publish and the legacy
+    _centroids.json sidecar write can no longer pair new assignments
+    with an old quantizer: probes read centroids and buckets from one
+    atomic commit. Legacy sidecar-only indexes still resolve."""
+    import json
+    import os
+
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sinks.manifest import snapshot_properties
+    from dbcut_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cands = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(cands, idx, n_centroids=8, seed=7)
+    props = snapshot_properties(os.path.join(idx, "vectors"))
+    assert props.get("centroids") and len(props["centroids"]) == 8
+    baseline = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_indexed(
+            spark, idx, queries, k=3, nprobe=8
+        ).collect()
+    )
+
+    # crash window: sidecar diverges from the snapshot (old quantizer
+    # left behind) — probes must IGNORE it in favor of the manifest's
+    with open(os.path.join(idx, "_centroids.json"), "w") as f:
+        json.dump([[0.0] * len(props["centroids"][0])] * 8, f)
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_indexed(
+            spark, idx, queries, k=3, nprobe=8
+        ).collect()
+    )
+    assert got == baseline
+
+    # legacy index: properties absent -> sidecar fallback still works
+    import shutil
+
+    from dbcut_spark.sinks import manifest as mf
+
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    cents = props["centroids"]
+    assign = sim._nearest_centroids_udf(cents, 1)
+    mf.publish_snapshot(
+        cands.select(
+            "vec_id", "embedding",
+            F.element_at(assign(F.col("embedding")), 1).alias("cluster_id"),
+        ),
+        os.path.join(legacy, "vectors"),
+        mode="overwrite", partition_by=["cluster_id"],
+    )
+    with open(os.path.join(legacy, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+    legacy_got = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_indexed(
+            spark, legacy, queries, k=3, nprobe=8
+        ).collect()
+    )
+    assert legacy_got == baseline
