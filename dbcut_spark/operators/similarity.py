@@ -790,8 +790,14 @@ def ivf_maintain(
         return {"action": "built", "mean_cos": None}
     stored = None
     if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            stored = json.load(f)["mean"]
+        try:
+            with open(stats_path) as f:
+                stored = json.load(f)["mean"]
+        except (ValueError, KeyError):
+            # torn by a crashed writer: treat as missing — the refit
+            # path rebuilds and rewrites it (never crash maintenance
+            # on its own breadcrumb)
+            stored = None
     cos = None
     if stored is not None:
         num = sum(a * b for a, b in zip(stored, cur))
