@@ -191,14 +191,19 @@ def refresh_rollup(
 
     incremental = False
     delta_rels: list[str] = []
+    bm = None
     if cursor is not None and cursor < bv:
+        # the head manifest is loaded ONCE and reused for the window
+        # check, the file diff, and the delta schema — at the
+        # documented 1e5-file scale a stats-laden manifest is tens of
+        # MB, and this used to parse it three times per refresh
         bm = _load_manifest(base_path, bv)
         cm = _load_manifest(base_path, cursor)
         if bm is not None and cm is not None:
-            window_ok = all(
+            window_ok = bm.get("mode") == "append" and all(
                 (m := _load_manifest(base_path, v)) is not None
                 and m.get("mode") == "append"
-                for v in range(cursor + 1, bv + 1)
+                for v in range(cursor + 1, bv)
             )
             old_files = set(cm["files"])
             if window_ok and old_files <= set(bm["files"]):
@@ -206,7 +211,6 @@ def refresh_rollup(
                 incremental = True
 
     if incremental:
-        bm = _load_manifest(base_path, bv)
         schema = StructType.fromJson(bm["schema"])
         delta = _read_files(spark, base_path, delta_rels, schema, bv)
         partial = rollup(delta, keys, measures)

@@ -5756,8 +5756,8 @@ def events_stream_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError(
             f"rollup refresh modes {modes} != full/incremental/incremental"
         )
-    if append_batch_exactly_once(slices[0], 0, tbl, "gate") is not None:
-        raise RuntimeError("replayed batch 0 was not a no-op")
+    if append_batch_exactly_once(slices[2], 2, tbl, "gate") is not None:
+        raise RuntimeError("replayed batch 2 was not a no-op")
     if refresh_rollup(spark, tbl, view, keys, measures)["mode"] != "noop":
         raise RuntimeError("refresh after a replayed batch must be a noop")
     return (

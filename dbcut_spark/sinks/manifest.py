@@ -148,13 +148,14 @@ def _load_manifest(table_path: str, version: int) -> dict | None:
             return None
         return _parse_manifest_bytes(got[0], version)
     try:
-        with open(_manifest_path(table_path, version)) as f:
-            m = json.load(f)
-    except (OSError, ValueError):
+        with open(_manifest_path(table_path, version), "rb") as f:
+            data = f.read()
+    except OSError:
         return None
-    if not isinstance(m, dict) or m.get("version") != version:
-        return None
-    return m
+    # one parse-and-validate implementation for both IO backends: the
+    # POSIX branch used to duplicate _parse_manifest_bytes inline, so
+    # a validation tightening could silently diverge the read paths
+    return _parse_manifest_bytes(data, version)
 
 
 def current_version(table_path: str) -> int | None:
@@ -223,8 +224,17 @@ def _stat_encode(v):
         # wall clock on both the pruning and the residual-filter side
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        # fixed-width ISO form: lexicographic order == temporal order
-        return ("ts", v.strftime("%Y-%m-%dT%H:%M:%S.%f"))
+        # fixed-width ISO form: lexicographic order == temporal order.
+        # Rendered by hand — glibc strftime('%Y') does NOT zero-pad
+        # years < 1000, and '999-...' sorts AFTER '1000-...', which
+        # would let a range predicate wrongly SKIP a file (review
+        # finding, round 11)
+        return (
+            "ts",
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+            f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+            f".{v.microsecond:06d}",
+        )
     if isinstance(v, datetime.date):
         return ("date", v.isoformat())
     if isinstance(v, Decimal):
@@ -234,16 +244,30 @@ def _stat_encode(v):
 
 def _stat_comparable(tag_stored, stored, tag_pred, pred):
     """Bridge a stored bound and a predicate value into one ordered
-    domain, or None when they cannot be compared safely. num/dec
-    interoperate through exact Decimal (a float boundary re-rounded
-    through float could wrongly SKIP a file; Decimal('%r') is exact)."""
+    domain, or None when they cannot be compared safely.
+
+    MIXED num/dec compares in DOUBLE space, because that is the domain
+    Spark's residual filter uses for a decimal-column-vs-double-literal
+    comparison (the decimal side casts to double, Python float → IEEE
+    double with the same round-half-even). An exact-Decimal compare
+    here could disagree with the filter at representation boundaries —
+    a decimal file min of 0.10000000000000000555 is exactly the double
+    0.1, so the filter MATCHES a row the exact compare would prune
+    (review finding, round 11: pruning must mirror the filter's
+    comparison domain, not be 'more precise' than it). Same-tag dec
+    pairs still compare exactly (Spark compares decimal literals
+    exactly too)."""
     from decimal import Decimal
 
     if tag_stored == tag_pred and tag_stored in ("num", "str", "ts", "date"):
         return (stored, pred)
+    if tag_stored == tag_pred == "dec":
+        return (Decimal(stored), Decimal(pred))
     if {tag_stored, tag_pred} <= {"num", "dec"}:
-        return (Decimal(repr(stored) if isinstance(stored, float) else str(stored)),
-                Decimal(repr(pred) if isinstance(pred, float) else str(pred)))
+        try:
+            return (float(stored), float(pred))
+        except (OverflowError, ValueError):
+            return None
     return None
 
 
@@ -651,6 +675,7 @@ def publish_snapshot(
     cluster_by: list[str] | None = None,
     schema_evolution: str | None = None,
     bucket_by: tuple[str, int] | None = None,
+    staged_files: list[str] | None = None,
 ) -> int:
     """Stage ``df`` as immutable parquet and publish it as the table's
     next snapshot. ``mode='overwrite'`` makes the new manifest exactly
@@ -781,7 +806,16 @@ def publish_snapshot(
             pm0 = _load_manifest(table_path, pre_parent)
             if pm0 is not None:
                 _check_append_schema(df, pm0, pre_parent, schema_evolution)
-    staged = _stage(df, table_path, partition_by, repartition)
+    # staged_files: the caller already wrote these table-relative files
+    # via _stage and is retrying JUST the manifest commit (the
+    # streaming sink's CAS loop re-checks its txn map per attempt, so
+    # publish-internal retries can't serve it; without this, every
+    # lost CAS re-wrote the whole batch as fresh orphans)
+    staged = (
+        staged_files
+        if staged_files is not None
+        else _stage(df, table_path, partition_by, repartition)
+    )
     staged_stats = (
         _collect_stats(df.sparkSession, table_path, staged, stats_cols)
         if stats_cols
@@ -918,6 +952,15 @@ def _read_files(
             if out is None
             else out.unionByName(piece, allowMissingColumns=True)
         )
+    # a manifest-schema column no file carries (a schema_evolution
+    # append whose staged write produced zero files) materializes as a
+    # typed NULL — the schema the manifest promises is the schema the
+    # reader gets, and a where= on the new column filters instead of
+    # failing analysis (review finding, round 11)
+    have = set(out.columns)
+    for f in schema.fields:
+        if f.name not in have:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     names = [f.name for f in schema.fields]
     if set(names) == set(out.columns):
         # deterministic column order: the manifest schema's, not
@@ -1177,10 +1220,12 @@ def upsert_snapshot(
     for attempt in range(retries + 1):
         base_version = current_version(table_path)
         # the merge rewrites CONTENT; the table's physical layout
-        # (hive partitioning, bucket routing) must survive it, or one
-        # upsert silently strips every reader's pruning
+        # (hive partitioning, bucket routing) AND its skip-stat
+        # coverage must survive it, or one upsert silently strips
+        # every reader's pruning
         layout_partition_by = None
         layout_bucket_by = None
+        inherited_stats_cols: list[str] = []
         if base_version is not None:
             bm = _load_manifest(table_path, base_version)
             if bm is not None:
@@ -1188,6 +1233,13 @@ def upsert_snapshot(
                 bspec = bm.get("bucket_by")
                 if bspec:
                     layout_bucket_by = (bspec["col"], bspec["n"])
+                for st in (bm.get("stats") or {}).values():
+                    for c in st:
+                        if (
+                            c not in inherited_stats_cols
+                            and c not in (layout_partition_by or [])
+                        ):
+                            inherited_stats_cols.append(c)
         if base_version is None:
             merged = (
                 delta.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
@@ -1217,7 +1269,14 @@ def upsert_snapshot(
             return publish_snapshot(
                 merged, table_path, mode="overwrite",
                 expected_parent=base_version,
-                stats_cols=stats_cols, properties=properties,
+                # None inherits the head's stat columns (same contract
+                # as compact_snapshot); pass [] to drop them on purpose
+                stats_cols=(
+                    inherited_stats_cols
+                    if stats_cols is None
+                    else stats_cols
+                ) or None,
+                properties=properties,
                 partition_by=layout_partition_by,
                 bucket_by=layout_bucket_by,
             )
@@ -1461,6 +1520,15 @@ def vacuum(
     Readers holding a kept version are unaffected: their file sets
     are immutable."""
     import time
+
+    if keep_last < 1:
+        # keep_last=0 would expire the CURRENT head's own data files —
+        # silent, irreversible destruction of the live table from a
+        # maintenance call (review finding, round 11)
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): retention below "
+            "one snapshot would delete the live table's data files"
+        )
 
     # parse each manifest exactly once: the version history only grows
     # (manifests are never deleted), so repeated _load_manifest calls

@@ -6,13 +6,18 @@ This sink makes the append idempotent the way Delta's transaction log
 does: every commit carries a ``stream_txn`` map — ``{query_id: last
 committed batch_id}`` — in its manifest ``properties``, copied forward
 from the previous commit and updated with this batch. A replayed batch
-finds its id already recorded and becomes a no-op BEFORE staging any
-data; a batch racing another writer loses the version CAS, re-resolves
-the head (whose txn map may now include itself — e.g. its own publish
-succeeded but the acknowledgement was lost) and re-checks before
-retrying. The check and the data commit are the same atomic manifest
-publish, so there is no window where the data landed but the txn
-didn't.
+(same id as the last committed — the only batch Structured Streaming
+ever re-delivers) becomes a no-op BEFORE staging any data; a batch id
+BEHIND the committed txn means the checkpoint was reset or the
+query_id reused, and the sink REFUSES loudly rather than silently
+dropping everything up to the recorded id (Delta's txnAppId has this
+same footgun and merely documents it). A batch racing another writer
+loses the version CAS, re-resolves the head (whose txn map may now
+include itself — e.g. its own publish succeeded but the
+acknowledgement was lost), re-checks, and retries the COMMIT ONLY —
+the batch is staged once; CAS losers never re-write the data. The
+check and the data commit are the same atomic manifest publish, so
+there is no window where the data landed but the txn didn't.
 
 Map maintenance contract: any writer that REWRITES the table without
 changing its logical content must carry the map forward —
@@ -92,13 +97,36 @@ def append_batch_exactly_once(
         publish_snapshot,
     )
 
+    from dbcut_spark.sinks.manifest import _stage
+
+    staged: list[str] | None = None
     for attempt in range(retries + 1):
         head = current_version(table_path)
         txn = _resolve_txn(table_path, head)
         last = txn.get(query_id)
-        if last is not None and last >= batch_id:
-            return None
+        if last is not None and last == batch_id:
+            return None  # crash-replay of the last committed batch
+        if last is not None and last > batch_id:
+            # Structured Streaming only ever re-delivers the LAST
+            # batch; a LOWER id means the checkpoint was reset (or the
+            # query_id reused for a new stream) — silently treating
+            # every batch up to `last` as a replay would discard all
+            # of that data with no error (review finding, round 11;
+            # Delta's txnAppId has this same footgun and documents it,
+            # this sink refuses instead)
+            raise RuntimeError(
+                f"batch_id {batch_id} is behind {table_path}'s committed "
+                f"txn {last} for query_id {query_id!r}: the checkpoint "
+                "was reset or the query_id was reused. Use a NEW "
+                "query_id for a new stream (its batches will append), "
+                "or resume from the original checkpoint."
+            )
         txn[query_id] = batch_id
+        if cluster_by is None and staged is None:
+            # stage ONCE; CAS-losing retries recommit JUST the manifest
+            # against the staged files instead of re-writing the batch
+            # (cluster_by re-lays per publish and stays on that path)
+            staged = _stage(batch, table_path, partition_by, True)
         try:
             return publish_snapshot(
                 batch,
@@ -109,6 +137,7 @@ def append_batch_exactly_once(
                 cluster_by=cluster_by,
                 expected_parent=head,
                 properties={TXN_KEY: txn},
+                staged_files=staged,
             )
         except VersionConflictError:
             if attempt >= retries:
@@ -144,14 +173,23 @@ def stream_manifest_append(
         )
         if rollup:
             from dbcut_spark.operators.matview import refresh_rollup
+            from dbcut_spark.sinks.manifest import VersionConflictError
 
-            refresh_rollup(
-                batch.sparkSession,
-                table_path,
-                rollup["view_path"],
-                rollup["keys"],
-                rollup["measures"],
-            )
+            try:
+                refresh_rollup(
+                    batch.sparkSession,
+                    table_path,
+                    rollup["view_path"],
+                    rollup["keys"],
+                    rollup["measures"],
+                )
+            except VersionConflictError:
+                # a concurrent refresher won the view's CAS — its
+                # cursor is AT LEAST as fresh as ours would have been,
+                # so losing here is not an error worth killing the
+                # stream over; the NEXT batch's refresh catches the
+                # view up (review finding, round 11)
+                pass
 
     return (
         stream.writeStream.foreachBatch(handle)

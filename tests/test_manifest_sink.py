@@ -28,8 +28,12 @@ def test_append_batch_replay_is_noop(spark, tmp_path):
     assert mf.read_snapshot(spark, tbl).count() == 10
     assert append_batch_exactly_once(b1, 1, tbl, "q") == 2
     assert mf.read_snapshot(spark, tbl).count() == 20
-    # a LOWER batch id than the recorded one is also a replay
-    assert append_batch_exactly_once(b0, 0, tbl, "q") is None
+    # a LOWER batch id than the recorded one is NOT a replay —
+    # Structured Streaming only re-delivers the LAST batch, so behind
+    # means a reset checkpoint / reused query_id, and silently
+    # dropping those batches would lose data: refuse loudly
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        append_batch_exactly_once(b0, 0, tbl, "q")
     # a different query's ids are independent
     assert append_batch_exactly_once(b0, 0, tbl, "q2") == 3
     assert mf.read_snapshot(spark, tbl).count() == 30
@@ -48,14 +52,13 @@ def test_txn_map_survives_compaction(spark, tmp_path):
     res = mf.compact_snapshot(spark, tbl, grace_seconds=0)
     assert res["compacted"]
     assert mf.snapshot_properties(tbl)[TXN_KEY] == {"q": 2}
-    # replays of all three batches are still no-ops
-    for i in range(3):
-        assert (
-            append_batch_exactly_once(
-                spark.range(i * 10, i * 10 + 10), i, tbl, "q"
-            )
-            is None
-        )
+    # the crash-replay of the LAST batch is still a no-op; older ids
+    # still refuse loudly (both facts must survive the compaction)
+    assert (
+        append_batch_exactly_once(spark.range(20, 30), 2, tbl, "q") is None
+    )
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        append_batch_exactly_once(spark.range(10), 0, tbl, "q")
     assert mf.read_snapshot(spark, tbl).count() == 30
 
 
@@ -140,8 +143,29 @@ def test_stream_manifest_append_with_rollup(spark, sf_dir, tmp_path):
     got_view = _mrows(mf.read_snapshot(spark, view))
     exp_view = _mrows(rollup(events, keys, measures))
     assert got_view == exp_view
-    # a fresh checkpoint re-delivers batches 0..2: every one is a
-    # replay by txn map, so nothing changes
-    run(str(tmp_path / "ckpt2"))
+    # a RESUMED checkpoint re-delivers nothing new: the query drains
+    # to a no-op and state is unchanged
+    run(str(tmp_path / "ckpt1"))
+    assert _mrows(mf.read_snapshot(spark, tbl)) == got_tbl
+    assert _mrows(mf.read_snapshot(spark, view)) == got_view
+    # a FRESH checkpoint restarts batch ids at 0 — behind the table's
+    # committed txn. The sink cannot tell identical re-delivery from a
+    # changed source, so it REFUSES loudly instead of silently
+    # dropping batches, and nothing changes on disk
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        q = stream_manifest_append(
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage)),
+            tbl,
+            "evq",
+            str(tmp_path / "ckpt2"),
+        )
+        q.awaitTermination(180)
+        raise RuntimeError(f"stream should have failed: {q.exception()}")
     assert _mrows(mf.read_snapshot(spark, tbl)) == got_tbl
     assert _mrows(mf.read_snapshot(spark, view)) == got_view

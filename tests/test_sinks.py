@@ -3296,3 +3296,96 @@ def test_manifest_upsert_preserves_layout(spark, tmp_path):
     assert mf.read_snapshot(
         spark, t2, where=[("k", "=", 500)]
     ).count() == 1
+
+
+def test_manifest_stats_review_edge_cases(spark, tmp_path):
+    """Round-11 review regressions pinned: (a) pre-year-1000 timestamps
+    encode zero-padded so range pruning cannot skip their file; (b) a
+    float predicate on a DECIMAL column compares in double space — the
+    residual filter's domain — so a decimal bound that rounds to the
+    predicate's double cannot be wrongly pruned; (c) a widening append
+    that stages zero files still reads back with the promised schema
+    and filters on the new column."""
+    import datetime
+    from decimal import Decimal
+
+    from dbcut_spark.sinks import manifest as mf
+
+    # (a) year-999 timestamps
+    t1 = str(tmp_path / "t1")
+    old = spark.createDataFrame(
+        [(1, datetime.datetime(999, 6, 1))], "k long, ts timestamp"
+    )
+    new = spark.createDataFrame(
+        [(2, datetime.datetime(1500, 1, 1))], "k long, ts timestamp"
+    )
+    mf.publish_snapshot(old.coalesce(1), t1, stats_cols=["ts"],
+                        repartition=False)
+    mf.publish_snapshot(new.coalesce(1), t1, mode="append",
+                        stats_cols=["ts"], repartition=False)
+    where = [("ts", "<", datetime.datetime(1000, 1, 1))]
+    got = mf.read_snapshot(spark, t1, where=where)
+    assert [r["k"] for r in got.collect()] == [1]
+    rep = mf.prune_report(t1, where)
+    assert rep["kept_files"] == 1  # the 1500 file prunes, 999 stays
+
+    # (b) decimal bound at a double representation boundary
+    t2 = str(tmp_path / "t2")
+    dec = spark.createDataFrame(
+        [(1, Decimal("0.10000000000000000555"))],
+        "k long, v decimal(38,20)",
+    )
+    mf.publish_snapshot(dec.coalesce(1), t2, stats_cols=["v"],
+                        repartition=False)
+    # the decimal min rounds to exactly the double 0.1, and Spark's
+    # filter compares in double space — pruning must agree
+    got2 = mf.read_snapshot(spark, t2, where=[("v", "=", 0.1)])
+    assert got2.count() == 1
+
+    # (c) zero-file widening append
+    t3 = str(tmp_path / "t3")
+    mf.publish_snapshot(
+        spark.createDataFrame([(1,)], "k long").coalesce(1), t3,
+        repartition=False,
+    )
+    wide_empty = spark.createDataFrame([], "k long, score double")
+    mf.publish_snapshot(wide_empty, t3, mode="append",
+                        schema_evolution="add")
+    got3 = mf.read_snapshot(spark, t3)
+    assert got3.columns == ["k", "score"]
+    assert [tuple(r) for r in got3.collect()] == [(1, None)]
+    assert mf.read_snapshot(
+        spark, t3, where=[("score", ">", 0.0)]
+    ).count() == 0
+
+
+def test_manifest_vacuum_rejects_zero_retention(spark, tmp_path):
+    """keep_last=0 would delete the LIVE head's data files — refused."""
+    import pytest
+
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(spark.range(5), tbl)
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        mf.vacuum(tbl, keep_last=0, grace_seconds=0)
+    assert mf.read_snapshot(spark, tbl).count() == 5
+
+
+def test_manifest_upsert_inherits_stats_cols(spark, tmp_path):
+    """An upsert with default args keeps the table's skip-stat coverage
+    (previously one merge silently stripped every where= read's
+    pruning)."""
+    from dbcut_spark.sinks import manifest as mf
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 F.col("id").cast("double").alias("v"))
+    mf.publish_snapshot(df, tbl, stats_cols=["v"], cluster_by=["v"])
+    mf.upsert_snapshot(
+        spark, spark.createDataFrame([(500, 500.0)], "k long, v double"),
+        tbl, ["k"],
+    )
+    rep = mf.prune_report(tbl, [("v", ">", 1e9)])
+    assert rep["stats_files"] == rep["total_files"] > 0
+    assert rep["kept_files"] == 0
