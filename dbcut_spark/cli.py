@@ -478,6 +478,13 @@ def skew(ctx: Ctx, column: str, top: int):
         table, col = column.split(".", 1)
     except ValueError:
         raise click.UsageError("expected table.column, e.g. events.user_id")
+    if ctx.source.startswith("jdbc:"):
+        # sibling commands branch on the source kind; a raw Spark path
+        # error on a jdbc: URI is not an interface (review finding)
+        raise click.UsageError(
+            "skew profiles parquet sources; extract the table first "
+            "(load), then point this config's source at the parquet"
+        )
     from pyspark.sql import functions as F
 
     from dbcut_spark.sources.parquet import read_table
@@ -893,6 +900,11 @@ def sql(ctx: Ctx, statement: str, limit: int):
     registered as a temp view (beyond-reference usability: the
     analytics-engine face of the same catalog the extraction queries
     use — full Catalyst SQL over the reflected tables)."""
+    if ctx.source.startswith("jdbc:"):
+        raise click.UsageError(
+            "sql registers parquet source tables as views; for a jdbc: "
+            "source extract first (load), then query the parquet"
+        )
     from dbcut_spark.sources.parquet import read_table
 
     for table in sorted(ctx.catalog.tables):

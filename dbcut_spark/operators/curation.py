@@ -284,10 +284,15 @@ def incremental_dedup_indexed(
     # SET pointer (round 11) pins the version that is CONSISTENT with
     # the bands side probe_lsh_index reads (pointer-less legacy
     # indexes fall back to head resolution)
+    # the set pointer is resolved ONCE and shared with the bands probe
+    # below: two independent resolutions could straddle a concurrent
+    # append's re-point and pair exact@vN with bands@vN+1 — exactly the
+    # inconsistent cut the pointer exists to prevent (review finding)
+    pinned_set = _set_versions(index_path)
     refh = read_snapshot(
         spark,
         os.path.join(index_path, "exact"),
-        _set_versions(index_path).get("exact"),
+        pinned_set.get("exact"),
     )
     # LEFT SEMI, not left_outer + flag: semi join is duplicate-PROOF —
     # a text_hash appearing twice in the exact table (append retries,
@@ -303,7 +308,8 @@ def incremental_dedup_indexed(
         F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
     )
     pairs = probe_lsh_index(
-        spark, index_path, batch, text_col, id_col
+        spark, index_path, batch, text_col, id_col,
+        set_versions=pinned_set,
     ).filter(F.col("est_sim") >= threshold)
     near_ids = (
         pairs.select(F.col("doc_a").alias(id_col))

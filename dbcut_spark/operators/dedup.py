@@ -174,8 +174,9 @@ def _sig_bands(
     # md5('') hash in EVERY band — one hot join key turning 10M failed-
     # extraction docs into 10^14 joined candidate rows that all score
     # est_sim 0.0. A doc with no signature has no similarity evidence
-    # and belongs in no candidate pair (simhash filters the analogous
-    # case explicitly); this is the shared banding step, so the
+    # and belongs in no candidate pair (simhash applies the same rule
+    # since the round-11 review: NULL text yields a NULL signature
+    # that never pairs); this is the shared banding step, so the
     # self-join, cross-corpus, index-build and probe paths all inherit
     # the guard
     return signatures.filter(F.col("h0").isNotNull()).select(
@@ -322,18 +323,27 @@ def simhash(
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
-    # docs with no tokens (empty/whitespace-only text) vanish from the
-    # aggregation; give them the defined all-zero signature instead of
-    # silently dropping them — two empty docs ARE trivially identical
-    # and must be pairable, and corpus joins must not lose rows
+    # docs with no tokens split by text NULL-ness (review finding,
+    # round 11 — matching the module's LSH convention where NULL text
+    # bands nowhere):
+    # - empty/whitespace-only STRING text → the defined all-zero
+    #   signature: two empty docs ARE trivially identical and must be
+    #   pairable, and corpus joins must not lose rows;
+    # - NULL text (failed extraction) carries no similarity evidence →
+    #   NULL signature. NULL keys never equi-join and NULL hamming
+    #   comparisons are never <= k, so NULL-text docs pair with
+    #   NOTHING in either pair path — previously N failed extractions
+    #   all coalesced to signature 0 and emitted N(N-1)/2 pairs, the
+    #   exact hot-key blowup the LSH banding guard exists to prevent.
     return (
-        df.select(F.col(id_col))
+        df.select(F.col(id_col), F.col(text_col).isNull().alias("__tnull"))
         .join(sigs, id_col, "left_outer")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias(
-                "simhash"
-            ),
+            F.when(
+                ~F.col("__tnull"),
+                F.coalesce(F.col("simhash"), F.lit(0).cast("long")),
+            ).alias("simhash"),
         )
     )
 
@@ -883,6 +893,7 @@ def probe_lsh_index(
     batch: DataFrame,
     text_col: str,
     id_col: str,
+    set_versions: dict | None = None,
 ) -> DataFrame:
     """LSH candidate pairs of a NEW batch against a persisted reference
     index: (doc_a = batch id, doc_b = reference id, est_sim) — the
@@ -924,9 +935,15 @@ def probe_lsh_index(
     bands = pin(bands)
     # pin the SET pointer's bands version (round 11): the sides commit
     # independently, and per-side head resolution could pair a bands
-    # batch with an exact table from a different logical state; None
-    # (pointer-less legacy index) falls back to head resolution
-    bands_version = _set_versions(index_path).get("bands")
+    # batch with an exact table from a different logical state. A
+    # caller probing BOTH sides (curation.incremental_dedup_indexed)
+    # resolves the set ONCE and passes it in — re-resolving here could
+    # pair its exact read with a newer pointer's bands (review
+    # finding). None values / pointer-less legacy indexes fall back to
+    # head resolution.
+    if set_versions is None:
+        set_versions = _set_versions(index_path)
+    bands_version = set_versions.get("bands")
     # driver-bounded: ≤ n_bands × n_buckets rows whatever the batch size
     combos: dict[int, list[int]] = {}
     for r in bands.select("band_idx", "bucket").distinct().collect():
@@ -1100,12 +1117,22 @@ def lsh_index_compact(
         vacuum,
     )
 
+    from dbcut_spark.sinks.manifest import current_version
+
     with open(os.path.join(index_path, "_lsh_meta.json")) as f:
         meta = json.load(f)
     bands_path = os.path.join(index_path, "bands")
     exact_path = os.path.join(index_path, "exact")
 
-    exact_df = read_snapshot(spark, exact_path)
+    # pin the version each rewrite is DERIVED from: the publish pins
+    # expected_parent to it, so a concurrent lsh_index_append landing
+    # mid-compaction makes the compaction LOSE with a typed conflict
+    # instead of overwriting the appended batch out of the live index
+    # (an unpinned overwrite would resolve the appender's version as
+    # its parent and silently supersede it — review finding, round 11)
+    exact_head = current_version(exact_path)
+    bands_head = current_version(bands_path)
+    exact_df = read_snapshot(spark, exact_path, exact_head)
     extra = (
         exact_df.groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1123,6 +1150,7 @@ def lsh_index_compact(
             exact_df.distinct().localCheckpoint().coalesce(1),
             exact_path,
             mode="overwrite",
+            expected_parent=exact_head,
         )
         exact_stats = {
             "skipped": False,
@@ -1137,7 +1165,8 @@ def lsh_index_compact(
     bands_files_before = sum(per_bucket.values())
     bands_stats = {"skipped": True, "files_before": bands_files_before}
     if per_bucket and max(per_bucket.values()) > 1:
-        bands_df = read_snapshot(spark, bands_path).localCheckpoint()
+        bands_df = read_snapshot(spark, bands_path, bands_head)
+        bands_df = bands_df.localCheckpoint()
         repoint["bands"] = publish_snapshot(
             _bands_for_write(
                 bands_df,
@@ -1148,6 +1177,7 @@ def lsh_index_compact(
             mode="overwrite",
             partition_by=["band_idx", "bucket"],
             repartition=False,
+            expected_parent=bands_head,
         )
         bands_stats = {
             "skipped": False,
@@ -1158,9 +1188,9 @@ def lsh_index_compact(
         # re-POINT before vacuuming: a probe resolving the set between
         # the rewrite and the vacuum must land on the compacted
         # versions, not on a stale pointer whose files are being
-        # expired under it. The MAX merge in _publish_set lands the
-        # compacted versions even against a racing appender (overwrites
-        # take the next version number).
+        # expired under it. (A racing appender cannot be superseded:
+        # the rewrites above pin expected_parent, so the append winning
+        # the version race makes THIS compaction raise instead.)
         _publish_set(index_path, repoint)
         if "exact" in repoint:
             vacuum(

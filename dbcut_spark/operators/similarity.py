@@ -807,8 +807,10 @@ def ivf_maintain(
         cos = num / den if den else 0.0
     if cos is not None and cos >= drift_cos_threshold:
         update_ivf_index(candidates, path, id_col, vec_col)
-        with open(stats_path, "w") as f:
-            json.dump({"mean": stored}, f)  # snapshot unchanged: same era
+        # NO stats rewrite: the snapshot is unchanged ('same era'), and
+        # re-serializing identical bytes only added a torn-write window
+        # whose torn-read fallback forces an unwarranted full refit on
+        # the next run (review finding, round 11)
         return {"action": "kept", "mean_cos": cos}
     build_ivf_index(candidates, path, id_col, vec_col, n_centroids, seed)
     with open(stats_path, "w") as f:
@@ -1117,6 +1119,11 @@ def pq_encode(
                 continue
             valid.append(i)
             mats.append(a)
+        # same config-error tripwire as the sibling kernels: a
+        # codebook whose m*sub mismatches the data drops EVERY row —
+        # without this, pq_adc_topk returns empty-but-successful
+        # results (review finding, round 11)
+        _guard_all_dropped(len(vecs), len(valid), vecs, dim, "pq_encode")
         if mats:
             X = np.stack(mats)  # (n_valid, dim)
             codes = np.empty((X.shape[0], m_count), dtype=np.int32)
@@ -1187,10 +1194,14 @@ def pq_adc_topk(
         )
         term = t * t
         part = term if part is None else part + term
-    # queries shorter than the codebook's dim would abort the LUT
-    # build under ANSI (element_at past the array end); drop them like
-    # pq_encode drops mismatched candidates — degrade, don't crash
-    lut = queries.filter(F.size(e) >= dim).crossJoin(
+    # queries whose length mismatches the codebook's dim are dropped
+    # like pq_encode drops mismatched candidates — degrade, don't
+    # crash. EXACT equality, not >=: a longer query survives the LUT
+    # build (it only reads the first dim elements) but its re-rank
+    # zip_with pads the candidate with NULLs, making dist2 NULL — and
+    # NULLs sort FIRST under asc, returning garbage as rank 1..k
+    # (review finding, round 11)
+    lut = queries.filter(F.size(e) == dim).crossJoin(
         F.broadcast(grid)
     ).select(
         F.col(id_col).alias("q_id"), "m", "code", part.alias("pd")
@@ -1232,8 +1243,11 @@ def pq_adc_topk(
         .join(F.broadcast(qv), "q_id")
         .select("q_id", "cand_id", d2.alias("dist2"))
     )
+    # asc_nulls_last is defensive depth: the == dim filter above keeps
+    # ragged queries out of the re-rank entirely, and a NULL dist2
+    # must never outrank a real distance
     w_k = Window.partitionBy("q_id").orderBy(
-        F.col("dist2").asc(), F.col("cand_id").asc()
+        F.col("dist2").asc_nulls_last(), F.col("cand_id").asc()
     )
     return (
         rer.withColumn("rnk", F.row_number().over(w_k).cast("int"))

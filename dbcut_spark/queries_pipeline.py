@@ -445,7 +445,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(sh.simhash, 0) END AS simhash
     FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY d.doc_id
     """,
 )
@@ -474,7 +476,9 @@ sh0 AS (
          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id),
 sh AS (
-  SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+  SELECT d.doc_id,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE COALESCE(sh0.simhash, 0) END AS simhash
   FROM documents d LEFT JOIN sh0 USING (doc_id))
 """
 

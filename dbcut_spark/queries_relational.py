@@ -95,7 +95,14 @@ def _rf_scratch() -> str:
                 aged = False
             if own or (aged and owner_dead(base)):
                 _shutil.rmtree(stale, ignore_errors=True)
-        scratch = _tempfile.mkdtemp(prefix=own_prefix)
+        # dir=tmp_root, NOT the tempfile default: without it the
+        # configured SPARK_GRAFT_SCRATCH_DIR was only ever used by the
+        # reap glob above while every new dir still landed in the
+        # node-local tempdir — the staged table would be unreadable by
+        # executors on a real cluster AND leak there forever, since
+        # the reaper scans a directory nothing is created in (review
+        # finding, round 11)
+        scratch = _tempfile.mkdtemp(prefix=own_prefix, dir=tmp_root)
         _RF_LIVE.add(scratch)
         _RF_TLOCAL.scratch = scratch
     return scratch

@@ -144,9 +144,18 @@ def stream_dedup_ingest(
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             from dbcut_spark.operators.dedup import lsh_index_compact
+            from dbcut_spark.sinks.manifest import VersionConflictError
 
             if os.path.exists(os.path.join(index_path, "_lsh_meta.json")):
-                lsh_index_compact(batch.sparkSession, index_path)
+                try:
+                    lsh_index_compact(batch.sparkSession, index_path)
+                except VersionConflictError:
+                    # a concurrent appender won the version CAS (since
+                    # round 11 the compaction pins expected_parent so
+                    # it can never supersede a committed batch):
+                    # maintenance just retries at the next cadence —
+                    # never kill the ingest stream over housekeeping
+                    pass
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -441,3 +441,28 @@ def test_bounded_but_huge_static_bound_routes_runtime():
         _plan({"from": "customer", "limit": 20, "backref_limit": 5}), SF_DIR
     )
     assert {x.route for x in small.edges} == {"broadcast"}
+
+
+def test_cli_skew_and_sql_reject_jdbc_source(tmp_path):
+    """skew and sql branch on the source kind like their siblings: a
+    jdbc: source gets a clean UsageError, not a raw Spark path error."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg = {
+        "databases": {
+            "source_uri": "jdbc:mysql://db.example/prod",
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    r1 = CliRunner().invoke(cli, ["-c", cfg_path, "skew", "orders.o_custkey"])
+    assert r1.exit_code != 0 and "parquet" in r1.output
+    r2 = CliRunner().invoke(cli, ["-c", cfg_path, "sql", "SELECT 1"])
+    assert r2.exit_code != 0 and "parquet" in r2.output

@@ -1935,3 +1935,113 @@ def test_ivf_quantizer_rides_the_snapshot(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert legacy_got == baseline
+
+
+def test_round11_review_regressions(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-11 second review sweep, pinned:
+    (1) a compaction racing a committed index append LOSES with a typed
+        conflict instead of silently dropping the batch from the index;
+    (2) simhash gives NULL-text docs a NULL signature that pairs with
+        nothing (empty-STRING docs keep the pairable all-zero sig);
+    (3) pq_encode trips the all-dropped guard on a codebook/dim
+        mismatch instead of returning empty-but-successful results;
+    (4) a query vector LONGER than the codebook dim is dropped, never
+        ranked with NULL distances;
+    (5) _rf_scratch creates its dirs under SPARK_GRAFT_SCRATCH_DIR."""
+    import os
+
+    import pytest
+
+    from dbcut_spark.operators import dedup as dd
+    from dbcut_spark.operators import similarity as sim
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sources.parquet import read_table
+
+    # (1) compact-vs-append race
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    dd.build_lsh_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, "text", "doc_id",
+        n_buckets=4,
+    )
+    dd.lsh_index_append(
+        spark, idx, docs.filter((F.col("doc_id") % 2 == 1)).limit(50),
+        "text", "doc_id",
+    )
+    orig = mf.publish_snapshot
+
+    def racing(df, table_path, **kw):
+        if table_path.endswith("/exact") and kw.get("expected_parent"):
+            monkeypatch.setattr(mf, "publish_snapshot", orig)
+            orig(
+                spark.createDataFrame([("racerhash",)], "text_hash string"),
+                table_path, mode="append",
+            )
+        return orig(df, table_path, **kw)
+
+    monkeypatch.setattr(mf, "publish_snapshot", racing)
+    with pytest.raises(mf.VersionConflictError):
+        dd.lsh_index_compact(spark, idx, grace_seconds=0)
+    monkeypatch.setattr(mf, "publish_snapshot", orig)
+    # the racer's appended hash is still in the live exact table
+    assert (
+        mf.read_snapshot(spark, idx + "/exact")
+        .filter(F.col("text_hash") == "racerhash")
+        .count()
+        == 1
+    )
+
+    # (2) simhash NULL vs empty text
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "  "), (5, "real words here")],
+        "doc_id long, text string",
+    )
+    sigs = dd.simhash(df, "text", "doc_id")
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[1] is None and by_id[2] is None
+    assert by_id[3] == 0 and by_id[4] == 0
+    assert by_id[5] not in (None, 0)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs(sigs, "doc_id", max_hamming=1).collect()
+    }
+    assert (1, 2) not in pairs and (3, 4) in pairs
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs_banded(
+            sigs, "doc_id", max_hamming=1
+        ).collect()
+    }
+    assert (1, 2) not in banded and (3, 4) in banded
+
+    # (3) pq_encode all-dropped tripwire (guard needs >= 16 non-NULLs)
+    emb = read_table(spark, sf_dir, "embeddings").limit(64)
+    bad_codebooks = [[[0.0] * 3] * 4 for _ in range(4)]  # dim 12 != data
+    with pytest.raises(Exception, match="pq_encode.*every one of"):
+        sim.pq_encode(emb, "embedding", "vec_id", bad_codebooks).count()
+
+    # (4) an over-long query vanishes from pq results instead of
+    # ranking garbage first
+    good = read_table(spark, sf_dir, "embeddings")
+    dim = len(good.select("embedding").first()[0])
+    cands = good.filter(F.col("vec_id") >= 10).limit(100)
+    m = 4
+    sub = dim // m
+    cb = [
+        [[0.1 * (j + 1)] * sub for j in range(4)] for _ in range(m)
+    ]
+    long_q = good.limit(1).select(
+        "vec_id",
+        F.concat(F.col("embedding"), F.array(F.lit(0.5))).alias("embedding"),
+    )
+    out = sim.pq_adc_topk(long_q, cands, "embedding", "vec_id", cb, k=3)
+    assert out.count() == 0
+
+    # (5) scratch root honored
+    import dbcut_spark.queries_relational as qr
+
+    root = str(tmp_path / "scratch_root")
+    os.makedirs(root)
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", root)
+    s = qr._rf_scratch()
+    assert s.startswith(root + os.sep), s
