@@ -424,39 +424,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    sql="""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
-        FROM documents)
-      WHERE length(tok) > 0),
-    bits AS (
-      SELECT doc_id, substr(md5(tok), 1, 8) AS h8, unnest(range(0, 32)) AS i
-      FROM toks),
-    votes AS (
-      SELECT doc_id, i,
-        2 * SUM(((strpos('0123456789abcdef', substr(h8, (i // 4) + 1, 1)) - 1)
-                 >> (i % 4)) & 1) - COUNT(*) AS s
-      FROM bits GROUP BY doc_id, i)
-    , sh AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
-                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-      FROM votes GROUP BY doc_id)
-    SELECT d.doc_id,
-           CASE WHEN d.text IS NULL THEN NULL
-                ELSE COALESCE(sh.simhash, 0) END AS simhash
-    FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY d.doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (distinct-token votes, exact integer
-    arithmetic — oracle matches bit-for-bit)."""
-    return dd.simhash(tp(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc_id")
-
-
+# ONE SimHash definition for both oracles: dedup_simhash and
+# dedup_simhash_pairs compose this CTE, so the bit-vote arithmetic and
+# the NULL-text rule can never silently desynchronize between the two
+# gates (review finding, round 11 — they used to be maintained twice)
 _SIMHASH_CTE = """
 toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -481,6 +452,19 @@ sh AS (
               ELSE COALESCE(sh0.simhash, 0) END AS simhash
   FROM documents d LEFT JOIN sh0 USING (doc_id))
 """
+
+
+@register(
+    "dedup_simhash",
+    sql="WITH " + _SIMHASH_CTE + """
+    SELECT doc_id, simhash FROM sh ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (distinct-token votes, exact integer
+    arithmetic — oracle matches bit-for-bit; NULL text yields a NULL,
+    never-pairable signature)."""
+    return dd.simhash(tp(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc_id")
 
 
 @register(
@@ -1000,7 +984,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import threading as _threading  # noqa: E402
+
 _IVF_CENTROIDS: dict[tuple, list] = {}
+_IVF_CENTROIDS_LOCK = _threading.Lock()
+
+
+def _ivf_gate_centroids(spark, sf_dir: str, cands) -> list:
+    """Committed offline quantizer when available, else a per-(sf_dir)
+    memoized KMeans fit — ONE implementation + lock for every IVF gate
+    (ann_ivf_topk, ivf_cluster_profile): the fallback used to be
+    copy-pasted, so a scaling fix could land in one gate and not the
+    other, and two threads could both miss the memo and run redundant
+    fits (review finding, round 11)."""
+    from dbcut_spark.operators import similarity as _sim
+
+    centroids = _sim.stored_centroids(sf_dir)
+    if centroids is not None:
+        return centroids
+    key = (sf_dir, 16)
+    with _IVF_CENTROIDS_LOCK:
+        if key not in _IVF_CENTROIDS:
+            _IVF_CENTROIDS[key] = _sim.fit_centroids(cands, n_centroids=16)
+        return _IVF_CENTROIDS[key]
 
 
 def _centroid_values_sql() -> str:
@@ -1087,12 +1093,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_semdedup."""
     e = tp(spark, sf_dir, "embeddings")
     cands = e.filter(F.col("vec_id") >= 10)
-    centroids = sim.stored_centroids(sf_dir)
-    if centroids is None:
-        key = (sf_dir, 16)
-        if key not in _IVF_CENTROIDS:
-            _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
-        centroids = _IVF_CENTROIDS[key]
+    centroids = _ivf_gate_centroids(spark, sf_dir, cands)
     return sim.ivf_topk(
         e.filter(F.col("vec_id") < 10),
         cands,
@@ -2228,12 +2229,7 @@ def ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tp(spark, sf_dir, "embeddings")
     cands = e.filter(F.col("vec_id") >= 10)
-    centroids = sim.stored_centroids(sf_dir)
-    if centroids is None:
-        key = (sf_dir, 16)
-        if key not in _IVF_CENTROIDS:
-            _IVF_CENTROIDS[key] = sim.fit_centroids(cands, n_centroids=16)
-        centroids = _IVF_CENTROIDS[key]
+    centroids = _ivf_gate_centroids(spark, sf_dir, cands)
     import numpy as np
 
     arr = np.array(centroids, dtype=np.float64)
@@ -5031,8 +5027,12 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_SQL = """
-WITH seq AS (
+# ONE gaps-and-islands definition for every SCD2 oracle: the state
+# build, the incremental twin, AND the as-of read compose this CTE, so
+# a tie-break or run-change tweak can never desynchronize them (review
+# finding, round 11 — the as-of oracle used to carry a verbatim copy)
+_SCD2_CTE = """
+seq AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
@@ -5046,11 +5046,17 @@ runs AS (
 islands AS (
   SELECT user_id, CAST(run_id AS INT) AS version, min(event_type) AS state,
          min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
-  FROM runs GROUP BY user_id, run_id)
-SELECT user_id, state, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
-       version, n_events
-FROM islands
+  FROM runs GROUP BY user_id, run_id),
+hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+         version, n_events
+  FROM islands)
+"""
+
+_SCD2_SQL = "WITH " + _SCD2_CTE + """
+SELECT user_id, state, valid_from, valid_to, version, n_events
+FROM hist
 ORDER BY user_id, version
 """
 
@@ -5212,6 +5218,62 @@ def _bpe_tokenize_sql(n: int) -> str:
     """
 
 
+# ONE Spark body per BPE gate family, parameterized by merge depth —
+# the 12- and 50-merge twins used to carry verbatim copies, so a fix
+# to the seg-hash reassembly in one could silently leave the other
+# computing a different hash (review finding, round 11; the SQL side
+# was already shared via _bpe_vocab_sql/_bpe_tokenize_sql)
+
+
+def _bpe_vocab_gate(spark, sf_dir: str, n_merges: int) -> DataFrame:
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(bpe.word_types(d, "text"), n_merges)
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_tokenize_gate(spark, sf_dir: str, n_merges: int) -> DataFrame:
+    from dbcut_spark.functions.text import norm_text
+    from dbcut_spark.operators import bpe
+
+    d = tp(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), n_merges)
+    wseg = seg.select(
+        "word",
+        F.array_join("syms", " ").alias("seg"),
+        F.size("syms").cast("long").alias("n_sym"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text("text"), " ")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.join(F.broadcast(wseg), toks.tok == wseg.word)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("seg_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("docs_bpe_vocab", sql=_bpe_vocab_sql(_BPE_MERGES))
 def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (operators/bpe.py): 12
@@ -5223,18 +5285,7 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     The heavy pass (word counting) is the only corpus-wide job —
     training itself runs on |word types| rows, the property that makes
     BPE trainable at 100 TB."""
-    from dbcut_spark.operators import bpe
-
-    d = tp(spark, sf_dir, "documents")
-    merges, _ = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
-    rows = [
-        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("merge_rank")
+    return _bpe_vocab_gate(spark, sf_dir, _BPE_MERGES)
 
 
 @register("docs_bpe_vocab50", sql=_bpe_vocab_sql(50))
@@ -5247,18 +5298,7 @@ def docs_bpe_vocab50(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets a gate train 4x deeper for ~zero extra Spark work; the oracle
     unrolls all 50 rounds in DuckDB, so the hash pins the deep-greedy
     dynamics cross-engine."""
-    from dbcut_spark.operators import bpe
-
-    d = tp(spark, sf_dir, "documents")
-    merges, _ = bpe.bpe_train(bpe.word_types(d, "text"), 50)
-    rows = [
-        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("merge_rank")
+    return _bpe_vocab_gate(spark, sf_dir, 50)
 
 
 @register("docs_bpe_tokenize", sql=_bpe_tokenize_sql(_BPE_MERGES))
@@ -5271,37 +5311,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation. Train/apply consistency (fold-apply over initial
     symbols == training segmentation) is pinned separately in
     tests/test_pipeline_ops.py."""
-    from dbcut_spark.functions.text import norm_text
-    from dbcut_spark.operators import bpe
-
-    d = tp(spark, sf_dir, "documents")
-    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), _BPE_MERGES)
-    wseg = seg.select(
-        "word",
-        F.array_join("syms", " ").alias("seg"),
-        F.size("syms").cast("long").alias("n_sym"),
-    )
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(norm_text("text"), " ")).alias("pos", "tok"),
-    ).filter(F.length("tok") > 0)
-    return (
-        toks.join(F.broadcast(wseg), toks.tok == wseg.word)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_sym").alias("n_bpe_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                        lambda s: s["seg"],
-                    ),
-                    " ",
-                )
-            ).alias("seg_hash"),
-        )
-        .orderBy("doc_id")
-    )
+    return _bpe_tokenize_gate(spark, sf_dir, _BPE_MERGES)
 
 
 @register("docs_bpe_tokenize50", sql=_bpe_tokenize_sql(50))
@@ -5313,37 +5323,7 @@ def docs_bpe_tokenize50(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (50 unrolled window-greedy rounds) certifies the Pandas-UDF
     kernel itself cross-engine, not just the fold form the 12-merge
     gates cover. Same doc-level output contract as docs_bpe_tokenize."""
-    from dbcut_spark.functions.text import norm_text
-    from dbcut_spark.operators import bpe
-
-    d = tp(spark, sf_dir, "documents")
-    _, seg = bpe.bpe_train(bpe.word_types(d, "text"), 50)
-    wseg = seg.select(
-        "word",
-        F.array_join("syms", " ").alias("seg"),
-        F.size("syms").cast("long").alias("n_sym"),
-    )
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(norm_text("text"), " ")).alias("pos", "tok"),
-    ).filter(F.length("tok") > 0)
-    return (
-        toks.join(F.broadcast(wseg), toks.tok == wseg.word)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_sym").alias("n_bpe_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                        lambda s: s["seg"],
-                    ),
-                    " ",
-                )
-            ).alias("seg_hash"),
-        )
-        .orderBy("doc_id")
-    )
+    return _bpe_tokenize_gate(spark, sf_dir, 50)
 
 
 def _bpe_token_ids_sql(n: int) -> str:
@@ -5410,27 +5390,7 @@ def docs_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_scd2_asof",
-    sql="""
-WITH seq AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-               OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
-              THEN 1 ELSE 0 END AS chg
-  FROM events),
-runs AS (
-  SELECT user_id, ts, event_type,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-  FROM seq),
-islands AS (
-  SELECT user_id, CAST(run_id AS INT) AS version, min(event_type) AS state,
-         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
-  FROM runs GROUP BY user_id, run_id),
-hist AS (
-  SELECT user_id, state, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
-         version, n_events
-  FROM islands)
+    sql="WITH " + _SCD2_CTE + """
 SELECT user_id, state, valid_from, version, n_events
 FROM hist
 WHERE valid_from <= TIMESTAMP '2024-02-15 00:00:00'

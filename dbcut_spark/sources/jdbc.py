@@ -561,7 +561,14 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
                 .replace("_", esc + "_")
                 .replace("%", esc + "%")
             )
-            rs = meta.getTables(None, schema, pat, None)
+            # restrict to real TABLEs (same as reflect_catalog_metadata):
+            # with types=None a same-named VIEW/synonym counts as
+            # existing, routing Engine.load's insert path (or clear's
+            # DELETE) at an object that is not the target table
+            gw = spark.sparkContext._gateway
+            types_arr = gw.new_array(gw.jvm.java.lang.String, 1)
+            types_arr[0] = "TABLE"
+            rs = meta.getTables(None, schema, pat, types_arr)
             try:
                 if rs.next():
                     return True
@@ -724,7 +731,20 @@ def reflect_catalog_metadata(spark, url: str, schema: str | None = None):
             )
             col_rows.sort(key=lambda r: int(r[1]))
             columns = tuple(r[0] for r in col_rows)
-            defaults = {r[0]: r[2] for r in col_rows if r[2] is not None}
+            # COLUMN_DEF comes back dialect-spelled (pg appends
+            # '::casts' and nextval(...), mysql strips string quotes) —
+            # raw values render as corrupt/unportable DDL in the SQL
+            # dump, which wraps catalog defaults verbatim; normalize
+            # exactly like the information_schema reflection path does
+            # (review finding, round 11)
+            dialect = url_dialect(url)
+            defaults = {}
+            for r in col_rows:
+                if r[2] is None:
+                    continue
+                norm = normalize_reflected_default(r[2], dialect)
+                if norm is not None:
+                    defaults[r[0]] = norm
             pk_rows = rows(
                 meta.getPrimaryKeys(None, schema, t),
                 ["COLUMN_NAME", "KEY_SEQ"],
@@ -783,8 +803,10 @@ def jdbc_table_rows(
        cached (ESTIMATE_QUERY: mysql ``information_schema.table_rows``,
        pg ``reltuples``, sqlite ``sqlite_stat1`` — reference parity:
        ``dbcut/database.py:329-338``). Estimates the database already
-       maintains, so they are free; NULL/negative values (pg
-       pre-ANALYZE ``reltuples = -1``) are treated as unknown;
+       maintains, so they are free; NULL, negative, AND zero values
+       are treated as unknown (pg >= 14 reports pre-ANALYZE as -1 but
+       older versions report 0 — trusting it would route a large
+       unanalyzed table as empty);
     2. for dialects without a statistics store (Derby, ...) or tables
        the statistics missed: one exact ``COUNT(*)`` per table,
        memoized for the callable's lifetime (``exact_fallback=True``,
@@ -823,7 +845,14 @@ def jdbc_table_rows(
                 while rs.next():
                     name = rs.getString(1)
                     n = rs.getLong(2)
-                    if name and not rs.wasNull() and n >= 0:
+                    # n > 0, not >= 0: PostgreSQL <= 13 reports
+                    # reltuples = 0 (not -1) for never-ANALYZEd tables,
+                    # so trusting a 0 caches a 100M-row table as empty
+                    # and the router would happily broadcast it (review
+                    # finding, round 11). A genuinely empty table falls
+                    # through to the exact tier, whose COUNT(*) on an
+                    # empty table is as cheap as queries get.
+                    if name and not rs.wasNull() and n > 0:
                         cache[name.lower()] = int(n)
             finally:
                 st.close()
@@ -858,11 +887,18 @@ def source_loader(spark, url: str, catalog) -> "object":
     trip); everything else reads as one ``dbtable`` scan (small dims —
     exactly the tables the executor broadcasts anyway)."""
 
+    # statistics-backed sizing (review finding, round 11): without the
+    # row estimate, a SPARSE integer PK sized partitioning from the raw
+    # id range — ids scattered over 2^40 with 100k actual rows planned
+    # 256 mostly-empty range queries hammering the source
+    table_rows = jdbc_table_rows(spark, url)
+
     def load(table: str):
         pk = catalog.table(table).pk
         reader = (
             spark.read.format("jdbc").option("url", url)
         )
+        partitioned = False
         if len(pk) == 1:
             try:
                 conn = spark._jvm.java.sql.DriverManager.getConnection(url)
@@ -876,12 +912,21 @@ def source_loader(spark, url: str, catalog) -> "object":
                     conn.close()
                 if hi > lo:
                     plan = plan_partitioned_read(
-                        pk, lo, hi, row_estimate=None
+                        pk, lo, hi, row_estimate=table_rows(table)
                     )
                     for k, v in plan.options().items():
                         reader = reader.option(k, v)
+                    partitioned = True
             except Exception:  # noqa: BLE001 - non-numeric PK etc.
                 pass  # single-cursor read below — correct, just serial
+        if not partitioned:
+            # the fallback contract is single-cursor WITH a streaming
+            # fetchsize; without it the driver buffers whole result
+            # sets (the exact behavior the reference's SSCursor avoids)
+            for k, v in plan_partitioned_read(
+                pk, None, None, None
+            ).options().items():
+                reader = reader.option(k, v)
         return reader.option("dbtable", table).load()
 
     return load

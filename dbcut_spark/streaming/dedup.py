@@ -77,6 +77,9 @@ def dedup_ingest_batch(
         os.path.join(index_path, "_lsh_meta.json")
     )
     if bootstrapped:
+        # batch is already checkpointed above — a second eager
+        # checkpoint of the SAME frame would materialize the whole
+        # bootstrap corpus slice twice (review finding, round 11)
         accepted = batch
     else:
         decisions = incremental_dedup_indexed(
@@ -85,24 +88,45 @@ def dedup_ingest_batch(
         keep = decisions.filter(
             ~F.col("is_exact_dup") & ~F.col("is_near_dup")
         ).select(id_col)
-        accepted = batch.join(keep, id_col, "left_semi")
-    accepted = accepted.localCheckpoint()
+        accepted = batch.join(keep, id_col, "left_semi").localCheckpoint()
     n = accepted.count()
     if n == 0:
         return 0
+    if bootstrapped:
+        # validate hashability BEFORE the corpus append: a first batch
+        # whose texts are all NULL would land in the corpus and then
+        # build_lsh_index would raise — deterministically, on every
+        # foreachBatch replay — poisoning the stream in a crash loop
+        # with corpus docs no index covers (review finding, round 11).
+        # With nothing hashable, DEFER the bootstrap: accept the docs
+        # (insert_ignore makes the replay converge) and let the first
+        # batch with content build the index.
+        hashable = (
+            accepted.filter(F.col(text_col).isNotNull()).limit(1).count()
+            > 0
+        )
+        insert_ignore_parquet(spark, accepted, corpus_path, [id_col])
+        if hashable:
+            try:
+                build_lsh_index(
+                    accepted.filter(F.col(text_col).isNotNull()),
+                    index_path, text_col, id_col,
+                    num_hashes=num_hashes, band_rows=band_rows,
+                    n_buckets=n_buckets,
+                )
+            except ValueError as exc:
+                # build's own emptiness test is BANDS-based (whitespace-
+                # only texts shingle to nothing and pass the NULL
+                # pre-check above): same deferral, not a crash loop
+                if "no hashable documents" not in str(exc):
+                    raise
+        return n
     # corpus BEFORE index: a crash between the two replays as
     # accepted-again (insert_ignore dedups the corpus, the index
     # append then completes); the reverse order would replay as
     # all-dups and leave the corpus missing the batch forever
     insert_ignore_parquet(spark, accepted, corpus_path, [id_col])
-    if bootstrapped:
-        build_lsh_index(
-            accepted, index_path, text_col, id_col,
-            num_hashes=num_hashes, band_rows=band_rows,
-            n_buckets=n_buckets,
-        )
-    else:
-        lsh_index_append(spark, index_path, accepted, text_col, id_col)
+    lsh_index_append(spark, index_path, accepted, text_col, id_col)
     return n
 
 
