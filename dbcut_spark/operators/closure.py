@@ -203,8 +203,16 @@ class ClosureExecutor:
             df = df.filter(cw.predicate)
         if cw.foreign_tables:
             df = df.select(*root_cols).dropDuplicates(list(plan.root_pk()))
-        order_cols = [k.to_column() for k in plan.order_keys()]
-        df = df.orderBy(*order_cols)
+        if spec.limit is not None or spec.offset:
+            # the order is only SEMANTIC under limit/offset (which rows
+            # make the cut); an unbounded root does not need it, and
+            # pin() would otherwise materialize a full global sort
+            # (range-partition shuffle of the whole root selection)
+            # that every consumer immediately destroys — frontier
+            # joins reshuffle and closure_table re-sorts per table
+            # (round-11 review)
+            order_cols = [k.to_column() for k in plan.order_keys()]
+            df = df.orderBy(*order_cols)
         if spec.offset:
             df = df.offset(spec.offset)
         if spec.limit is not None:
@@ -274,12 +282,15 @@ class ClosureExecutor:
                 # limit:no — which broadcasts anyway whenever the
                 # frontier turns out small (round-10 review).
                 _bound_here = bounds.get(id(node))
-                _max_rows_here = min(
+                # ONE broadcast-row threshold for both the bounded
+                # force-broadcast gate and the adaptive route below — a
+                # tuning change must move both together
+                max_rows = min(
                     BLOOM_MIN_KEYS,
                     BLOOM_MAX_BROADCAST_BYTES // _estimated_key_bytes(keys),
                 )
                 if bounded and (
-                    _bound_here is not None and _bound_here <= _max_rows_here
+                    _bound_here is not None and _bound_here <= max_rows
                 ):
                     keys = F.broadcast(keys)
                     child_df = self.load(rel.target).join(
@@ -302,11 +313,7 @@ class ClosureExecutor:
                     # removes those (operators/bloom.py).
                     from dbcut_spark.operators.bloom import bloom_semi_join
 
-                    max_rows = min(
-                        BLOOM_MIN_KEYS,
-                        BLOOM_MAX_BROADCAST_BYTES // _estimated_key_bytes(keys),
-                    )
-                    n_bound = bounds.get(id(node))
+                    n_bound = _bound_here
                     if n_bound is None:
                         # no static bound — try source metadata (free:
                         # the frontier is a subset of its table). A big

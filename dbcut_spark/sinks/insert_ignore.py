@@ -306,11 +306,64 @@ _SWAP_SAFE_PARTITION_TYPES = {
 }
 
 
-def _pruned_swap_safe(schema, part_cols: list[str]) -> bool:
+def _pruned_swap_safe(
+    schema, part_cols: list[str], incoming_schema=None
+) -> bool:
+    """Type gate for the partition-pruned swap. ``schema`` is the
+    READ-BACK (path-inferred) schema; when ``incoming_schema`` (the
+    writer's declared types) is given, the two must AGREE per partition
+    column — a disagreement means the path round-trip is lossy (a
+    string column holding '01' reads back as integer 1, so the pruned
+    swap would write c=1 next to the real c=01: doomed rows survive
+    and survivors duplicate; round-11 review). Lossy layouts take the
+    full rewrite."""
     types = {f.name: f.dataType.typeName() for f in schema.fields}
-    return all(
+    if not all(
         types.get(c) in _SWAP_SAFE_PARTITION_TYPES for c in part_cols
-    )
+    ):
+        return False
+    if incoming_schema is not None:
+        # compare type CLASSES, not exact widths: inference reads a
+        # long-written p=1 back as integer — same path rendering, so
+        # widths within the integral family are path-lossless; only a
+        # CLASS change (string '01' inferred as integral) is lossy
+        def _cls(t):
+            return (
+                "integral"
+                if t in ("byte", "short", "integer", "long")
+                else t
+            )
+
+        inc = {f.name: f.dataType.typeName() for f in incoming_schema.fields}
+        if any(
+            _cls(inc.get(c)) != _cls(types.get(c)) for c in part_cols
+        ):
+            return False
+    return True
+
+
+def _delta_has_empty_partition_value(df: DataFrame, part_cols) -> bool:
+    """True when a STRING partition column of the delta carries '' —
+    Spark writes '' into __HIVE_DEFAULT_PARTITION__ (same dir as NULL)
+    and reads it back as NULL, so the pruned swap's ``col == ''``
+    scoping would miss the target's default-partition rows and the
+    swap would replace that dir with the delta alone, silently
+    deleting them (round-11 review). One LIMIT-1 job on the cached
+    delta; hits take the full rewrite."""
+    from pyspark.sql import functions as F
+
+    str_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in part_cols and f.dataType.typeName() == "string"
+    ]
+    if not str_cols:
+        return False
+    cond = None
+    for c in str_cols:
+        e = F.col(c) == ""
+        cond = e if cond is None else (cond | e)
+    return df.filter(cond).limit(1).count() > 0
 
 
 def _partition_reldir(part_cols: list[str], row) -> str:
@@ -413,13 +466,21 @@ def _write_touched_marker(
 
 
 def _apply_pruned_swap(
-    staged: str, path: str, staged_rels, touched_rels
+    staged: str, path: str, staged_rels, touched_rels,
+    cleanup: bool = True,
 ) -> None:
     """Partition-wise swap, IDEMPOTENT so crash recovery can simply
     re-run it: a staged rel already moved by the crashed attempt is
     absent from the staging dir and skipped (never re-rmtree'd at the
     destination — that would delete the moved data); emptied-partition
-    removal is naturally re-runnable."""
+    removal is naturally re-runnable.
+
+    ``cleanup=False`` leaves the staging dir (and its intent marker) in
+    place: a caller with POST-swap work that must survive a crash (the
+    delete flow's empty-table normalization) removes it only after
+    that work completes, so recovery can re-run the whole sequence —
+    removing the marker first would strand the table unreadable with
+    nothing left to recover from (round-11 review)."""
     import shutil
 
     staged_rels = set(staged_rels)
@@ -448,7 +509,9 @@ def _apply_pruned_swap(
             ):
                 os.rmdir(parent)
                 parent = os.path.dirname(parent)
-    shutil.rmtree(staged)  # marker, leftover _SUCCESS + emptied value dirs
+    if cleanup:
+        # marker, leftover _SUCCESS + emptied value dirs
+        shutil.rmtree(staged)
 
 
 def _recover_pruned(spark: SparkSession, path: str) -> None:
@@ -484,7 +547,12 @@ def _recover_pruned(spark: SparkSession, path: str) -> None:
         )
     with open(marker) as f:
         intent = json.load(f)
-    _apply_pruned_swap(staged, path, intent["staged"], set(intent["touched"]))
+    # cleanup deferred past the normalization below, mirroring the
+    # non-crash delete flow: the marker is the recovery's only state
+    _apply_pruned_swap(
+        staged, path, intent["staged"], set(intent["touched"]),
+        cleanup=False,
+    )
     if intent.get("schema") and not any(
         e.is_dir() and "=" in e.name for e in os.scandir(path)
     ):
@@ -501,6 +569,7 @@ def _recover_pruned(spark: SparkSession, path: str) -> None:
         )
         shutil.rmtree(path)
         os.rename(empty_staged, path)
+    shutil.rmtree(staged)
     spark.catalog.refreshByPath(path)
 
 
@@ -510,6 +579,7 @@ def _swap_touched_partitions(
     part_cols: list[str],
     touched_rows,
     schema_json: str | None = None,
+    cleanup: bool = True,
 ) -> None:
     """Replace in ``path`` exactly the partition dirs present in the
     staged output, and remove touched target partitions the staged
@@ -521,7 +591,9 @@ def _swap_touched_partitions(
     staged_rels = set(_staged_partition_dirs(staged, len(part_cols)))
     touched_rels = {_partition_reldir(part_cols, r) for r in touched_rows}
     _write_touched_marker(staged, staged_rels, touched_rels, schema_json)
-    _apply_pruned_swap(staged, path, staged_rels, touched_rels)
+    _apply_pruned_swap(
+        staged, path, staged_rels, touched_rels, cleanup=cleanup
+    )
 
 
 def upsert_parquet(
@@ -605,7 +677,9 @@ def upsert_parquet(
             # CDC micro-batch reaches here with an empty upsert side)
             return 0, 0
         if part_cols and (
-            extra_cols or not _pruned_swap_safe(existing.schema, part_cols)
+            extra_cols
+            or not _pruned_swap_safe(existing.schema, part_cols, df.schema)
+            or _delta_has_empty_partition_value(df, part_cols)
         ):
             # full partitioned rewrite, two cases: (a) widening is
             # table-wide — a pruned rewrite would leave untouched
@@ -682,11 +756,11 @@ def delete_keys_parquet(
     part_cols = detect_partition_cols(path)
     existing = spark.read.parquet(path)
     keys = df_keys.select(*pk).dropDuplicates(pk)
-    if part_cols and not _pruned_swap_safe(existing.schema, part_cols):
-        # float/timestamp/decimal partition values: Python path
-        # rendering can drift from Spark's encoding, so the pruned
-        # swap could miss an emptied partition — full rewrite
-        # (layout preserved) instead of risking stale rows
+    def _full_partitioned_delete() -> int:
+        # full rewrite (layout preserved) instead of risking stale
+        # rows: taken for float/timestamp/decimal partition values
+        # (Python path rendering can drift from Spark's encoding) and
+        # for detected lossy round-trips (below)
         remaining = anti_new_rows(existing, keys, pk)
         n_before = existing.count()
         staged = path + ".__staging__"
@@ -704,6 +778,9 @@ def delete_keys_parquet(
         os.rename(staged, path)
         spark.catalog.refreshByPath(path)
         return n_before - n_after
+
+    if part_cols and not _pruned_swap_safe(existing.schema, part_cols):
+        return _full_partitioned_delete()
     if part_cols:
         touched = (
             existing.join(keys, on=pk, how="left_semi")
@@ -713,6 +790,20 @@ def delete_keys_parquet(
         )
         if not touched:
             return 0
+        if any(
+            not os.path.isdir(
+                os.path.join(path, _partition_reldir(part_cols, r))
+            )
+            for r in touched
+        ):
+            # every touched value came FROM the target, so its TRUE dir
+            # exists on disk — a rendered dir that does not is a lossy
+            # path round-trip the type gate could not see (e.g. a
+            # string column whose values all LOOK integral, '01' read
+            # back as 1): the pruned swap would write c=1 beside the
+            # real c=01, leaving doomed rows alive and duplicating the
+            # survivors (round-11 review). Full rewrite instead.
+            return _full_partitioned_delete()
         scoped = existing.filter(_partition_filter(part_cols, touched))
         remaining = anti_new_rows(scoped, keys, pk)
         n_before = scoped.count()
@@ -725,8 +816,13 @@ def delete_keys_parquet(
             if _staged_partition_dirs(staged, len(part_cols))
             else 0
         )
+        # cleanup deferred: the staging dir's marker must outlive the
+        # empty-table normalization below — a crash between the swap
+        # and the normalization used to strand an unreadable table
+        # with nothing left for recovery to re-run (round-11 review)
         _swap_touched_partitions(
-            staged, path, part_cols, touched, remaining.schema.json()
+            staged, path, part_cols, touched, remaining.schema.json(),
+            cleanup=False,
         )
         if not any(
             e.is_dir() and "=" in e.name for e in os.scandir(path)
@@ -739,6 +835,7 @@ def delete_keys_parquet(
             remaining.limit(0).write.mode("overwrite").parquet(empty_staged)
             shutil.rmtree(path)
             os.rename(empty_staged, path)
+        shutil.rmtree(staged)
         spark.catalog.refreshByPath(path)
         return n_before - n_after
     remaining = anti_new_rows(existing, keys, pk)
@@ -851,6 +948,13 @@ def upsert_sql(
         + f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
         + "VALUES (" + ", ".join(f"s.{qc(c)}" for c in cols) + ")"
     ]
+    if dialect == "sqlserver":
+        # SQL Server REQUIRES a terminating semicolon on MERGE (error
+        # 10713); Derby conversely REJECTS trailing semicolons through
+        # JDBC, so it is appended for this dialect only (round-11
+        # review — the docstring claimed SQL Server support while the
+        # statement could never execute there)
+        stmts[0] += ";"
     return stmts
 
 
@@ -979,7 +1083,11 @@ def jdbc_insert_auto(spark, df, url: str, table: str, pk: list[str]) -> int:
     after. The deduped frame is cached around count+write so the
     closure DAG feeding it computes once, not once per action (the
     same guard the insert_ignore_* primitives use)."""
-    from dbcut_spark.sources.jdbc import jdbc_table_exists, write_append
+    from dbcut_spark.sources.jdbc import (
+        jdbc_table_exists,
+        url_dialect,
+        write_append,
+    )
 
     if not jdbc_table_exists(spark, url, table):
         out = df.dropDuplicates(pk).cache()
@@ -989,4 +1097,11 @@ def jdbc_insert_auto(spark, df, url: str, table: str, pk: list[str]) -> int:
         finally:
             out.unpersist()
         return n
-    return insert_ignore_jdbc(spark, df, url, table, pk)
+    # dialect-correct identifier quote: in default MySQL sql_mode a
+    # double-quoted "id" is a STRING LITERAL, so the existing-keys
+    # probe would select a constant per row, the anti-join would match
+    # nothing, and every retry re-appended the full frame — silently
+    # breaking the exact idempotency this sink exists for (round-11
+    # review; the quote parameter existed but was never plumbed here)
+    quote = "`" if url_dialect(url) == "mysql" else '"'
+    return insert_ignore_jdbc(spark, df, url, table, pk, quote=quote)

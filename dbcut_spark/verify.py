@@ -16,7 +16,7 @@ bit-identical; see the DECIMAL-routing and round(6) conventions in
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import datetime, timezone
 
 # Unforgeable NaN sentinel: compares/hashes by identity, so no
 # canonicalized container value can ever equal it. The previous
@@ -33,6 +33,15 @@ def canon(v):
     nested lists/dicts)."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        # BEFORE the float/int fall-through: Python hashes True == 1 ==
+        # 1.0, so a BOOLEAN on one engine would silently multiset-match
+        # an integer 1 on the other — the same cross-type silent pass
+        # the NaN sentinel closed for NaN (round-11 review). int/float
+        # stay numerically unified on purpose: the oracle conventions
+        # cast both sides to matching numeric types, and DuckDB/Spark
+        # client types legitimately differ in width for equal values.
+        return ("__bool__", v)
     if isinstance(v, float):
         if math.isnan(v):
             # identity-sentinel, not a string or tuple: a genuine
@@ -47,7 +56,13 @@ def canon(v):
         # returns bytes (round-10 review)
         return bytes(v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v.tzinfo is not None:
+            # convert the INSTANT to UTC before dropping tzinfo: a bare
+            # strip compared wall-clock text, so 10:00+05 and 10:00+00
+            # (different instants) matched while the same instant in
+            # two zones mismatched (round-11 review)
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):

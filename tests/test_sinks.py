@@ -1524,7 +1524,7 @@ def test_pruned_swap_crash_recovery(spark, tmp_path, monkeypatch):
     real_apply = ii._apply_pruned_swap
     monkeypatch.setattr(
         ii, "_apply_pruned_swap",
-        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected crash")),
     )
     with _pt.raises(RuntimeError, match="injected crash"):
         ii.upsert_parquet(spark, delta, path, ["id"])
@@ -1610,7 +1610,7 @@ def test_pruned_swap_delete_all_crash_recovery(spark, tmp_path, monkeypatch):
     real_apply = ii._apply_pruned_swap
     monkeypatch.setattr(
         ii, "_apply_pruned_swap",
-        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected crash")),
     )
     with _pt.raises(RuntimeError, match="injected crash"):
         ii.delete_keys_parquet(spark, keys, path, ["id"])
