@@ -164,6 +164,7 @@ HEADLINE = [
     "events_stream_manifest_rollup",
     "events_rollup_approx_users",
     "orders_bucket_lookup",
+    "orders_sync_incremental",
 ]
 
 

@@ -1597,6 +1597,65 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_sync_incremental",
+    sql="SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+)
+def orders_sync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cursor sync (operators/sync.py, round 11): a
+    'growing' orders source is pulled into a manifest table in three
+    sync runs — bootstrap, then two deltas bounded by the committed
+    high-water mark on o_orderdate, each run ONE atomic commit carrying
+    both the rows and the advanced cursor. ``pk`` mode re-reads the
+    boundary slice (``>= mark`` + anti-join of the target's rows AT the
+    mark, a footer-stats-pruned read) so rows sharing the boundary
+    date land exactly once — the oracle is the flat key list of the
+    whole table, so the hash pins exactly-once at ROW granularity: a
+    doubled or dropped boundary row breaks it. A fourth run must be a
+    noop (the gate raises otherwise).
+
+    Scale: each run moves O(delta) — the bound compiles into the
+    source scan (PushedFilters here; server-side WHERE via
+    jdbc_incremental_sync for live databases), and the cursor rides
+    the target's own manifest properties, so there is no window where
+    rows landed without the mark or the mark without the rows.
+
+    Reference parity: the recurring re-extraction dbcut serves by full
+    reload on cache miss (dbcut/query.py:108-131), upgraded to
+    O(delta) with an atomic high-water-mark commit."""
+    from dbcut_spark.operators.sync import incremental_sync
+
+    target = _rf_scratch() + "/orders_sync"
+    base = t(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    states = [
+        base.filter(year < 1996),
+        base.filter(year < 1998),
+        base,
+        base,  # no growth: must be a noop
+    ]
+    expect = ["bootstrap", "append", "append", "noop"]
+    for state, want in zip(states, expect):
+        got = incremental_sync(
+            spark,
+            lambda low, s=state: s,  # sync re-filters by the mark
+            target,
+            "o_orderdate",
+            pk=["o_orderkey"],
+            stats_cols=["o_orderdate"],
+        )["mode"]
+        if got != want:
+            raise RuntimeError(
+                f"sync mode {got!r} != {want!r} — the gate certifies "
+                "the bootstrap/delta/noop protocol, not just the rows"
+            )
+    from dbcut_spark.sinks.manifest import read_snapshot
+
+    return read_snapshot(spark, target).select("o_orderkey").orderBy(
+        "o_orderkey"
+    )
+
+
+@register(
     "orders_bucket_lookup",
     sql="""
     SELECT o_custkey,
