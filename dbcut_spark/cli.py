@@ -1020,6 +1020,98 @@ def rollup(ctx: Ctx, base_path: str, view_path: str, keys, measure_specs):
     )
 
 
+@cli.command()
+@click.argument("source")
+@click.argument("target_path")
+@click.option(
+    "--cursor",
+    "cursor_col",
+    required=True,
+    help="monotonic cursor column (id / created_at / updated_at)",
+)
+@click.option(
+    "--table",
+    default=None,
+    help="source table name (required when SOURCE is a jdbc: url)",
+)
+@click.option(
+    "--source-id",
+    default="default",
+    show_default=True,
+    help="cursor-map key; use distinct ids when several sources feed "
+    "one target",
+)
+@click.option(
+    "--pk",
+    "pk_cols",
+    multiple=True,
+    help="primary-key column (repeatable): switches the bound to >= "
+    "and anti-joins the target's boundary slice so rows that commit "
+    "late AT the mark land exactly once",
+)
+@click.option(
+    "--stats",
+    "stats_cols",
+    multiple=True,
+    help="record per-file min/max skip stats for this column "
+    "(repeatable; include the cursor column so boundary re-reads "
+    "prune to the mark's files)",
+)
+@click.option(
+    "--evolve",
+    is_flag=True,
+    help="widen the target when the source grew columns "
+    "(schema_evolution='add'); default fails loudly on drift",
+)
+@click.pass_obj
+def sync(
+    ctx: Ctx,
+    source: str,
+    target_path: str,
+    cursor_col: str,
+    table: str | None,
+    source_id: str,
+    pk_cols,
+    stats_cols,
+    evolve: bool,
+):
+    """Incrementally sync a GROWING source into a manifest table
+    (operators/sync.py): only rows past the committed high-water mark
+    move — the mark rides the target's manifest, so rows and cursor
+    advance in one atomic commit and a re-run after any crash
+    converges. SOURCE is a parquet path or a jdbc: url (with --table;
+    the bound compiles into a server-side WHERE)."""
+    from dbcut_spark.operators.sync import (
+        jdbc_incremental_sync,
+        parquet_incremental_sync,
+    )
+
+    opts = dict(
+        source_id=source_id,
+        pk=list(pk_cols) or None,
+        stats_cols=list(stats_cols) or None,
+        schema_evolution="add" if evolve else None,
+    )
+    if source.startswith("jdbc:"):
+        if not table:
+            raise click.UsageError("--table is required for a jdbc: source")
+        res = jdbc_incremental_sync(
+            ctx.spark, source, table, target_path, cursor_col, **opts
+        )
+    else:
+        if table:
+            raise click.UsageError(
+                "--table applies to jdbc: sources only"
+            )
+        res = parquet_incremental_sync(
+            ctx.spark, source, target_path, cursor_col, **opts
+        )
+    click.echo(
+        f"{res['mode']}: {res['rows']} rows, cursor={res['cursor']!r} "
+        f"(v{res['version']})"
+    )
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

@@ -120,6 +120,7 @@ def incremental_sync(
     pk: list[str] | None = None,
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    schema_evolution: str | None = None,
     retries: int = 4,
 ) -> dict:
     """One sync run: pull rows past the committed high-water mark from
@@ -220,6 +221,10 @@ def incremental_sync(
                 mode="append" if head is not None else "overwrite",
                 partition_by=partition_by,
                 stats_cols=stats_cols,
+                # a source that grew a column syncs on with 'add' (the
+                # target schema widens, old files read back NULL); the
+                # default stays loud on drift, same as publish_snapshot
+                schema_evolution=schema_evolution,
                 expected_parent=head,
                 properties={SYNC_KEY: cursors},
             )

@@ -237,6 +237,73 @@ def test_encode_decode_domains():
         _encode_cursor([1, 2])
 
 
+def test_schema_evolution_add_on_grown_source(spark, tmp_path):
+    """A source that grew a column syncs on with schema_evolution='add'
+    (old target rows read back NULL); the default stays loud."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 10, "a")], "id int, cur int, v string").write.parquet(src)
+    tgt = str(tmp_path / "tgt")
+    parquet_incremental_sync(spark, src, tgt, "cur")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(2, 20, "b", "extra")], "id int, cur int, v string, w string"
+    ).write.parquet(src2)
+    with pytest.raises(ValueError, match="column"):
+        parquet_incremental_sync(spark, src2, tgt, "cur")
+    r = parquet_incremental_sync(
+        spark, src2, tgt, "cur", schema_evolution="add"
+    )
+    assert r["mode"] == "append" and r["rows"] == 1
+    rows = {
+        r["id"]: r["w"]
+        for r in read_snapshot(spark, tgt).select("id", "w").collect()
+    }
+    assert rows == {1: None, 2: "extra"}
+
+
+def test_cli_sync_parquet(spark, sf_dir, tmp_path):
+    """`cli sync SRC TGT --cursor c` end-to-end: bootstrap then noop."""
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id int, cur int, v string"
+    ).write.parquet(src)
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    tgt = str(tmp_path / "tgt")
+    # chain-mode click parses options before positionals
+    args = ["-c", cfg_path, "sync", "--cursor", "cur",
+            "--pk", "id", "--stats", "cur", src, tgt]
+    res = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "bootstrap: 2 rows" in res.output
+    res2 = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert res2.exit_code == 0, res2.output
+    assert "noop: 0 rows" in res2.output
+    assert _ids(spark, tgt) == [1, 2]
+    # --table on a parquet source is a usage error, not a silent ignore
+    res3 = CliRunner().invoke(
+        cli,
+        ["-c", cfg_path, "sync", "--cursor", "cur", "--table", "x",
+         src, tgt],
+        catch_exceptions=False,
+    )
+    assert res3.exit_code != 0
+
+
 def test_jdbc_incremental_sync_live_derby(spark, tmp_path):
     """End-to-end against a live Derby: the bound must compile into the
     pushed-down query (server-side WHERE), and the sync must converge
