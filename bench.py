@@ -165,6 +165,7 @@ HEADLINE = [
     "events_rollup_approx_users",
     "orders_bucket_lookup",
     "orders_sync_incremental",
+    "orders_manifest_changes",
 ]
 
 

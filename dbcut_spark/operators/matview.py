@@ -164,6 +164,7 @@ def refresh_rollup(
         VersionConflictError,
         _load_manifest,
         _read_files,
+        append_delta,
         current_version,
         publish_snapshot,
         read_snapshot,
@@ -193,22 +194,15 @@ def refresh_rollup(
     delta_rels: list[str] = []
     bm = None
     if cursor is not None and cursor < bv:
-        # the head manifest is loaded ONCE and reused for the window
-        # check, the file diff, and the delta schema — at the
-        # documented 1e5-file scale a stats-laden manifest is tens of
-        # MB, and this used to parse it three times per refresh
-        bm = _load_manifest(base_path, bv)
-        cm = _load_manifest(base_path, cursor)
-        if bm is not None and cm is not None:
-            window_ok = bm.get("mode") == "append" and all(
-                (m := _load_manifest(base_path, v)) is not None
-                and m.get("mode") == "append"
-                for v in range(cursor + 1, bv)
-            )
-            old_files = set(cm["files"])
-            if window_ok and old_files <= set(bm["files"]):
-                delta_rels = [r for r in bm["files"] if r not in old_files]
-                incremental = True
+        # shared window rule (manifest.append_delta): incremental only
+        # when every commit since the cursor is a pure row addition;
+        # the returned head manifest is reused for the delta schema
+        # (at the documented 1e5-file scale a stats-laden manifest is
+        # tens of MB — parse once)
+        got = append_delta(base_path, cursor, bv)
+        if got is not None:
+            delta_rels, bm = got
+            incremental = True
 
     if incremental:
         schema = StructType.fromJson(bm["schema"])

@@ -1597,6 +1597,47 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_manifest_changes",
+    sql="""
+    SELECT o_orderkey FROM orders
+    WHERE year(o_orderdate) >= 1995 ORDER BY o_orderkey
+    """,
+)
+def orders_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read over manifest history (round 11,
+    sinks/manifest.read_changes): orders lands in three append commits
+    time-sliced on o_orderdate, and a consumer that saw version 1 pulls
+    ``read_changes(since_version=1)`` — exactly the rows commits 2 and
+    3 added, no log, no timestamp column; the manifest file diff IS the
+    change capture. The oracle is the flat key list of the >=1995
+    slice, so the hash pins the delta at ROW granularity (a doubled or
+    dropped file breaks it). A same-version read must be empty
+    (asserted in-gate); the non-append refusal and vacuum-expiry
+    matrix is in tests/test_manifest_sink.py.
+
+    Scale: each downstream consumer (replication, index build, rollup)
+    advances by reading ONLY the files its window added — O(delta) per
+    pull on a 100 TB append table."""
+    from dbcut_spark.sinks.manifest import publish_snapshot, read_changes
+
+    target = _rf_scratch() + "/orders_changes"
+    base = t(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    publish_snapshot(base.filter(year < 1995), target, mode="overwrite")
+    publish_snapshot(
+        base.filter((year >= 1995) & (year < 1997)), target, mode="append"
+    )
+    publish_snapshot(base.filter(year >= 1997), target, mode="append")
+    if read_changes(spark, target, 3).count() != 0:
+        raise RuntimeError("changes since the head must be empty")
+    return (
+        read_changes(spark, target, since_version=1)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "orders_sync_incremental",
     sql="SELECT o_orderkey FROM orders ORDER BY o_orderkey",
 )

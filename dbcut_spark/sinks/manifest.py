@@ -1129,6 +1129,80 @@ def read_snapshot(
     return out
 
 
+def append_delta(
+    table_path: str, since_version: int, version: int | None = None
+) -> tuple[list[str], dict] | None:
+    """The table-relative data files ADDED by the commit window
+    ``(since_version, version]``, plus the head manifest — or None when
+    the window cannot be expressed as pure row additions: a non-append
+    commit in it (overwrite/upsert/compaction may have REMOVED rows) or
+    a head file list that is not a superset of the cursor's. Callers
+    fall back to a full read on None — silently-correct, never
+    silently-stale (the same window rule the matview refresher uses;
+    factored here so change readers and view maintenance share one
+    definition of 'what changed')."""
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            return None
+    if since_version > version:
+        return None
+    hm = _load_manifest(table_path, version)
+    sm = _load_manifest(table_path, since_version)
+    if hm is None or sm is None:
+        return None
+    if since_version == version:
+        return [], hm
+    window_ok = hm.get("mode") == "append" and all(
+        (m := _load_manifest(table_path, v)) is not None
+        and m.get("mode") == "append"
+        for v in range(since_version + 1, version)
+    )
+    old = set(sm["files"])
+    if not window_ok or not old <= set(hm["files"]):
+        return None
+    return [r for r in hm["files"] if r not in old], hm
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed read over manifest history: exactly the rows
+    APPENDED after ``since_version`` up to ``version`` (head by
+    default) — an incremental consumer's pull, O(delta files) without
+    any log or timestamp column; the manifest diff IS the change
+    capture. Raises ValueError when the window contains a non-append
+    commit (its changes are not expressible as added rows — re-read the
+    snapshot instead; the matview refresher makes the same call
+    automatically). Reading since the head returns an empty frame with
+    the head's schema, so a poll loop needs no special cases.
+
+    Scale: at 100 TB of streaming/CDC ingest this is what lets every
+    downstream consumer (a rollup, a replication target, an index
+    builder) advance by reading ONLY the few files each commit added,
+    with vacuum-expiry surfacing as a loud retention error."""
+    delta = append_delta(table_path, since_version, version)
+    if delta is None:
+        head = version if version is not None else current_version(table_path)
+        raise ValueError(
+            f"window ({since_version}, {head}] of {table_path} is not "
+            "append-only (or a manifest in it is unreadable): its "
+            "changes cannot be expressed as added rows — read the "
+            "snapshot and rebuild, or narrow the window"
+        )
+    rels, hm = delta
+    return _read_files(
+        spark,
+        table_path,
+        rels,
+        StructType.fromJson(hm["schema"]),
+        hm["version"],
+    )
+
+
 def prune_report(
     table_path: str,
     where: list,

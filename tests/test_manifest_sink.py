@@ -169,3 +169,85 @@ def test_stream_manifest_append_with_rollup(spark, sf_dir, tmp_path):
         raise RuntimeError(f"stream should have failed: {q.exception()}")
     assert _mrows(mf.read_snapshot(spark, tbl)) == got_tbl
     assert _mrows(mf.read_snapshot(spark, view)) == got_view
+
+
+def test_read_changes_pull_loop(spark, tmp_path):
+    """read_changes returns exactly the rows each append window added;
+    since-head is empty with the head's schema."""
+    tbl = str(tmp_path / "cdf")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumn(  # noqa: E731
+        "v", F.col("id") * 2
+    )
+    v1 = mf.publish_snapshot(mk(0, 3), tbl)
+    v2 = mf.publish_snapshot(mk(3, 5), tbl, mode="append")
+    v3 = mf.publish_snapshot(mk(5, 9), tbl, mode="append")
+    assert _mrows(mf.read_changes(spark, tbl, v1)) == _mrows(mk(3, 9))
+    assert _mrows(mf.read_changes(spark, tbl, v2)) == _mrows(mk(5, 9))
+    assert _mrows(mf.read_changes(spark, tbl, v1, version=v2)) == _mrows(
+        mk(3, 5)
+    )
+    empty = mf.read_changes(spark, tbl, v3)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+
+
+def test_read_changes_refuses_non_append_window(spark, tmp_path):
+    """An overwrite (or upsert/compaction) in the window cannot be
+    expressed as added rows — loud ValueError, never silent wrong."""
+    tbl = str(tmp_path / "cdf2")
+    v1 = mf.publish_snapshot(spark.range(3), tbl)
+    mf.publish_snapshot(spark.range(10), tbl, mode="overwrite")
+    mf.publish_snapshot(spark.range(10, 12), tbl, mode="append")
+    with pytest.raises(ValueError, match="not .*append"):
+        mf.read_changes(spark, tbl, v1)
+    # a window AFTER the overwrite is fine again
+    assert _mrows(mf.read_changes(spark, tbl, 2)) == _mrows(
+        spark.range(10, 12)
+    )
+
+
+def test_read_changes_schema_evolution_window(spark, tmp_path):
+    """A widened append in the window reads back with the HEAD schema:
+    pre-widening delta files carry NULL for the added column."""
+    tbl = str(tmp_path / "cdf3")
+    v1 = mf.publish_snapshot(
+        spark.createDataFrame([(1,)], "id int"), tbl
+    )
+    mf.publish_snapshot(
+        spark.createDataFrame([(2,)], "id int"), tbl, mode="append"
+    )
+    mf.publish_snapshot(
+        spark.createDataFrame([(3, "x")], "id int, w string"),
+        tbl,
+        mode="append",
+        schema_evolution="add",
+    )
+    got = _mrows(mf.read_changes(spark, tbl, v1))
+    assert got == [(2, None), (3, "x")]
+
+
+def test_matview_refresh_still_incremental_after_refactor(spark, tmp_path):
+    """refresh_rollup's window logic now rides manifest.append_delta;
+    modes and numbers must be unchanged."""
+    from dbcut_spark.operators.matview import refresh_rollup
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    mf.publish_snapshot(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double"),
+        base,
+    )
+    measures = {"n": ("count", None), "s": ("sum", "x")}
+    r1 = refresh_rollup(spark, base, view, ["k"], measures)
+    assert r1["mode"] == "full"
+    mf.publish_snapshot(
+        spark.createDataFrame([(1, 5.0)], "k int, x double"),
+        base,
+        mode="append",
+    )
+    r2 = refresh_rollup(spark, base, view, ["k"], measures)
+    assert r2["mode"] == "incremental" and r2["delta_files"] >= 1
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in mf.read_snapshot(spark, view).collect()
+    }
+    assert got == {1: (2, 15.0), 2: (1, 20.0)}
