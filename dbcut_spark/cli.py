@@ -1112,6 +1112,35 @@ def sync(
     )
 
 
+@cli.command()
+@click.argument("src_path")
+@click.argument("dst_path")
+@click.option(
+    "--source-id",
+    default="default",
+    show_default=True,
+    help="pointer key; distinct ids let several sources fan into one "
+    "replica",
+)
+@click.pass_obj
+def replicate(ctx: Ctx, src_path: str, dst_path: str, source_id: str):
+    """Pull a manifest table into another incrementally
+    (operators/sync.py:replicate_manifest): each run reads only the
+    files the source appended since the replica's consumed version
+    (manifest diff = change capture) and commits rows + pointer
+    atomically; a non-append source window rebuilds a single-source
+    replica and refuses loudly on a fan-in one."""
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    res = replicate_manifest(
+        ctx.spark, src_path, dst_path, source_id=source_id
+    )
+    click.echo(
+        f"{res['mode']}: {res['rows']} rows from src v{res['src_version']}"
+        f" (replica v{res['version']})"
+    )
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

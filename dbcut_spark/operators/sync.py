@@ -240,6 +240,142 @@ def incremental_sync(
     raise last_err  # retries exhausted
 
 
+REPLICA_KEY = "replica_src_version"
+
+
+def _resolve_replica_map(table_path: str, head: int | None) -> dict:
+    from dbcut_spark.sinks.manifest import _load_manifest
+
+    v = head
+    while v is not None and v >= 1:
+        m = _load_manifest(table_path, v)
+        if m is not None:
+            props = m.get("properties") or {}
+            if REPLICA_KEY in props:
+                return dict(props[REPLICA_KEY])
+        v = m.get("parent") if m is not None else v - 1
+    return {}
+
+
+def replicate_manifest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    source_id: str = "default",
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    retries: int = 4,
+) -> dict:
+    """Pull one manifest table into another, incrementally: the
+    consumed SOURCE VERSION rides the replica's manifest properties,
+    each pull reads only the files the source appended since
+    (:func:`dbcut_spark.sinks.manifest.read_changes` semantics), and
+    rows + pointer advance in one atomic commit — the manifest-native
+    fan-out primitive (replica per region, index-builder feed, a
+    downstream team's copy). Returns ``{"mode": "bootstrap"|"append"|
+    "rebuild"|"noop", "rows": n, "src_version": v, "version": dst_v}``.
+
+    A non-append source window (overwrite/upsert/compaction) cannot be
+    expressed as added rows, so the replica REBUILDS from the source
+    snapshot — mode='overwrite' on a single-source replica (the
+    replica's own history stays time-travelable), refused loudly on a
+    fan-in replica (several source_ids feed one table: a rebuild of one
+    source would clobber the others' rows; re-point fan-in replicas at
+    compaction-free sources or rebuild the whole table).
+
+    A source-version pointer AHEAD of the live source (the source table
+    was deleted and re-created) also refuses loudly — silently
+    re-pulling would double every row the replica already holds."""
+    from dbcut_spark.sinks.manifest import (
+        VersionConflictError,
+        append_delta,
+        _read_files,
+        current_version,
+        publish_snapshot,
+        read_snapshot,
+    )
+    from pyspark.sql.types import StructType
+
+    last_err: Exception | None = None
+    for _attempt in range(retries + 1):
+        src_v = current_version(src_path)
+        if src_v is None:
+            raise FileNotFoundError(f"no published snapshot under {src_path}")
+        dst_head = current_version(dst_path)
+        seen_map = _resolve_replica_map(dst_path, dst_head)
+        seen = seen_map.get(source_id)
+        if seen == src_v:
+            return {
+                "mode": "noop",
+                "rows": 0,
+                "src_version": src_v,
+                "version": dst_head,
+            }
+        if seen is not None and seen > src_v:
+            raise RuntimeError(
+                f"replica {dst_path} has consumed {src_path} up to "
+                f"version {seen}, but the source's head is {src_v}: the "
+                "source was re-created. Re-pulling would double rows — "
+                "rebuild the replica (delete it, or use a new source_id)."
+            )
+        delta = (
+            append_delta(src_path, seen, src_v) if seen is not None else None
+        )
+        if dst_head is None:
+            df = read_snapshot(spark, src_path, src_v)
+            mode, write_mode = "bootstrap", "overwrite"
+        elif seen is None:
+            # fan-in: FIRST pull of an additional source appends the
+            # full source snapshot next to the other sources' rows
+            df = read_snapshot(spark, src_path, src_v)
+            mode, write_mode = "bootstrap", "append"
+        elif delta is None:
+            if len(seen_map) > 1:
+                raise RuntimeError(
+                    f"source {src_path} had a non-append commit in "
+                    f"({seen}, {src_v}] and {dst_path} is a fan-in "
+                    f"replica of {sorted(seen_map)} — a rebuild would "
+                    "clobber the other sources' rows; rebuild the whole "
+                    "replica instead"
+                )
+            df = read_snapshot(spark, src_path, src_v)
+            mode, write_mode = "rebuild", "overwrite"
+        else:
+            rels, hm = delta
+            df = _read_files(
+                spark,
+                src_path,
+                rels,
+                StructType.fromJson(hm["schema"]),
+                src_v,
+            )
+            mode, write_mode = "append", "append"
+        seen_map[source_id] = src_v
+        n = df.count()
+        try:
+            v = publish_snapshot(
+                df,
+                dst_path,
+                mode=write_mode,
+                partition_by=partition_by,
+                stats_cols=stats_cols,
+                # a widened source replicates on; type changes stay loud
+                schema_evolution="add" if write_mode == "append" else None,
+                expected_parent=dst_head,
+                properties={REPLICA_KEY: seen_map},
+            )
+        except VersionConflictError as e:
+            last_err = e
+            continue
+        return {
+            "mode": mode,
+            "rows": n,
+            "src_version": src_v,
+            "version": v,
+        }
+    raise last_err
+
+
 def parquet_incremental_sync(
     spark: SparkSession,
     source_path: str,

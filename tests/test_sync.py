@@ -331,3 +331,135 @@ def test_jdbc_incremental_sync_live_derby(spark, tmp_path):
     assert _ids(spark, tgt) == [1, 2, 3]
     r3 = jdbc_incremental_sync(spark, url, "grow", tgt, "CUR")
     assert r3["mode"] == "noop"
+
+
+# -- manifest-to-manifest replication --------------------------------------
+
+
+def _pub(spark, path, lo, hi, mode="append"):
+    from dbcut_spark.sinks.manifest import publish_snapshot
+
+    return publish_snapshot(
+        spark.range(lo, hi).withColumn("v", __import__("pyspark").sql.functions.col("id") * 2),
+        path,
+        mode=mode,
+    )
+
+
+def test_replicate_bootstrap_delta_noop(spark, tmp_path):
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _pub(spark, src, 0, 3, mode="overwrite")
+    r1 = replicate_manifest(spark, src, dst)
+    assert r1["mode"] == "bootstrap" and r1["rows"] == 3
+    _pub(spark, src, 3, 5)
+    r2 = replicate_manifest(spark, src, dst)
+    assert r2["mode"] == "append" and r2["rows"] == 2
+    r3 = replicate_manifest(spark, src, dst)
+    assert r3["mode"] == "noop"
+    assert _ids(spark, dst) == [0, 1, 2, 3, 4]
+
+
+def test_replicate_rebuild_on_compacted_source(spark, tmp_path):
+    """A compaction (non-append) in the source window rebuilds the
+    single-source replica; pulls continue incrementally after."""
+    from dbcut_spark.operators.sync import replicate_manifest
+    from dbcut_spark.sinks.manifest import compact_snapshot
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _pub(spark, src, 0, 3, mode="overwrite")
+    replicate_manifest(spark, src, dst)
+    _pub(spark, src, 3, 5)
+    compact_snapshot(spark, src)
+    r = replicate_manifest(spark, src, dst)
+    assert r["mode"] == "rebuild" and r["rows"] == 5
+    assert _ids(spark, dst) == [0, 1, 2, 3, 4]
+    _pub(spark, src, 5, 6)
+    r2 = replicate_manifest(spark, src, dst)
+    assert r2["mode"] == "append" and r2["rows"] == 1
+    assert _ids(spark, dst) == [0, 1, 2, 3, 4, 5]
+
+
+def test_replicate_fan_in_two_sources(spark, tmp_path):
+    """Two sources fan into one replica: second bootstrap APPENDS, and
+    a non-append window on one source refuses (a rebuild would clobber
+    the other's rows)."""
+    from dbcut_spark.operators.sync import replicate_manifest
+    from dbcut_spark.sinks.manifest import compact_snapshot
+
+    a, b, dst = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "d")
+    _pub(spark, a, 0, 2, mode="overwrite")
+    _pub(spark, b, 10, 12, mode="overwrite")
+    replicate_manifest(spark, a, dst, source_id="a")
+    r = replicate_manifest(spark, b, dst, source_id="b")
+    assert r["mode"] == "bootstrap"
+    assert _ids(spark, dst) == [0, 1, 10, 11]
+    _pub(spark, a, 2, 3)
+    replicate_manifest(spark, a, dst, source_id="a")
+    assert _ids(spark, dst) == [0, 1, 2, 10, 11]
+    _pub(spark, b, 12, 13)
+    compact_snapshot(spark, b)
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="fan-in"):
+        replicate_manifest(spark, b, dst, source_id="b")
+
+
+def test_replicate_refuses_recreated_source(spark, tmp_path):
+    import shutil
+
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _pub(spark, src, 0, 2, mode="overwrite")
+    _pub(spark, src, 2, 4)
+    _pub(spark, src, 4, 6)
+    replicate_manifest(spark, src, dst)
+    shutil.rmtree(src)
+    _pub(spark, src, 0, 2, mode="overwrite")  # re-created at v1
+    with pytest.raises(RuntimeError, match="re-created"):
+        replicate_manifest(spark, src, dst)
+
+
+def test_sync_cursor_survives_compaction(spark, tmp_path):
+    """compact_snapshot preserves head properties, so a sync after a
+    target compaction stays a noop instead of re-bootstrapping."""
+    from dbcut_spark.sinks.manifest import compact_snapshot
+
+    src = _mk_source(spark, tmp_path, [(1, 10, "a"), (2, 20, "b")])
+    tgt = str(tmp_path / "tgt")
+    parquet_incremental_sync(spark, src, tgt, "cur")
+    compact_snapshot(spark, tgt)
+    r = parquet_incremental_sync(spark, src, tgt, "cur")
+    assert r["mode"] == "noop"
+    assert _ids(spark, tgt) == [1, 2]
+
+
+def test_cli_replicate(spark, sf_dir, tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _pub(spark, src, 0, 4, mode="overwrite")
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    args = ["-c", cfg_path, "replicate", src, dst]
+    r1 = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert r1.exit_code == 0, r1.output
+    assert r1.output.startswith("bootstrap: 4 rows")
+    r2 = CliRunner().invoke(cli, args, catch_exceptions=False)
+    assert r2.exit_code == 0, r2.output
+    assert r2.output.startswith("noop: 0 rows")
+    assert _ids(spark, dst) == [0, 1, 2, 3]
