@@ -463,3 +463,54 @@ def test_cli_replicate(spark, sf_dir, tmp_path):
     assert r2.exit_code == 0, r2.output
     assert r2.output.startswith("noop: 0 rows")
     assert _ids(spark, dst) == [0, 1, 2, 3]
+
+
+def test_sync_randomized_growth_differential(spark, tmp_path):
+    """Random growth sequences: rows arrive in random batches whose
+    cursors may REGRESS relative to already-synced rows (late arrivals)
+    and may tie the committed mark. After every sync, the target must
+    equal exactly the source rows VISIBLE under the documented
+    contract: everything whose cursor is >= the mark at the time it
+    first appeared (pk mode); late ties land, late sub-mark rows are
+    dropped — mirrored by a pure-Python fold."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        src = str(tmp_path / f"src{trial}")
+        tgt = str(tmp_path / f"tgt{trial}")
+        next_id = 0
+        visible: dict[int, int] = {}  # id -> cur of expected synced rows
+        mark = None
+        first = True
+        for _batch in range(4):
+            n = rng.randint(1, 6)
+            rows = []
+            for _ in range(n):
+                cur = rng.randint(0, 12)
+                rows.append((next_id, cur, f"v{next_id}"))
+                next_id += 1
+            spark.createDataFrame(
+                rows, "id int, cur int, v string"
+            ).write.mode("overwrite" if first else "append").parquet(src)
+            first = False
+            # python fold of the contract
+            for i, cur, _v in rows:
+                if mark is None or cur >= mark:
+                    visible[i] = cur
+            if visible:
+                mark = max(max(visible.values()), mark or 0)
+            r = parquet_incremental_sync(
+                spark, src, tgt, "cur", pk=["id"], stats_cols=["cur"]
+            )
+            if mark is None:
+                assert r["mode"] == "noop"
+                continue
+            assert r["cursor"] == mark, (trial, _batch)
+            got = sorted(
+                (x["id"], x["cur"])
+                for x in read_snapshot(spark, tgt)
+                .select("id", "cur")
+                .collect()
+            )
+            assert got == sorted(visible.items()), (trial, _batch)
