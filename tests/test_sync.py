@@ -514,3 +514,37 @@ def test_sync_randomized_growth_differential(spark, tmp_path):
                 .collect()
             )
             assert got == sorted(visible.items()), (trial, _batch)
+
+
+def test_replicate_cas_race_retries(spark, tmp_path):
+    """A foreign writer (another query's batch) takes the replica's
+    next version mid-pull; the loser re-resolves and lands its delta on
+    the new head instead of failing or doubling."""
+    import unittest.mock as mock
+
+    from dbcut_spark.operators.sync import replicate_manifest
+    from dbcut_spark.sinks import manifest as man
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _pub(spark, src, 0, 2, mode="overwrite")
+    replicate_manifest(spark, src, dst)
+    _pub(spark, src, 2, 4)
+
+    orig = man.publish_snapshot
+    fired = {"n": 0}
+
+    def racing_publish(df, table_path, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a foreign append (no replica pointer) wins the version
+            orig(
+                spark.createDataFrame([(99, 0)], "id long, v long"),
+                table_path,
+                mode="append",
+            )
+        return orig(df, table_path, **kw)
+
+    with mock.patch.object(man, "publish_snapshot", racing_publish):
+        r = replicate_manifest(spark, src, dst)
+    assert r["mode"] == "append" and r["rows"] == 2
+    assert _ids(spark, dst) == [0, 1, 2, 3, 99]
