@@ -91,24 +91,14 @@ def _decode_cursor(enc):
 
 def _resolve_cursors(table_path: str, head: int | None) -> dict:
     """Newest committed high-water-mark MAP (source_id → mark) at or
-    below ``head``: normally one manifest read (each sync commit
-    carries the map forward), walking past commits other writers
-    published without it (manual appends, upserts) exactly like the
-    streaming sink's txn-map resolver. The WHOLE map is resolved — a
-    sync of one source must republish every other source's mark too,
-    or the next resolver would stop at its commit and re-bootstrap
-    those sources (double rows on an append-only target)."""
-    from dbcut_spark.sinks.manifest import _load_manifest
+    below ``head`` — the shared walk-back resolver
+    (manifest.resolve_property_map). The WHOLE map is resolved: a sync
+    of one source must republish every other source's mark too, or the
+    next resolver would stop at its commit and re-bootstrap those
+    sources (double rows on an append-only target)."""
+    from dbcut_spark.sinks.manifest import resolve_property_map
 
-    v = head
-    while v is not None and v >= 1:
-        m = _load_manifest(table_path, v)
-        if m is not None:
-            props = m.get("properties") or {}
-            if SYNC_KEY in props:
-                return dict(props[SYNC_KEY] or {})
-        v = m.get("parent") if m is not None else v - 1
-    return {}
+    return resolve_property_map(table_path, SYNC_KEY, head)
 
 
 def incremental_sync(
@@ -244,17 +234,9 @@ REPLICA_KEY = "replica_src_version"
 
 
 def _resolve_replica_map(table_path: str, head: int | None) -> dict:
-    from dbcut_spark.sinks.manifest import _load_manifest
+    from dbcut_spark.sinks.manifest import resolve_property_map
 
-    v = head
-    while v is not None and v >= 1:
-        m = _load_manifest(table_path, v)
-        if m is not None:
-            props = m.get("properties") or {}
-            if REPLICA_KEY in props:
-                return dict(props[REPLICA_KEY])
-        v = m.get("parent") if m is not None else v - 1
-    return {}
+    return resolve_property_map(table_path, REPLICA_KEY, head)
 
 
 def replicate_manifest(

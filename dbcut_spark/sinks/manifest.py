@@ -1129,6 +1129,34 @@ def read_snapshot(
     return out
 
 
+def resolve_property_map(
+    table_path: str, key: str, head: int | None = None
+) -> dict:
+    """The newest committed ``properties[key]`` MAP at or below
+    ``head`` (the current version by default) — the shared resolver
+    for the consistency-pointer family (the streaming sink's
+    ``stream_txn`` batch map, the sync cursor map, the replica's
+    consumed-version map). Normally one manifest read: every writer of
+    ``key`` carries the whole map forward, so the head has it. Walks
+    BACK past commits published without it (manual appends, upserts,
+    foreign writers) and past overwrites — a reset table's old map
+    still marks its ids as consumed, the conservative reading for
+    replay detection. A torn/missing manifest steps down one version
+    (may visit a side branch's commit, whose map is still a valid
+    committed record)."""
+    if head is None:
+        head = current_version(table_path)
+    v = head
+    while v is not None and v >= 1:
+        m = _load_manifest(table_path, v)
+        if m is not None:
+            props = m.get("properties") or {}
+            if key in props:
+                return dict(props[key] or {})
+        v = m.get("parent") if m is not None else v - 1
+    return {}
+
+
 def append_delta(
     table_path: str, since_version: int, version: int | None = None
 ) -> tuple[list[str], dict] | None:

@@ -49,25 +49,14 @@ TXN_KEY = "stream_txn"
 
 
 def _resolve_txn(table_path: str, head: int | None) -> dict:
-    """The newest committed ``stream_txn`` map at or below ``head``.
-    Normally one manifest read (the head carries it); walks past
-    map-less commits (manual appends) and overwrites (a reset table's
-    old map still marks those batch ids as consumed — the conservative
-    reading for replay detection)."""
-    from dbcut_spark.sinks.manifest import _load_manifest
+    """The newest committed ``stream_txn`` map at or below ``head`` —
+    the shared walk-back resolver (manifest.resolve_property_map):
+    normally one manifest read, past map-less commits and overwrites
+    (a reset table's old map still marks those batch ids as consumed,
+    the conservative reading for replay detection)."""
+    from dbcut_spark.sinks.manifest import resolve_property_map
 
-    v = head
-    while v is not None and v >= 1:
-        m = _load_manifest(table_path, v)
-        if m is not None:
-            props = m.get("properties") or {}
-            if TXN_KEY in props:
-                return dict(props[TXN_KEY])
-        # follow the parent chain; a torn/missing manifest steps down
-        # one version (conservative: may visit a side branch's commit,
-        # whose txn map is still a valid committed-batch record)
-        v = m.get("parent") if m is not None else v - 1
-    return {}
+    return resolve_property_map(table_path, TXN_KEY, head)
 
 
 def append_batch_exactly_once(
