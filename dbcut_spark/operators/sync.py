@@ -409,13 +409,23 @@ def jdbc_incremental_sync(
 
     def _render(v) -> str:
         import datetime
+        import math
+        from decimal import Decimal
 
         if isinstance(v, bool) or v is None:
             raise ValueError(
                 f"unsupported cursor literal {v!r} for JDBC push-down"
             )
+        if isinstance(v, float) and not math.isfinite(v):
+            # repr(inf)/'nan' are not SQL literals — and neither value
+            # can be a meaningful high-water mark
+            raise ValueError(f"non-finite cursor literal {v!r}")
         if isinstance(v, (int, float)):
             return repr(v)
+        if isinstance(v, Decimal):
+            # unquoted: a quoted '12.34' against a NUMERIC column is a
+            # string comparison on strict dialects
+            return str(v)
         if isinstance(v, datetime.datetime):
             return "'" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
         if isinstance(v, datetime.date):

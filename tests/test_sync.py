@@ -548,3 +548,50 @@ def test_replicate_cas_race_retries(spark, tmp_path):
         r = replicate_manifest(spark, src, dst)
     assert r["mode"] == "append" and r["rows"] == 2
     assert _ids(spark, dst) == [0, 1, 2, 3, 99]
+
+
+def test_jdbc_render_literal_domains(monkeypatch):
+    """Numeric/decimal bounds render UNQUOTED into the pushed-down
+    WHERE (a quoted '12.34' against a NUMERIC column is a string
+    comparison on strict dialects); non-finite floats refuse; strings
+    escape embedded quotes. Captured through a fake JDBC reader — no
+    live database."""
+    from decimal import Decimal
+
+    import dbcut_spark.operators.sync as s
+
+    captured = {}
+
+    class _FakeReader:
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def options(self, **kw):
+            return self
+
+        def load(self):
+            return None
+
+    class _FakeSpark:
+        class read:  # noqa: N801 - mimics spark.read
+            @staticmethod
+            def format(_f):
+                return _FakeReader()
+
+    def run(low):
+        captured.clear()
+        monkeypatch.setattr(
+            s, "incremental_sync",
+            lambda spark, load_since, *a, **kw: load_since(low),
+        )
+        s.jdbc_incremental_sync(_FakeSpark(), "jdbc:x", "t", "/n", "c")
+        return captured.get("query", "")
+
+    assert run(None) == ""  # bootstrap takes the dbtable path, no WHERE
+    assert 'WHERE "c" > 10' in run(10)
+    assert 'WHERE "c" > 10.5' in run(10.5)
+    assert 'WHERE "c" > 12.340' in run(Decimal("12.340"))
+    assert "WHERE \"c\" > 'a''b'" in run("a'b")
+    with pytest.raises(ValueError, match="non-finite"):
+        run(float("inf"))
