@@ -260,6 +260,47 @@ class Engine:
             )
         return out
 
+    def sync(
+        self,
+        source: str,
+        target_path: str,
+        cursor_col: str,
+        table: str | None = None,
+        **opts,
+    ) -> dict:
+        """Incremental cursor sync into a manifest table
+        (operators/sync.py): ``source`` is a parquet path or a
+        ``jdbc:`` url (then ``table`` is required and the bound
+        compiles into a server-side WHERE). Each call moves O(delta)
+        rows and advances the committed high-water mark in the same
+        atomic commit; see :func:`dbcut_spark.operators.sync.
+        incremental_sync` for pk/boundary-tie semantics."""
+        from dbcut_spark.operators.sync import (
+            jdbc_incremental_sync,
+            parquet_incremental_sync,
+        )
+
+        if source.startswith("jdbc:"):
+            if not table:
+                raise ValueError("table is required for a jdbc: source")
+            return jdbc_incremental_sync(
+                self.spark, source, table, target_path, cursor_col, **opts
+            )
+        if table:
+            raise ValueError("table applies to jdbc: sources only")
+        return parquet_incremental_sync(
+            self.spark, source, target_path, cursor_col, **opts
+        )
+
+    def replicate(self, src_path: str, dst_path: str, **opts) -> dict:
+        """Manifest→manifest incremental replication (pull only the
+        files the source appended since the replica's consumed
+        version); see :func:`dbcut_spark.operators.sync.
+        replicate_manifest`."""
+        from dbcut_spark.operators.sync import replicate_manifest
+
+        return replicate_manifest(self.spark, src_path, dst_path, **opts)
+
     def nested_json(self, query: dict) -> DataFrame:
         """One nested document per root row (reference dumpjson)."""
         from dbcut_spark.sinks.json_export import nested_documents

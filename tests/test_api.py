@@ -124,3 +124,28 @@ def test_engine_compact(spark, sf_dir, tmp_path):
     stats = eng.compact(dest)
     assert stats["nation"]["files_after"] == 1
     assert spark.read.parquet(path).count() == 25
+
+
+def test_engine_sync_and_replicate(spark, sf_dir, tmp_path):
+    """Engine facade twins of cli sync/replicate."""
+    from dbcut_spark.sinks.manifest import read_snapshot
+
+    eng = Engine(sf_dir, spark=spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, cur int"
+    ).write.parquet(src)
+    tgt = str(tmp_path / "tgt")
+    r = eng.sync(src, tgt, "cur", pk=["id"])
+    assert r["mode"] == "bootstrap" and r["rows"] == 2
+    assert eng.sync(src, tgt, "cur", pk=["id"])["mode"] == "noop"
+    dst = str(tmp_path / "replica")
+    r2 = eng.replicate(tgt, dst)
+    assert r2["mode"] == "bootstrap" and r2["rows"] == 2
+    assert sorted(
+        x["id"] for x in read_snapshot(spark, dst).collect()
+    ) == [1, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="jdbc"):
+        eng.sync(src, tgt, "cur", table="nope")
