@@ -251,3 +251,16 @@ def test_matview_refresh_still_incremental_after_refactor(spark, tmp_path):
         for r in mf.read_snapshot(spark, view).collect()
     }
     assert got == {1: (2, 15.0), 2: (1, 20.0)}
+
+
+def test_read_changes_after_vacuum_raises_retention(spark, tmp_path):
+    """A change window whose delta files vacuum expired surfaces as a
+    loud retention error, never a partial read."""
+    tbl = str(tmp_path / "cdf4")
+    v1 = mf.publish_snapshot(spark.range(2), tbl)
+    mf.publish_snapshot(spark.range(2, 4), tbl, mode="append")
+    # overwrite makes v2's delta files unreferenced by the head
+    mf.publish_snapshot(spark.range(9), tbl, mode="overwrite")
+    mf.vacuum(tbl, keep_last=1, grace_seconds=0.0)
+    with pytest.raises((FileNotFoundError, ValueError)):
+        mf.read_changes(spark, tbl, v1, version=2)
