@@ -887,6 +887,8 @@ _GATE_ROTATION = [
     "events_stream_manifest_rollup",
     "events_rollup_approx_users",
     "orders_bucket_lookup",
+    "orders_sync_incremental",
+    "orders_manifest_changes",
 ]
 
 GATE_WINDOW = 50
