@@ -460,6 +460,16 @@ def inspect(
             "files carry footer min/max (read_snapshot(where=...) "
             "prunes on them)"
         )
+        if mi["properties"]:
+            import json as _json
+
+            # consistency pointers: where every consumer stands
+            # (stream_txn batch map, sync_cursor high-water marks,
+            # replica_src_version, matview refresh cursor)
+            click.echo(
+                "  pointers: "
+                + _json.dumps(mi["properties"], sort_keys=True)
+            )
 
 
 @cli.command()

@@ -1444,6 +1444,14 @@ def manifest_inspect(table_path: str) -> dict:
         # equality-probe routing layout, if any
         "bucket_by": (manifests[cur].get("bucket_by") if cur is not None
                       else None),
+        # the head's consistency pointers (stream_txn / sync_cursor /
+        # replica_src_version / matview cursor), so an operator can see
+        # where every consumer stands without reading manifests by hand
+        "properties": (
+            dict(manifests[cur].get("properties") or {})
+            if cur is not None
+            else {}
+        ),
     }
 
 

@@ -264,3 +264,15 @@ def test_read_changes_after_vacuum_raises_retention(spark, tmp_path):
     mf.vacuum(tbl, keep_last=1, grace_seconds=0.0)
     with pytest.raises((FileNotFoundError, ValueError)):
         mf.read_changes(spark, tbl, v1, version=2)
+
+
+def test_manifest_inspect_surfaces_pointers(spark, tmp_path):
+    """inspect exposes the head's consistency pointers (sync cursors,
+    txn maps) so operators see consumer positions without reading
+    manifests by hand."""
+    tbl = str(tmp_path / "ptr")
+    mf.publish_snapshot(
+        spark.range(3), tbl, properties={"sync_cursor": {"a": ["raw", 7]}}
+    )
+    mi = mf.manifest_inspect(tbl)
+    assert mi["properties"] == {"sync_cursor": {"a": ["raw", 7]}}
