@@ -595,3 +595,30 @@ def test_jdbc_render_literal_domains(monkeypatch):
     assert "WHERE \"c\" > 'a''b'" in run("a'b")
     with pytest.raises(ValueError, match="non-finite"):
         run(float("inf"))
+
+
+def test_pk_boundary_read_prunes_files(spark, tmp_path):
+    """The pk-mode boundary re-read is footer-stats pruned to the
+    mark's files — prove it with prune_report, not trust."""
+    from dbcut_spark.sinks.manifest import prune_report
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i, "x") for i in range(1, 5)], "id int, cur int, v string"
+    ).coalesce(1).write.parquet(src)
+    tgt = str(tmp_path / "tgt")
+    parquet_incremental_sync(
+        spark, src, tgt, "cur", pk=["id"], stats_cols=["cur"]
+    )
+    # grow twice so the target holds several commits' files
+    for hi in (8, 12):
+        spark.createDataFrame(
+            [(i, i, "x") for i in range(hi - 3, hi + 1)],
+            "id int, cur int, v string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        parquet_incremental_sync(
+            spark, src, tgt, "cur", pk=["id"], stats_cols=["cur"]
+        )
+    rep = prune_report(tgt, [("cur", "=", 12)])
+    assert rep["stats_files"] == rep["total_files"]
+    assert rep["skipped_files"] >= 1, rep
