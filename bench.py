@@ -166,6 +166,7 @@ HEADLINE = [
     "orders_bucket_lookup",
     "orders_sync_incremental",
     "orders_manifest_changes",
+    "part_fuzzy_match",
 ]
 
 

@@ -889,6 +889,7 @@ _GATE_ROTATION = [
     "orders_bucket_lookup",
     "orders_sync_incremental",
     "orders_manifest_changes",
+    "part_fuzzy_match",
 ]
 
 GATE_WINDOW = 50

@@ -5809,3 +5809,63 @@ def events_rollup_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "part_fuzzy_match",
+    sql="""
+    WITH typo AS (
+      SELECT p_partkey AS probe_id,
+             concat(substring(p_name, 1, (p_partkey % 15) + 3),
+                    substring(p_name, (p_partkey % 15) + 5)) AS t_name
+      FROM part WHERE p_partkey % 20 = 0)
+    SELECT t.probe_id,
+           p.p_partkey AS index_id,
+           CAST(levenshtein(t.t_name, p.p_name) AS INT) AS distance
+    FROM typo t JOIN part p
+      ON abs(length(t.t_name) - length(p.p_name)) <= 1
+     AND levenshtein(t.t_name, p.p_name) <= 1
+    ORDER BY probe_id, index_id
+    """,
+)
+def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join / record linkage (operators/linkage.py,
+    round 11): a 'dirty' probe set — 5% of part names, each with ONE
+    character deterministically deleted — links back against the full
+    part table at Levenshtein distance <= 1 via segment-pigeonhole
+    blocking (PassJoin): probes emit their k+1 segments, the indexed
+    side emits every substring a surviving segment could be (constant
+    fanout per row), candidates equi-join on the segment key, and the
+    threshold verifier (levenshtein(s, t, 1), O(k·len) early-exit)
+    prunes. The oracle is the BRUTE-FORCE levenshtein join in DuckDB,
+    so the hash pins blocked == all-pairs exactly — a missed block is
+    a lost row, a loose block only costs verify time. A typo'd name can
+    legitimately match several originals (TPC-H names reuse words);
+    all pairs are returned.
+
+    Scale: per-row key fanout is constant, so this is a shuffle
+    equi-join + linear verify — the all-pairs form is O(n·m)
+    levenshteins and unrunnable at 100 TB. Plan pinned cartesian-free
+    in tests/test_linkage.py."""
+    from dbcut_spark.operators.linkage import edit_distance_join
+
+    part = tp(spark, sf_dir, "part")
+    d = (F.col("p_partkey") % 15 + 4).cast("int")
+    typos = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), d - 1),
+            F.col("p_name").substr(d + 1, F.length("p_name")),
+        ).alias("t_name"),
+    )
+    return (
+        edit_distance_join(
+            typos, part, "t_name", "p_name", "probe_id", "p_partkey", k=1
+        )
+        .select(
+            "probe_id",
+            "index_id",
+            F.col("distance").cast("int").alias("distance"),
+        )
+        .orderBy("probe_id", "index_id")
+    )
