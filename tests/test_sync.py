@@ -622,3 +622,33 @@ def test_pk_boundary_read_prunes_files(spark, tmp_path):
     rep = prune_report(tgt, [("cur", "=", 12)])
     assert rep["stats_files"] == rep["total_files"]
     assert rep["skipped_files"] >= 1, rep
+
+
+def test_sync_and_replicate_over_object_store_backend(spark, tmp_path):
+    """The whole sync → replicate chain with manifest IO routed through
+    the S3-class conditional-PUT double (no rename/link): cursor and
+    replica pointers CAS through the store, data files stay filesystem
+    parquet (the documented split)."""
+    from dbcut_spark.operators.sync import replicate_manifest
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    mf.set_manifest_store(InMemoryObjectStore())
+    try:
+        src = _mk_source(spark, tmp_path, [(1, 10, "a"), (2, 20, "b")])
+        tgt, dst = str(tmp_path / "tgt"), str(tmp_path / "replica")
+        r1 = parquet_incremental_sync(
+            spark, src, tgt, "cur", pk=["id"], stats_cols=["cur"]
+        )
+        assert r1["mode"] == "bootstrap"
+        spark.createDataFrame(
+            [(3, 30, "c")], "id int, cur int, v string"
+        ).write.mode("append").parquet(src)
+        assert parquet_incremental_sync(
+            spark, src, tgt, "cur", pk=["id"], stats_cols=["cur"]
+        )["mode"] == "append"
+        assert replicate_manifest(spark, tgt, dst)["rows"] == 3
+        assert replicate_manifest(spark, tgt, dst)["mode"] == "noop"
+        assert _ids(spark, dst) == [1, 2, 3]
+    finally:
+        mf.set_manifest_store(None)
