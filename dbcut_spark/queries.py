@@ -890,6 +890,7 @@ _GATE_ROTATION = [
     "orders_sync_incremental",
     "orders_manifest_changes",
     "part_fuzzy_match",
+    "part_entity_clusters",
 ]
 
 GATE_WINDOW = 50

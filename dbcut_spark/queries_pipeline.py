@@ -5869,3 +5869,103 @@ def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "index_id")
     )
+
+
+@register(
+    "part_entity_clusters",
+    sql="""
+    WITH RECURSIVE sample_parts AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0),
+    sim AS (
+      SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+      FROM sample_parts a JOIN sample_parts b
+        ON a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 1
+       AND levenshtein(a.p_name, b.p_name) <= 1),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sim
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM sim),
+    reach(id, lbl) AS (
+      SELECT p_partkey, p_partkey FROM sample_parts
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+    comp AS (
+      SELECT id AS p_partkey, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT p_partkey, cluster_id, cluster_size,
+           (p_partkey = cluster_id) AS is_canonical
+    FROM comp JOIN sizes USING (cluster_id) ORDER BY p_partkey
+    """,
+)
+def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (round 11): fuzzy-match clusters
+    over dirty names — the edit-distance self-join
+    (operators/linkage.py, k=1 blocked PassJoin) feeds the same
+    connected-components labeler the text-dedup family uses, labeling
+    every row with its entity cluster, cluster size, and a canonical-
+    survivor flag (min key). ``filter(~is_canonical)`` is the dedupe;
+    the cluster id is the merge key for a golden-record build. The
+    oracle recomputes the closure from BRUTE-FORCE levenshtein pairs
+    with a recursive CTE, so the hash pins blocking completeness AND
+    label-propagation convergence in one artifact.
+
+    A 10% key sample keeps the gate at protocol scale; the operator
+    itself is the same shuffle equi-join + verify at any size (the
+    full-table probe at sf0.1 — 20k rows, 7.8M true pairs on this
+    64-distinct-name synthetic column — ran output-bound, no
+    cartesian). Correctness-gated (rotation) but NOT in the bench
+    headline: the 8-stage join+CC pipeline carries ~5s of fixed
+    local-mode stage/codegen overhead regardless of sample size
+    (measured flat from 10 to 2000 rows) — at cluster scale that
+    fixed cost vanishes, and the headline already prices the linkage
+    operator itself via part_fuzzy_match."""
+    from dbcut_spark.operators.linkage import edit_distance_join
+
+    parts = tp(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    ).select("p_partkey", "p_name")
+    pairs = edit_distance_join(
+        parts, parts, "p_name", "p_name", "p_partkey", "p_partkey", k=1
+    ).filter(F.col("probe_id") < F.col("index_id"))
+    comp = dd.connected_components(
+        pairs.select(
+            F.col("probe_id").alias("doc_a"),
+            F.col("index_id").alias("doc_b"),
+        ),
+        "doc_a",
+        "doc_b",
+    )
+    sized = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        parts.join(
+            comp.withColumnRenamed("id", "p_partkey"),
+            "p_partkey",
+            "left_outer",
+        )
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("component"), F.col("p_partkey")).alias(
+                "cluster_id"
+            ),
+        )
+        .join(
+            sized.withColumnRenamed("component", "cluster_id"),
+            "cluster_id",
+            "left_outer",
+        )
+        .select(
+            "p_partkey",
+            "cluster_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (F.col("p_partkey") == F.col("cluster_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
