@@ -100,3 +100,20 @@ def test_no_cartesian_on_main_path(spark):
     assert "CartesianProduct" not in plan, plan
     got = _pairs(out)
     assert got == [(i, 100 + i, 0) for i in range(50)]
+
+
+def test_unicode_character_semantics(spark):
+    """Both the segment geometry (length/substr) and the verifier
+    operate on CHARACTERS, not bytes — a multi-byte char counts once
+    on both sides, so blocking and verify agree on non-ASCII text."""
+    probe = [(1, "café"), (2, "naïve"), (3, "日本語")]
+    index = [
+        (10, "cafe"),   # é→e substitution: distance 1
+        (11, "naïve"),  # exact
+        (12, "日本誤"),  # last char substituted: distance 1
+        (13, "milk"),
+    ]
+    pdf = spark.createDataFrame(probe, "pid int, s string")
+    idf = spark.createDataFrame(index, "iid int, t string")
+    got = _pairs(edit_distance_join(pdf, idf, "s", "t", "pid", "iid", k=1))
+    assert got == [(1, 10, 1), (2, 11, 0), (3, 12, 1)]
