@@ -1212,6 +1212,14 @@ def read_changes(
     downstream consumer (a rollup, a replication target, an index
     builder) advance by reading ONLY the few files each commit added,
     with vacuum-expiry surfacing as a loud retention error."""
+    if since_version < 1:
+        # versions start at 1; "from nothing" is read_snapshot, not a
+        # change window (append_delta would refuse with a misleading
+        # non-append message)
+        raise ValueError(
+            f"since_version must be >= 1, got {since_version}; to read "
+            "the whole table use read_snapshot"
+        )
     delta = append_delta(table_path, since_version, version)
     if delta is None:
         head = version if version is not None else current_version(table_path)

@@ -276,3 +276,10 @@ def test_manifest_inspect_surfaces_pointers(spark, tmp_path):
     )
     mi = mf.manifest_inspect(tbl)
     assert mi["properties"] == {"sync_cursor": {"a": ["raw", 7]}}
+
+
+def test_read_changes_rejects_invalid_since(spark, tmp_path):
+    tbl = str(tmp_path / "cdf5")
+    mf.publish_snapshot(spark.range(2), tbl)
+    with pytest.raises(ValueError, match="since_version must be >= 1"):
+        mf.read_changes(spark, tbl, 0)
