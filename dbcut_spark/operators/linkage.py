@@ -244,3 +244,31 @@ def edit_distance_join(
         .filter((F.col("distance") >= 0) & (F.col("distance") <= k))
         .select("probe_id", "index_id", "distance")
     )
+
+
+def best_match(
+    probe: DataFrame,
+    index: DataFrame,
+    probe_col: str,
+    index_col: str,
+    probe_id: str,
+    index_id: str,
+    k: int = 1,
+) -> DataFrame:
+    """ONE match per probe row — the closest index row within distance
+    ``k`` (ties break on the smallest index id, deterministically);
+    probes with no match within ``k`` are absent. The golden-record
+    lookup shape on top of :func:`edit_distance_join`: same blocked
+    join, then a per-probe top-1 window (shuffles on probe_id — no
+    driver involvement)."""
+    from pyspark.sql import Window
+
+    pairs = edit_distance_join(
+        probe, index, probe_col, index_col, probe_id, index_id, k=k
+    )
+    w = Window.partitionBy("probe_id").orderBy("distance", "index_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -117,3 +117,19 @@ def test_unicode_character_semantics(spark):
     idf = spark.createDataFrame(index, "iid int, t string")
     got = _pairs(edit_distance_join(pdf, idf, "s", "t", "pid", "iid", k=1))
     assert got == [(1, 10, 1), (2, 11, 0), (3, 12, 1)]
+
+
+def test_best_match_top1_deterministic(spark):
+    from dbcut_spark.operators.linkage import best_match
+
+    probe = [(1, "kitten"), (2, "zzz")]
+    index = [(10, "kitten"), (11, "mitten"), (12, "bitten"), (13, "cat")]
+    pdf = spark.createDataFrame(probe, "pid int, s string")
+    idf = spark.createDataFrame(index, "iid int, t string")
+    got = _pairs(best_match(pdf, idf, "s", "t", "pid", "iid", k=1))
+    # exact beats distance-1; unmatched probe absent
+    assert got == [(1, 10, 0)]
+    # remove the exact match: smallest id among equal distances wins
+    idf2 = spark.createDataFrame(index[1:], "iid int, t string")
+    got2 = _pairs(best_match(pdf, idf2, "s", "t", "pid", "iid", k=1))
+    assert got2 == [(1, 11, 1)]
