@@ -891,6 +891,8 @@ _GATE_ROTATION = [
     "orders_manifest_changes",
     "part_fuzzy_match",
     "part_entity_clusters",
+    "orders_manifest_mor_delete",
+    "orders_manifest_merge",
 ]
 
 GATE_WINDOW = 50

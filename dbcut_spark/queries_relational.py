@@ -1757,3 +1757,183 @@ def orders_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "orders_manifest_mor_delete",
+    sql="""
+    WITH del AS (
+      SELECT o_orderkey FROM orders
+      WHERE substr(md5('mord:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+            < '26666666'
+    ), final AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (SELECT o_orderkey FROM del)
+        AND year(o_orderdate) >= 1997
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM final GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def orders_manifest_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (round 11, sinks/manifest.py:
+    delete_keys_snapshot): orders lands as two commits, a ~15% key
+    sample is DELETED as one tombstone commit — the gate RAISES unless
+    the delete inherited every data file verbatim (an O(keys) commit,
+    never a rewrite) — and then the deleted keys' post-1997 rows are
+    RE-INSERTED with a new status. The cross-engine hash pins the
+    Iceberg sequence rule end-to-end: tombstones kill only rows whose
+    file predates them, so the re-inserts survive while every other
+    deleted row stays gone.
+
+    Scale: a key purge over 100 TB costs one tiny parquet write + one
+    manifest create; readers pay one broadcast anti join until
+    compact_snapshot folds the debt in. The reference's row deletes
+    are SQLAlchemy DELETEs against a live database — mutation in
+    place, no snapshot isolation (dbcut/database.py)."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.sinks import manifest as mf
+
+    target = _rf_scratch() + "/orders_mor_del"
+    base = t(spark, sf_dir, "orders")
+    mf.publish_snapshot(
+        base.filter(F.year("o_orderdate") < 1996), target, mode="overwrite"
+    )
+    mf.publish_snapshot(
+        base.filter(F.year("o_orderdate") >= 1996), target, mode="append"
+    )
+    doomed = hash_bucket(F.col("o_orderkey"), "mord:") < hash_threshold(0.15)
+    pre = mf._load_manifest(target, mf.current_version(target))
+    dv = mf.delete_keys_snapshot(
+        spark, base.filter(doomed).select("o_orderkey"), target
+    )
+    dm = mf._load_manifest(target, dv)
+    if dm["files"] != pre["files"] or dm["mode"] != "delete":
+        raise RuntimeError(
+            "merge-on-read delete rewrote data files — the gate exists "
+            "to certify an O(keys) commit, not a table rewrite"
+        )
+    mf.publish_snapshot(
+        base.filter(doomed & (F.year("o_orderdate") >= 1997)).withColumn(
+            "o_orderstatus", F.lit("R")
+        ),
+        target,
+        mode="append",
+    )
+    return (
+        mf.read_snapshot(spark, target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "orders_manifest_merge",
+    sql="""
+    WITH b AS (
+      SELECT o.*,
+             substr(md5('morm:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h
+      FROM orders o
+    ), final AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM b
+      WHERE (h >= '0ccccccc' AND h < '19999999') OR h >= '28f5c28f'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice
+      FROM b WHERE h < '0ccccccc'
+      UNION ALL
+      SELECT -o_orderkey AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus,
+             o_totalprice * 0.5 AS o_totalprice
+      FROM b WHERE h >= '0ccccccc' AND h < '19999999'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM final GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def orders_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (round 11, sinks/manifest.py:
+    merge_snapshot): one commit applies a CDC delta — ~5% updates
+    (status 'U', price+1000), ~5% inserts (negated keys, status 'N'),
+    ~6% deletes (op='D') on disjoint deterministic hash ranges —
+    staging only the delta's rows plus one equality-delete tombstone.
+    The gate RAISES unless every parent data file was inherited
+    verbatim: the commit must be O(delta), the property the
+    copy-on-write upsert_snapshot (full rewrite) cannot give. The
+    DuckDB hash pins the merged final state cross-engine.
+
+    Scale: this is the CDC-ingest write path at 100 TB — per-batch
+    cost O(batch); readers pay one broadcast anti join until
+    compact_snapshot materializes. Same MERGE semantics as the JDBC
+    MERGE twins and upsert_parquet, re-expressed as an immutable
+    snapshot commit."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.sinks import manifest as mf
+
+    target = _rf_scratch() + "/orders_mor_merge"
+    base = t(spark, sf_dir, "orders")
+    mf.publish_snapshot(base, target, mode="overwrite")
+    h = hash_bucket(F.col("o_orderkey"), "morm:")
+    t_upd, t_ins, t_del = (
+        hash_threshold(0.05), hash_threshold(0.10), hash_threshold(0.16),
+    )
+    upd = base.filter(h < t_upd).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit("U").alias("op"),
+    )
+    ins = base.filter((h >= t_upd) & (h < t_ins)).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit("U").alias("op"),
+    )
+    dels = base.filter((h >= t_ins) & (h < t_del)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", F.lit("D").alias("op"),
+    )
+    pre = mf._load_manifest(target, mf.current_version(target))
+    v = mf.merge_snapshot(
+        spark, upd.unionByName(ins).unionByName(dels), target,
+        ["o_orderkey"], op_col="op",
+    )
+    m = mf._load_manifest(target, v)
+    if not set(pre["files"]) <= set(m["files"]) or m["mode"] != "merge":
+        raise RuntimeError(
+            "merge-on-read MERGE rewrote parent data files — the gate "
+            "exists to certify an O(delta) commit, not a table rewrite"
+        )
+    return (
+        mf.read_snapshot(spark, target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -71,6 +71,11 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Column name used to tag each data row with its file's commit sequence
+# while merge-on-read tombstones apply (dropped before the reader sees
+# the frame). Reserved: a table column with this name would collide.
+_SEQ_COL = "__dbcut_file_seq"
+
 # Above this many freshly-staged files, footer stats are collected by a
 # Spark job over the file list instead of a driver loop: the manifest
 # already holds the file list driver-side, so the collect is O(files)
@@ -101,6 +106,16 @@ def set_manifest_store(store) -> None:
     bytes | None."""
     global _MANIFEST_STORE
     _MANIFEST_STORE = store
+
+
+def _manifest_all_files(m: dict) -> list[str]:
+    """Every table-relative file a manifest keeps alive: its data files
+    PLUS its merge-on-read tombstone files. Vacuum/inspect must use
+    this, not ``m["files"]`` — reaping a live tombstone would silently
+    resurrect deleted rows."""
+    return list(m["files"]) + [
+        d["file"] for d in (m.get("deletes") or [])
+    ]
 
 
 class VersionConflictError(RuntimeError):
@@ -830,6 +845,8 @@ def publish_snapshot(
         files: list[str] = []
         stats: dict = {}
         buckets: dict = {}
+        deletes: list = []
+        seqs: dict = {}
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_path, parent)
             if pm is None:
@@ -858,10 +875,22 @@ def publish_snapshot(
             # immutable files, not about this commit
             stats.update(pm.get("stats") or {})
             buckets.update(pm.get("buckets") or {})
+            # merge-on-read tombstones ride across appends — dropping
+            # them would resurrect every deleted row — and once any
+            # exist, newly staged files record their commit sequence so
+            # equality deletes keep applying only to OLDER data (files
+            # without a recorded seq read as 0: committed before the
+            # first delete, so every tombstone applies — conservative
+            # and exactly right for pre-MOR history)
+            deletes.extend(pm.get("deletes") or [])
+            seqs.update(pm.get("seqs") or {})
         files.extend(staged)
         stats.update(staged_stats)
         buckets.update(staged_buckets)
         version = (parent or 0) + 1
+        if deletes:
+            for rel in staged:
+                seqs[rel] = version
         schema_fields = list(df.schema.fields)
         if mode == "append" and parent is not None and schema_evolution:
             # the snapshot schema is the UNION: parent fields keep
@@ -895,6 +924,9 @@ def publish_snapshot(
         if bucket_spec:
             manifest["bucket_by"] = bucket_spec
             manifest["buckets"] = buckets
+        if deletes:
+            manifest["deletes"] = deletes
+            manifest["seqs"] = seqs
         if properties is not None:
             manifest["properties"] = properties
         try:
@@ -912,6 +944,7 @@ def _read_files(
     rels: list[str],
     schema: StructType,
     version: int,
+    seq_by_rel: dict | None = None,
 ) -> DataFrame:
     """Read an explicit list of a snapshot's table-relative data files.
     Files are grouped per commit directory and read with that directory
@@ -919,14 +952,28 @@ def _read_files(
     reconstruct; groups union by name. An empty list returns an empty
     frame with the snapshot's schema. Shared by :func:`read_snapshot`
     and the materialized-view delta reader (operators/matview.py),
-    which reads exactly the files one append added."""
+    which reads exactly the files one append added.
+
+    ``seq_by_rel`` (merge-on-read reads only) tags every row with its
+    file's commit sequence in a ``_SEQ_COL`` literal column, so
+    equality-delete tombstones can apply only to rows committed BEFORE
+    them. The tag is a per-commit-group literal (one _stage call = one
+    ``data/<uuid>/`` dir = one commit = one seq), costing nothing at
+    scan time; files without a recorded seq read as 0 (pre-MOR
+    history — every tombstone applies)."""
     if not rels:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if seq_by_rel is not None:
+            out = out.withColumn(_SEQ_COL, F.lit(0).cast("long"))
+        return out
     by_commit: dict[str, list[str]] = {}
+    rel_of: dict[str, str] = {}
     for rel in rels:
         parts = rel.split(os.sep)
         base = os.path.join(table_path, *parts[:2])  # data/<uuid>
-        by_commit.setdefault(base, []).append(os.path.join(table_path, rel))
+        full = os.path.join(table_path, rel)
+        by_commit.setdefault(base, []).append(full)
+        rel_of[full] = rel
     # one existence probe per COMMIT GROUP: vacuum deletes in sorted
     # path order, so even a crash mid-vacuum leaves a partially-expired
     # group missing its lexicographically-FIRST file — probing min()
@@ -943,6 +990,13 @@ def _read_files(
     out: DataFrame | None = None
     for base, paths in sorted(by_commit.items()):
         piece = spark.read.option("basePath", base).parquet(*paths)
+        if seq_by_rel is not None:
+            group_seq = max(
+                int(seq_by_rel.get(rel_of[p], 0)) for p in paths
+            )
+            piece = piece.withColumn(
+                _SEQ_COL, F.lit(group_seq).cast("long")
+            )
         # allowMissingColumns: commits published before a
         # schema_evolution='add' lack the added columns and read back
         # NULL for them; publish-time checks guarantee shared columns
@@ -962,6 +1016,8 @@ def _read_files(
         if f.name not in have:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     names = [f.name for f in schema.fields]
+    if seq_by_rel is not None:
+        names = names + [_SEQ_COL]
     if set(names) == set(out.columns):
         # deterministic column order: the manifest schema's, not
         # whichever commit group happened to sort first
@@ -1123,10 +1179,56 @@ def read_snapshot(
         stats = m.get("stats") or {}
         rels = [r for r in rels if _file_may_match(stats.get(r), where)]
         rels = _bucket_prune(spark, m, rels, where)
-    out = _read_files(spark, table_path, rels, schema, version)
+    deletes = m.get("deletes") or []
+    out = _read_files(
+        spark, table_path, rels, schema, version,
+        seq_by_rel=(m.get("seqs") or {}) if deletes else None,
+    )
     if cond is not None:
+        # predicate before the tombstone anti-join: both are row
+        # filters (they commute), and filtering first shrinks the
+        # join's probe side
         out = out.filter(cond)
+    if deletes:
+        out = _apply_deletes(spark, table_path, out, deletes)
     return out
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    table_path: str,
+    out: DataFrame,
+    deletes: list,
+) -> DataFrame:
+    """Apply a snapshot's merge-on-read equality-delete tombstones: one
+    LEFT ANTI join per distinct key-column spec (one in practice — a
+    table keeps one key), matching on key equality AND tombstone seq >
+    row's file seq, so a key re-inserted AFTER its delete survives
+    (Iceberg equality-delete sequence semantics). Tombstone sets are
+    small by contract (compact_snapshot materializes them away), so AQE
+    plans the anti join as a broadcast; the equality columns keep it a
+    hash join with the seq comparison as residual — never a cartesian."""
+    groups: dict[tuple, list] = {}
+    for d in deletes:
+        groups.setdefault(tuple(d["cols"]), []).append(d)
+    for cols, entries in sorted(groups.items()):
+        tomb = None
+        for e in entries:
+            piece = (
+                spark.read.parquet(os.path.join(table_path, e["file"]))
+                .select(
+                    *[F.col(c).alias(f"__dbcut_del_{c}") for c in cols]
+                )
+                .withColumn(
+                    "__dbcut_del_seq", F.lit(int(e["seq"])).cast("long")
+                )
+            )
+            tomb = piece if tomb is None else tomb.unionByName(piece)
+        cond = F.col("__dbcut_del_seq") > F.col(_SEQ_COL)
+        for c in cols:
+            cond = cond & (F.col(c) == F.col(f"__dbcut_del_{c}"))
+        out = out.join(tomb, cond, "left_anti")
+    return out.drop(_SEQ_COL)
 
 
 def resolve_property_map(
@@ -1396,6 +1498,317 @@ def upsert_snapshot(
     raise AssertionError("unreachable")
 
 
+def _guard_tombstone_keys(
+    keys: DataFrame, schema: StructType, what: str
+) -> DataFrame:
+    """Validate + NULL-guard a tombstone key frame against the table
+    schema. Key columns must exist with IDENTICAL types (a long-vs-int
+    mismatch would make the anti join silently miss every row — the
+    worst failure mode a delete can have), and NULL keys are refused:
+    equality joins never match NULL, so a NULL tombstone would publish
+    a delete that deletes nothing. The NULL check rides the staged
+    write itself (conditional raise_error inside the projection — zero
+    extra jobs, same pattern as the SCD2 retroactive guard)."""
+    by_name = {f.name: f for f in schema.fields}
+    if not keys.columns:
+        raise ValueError(f"{what}: key frame has no columns")
+    if _SEQ_COL in keys.columns:
+        raise ValueError(
+            f"{what}: column name {_SEQ_COL!r} is reserved by the "
+            "merge-on-read reader"
+        )
+    for f in keys.schema.fields:
+        tf = by_name.get(f.name)
+        if tf is None:
+            raise ValueError(
+                f"{what}: key column {f.name!r} is not a table column "
+                f"(table has {sorted(by_name)})"
+            )
+        if tf.dataType.simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"{what}: key column {f.name!r} is "
+                f"{f.dataType.simpleString()} but the table column is "
+                f"{tf.dataType.simpleString()} — an equality delete "
+                "with mismatched types would silently match nothing; "
+                "cast the keys to the table's type"
+            )
+    return keys.select(
+        *[
+            F.when(
+                F.col(f.name).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"{what}: NULL in key column {f.name!r} — "
+                        "equality deletes cannot express NULL keys "
+                        "(the anti join would never match); filter "
+                        "NULL keys out or use the copy-on-write "
+                        "upsert_snapshot, whose key match is null-safe"
+                    )
+                ).cast(f.dataType),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            for f in keys.schema.fields
+        ]
+    )
+
+
+def _staged_rows(table_path: str, rels: list[str]) -> dict:
+    """Per-file row counts of freshly staged files from their footers —
+    a zero-job driver read (footers are local metadata), used to detect
+    empty tombstone sets and to record per-entry row counts for
+    manifest_inspect."""
+    import pyarrow.parquet as pq
+
+    return {
+        r: pq.ParquetFile(os.path.join(table_path, r)).metadata.num_rows
+        for r in rels
+    }
+
+
+def delete_keys_snapshot(
+    spark: SparkSession,
+    keys: DataFrame,
+    table_path: str,
+    retries: int = 2,
+    n_files: int = 1,
+) -> int:
+    """MERGE-ON-READ delete: publish equality-delete tombstones for
+    every (distinct, non-NULL) row of ``keys`` without rewriting ONE
+    data file — the O(keys) mutation the copy-on-write
+    :func:`upsert_snapshot` (O(table) rewrite) cannot give. The commit
+    stages the keys as a small parquet tombstone file and publishes a
+    manifest that inherits the parent's data files verbatim plus a
+    ``deletes`` entry ``{file, cols, seq}``; readers anti-join the
+    tombstones against rows whose file seq is OLDER than the delete
+    (Iceberg equality-delete sequence semantics), so a key re-inserted
+    by a LATER append survives. :func:`compact_snapshot` materializes
+    tombstones away as normal maintenance.
+
+    At 100 TB this is the difference between a GDPR-style key purge
+    costing one tiny parquet write + one manifest create versus
+    rewriting the whole table; the read-side cost is one broadcast
+    anti join until the next compaction. Returns the published version
+    (the CURRENT version unchanged when ``keys`` is empty — no commit
+    for a no-op). Version races retry by re-inheriting the winner's
+    state; the staged tombstone file is written once.
+
+    Reference parity: the reference deletes rows via SQLAlchemy DELETE
+    against the live database (dbcut/database.py) — mutation-in-place
+    with no snapshot isolation; this is that operation re-expressed as
+    an immutable-snapshot commit."""
+    head = current_version(table_path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no published snapshot under {table_path}: nothing to "
+            "delete from"
+        )
+    hm = _load_manifest(table_path, head)
+    if hm is None:
+        raise FileNotFoundError(
+            f"head snapshot {head} of {table_path} is unreadable"
+        )
+    guarded = _guard_tombstone_keys(
+        keys, StructType.fromJson(hm["schema"]), "delete_keys_snapshot"
+    )
+    cols = list(guarded.columns)
+    staged = _stage(
+        guarded.distinct().coalesce(max(1, n_files)),
+        table_path,
+        None,
+        repartition=False,
+    )
+    rows_by_rel = _staged_rows(table_path, staged)
+    if sum(rows_by_rel.values()) == 0:
+        return head  # nothing to delete: no commit, orphans vacuumable
+    staged = [r for r in staged if rows_by_rel[r] > 0]
+    for attempt in range(retries + 1):
+        parent = current_version(table_path)
+        pm = _load_manifest(table_path, parent) if parent is not None else None
+        if pm is None:
+            raise VersionConflictError(
+                f"head snapshot of {table_path} vanished mid-delete "
+                "(vacuum race); re-resolve and retry"
+            )
+        # re-validated per attempt: a racing overwrite may have retyped
+        # the key columns out from under the staged tombstones
+        pschema = StructType.fromJson(pm["schema"])
+        ptypes = {f.name: f.dataType.simpleString() for f in pschema.fields}
+        for f in guarded.schema.fields:
+            if ptypes.get(f.name) != f.dataType.simpleString():
+                raise ValueError(
+                    f"delete_keys_snapshot: a racing commit changed "
+                    f"key column {f.name!r} to "
+                    f"{ptypes.get(f.name)} — re-derive the keys"
+                )
+        version = (parent or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "delete",
+            "files": list(pm["files"]),
+            "n_files": len(pm["files"]),
+            "partition_by": list(pm.get("partition_by") or []),
+            "schema": pm["schema"],
+            "deletes": list(pm.get("deletes") or [])
+            + [
+                {"file": r, "cols": cols, "seq": version,
+                 "rows": rows_by_rel[r]}
+                for r in staged
+            ],
+            "seqs": dict(pm.get("seqs") or {}),
+        }
+        for k in ("stats", "bucket_by", "buckets", "properties"):
+            if pm.get(k) is not None:
+                manifest[k] = pm[k]
+        try:
+            _publish(table_path, manifest)
+            return version
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_path: str,
+    pk: list[str],
+    op_col: str | None = None,
+    retries: int = 2,
+    n_files: int = 1,
+) -> int:
+    """MERGE-ON-READ upsert: the O(delta) twin of the copy-on-write
+    :func:`upsert_snapshot`. One commit stages (a) the delta's
+    non-delete rows as new data files and (b) ALL delta keys as an
+    equality-delete tombstone, both at the new commit's sequence:
+    tombstones kill the OLD rows for replaced and deleted keys (their
+    files have older seqs) while the newly staged rows survive (same
+    seq, and tombstones apply strictly to older) — exactly the MERGE
+    outcome, without reading or rewriting a single existing file.
+
+    This is the CDC-ingest write path at 100 TB: per-batch cost is
+    O(batch), reads pay one broadcast anti join until
+    :func:`compact_snapshot` folds the tombstones in. Contracts match
+    upsert_snapshot (``op_col`` rows marked 'D' delete, NULL op counts
+    as upsert) except NULL pk values are refused — equality tombstones
+    cannot express them (upsert_snapshot's null-safe match can).
+    Bucketed layouts keep their routing (staged files are
+    bucket-repartitioned and recorded); partitioned layouts keep
+    theirs. An empty table bootstraps via publish_snapshot."""
+    if op_col is not None and op_col not in delta.columns:
+        raise ValueError(f"op_col {op_col!r} not in delta")
+    missing = [c for c in pk if c not in delta.columns]
+    if missing:
+        raise ValueError(f"pk columns {missing} not in delta")
+    head = current_version(table_path)
+    upserts = (
+        delta.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
+        if op_col
+        else delta
+    )
+    if head is None:
+        return publish_snapshot(upserts, table_path, mode="overwrite",
+                                retries=retries)
+    hm = _load_manifest(table_path, head)
+    if hm is None:
+        raise FileNotFoundError(
+            f"head snapshot {head} of {table_path} is unreadable"
+        )
+    # loud schema drift before the expensive stage, same as append
+    _check_append_schema(upserts, hm, head)
+    keys = _guard_tombstone_keys(
+        delta.select(*pk),
+        StructType.fromJson(hm["schema"]),
+        "merge_snapshot",
+    )
+    partition_by = list(hm.get("partition_by") or [])
+    bspec = hm.get("bucket_by")
+    staged_df = upserts
+    if bspec:
+        staged_df = upserts.repartition(bspec["n"], F.col(bspec["col"]))
+    staged = _stage(
+        staged_df, table_path, partition_by or None,
+        repartition=not bspec,
+    )
+    staged_buckets = _file_bucket_ids(staged) if bspec else {}
+    # inherit the head's skip-stat coverage for the staged files, the
+    # same must-not-blind-pruning rule as compact_snapshot
+    stat_cols: list[str] = []
+    for st in (hm.get("stats") or {}).values():
+        for c in st:
+            if c not in stat_cols and c not in partition_by:
+                stat_cols.append(c)
+    staged_stats = (
+        _collect_stats(spark, table_path, staged, stat_cols)
+        if stat_cols
+        else {}
+    )
+    tomb = _stage(
+        keys.distinct().coalesce(max(1, n_files)),
+        table_path,
+        None,
+        repartition=False,
+    )
+    tomb_rows = _staged_rows(table_path, tomb)
+    tomb = [r for r in tomb if tomb_rows[r] > 0]
+    for attempt in range(retries + 1):
+        parent = current_version(table_path)
+        pm = _load_manifest(table_path, parent) if parent is not None else None
+        if pm is None:
+            raise VersionConflictError(
+                f"head snapshot of {table_path} vanished mid-merge; "
+                "re-resolve and retry"
+            )
+        # a racing commit may have evolved the schema or changed the
+        # bucket spec — both make the staged files wrong, not retryable
+        _check_append_schema(upserts, pm, parent)
+        if pm.get("bucket_by") != bspec:
+            raise ValueError(
+                f"merge_snapshot: a racing commit changed the bucket "
+                f"layout of {table_path}; re-run the merge"
+            )
+        version = (parent or 0) + 1
+        seqs = dict(pm.get("seqs") or {})
+        for r in staged:
+            seqs[r] = version
+        stats = dict(pm.get("stats") or {})
+        stats.update(staged_stats)
+        buckets = dict(pm.get("buckets") or {})
+        buckets.update(staged_buckets)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "merge",
+            "files": list(pm["files"]) + staged,
+            "n_files": len(pm["files"]) + len(staged),
+            "partition_by": partition_by,
+            "schema": pm["schema"],
+            "deletes": list(pm.get("deletes") or [])
+            + [
+                {"file": r, "cols": list(pk), "seq": version,
+                 "rows": tomb_rows[r]}
+                for r in tomb
+            ],
+            "seqs": seqs,
+        }
+        if stats:
+            manifest["stats"] = stats
+        if bspec:
+            manifest["bucket_by"] = bspec
+            manifest["buckets"] = buckets
+        if pm.get("properties") is not None:
+            manifest["properties"] = pm["properties"]
+        try:
+            _publish(table_path, manifest)
+            return version
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def manifest_inspect(table_path: str) -> dict:
     """Operational stats for a manifest table (no Spark jobs): current
     and oldest version, live file count/bytes (what a reader of the
@@ -1411,10 +1824,14 @@ def manifest_inspect(table_path: str) -> dict:
         if (m := _load_manifest(table_path, v)) is not None
     }
     cur = max(manifests) if manifests else None
-    live = set(manifests[cur]["files"]) if cur is not None else set()
+    live = (
+        set(_manifest_all_files(manifests[cur]))
+        if cur is not None
+        else set()
+    )
     referenced: set[str] = set()
     for m in manifests.values():
-        referenced.update(m["files"])
+        referenced.update(_manifest_all_files(m))
     live_bytes = 0
     for rel in live:
         try:
@@ -1459,6 +1876,21 @@ def manifest_inspect(table_path: str) -> dict:
             dict(manifests[cur].get("properties") or {})
             if cur is not None
             else {}
+        ),
+        # merge-on-read debt at the head: tombstone files a reader
+        # anti-joins on every read — compact_snapshot folds them in
+        "delete_files": (
+            len(manifests[cur].get("deletes") or [])
+            if cur is not None
+            else 0
+        ),
+        "tombstone_rows": (
+            sum(
+                int(d.get("rows") or 0)
+                for d in (manifests[cur].get("deletes") or [])
+            )
+            if cur is not None
+            else 0
         ),
     }
 
@@ -1517,10 +1949,14 @@ def compact_snapshot(
             before_bytes += os.stat(os.path.join(table_path, rel)).st_size
         except FileNotFoundError:
             pass
+    # merge-on-read tombstones make compaction mandatory work: the
+    # rewrite is how delete debt materializes away, so the size-driven
+    # shortcuts below must not skip it
+    has_deletes = bool(m.get("deletes"))
     # cluster_by is an explicit re-LAYOUT request: a single big
     # unsorted file is exactly what it exists to split into prunable
     # range files, so only the size-driven shortcuts skip it
-    if before_files <= (0 if cluster_by else 1):
+    if before_files <= (0 if cluster_by or has_deletes else 1):
         return {
             "compacted": False,
             "version": head,
@@ -1528,8 +1964,8 @@ def compact_snapshot(
             "after_files": before_files,
             "vacuumed": 0,
         }
-    avg_mb = before_bytes / before_files / (1024 * 1024)
-    if not cluster_by and min_frag_mb and avg_mb >= min_frag_mb:
+    avg_mb = before_bytes / max(1, before_files) / (1024 * 1024)
+    if not cluster_by and not has_deletes and min_frag_mb and avg_mb >= min_frag_mb:
         return {
             "compacted": False,
             "version": head,
@@ -1661,9 +2097,11 @@ def vacuum(
     live: set[str] = set()
     referenced: set[str] = set()
     for v, m in manifests.items():
-        referenced.update(m["files"])
+        # data files AND merge-on-read tombstone files: reaping a live
+        # tombstone would silently resurrect its deleted rows
+        referenced.update(_manifest_all_files(m))
         if v in keep:
-            live.update(m["files"])
+            live.update(_manifest_all_files(m))
     cutoff = time.time() - grace_seconds
     candidates: list[str] = []
     data_root = os.path.join(table_path, _DATA_DIR)

@@ -1,0 +1,339 @@
+"""Merge-on-read equality deletes over the manifest protocol
+(sinks/manifest.py: delete_keys_snapshot / merge_snapshot and the
+tombstone-aware read path).
+
+Semantics under test are Iceberg's equality-delete sequence rules: a
+tombstone applies to rows whose data file was committed STRICTLY
+BEFORE it, so replaced/deleted keys die while same-commit and later
+re-inserts survive; compaction materializes the debt away. The
+reference mutates rows in place via SQLAlchemy DELETE/UPDATE
+(dbcut/database.py) — these tests pin that operation re-expressed as
+immutable snapshot commits.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbcut_spark.sinks import manifest as mf
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, ids, tag="a"):
+    return spark.createDataFrame(
+        [(i, tag, i * 10) for i in ids], "id long, tag string, val long"
+    )
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_delete_keys_basic_no_rewrite(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, range(10)), tbl)
+    m1 = mf._load_manifest(tbl, v1)
+    v2 = mf.delete_keys_snapshot(spark, _keys(spark, [2, 5, 7]), tbl)
+    m2 = mf._load_manifest(tbl, v2)
+    # O(keys): the delete commit inherits every data file verbatim
+    assert m2["files"] == m1["files"]
+    assert m2["mode"] == "delete"
+    assert len(m2["deletes"]) == 1
+    assert m2["deletes"][0]["cols"] == ["id"]
+    assert m2["deletes"][0]["rows"] == 3
+    got = mf.read_snapshot(spark, tbl)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 3, 4, 6, 8, 9]
+    # schema unchanged, no seq column leaks through
+    assert got.columns == ["id", "tag", "val"]
+
+
+def test_delete_then_reinsert_survives(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(6), "old"), tbl)
+    mf.delete_keys_snapshot(spark, _keys(spark, [1, 2, 3]), tbl)
+    # re-insert two of the deleted keys AFTER the delete: the tombstone
+    # (older seq) must not kill them
+    mf.publish_snapshot(_mk(spark, [2, 3], "new"), tbl, mode="append")
+    got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
+    assert got == {
+        (0, "old"), (4, "old"), (5, "old"), (2, "new"), (3, "new"),
+    }
+
+
+def test_delete_survives_later_appends(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(5)), tbl)
+    mf.delete_keys_snapshot(spark, _keys(spark, [0, 4]), tbl)
+    mf.publish_snapshot(_mk(spark, [10, 11]), tbl, mode="append")
+    mf.publish_snapshot(_mk(spark, [12]), tbl, mode="append")
+    got = sorted(r.id for r in mf.read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 3, 10, 11, 12]
+
+
+def test_two_delete_commits_and_multi_column_keys(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(8)), tbl)
+    mf.delete_keys_snapshot(spark, _keys(spark, [1]), tbl)
+    # second delete on a DIFFERENT key spec (composite) — one anti join
+    # per spec group
+    comp = spark.createDataFrame([(6, "a")], "id long, tag string")
+    v = mf.delete_keys_snapshot(spark, comp, tbl)
+    m = mf._load_manifest(tbl, v)
+    assert {tuple(d["cols"]) for d in m["deletes"]} == {
+        ("id",), ("id", "tag"),
+    }
+    got = sorted(r.id for r in mf.read_snapshot(spark, tbl).collect())
+    assert got == [0, 2, 3, 4, 5, 7]
+
+
+def test_validation_errors(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(3)), tbl)
+    with pytest.raises(ValueError, match="not a table column"):
+        mf.delete_keys_snapshot(
+            spark, spark.createDataFrame([(1,)], "nope long"), tbl
+        )
+    with pytest.raises(ValueError, match="mismatched types"):
+        mf.delete_keys_snapshot(
+            spark, spark.createDataFrame([(1,)], "id int"), tbl
+        )
+    # NULL key: refused at stage time (the guard rides the write)
+    with pytest.raises(Exception) as ei:
+        mf.delete_keys_snapshot(
+            spark,
+            spark.createDataFrame([(None,)], "id long"),
+            tbl,
+        )
+    assert "NULL in key column" in str(ei.value)
+    # empty table: nothing to delete from
+    with pytest.raises(FileNotFoundError):
+        mf.delete_keys_snapshot(
+            spark, _keys(spark, [1]), str(tmp_path / "missing")
+        )
+
+
+def test_empty_keys_is_noop(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, range(3)), tbl)
+    v = mf.delete_keys_snapshot(spark, _keys(spark, []), tbl)
+    assert v == v1
+    assert mf.current_version(tbl) == v1
+
+
+def test_vacuum_keeps_live_tombstones_then_compact_clears(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(10)), tbl)
+    mf.delete_keys_snapshot(spark, _keys(spark, [3, 4]), tbl)
+    before = _rows(mf.read_snapshot(spark, tbl))
+    st = mf.manifest_inspect(tbl)
+    assert st["delete_files"] == 1 and st["tombstone_rows"] == 2
+    # vacuum with keep_last=1 must NOT reap the head's tombstone file
+    mf.vacuum(tbl, keep_last=1, grace_seconds=0.0)
+    assert _rows(mf.read_snapshot(spark, tbl)) == before
+    # compaction materializes the deletes and clears the debt
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0.0)
+    assert res["compacted"]
+    m = mf._load_manifest(tbl, res["version"])
+    assert not m.get("deletes") and not m.get("seqs")
+    assert _rows(mf.read_snapshot(spark, tbl)) == before
+    st2 = mf.manifest_inspect(tbl)
+    assert st2["delete_files"] == 0 and st2["tombstone_rows"] == 0
+
+
+def test_compact_single_file_with_deletes_still_runs(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(10)).coalesce(1), tbl,
+                        repartition=False)
+    mf.delete_keys_snapshot(spark, _keys(spark, [0]), tbl)
+    res = mf.compact_snapshot(spark, tbl, grace_seconds=0.0)
+    assert res["compacted"]
+    assert sorted(
+        r.id for r in mf.read_snapshot(spark, tbl).collect()
+    ) == list(range(1, 10))
+
+
+def test_merge_snapshot_matches_cow_upsert(spark, tmp_path):
+    """Differential: merge_snapshot (MOR) and upsert_snapshot (CoW)
+    produce identical final states for the same delta, including op_col
+    deletes and a NULL op treated as upsert."""
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    base = _mk(spark, range(20), "base")
+    mf.publish_snapshot(base, cow)
+    mf.publish_snapshot(base, mor)
+    delta = spark.createDataFrame(
+        [
+            (3, "upd", 333, "U"),
+            (7, "upd", 777, None),   # NULL op = upsert, never delete
+            (40, "ins", 400, "U"),
+            (5, "x", 0, "D"),
+            (11, "x", 0, "D"),
+        ],
+        "id long, tag string, val long, op string",
+    )
+    mf.upsert_snapshot(spark, delta, cow, ["id"], op_col="op")
+    v = mf.merge_snapshot(spark, delta, mor, ["id"], op_col="op")
+    assert _rows(mf.read_snapshot(spark, cow)) == _rows(
+        mf.read_snapshot(spark, mor)
+    )
+    # O(delta): every parent data file inherited, none rewritten
+    m = mf._load_manifest(mor, v)
+    pm = mf._load_manifest(mor, m["parent"])
+    assert set(pm["files"]) <= set(m["files"])
+    assert m["mode"] == "merge"
+    # repeated merges keep converging
+    delta2 = spark.createDataFrame(
+        [(3, "upd2", 3333, "U"), (7, "x", 0, "D")],
+        "id long, tag string, val long, op string",
+    )
+    mf.upsert_snapshot(spark, delta2, cow, ["id"], op_col="op")
+    mf.merge_snapshot(spark, delta2, mor, ["id"], op_col="op")
+    assert _rows(mf.read_snapshot(spark, cow)) == _rows(
+        mf.read_snapshot(spark, mor)
+    )
+
+
+def test_merge_bootstraps_empty_table(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    delta = spark.createDataFrame(
+        [(1, "a", 10, "U"), (2, "b", 20, "D")],
+        "id long, tag string, val long, op string",
+    )
+    mf.merge_snapshot(spark, delta, tbl, ["id"], op_col="op")
+    assert sorted(
+        r.id for r in mf.read_snapshot(spark, tbl).collect()
+    ) == [1]
+
+
+def test_time_travel_sees_pre_delete_state(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, range(4)), tbl)
+    v2 = mf.delete_keys_snapshot(spark, _keys(spark, [0, 1]), tbl)
+    assert sorted(
+        r.id for r in mf.read_snapshot(spark, tbl, version=v1).collect()
+    ) == [0, 1, 2, 3]
+    assert sorted(
+        r.id for r in mf.read_snapshot(spark, tbl, version=v2).collect()
+    ) == [2, 3]
+
+
+def test_where_pruning_composes_with_deletes(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    lo = _mk(spark, range(0, 50))
+    hi = _mk(spark, range(50, 100))
+    mf.publish_snapshot(lo, tbl, stats_cols=["id"])
+    mf.publish_snapshot(hi, tbl, mode="append", stats_cols=["id"])
+    mf.delete_keys_snapshot(spark, _keys(spark, [60, 61]), tbl)
+    rep = mf.prune_report(tbl, [("id", ">=", 50)])
+    assert rep["skipped_files"] > 0  # stats pruning still engages
+    got = sorted(
+        r.id
+        for r in mf.read_snapshot(
+            spark, tbl, where=[("id", ">=", 50)]
+        ).collect()
+    )
+    assert got == [i for i in range(50, 100) if i not in (60, 61)]
+
+
+def test_partitioned_table_mor_delete(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = _mk(spark, range(12)).withColumn(
+        "bucket", (F.col("id") % 3).cast("int")
+    )
+    mf.publish_snapshot(df, tbl, partition_by=["bucket"])
+    mf.delete_keys_snapshot(spark, _keys(spark, [0, 1, 2]), tbl)
+    got = sorted(r.id for r in mf.read_snapshot(spark, tbl).collect())
+    assert got == list(range(3, 12))
+    # partition columns still reconstruct
+    assert {r.bucket for r in mf.read_snapshot(spark, tbl).collect()} == {
+        0, 1, 2,
+    }
+
+
+def test_bucketed_table_merge_keeps_routing(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(40)), tbl, bucket_by=("id", 4))
+    delta = spark.createDataFrame(
+        [(3, "upd", 999), (100, "ins", 1)],
+        "id long, tag string, val long",
+    )
+    v = mf.merge_snapshot(spark, delta, tbl, ["id"])
+    m = mf._load_manifest(tbl, v)
+    assert m["bucket_by"] == {"col": "id", "n": 4}
+    # staged files recorded bucket ids so equality probes keep pruning
+    staged = [r for r in m["files"] if r not in set(
+        mf._load_manifest(tbl, m["parent"])["files"]
+    )]
+    assert staged and all(r in m["buckets"] for r in staged)
+    got = {(r.id, r.val) for r in mf.read_snapshot(
+        spark, tbl, where=[("id", "=", 3)]
+    ).collect()}
+    assert got == {(3, 999)}
+
+
+def test_read_changes_refuses_delete_window(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, range(3)), tbl)
+    mf.delete_keys_snapshot(spark, _keys(spark, [1]), tbl)
+    with pytest.raises(ValueError, match="not\\s+append-only|not append-only"):
+        mf.read_changes(spark, tbl, since_version=v1)
+    # but a pure-append window AFTER the delete reads fine
+    v3 = mf.current_version(tbl)
+    mf.publish_snapshot(_mk(spark, [9]), tbl, mode="append")
+    got = [r.id for r in mf.read_changes(spark, tbl, v3).collect()]
+    assert got == [9]
+
+
+def test_mor_under_object_store_backend(spark, tmp_path):
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    tbl = str(tmp_path / "t")
+    mf.set_manifest_store(InMemoryObjectStore())
+    try:
+        mf.publish_snapshot(_mk(spark, range(6)), tbl)
+        mf.delete_keys_snapshot(spark, _keys(spark, [2]), tbl)
+        mf.publish_snapshot(_mk(spark, [2], "back"), tbl, mode="append")
+        got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
+        assert (2, "back") in got and (2, "a") not in got
+        assert len(got) == 6
+    finally:
+        mf.set_manifest_store(None)
+
+
+def test_delete_version_race_retries(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(5)), tbl)
+    real = mf._publish
+    fails = {"n": 1}
+
+    def flaky(table_path, manifest):
+        if fails["n"]:
+            fails["n"] -= 1
+            # a racing append lands first, then the retry re-inherits it
+            mf.publish_snapshot(
+                _mk(spark, [50]), tbl, mode="append"
+            )
+            raise mf.VersionConflictError("lost the race")
+        return real(table_path, manifest)
+
+    monkeypatch.setattr(mf, "_publish", flaky)
+    v = mf.delete_keys_snapshot(spark, _keys(spark, [0]), tbl, retries=2)
+    monkeypatch.setattr(mf, "_publish", real)
+    m = mf._load_manifest(tbl, v)
+    # the retry inherited the winner's appended file
+    assert m["n_files"] > 1
+    got = sorted(r.id for r in mf.read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 3, 4, 50]
+
+
+def test_delete_retries_exhausted_raises(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(3)), tbl)
+
+    def always_lose(table_path, manifest):
+        raise mf.VersionConflictError("lost")
+
+    monkeypatch.setattr(mf, "_publish", always_lose)
+    with pytest.raises(mf.VersionConflictError):
+        mf.delete_keys_snapshot(spark, _keys(spark, [0]), tbl, retries=1)
