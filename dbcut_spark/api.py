@@ -301,6 +301,34 @@ class Engine:
 
         return replicate_manifest(self.spark, src_path, dst_path, **opts)
 
+    def delete_keys(
+        self, keys: DataFrame, table_path: str, **opts
+    ) -> int:
+        """Merge-on-read delete from a manifest table: an O(keys)
+        equality-delete tombstone commit, no data file rewritten; see
+        :func:`dbcut_spark.sinks.manifest.delete_keys_snapshot`."""
+        from dbcut_spark.sinks.manifest import delete_keys_snapshot
+
+        return delete_keys_snapshot(self.spark, keys, table_path, **opts)
+
+    def merge(
+        self,
+        delta: DataFrame,
+        table_path: str,
+        pk: list[str],
+        op_col: str | None = None,
+        **opts,
+    ) -> int:
+        """Merge-on-read MERGE of a CDC delta into a manifest table:
+        one O(delta) commit (staged rows + one tombstone); the
+        copy-on-write twin is upsert_snapshot. See
+        :func:`dbcut_spark.sinks.manifest.merge_snapshot`."""
+        from dbcut_spark.sinks.manifest import merge_snapshot
+
+        return merge_snapshot(
+            self.spark, delta, table_path, pk, op_col=op_col, **opts
+        )
+
     def nested_json(self, query: dict) -> DataFrame:
         """One nested document per root row (reference dumpjson)."""
         from dbcut_spark.sinks.json_export import nested_documents

@@ -1151,6 +1151,89 @@ def replicate(ctx: Ctx, src_path: str, dst_path: str, source_id: str):
     )
 
 
+@cli.command()
+@click.argument("table_path")
+@click.argument("keys_path")
+@click.option(
+    "--cols",
+    default=None,
+    help="comma-separated key columns to delete on (default: every "
+    "column of the keys parquet); types must match the table exactly",
+)
+@click.pass_obj
+def delete(ctx: Ctx, table_path: str, keys_path: str, cols: str | None):
+    """Merge-on-read delete from a MANIFEST table
+    (sinks.manifest.delete_keys_snapshot): the keys in KEYS_PATH (a
+    parquet file/dir) publish as one equality-delete tombstone commit
+    — O(keys), no data file rewritten; readers anti-join the
+    tombstones until `compact --manifest` materializes them. Keys
+    committed BEFORE the delete die; keys re-inserted after survive
+    (Iceberg sequence semantics)."""
+    from dbcut_spark.sinks.manifest import (
+        delete_keys_snapshot,
+        manifest_inspect,
+    )
+
+    keys = ctx.spark.read.parquet(keys_path)
+    if cols:
+        names = [c.strip() for c in cols.split(",") if c.strip()]
+        missing = [c for c in names if c not in keys.columns]
+        if missing:
+            raise click.UsageError(
+                f"--cols {missing} not in {keys_path} "
+                f"(has {keys.columns})"
+            )
+        keys = keys.select(*names)
+    v = delete_keys_snapshot(ctx.spark, keys, table_path)
+    st = manifest_inspect(table_path)
+    click.echo(
+        f"delete committed as v{v} on {sorted(keys.columns)} "
+        f"({st['delete_files']} tombstone files, "
+        f"{st['tombstone_rows']} tombstone rows pending compaction)"
+    )
+
+
+@cli.command()
+@click.argument("table_path")
+@click.argument("delta_path")
+@click.option(
+    "--pk",
+    "pk_cols",
+    multiple=True,
+    required=True,
+    help="primary-key column the merge matches on (repeatable for "
+    "composite keys)",
+)
+@click.option(
+    "--op-col",
+    default=None,
+    help="CDC op column in the delta: rows marked 'D' delete, "
+    "anything else (including NULL) upserts; omitted = every row "
+    "upserts",
+)
+@click.pass_obj
+def merge(
+    ctx: Ctx, table_path: str, delta_path: str, pk_cols, op_col: str | None
+):
+    """Merge-on-read MERGE of a CDC delta into a MANIFEST table
+    (sinks.manifest.merge_snapshot): one O(delta) commit stages the
+    delta's rows plus one equality-delete tombstone for its keys —
+    replaced/deleted keys die, the new rows survive, and NO existing
+    file is read or rewritten (the copy-on-write twin is
+    upsert_snapshot). Run `compact --manifest` periodically to fold
+    the tombstone debt in."""
+    from dbcut_spark.sinks.manifest import merge_snapshot
+
+    delta = ctx.spark.read.parquet(delta_path)
+    v = merge_snapshot(
+        ctx.spark, delta, table_path, list(pk_cols), op_col=op_col
+    )
+    click.echo(
+        f"merge committed as v{v} on pk={list(pk_cols)}"
+        + (f" (op column {op_col!r})" if op_col else "")
+    )
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

@@ -337,3 +337,97 @@ def test_delete_retries_exhausted_raises(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(mf, "_publish", always_lose)
     with pytest.raises(mf.VersionConflictError):
         mf.delete_keys_snapshot(spark, _keys(spark, [0]), tbl, retries=1)
+
+
+def _cfg(tmp_path, sf_dir):
+    import yaml
+
+    cfg = {
+        "databases": {
+            "source_uri": sf_dir,
+            "destination_uri": str(tmp_path / "dest"),
+        },
+        "cache": str(tmp_path / "cache"),
+        "queries": [],
+    }
+    cfg_path = str(tmp_path / "dbcut.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path
+
+
+def test_cli_delete_and_merge(spark, sf_dir, tmp_path):
+    """`cli delete TBL KEYS --cols` and `cli merge TBL DELTA --pk`
+    end-to-end over a manifest table, then `compact --manifest`
+    folds the tombstone debt in."""
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg_path = _cfg(tmp_path, sf_dir)
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(_mk(spark, range(10)), tbl)
+
+    keys = str(tmp_path / "keys")
+    _keys(spark, [2, 5]).write.parquet(keys)
+    res = CliRunner().invoke(
+        cli,
+        ["-c", cfg_path, "delete", "--cols", "id", tbl, keys],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert "delete committed as v2" in res.output
+    assert "2 tombstone rows" in res.output
+    assert sorted(
+        r.id for r in mf.read_snapshot(spark, tbl).collect()
+    ) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(3, "upd", 333, "U"), (7, "x", 0, "D"), (50, "ins", 500, "U")],
+        "id long, tag string, val long, op string",
+    ).write.parquet(delta)
+    res2 = CliRunner().invoke(
+        cli,
+        ["-c", cfg_path, "merge", "--pk", "id", "--op-col", "op",
+         tbl, delta],
+        catch_exceptions=False,
+    )
+    assert res2.exit_code == 0, res2.output
+    assert "merge committed as v3" in res2.output
+    got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
+    assert (3, "upd") in got and (50, "ins") in got
+    assert not any(i == 7 or i == 2 or i == 5 for i, _t in got)
+
+    res3 = CliRunner().invoke(
+        cli,
+        ["-c", cfg_path, "compact", "--manifest", tbl],
+        catch_exceptions=False,
+    )
+    assert res3.exit_code == 0, res3.output
+    m = mf._load_manifest(tbl, mf.current_version(tbl))
+    assert not m.get("deletes")
+    assert {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()} == got
+
+    # bad --cols is a usage error, not a silent no-op
+    res4 = CliRunner().invoke(
+        cli, ["-c", cfg_path, "delete", "--cols", "nope", tbl, keys],
+    )
+    assert res4.exit_code != 0
+
+
+def test_engine_delete_and_merge_facade(spark, sf_dir, tmp_path):
+    from dbcut_spark.api import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(_mk(spark, range(6)), tbl)
+    v = eng.delete_keys(_keys(spark, [0]), tbl)
+    assert v == 2
+    delta = spark.createDataFrame(
+        [(1, "u", 11, "U")], "id long, tag string, val long, op string"
+    )
+    v2 = eng.merge(delta, tbl, ["id"], op_col="op")
+    assert v2 == 3
+    got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
+    assert got == {(1, "u"), (2, "a"), (3, "a"), (4, "a"), (5, "a")}
