@@ -1234,6 +1234,85 @@ def merge(
     )
 
 
+@cli.command()
+@click.argument("table", required=False)
+@click.option(
+    "--manifest",
+    "manifest_path",
+    default=None,
+    metavar="PATH",
+    help="profile a MANIFEST table's head snapshot instead of a "
+    "catalog table",
+)
+@click.option(
+    "--cols",
+    default=None,
+    help="comma-separated subset of columns to profile",
+)
+@click.option(
+    "--exact",
+    is_flag=True,
+    help="exact COUNT(DISTINCT) per column (plans an EXPAND — pay it "
+    "only at certifiable scale); default is HLL++ approx (rsd 5%)",
+)
+@click.pass_obj
+def profile(
+    ctx: Ctx,
+    table: str | None,
+    manifest_path: str | None,
+    cols: str | None,
+    exact: bool,
+):
+    """Per-column profile of a source table (operators/profile.py):
+    rows, nulls, distinct, min/max, average string length — ONE
+    aggregate pass over the table, no collect. The first look a
+    curation pipeline takes at an untrusted 100 TB source."""
+    from dbcut_spark.operators.profile import table_profile
+
+    if manifest_path:
+        from dbcut_spark.sinks.manifest import read_snapshot
+
+        df = read_snapshot(ctx.spark, manifest_path)
+        what = manifest_path
+    else:
+        if not table:
+            raise click.UsageError("pass a TABLE or --manifest PATH")
+        if ctx.source.startswith("jdbc:"):
+            raise click.UsageError(
+                "profile reads parquet sources; extract the table "
+                "first (load), then point this config's source at "
+                "the parquet"
+            )
+        if table not in ctx.catalog.tables:
+            raise click.UsageError(
+                f"table {table!r} is not in the catalog "
+                f"(tables: {', '.join(sorted(ctx.catalog.tables))})"
+            )
+        from dbcut_spark.sources.parquet import read_table
+
+        df = read_table(ctx.spark, ctx.source, table)
+        what = table
+    columns = (
+        [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+    )
+    prof = table_profile(
+        df, columns=columns, exact_distinct=exact
+    ).collect()
+    n_rows = prof[0].n_rows if prof else 0
+    kind = "exact" if exact else "approx"
+    click.echo(f"{what}: {n_rows} rows ({kind} distinct)")
+    click.echo(
+        f"{'column':<22}{'nulls':>10}{'distinct':>10}  "
+        f"{'min':<22}{'max':<22}{'avg_len':>8}"
+    )
+    for r in prof:
+        al = f"{r.avg_len:.1f}" if r.avg_len is not None else "-"
+        click.echo(
+            f"{r.column_name:<22}{r.n_nulls:>10}{r.n_distinct:>10}  "
+            f"{str(r.min_value):<22.22}{str(r.max_value):<22.22}{al:>8}"
+        )
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

@@ -1,0 +1,182 @@
+"""One-pass table profiling: per-column rows of
+(n_rows, n_nulls, n_distinct, min, max, avg string length) — the
+engine's SUMMARIZE / data-profiling operator.
+
+Everything computes in ONE aggregate over the table (a single scan +
+single-stage partial aggregation, no shuffle of the data itself —
+partials are one row per task), then the 1-row result unpivots to
+per-column rows with ``stack`` driver-free. All expressions are
+built-in JVM functions; nothing collects.
+
+Scale judgment: ``exact_distinct=True`` uses COUNT(DISTINCT col) per
+column, which Spark plans with an EXPAND (data duplicated once per
+distinct aggregate) — fine at gate scale, wrong at 100 TB over many
+columns. The default ``exact_distinct=False`` uses
+``approx_count_distinct`` (HLL++, mergeable partials, no expand), the
+same choice Iceberg/Delta make for table stats. Min/max/avg-length are
+single-pass either way.
+
+Cross-engine rendering contract (what lets a DuckDB oracle hash-match
+the profile): min/max render to STRINGS — integers/strings/timestamps
+cast directly (identical text on both engines), fractional numerics
+bridge through DECIMAL(38,6) first (both engines then render the same
+fixed-point text; a raw double->string cast would diverge,
+'1.0E7'-style vs '10000000.0'). Unsupported leaf types (arrays,
+structs, maps, binary) profile their null/row counts with NULL
+min/max.
+
+Reference parity: the reference exposes row counts and estimated
+counts per table (dbcut/cli.py inspect); this widens that to the
+per-column profile a curation pipeline needs before trusting a new
+100 TB source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# types whose min/max cast to identical strings on Spark and DuckDB
+_DIRECT_RENDER = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.StringType, T.DateType, T.TimestampType, T.BooleanType,
+)
+_DECIMAL_RENDER = (T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def _renderable(dt: T.DataType) -> bool:
+    return isinstance(dt, _DIRECT_RENDER + _DECIMAL_RENDER)
+
+
+def _render(c: Column, dt: T.DataType) -> Column:
+    """Cross-engine deterministic string rendering (see module doc)."""
+    if isinstance(dt, _DECIMAL_RENDER):
+        return c.cast("decimal(38,6)").cast("string")
+    return c.cast("string")
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``columns`` (default: every top-level column) in one
+    aggregate pass. Returns one row per column, ordered by
+    ``column_name``::
+
+        column_name  string
+        n_rows       long    total rows (same every row)
+        n_nulls      long    NULL count
+        n_distinct   long    distinct non-NULL values (exact or HLL++)
+        min_value    string  rendered min (NULL for unsupported types)
+        max_value    string  rendered max
+        avg_len      double  mean string length (string columns only)
+
+    ``rsd`` is the approx_count_distinct relative error when
+    ``exact_distinct`` is False (the at-scale default)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    if columns is None:
+        cols = [f.name for f in df.schema.fields]
+    else:
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"table_profile: columns {missing} not in the frame "
+                f"(has {sorted(by_name)})"
+            )
+        cols = list(columns)
+    if not cols:
+        raise ValueError("table_profile: no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, name in enumerate(cols):
+        dt = by_name[name].dataType
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"__nn_{i}"))
+        aggs.append(
+            (
+                F.count_distinct(c)
+                if exact_distinct
+                else F.approx_count_distinct(c, rsd)
+            ).alias(f"__nd_{i}")
+        )
+        if _renderable(dt):
+            aggs.append(_render(F.min(c), dt).alias(f"__mn_{i}"))
+            aggs.append(_render(F.max(c), dt).alias(f"__mx_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__mn_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__mx_{i}"))
+        if isinstance(dt, T.StringType):
+            aggs.append(
+                F.avg(F.length(c)).cast("double").alias(f"__al_{i}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__al_{i}"))
+    one = df.agg(*aggs)
+    # unpivot the 1-row aggregate into per-column rows: stack is a
+    # generator expression, so this stays a zero-shuffle projection of
+    # the single aggregated row — no collect, no python
+    parts = []
+    for i, name in enumerate(cols):
+        parts.append(
+            f"'{name}', __rows, __nn_{i}, __nd_{i}, "
+            f"__mn_{i}, __mx_{i}, __al_{i}"
+        )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) AS "
+            "(column_name, n_rows, n_nonnull, n_distinct, "
+            "min_value, max_value, avg_len)"
+        )
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "avg_len",
+    ).orderBy("column_name")
+
+
+def profile_oracle_sql(
+    table: str, columns: list[str], types: dict[str, str]
+) -> str:
+    """The DuckDB twin of :func:`table_profile` (exact_distinct mode):
+    one UNION ALL block per column computing the same seven fields
+    with the same rendering bridges. ``types`` maps column -> DuckDB
+    type class: 'direct' (int/string/date/timestamp/bool), 'decimal'
+    (fractional: render via DECIMAL(38,6)), 'string' (direct render +
+    avg_len), or 'opaque' (no min/max). Used by the gate registration
+    so Spark and SQL stay in lockstep from one spec."""
+    blocks = []
+    for c in columns:
+        kind = types[c]
+        if kind == "decimal":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+        elif kind == "opaque":
+            mn = "CAST(NULL AS VARCHAR)"
+            mx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        al = (
+            f"CAST(AVG(length({c})) AS DOUBLE)"
+            if kind == "string"
+            else "CAST(NULL AS DOUBLE)"
+        )
+        blocks.append(
+            f"SELECT '{c}' AS column_name, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_value, {mx} AS max_value, {al} AS avg_len "
+            f"FROM {table}"
+        )
+    return (
+        "\n    UNION ALL\n    ".join(blocks)
+        + "\n    ORDER BY column_name"
+    )

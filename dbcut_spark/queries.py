@@ -893,6 +893,7 @@ _GATE_ROTATION = [
     "part_entity_clusters",
     "orders_manifest_mor_delete",
     "orders_manifest_merge",
+    "orders_profile",
 ]
 
 GATE_WINDOW = 50

@@ -1937,3 +1937,45 @@ def orders_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+from dbcut_spark.operators.profile import profile_oracle_sql as _prof_sql
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_PROFILE_TYPES = {
+    "o_orderkey": "direct", "o_custkey": "direct",
+    "o_orderstatus": "string", "o_totalprice": "decimal",
+    "o_orderdate": "direct", "o_orderpriority": "string",
+}
+
+
+@register(
+    "orders_profile",
+    sql=_prof_sql("orders", _PROFILE_COLS, _PROFILE_TYPES),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (round 11, operators/profile.py): every
+    orders column profiles to (rows, nulls, exact distinct, rendered
+    min/max, avg string length) in ONE aggregate — a single scan whose
+    partials are one row per task — then unpivots via ``stack`` with
+    no collect. The DuckDB oracle is a per-column UNION ALL generated
+    from the SAME column/type spec, so the hash pins the whole
+    rendering contract (fractional numerics bridge min/max through
+    DECIMAL(38,6); ints/strings/timestamps cast directly).
+
+    Scale: the gate uses exact_distinct (COUNT DISTINCT plans an
+    EXPAND — acceptable here, certifiable against SQL); the production
+    default is approx_count_distinct (HLL++ mergeable partials, no
+    expand), the same stats trade Iceberg/Delta make. Reference
+    parity: widens the reference's per-table counts
+    (dbcut/cli.py inspect) to the per-column profile."""
+    from dbcut_spark.operators.profile import table_profile
+
+    return table_profile(
+        t(spark, sf_dir, "orders"),
+        columns=_PROFILE_COLS,
+        exact_distinct=True,
+    )
