@@ -894,6 +894,8 @@ _GATE_ROTATION = [
     "orders_manifest_mor_delete",
     "orders_manifest_merge",
     "orders_profile",
+    "part_cooccur_triangles",
+    "nation_trade_pagerank",
 ]
 
 GATE_WINDOW = 50

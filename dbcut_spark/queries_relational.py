@@ -1979,3 +1979,126 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=_PROFILE_COLS,
         exact_distinct=True,
     )
+
+
+@register(
+    "part_cooccur_triangles",
+    sql="""
+    WITH pairs AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                   FROM lineitem),
+    keep AS (SELECT g FROM pairs GROUP BY g HAVING count(*) <= 1000),
+    p2 AS (SELECT p.* FROM pairs p JOIN keep k ON p.g = k.g),
+    edges AS (
+      SELECT p.i AS a, q.i AS b, count(*) AS w
+      FROM p2 p JOIN p2 q ON p.g = q.g AND p.i < q.i
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT n, count(*) AS d FROM (
+              SELECT a AS n FROM edges
+              UNION ALL SELECT b AS n FROM edges) GROUP BY 1),
+    j AS (SELECT e.a, e.b, da.d AS da, db.d AS db,
+                 (da.d < db.d OR (da.d = db.d AND e.a < e.b)) AS fwd
+          FROM edges e JOIN deg da ON da.n = e.a
+                       JOIN deg db ON db.n = e.b),
+    ori AS (SELECT CASE WHEN fwd THEN a ELSE b END AS src,
+                   CASE WHEN fwd THEN b ELSE a END AS dst,
+                   CASE WHEN fwd THEN db ELSE da END AS ddst FROM j),
+    wedges AS (
+      SELECT e1.src, e1.dst AS x, e2.dst AS y
+      FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+      WHERE e1.ddst < e2.ddst
+         OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)
+    ),
+    tri AS (SELECT w.src AS v1, w.x AS v2, w.y AS v3
+            FROM wedges w JOIN ori c ON c.src = w.x AND c.dst = w.y),
+    tri3 AS (SELECT v1 AS node FROM tri
+             UNION ALL SELECT v2 FROM tri
+             UNION ALL SELECT v3 FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri3 GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+)
+def part_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (round 11,
+    operators/graph_algo.py) over the part co-occurrence graph (parts
+    sharing an order are an edge): top-20 parts by triangle
+    participation. The DuckDB oracle walks the SAME degree-orientation
+    construction, so the hash pins edge building (distinct pairs, hub
+    guard), orientation tie-breaking, wedge pairing, AND the closing
+    equi-join — all integer math, bit-exact cross-engine.
+
+    Scale: orientation bounds every out-degree by O(sqrt(2m)), so the
+    wedge self-join is O(m^1.5) total with no hub straggler — the
+    standard distributed triangle recipe; the co-occurrence builder
+    hard-caps group width before pairs can explode quadratically. No
+    cartesian anywhere (equi-joins only)."""
+    from dbcut_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    edges = cooccurrence_edges(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(20)
+    )
+
+
+from dbcut_spark.operators.graph_algo import pagerank_oracle_sql as _pr_sql
+
+_NATION_EDGES_SQL = (
+    "SELECT s.s_nationkey AS src, c.c_nationkey AS dst, "
+    "count(*) AS w "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "GROUP BY 1, 2"
+)
+_NATION_VERTS_SQL = "SELECT n_nationkey AS node FROM nation"
+
+
+@register(
+    "nation_trade_pagerank",
+    sql=_pr_sql(_NATION_EDGES_SQL, _NATION_VERTS_SQL, n=25, n_iter=5)
+    + "\n    ORDER BY pr DESC, node",
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (round 11, operators/graph_algo.py) on the
+    nation trade graph: supplier nation -> customer nation edges
+    weighted by lineitem count, 5 power iterations, damping 0.85. The
+    DuckDB oracle runs the IDENTICAL unrolled recurrence — generated
+    from the same spec by pagerank_oracle_sql — with each contribution
+    rounded to 12 dp and summed as exact DECIMAL(38,14), so the float
+    iteration is order-independent and the hash pins all five rounds.
+
+    Scale: each iteration is one ranks-by-edges equi-join plus one
+    aggregation — the textbook PageRank shuffle shape; the edge-ratio
+    frame computes once and is reused every round. Dangling mass not
+    redistributed (documented variant, identical on both engines)."""
+    from dbcut_spark.operators.graph_algo import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    verts = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return pagerank(edges, verts, n_iter=5).orderBy(
+        F.desc("pr"), F.asc("node")
+    )
