@@ -167,6 +167,13 @@ HEADLINE = [
     "orders_sync_incremental",
     "orders_manifest_changes",
     "part_fuzzy_match",
+    "orders_manifest_mor_delete",
+    "orders_manifest_merge",
+    "orders_profile",
+    "part_cooccur_triangles",
+    "nation_trade_pagerank",
+    "orders_expectations",
+    "orders_price_histogram",
 ]
 
 

@@ -329,6 +329,22 @@ class Engine:
             self.spark, delta, table_path, pk, op_col=op_col, **opts
         )
 
+    def check(
+        self, df: DataFrame, rules: list[dict], refs: dict | None = None
+    ) -> DataFrame:
+        """Data-quality expectations report (one row per rule); see
+        :func:`dbcut_spark.operators.expect.check_constraints`."""
+        from dbcut_spark.operators.expect import check_constraints
+
+        return check_constraints(df, rules, refs=refs)
+
+    def profile(self, df: DataFrame, **opts) -> DataFrame:
+        """One-pass per-column profile; see
+        :func:`dbcut_spark.operators.profile.table_profile`."""
+        from dbcut_spark.operators.profile import table_profile
+
+        return table_profile(df, **opts)
+
     def nested_json(self, query: dict) -> DataFrame:
         """One nested document per root row (reference dumpjson)."""
         from dbcut_spark.sinks.json_export import nested_documents

@@ -1313,6 +1313,101 @@ def profile(
         )
 
 
+@cli.command()
+@click.argument("table", required=False)
+@click.option(
+    "--manifest",
+    "manifest_path",
+    default=None,
+    metavar="PATH",
+    help="check a MANIFEST table's head snapshot instead of a "
+    "catalog table",
+)
+@click.option(
+    "--rules",
+    "rules_path",
+    required=True,
+    metavar="FILE",
+    help="YAML file: a list of rule dicts (rule: not_null|unique|"
+    "in_range|accepted_values|matches|foreign_key, plus col/cols/"
+    "lo/hi/values/pattern/ref/ref_cols); foreign_key refs resolve "
+    "against catalog tables",
+)
+@click.option(
+    "--fail-on-violation",
+    is_flag=True,
+    help="exit 1 when any rule fails (CI gate mode)",
+)
+@click.pass_obj
+def check(
+    ctx: Ctx,
+    table: str | None,
+    manifest_path: str | None,
+    rules_path: str,
+    fail_on_violation: bool,
+):
+    """Data-quality expectations over a source table
+    (operators/expect.py): scalar and uniqueness rules fold into ONE
+    aggregate pass; foreign keys anti-join against their catalog
+    parent. Prints one line per rule; with --fail-on-violation the
+    exit code gates a pipeline."""
+    import yaml
+
+    from dbcut_spark.operators.expect import check_constraints
+
+    with open(rules_path) as f:
+        rules = yaml.safe_load(f)
+    if not isinstance(rules, list):
+        raise click.UsageError(
+            f"{rules_path} must contain a YAML LIST of rule dicts"
+        )
+    if manifest_path:
+        from dbcut_spark.sinks.manifest import read_snapshot
+
+        df = read_snapshot(ctx.spark, manifest_path)
+        what = manifest_path
+    else:
+        if not table:
+            raise click.UsageError("pass a TABLE or --manifest PATH")
+        if ctx.source.startswith("jdbc:"):
+            raise click.UsageError(
+                "check reads parquet sources; extract the table first "
+                "(load), then point this config's source at the parquet"
+            )
+        if table not in ctx.catalog.tables:
+            raise click.UsageError(
+                f"table {table!r} is not in the catalog "
+                f"(tables: {', '.join(sorted(ctx.catalog.tables))})"
+            )
+        from dbcut_spark.sources.parquet import read_table
+
+        df = read_table(ctx.spark, ctx.source, table)
+        what = table
+    refs = {}
+    for r in rules:
+        if isinstance(r, dict) and r.get("rule") == "foreign_key":
+            ref = r.get("ref")
+            if ref and ref not in refs:
+                if ref not in ctx.catalog.tables:
+                    raise click.UsageError(
+                        f"foreign_key ref {ref!r} is not a catalog table"
+                    )
+                from dbcut_spark.sources.parquet import read_table
+
+                refs[ref] = read_table(ctx.spark, ctx.source, ref)
+    report = check_constraints(df, rules, refs=refs).collect()
+    n_failed = sum(1 for r in report if not r.passed)
+    click.echo(f"{what}: {len(report)} rules, {n_failed} failing")
+    for r in report:
+        mark = "ok  " if r.passed else "FAIL"
+        click.echo(
+            f"  {mark} {r.rule}: {r.violations} violations "
+            f"/ {r.checked} checked"
+        )
+    if fail_on_violation and n_failed:
+        raise SystemExit(1)
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

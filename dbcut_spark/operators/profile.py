@@ -141,6 +141,70 @@ def table_profile(
     ).orderBy("column_name")
 
 
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per occupied
+    bin with ``(bin, n_rows, total)``. Bounds default to the column's
+    exact min/max, computed as a 1-row aggregate joined back by
+    BROADCAST — the plan stays fully lazy (no driver collect; same
+    scalar-grid pattern as the BM25 corpus stats). NULLs are excluded;
+    the top bound clamps into the last bin so ``x == hi`` lands in
+    ``bins - 1`` on both engines.
+
+    The bin expression ``least(floor((x - lo) * bins / (hi - lo)),
+    bins-1)`` is scalar IEEE arithmetic — deterministic cross-engine
+    with the SAME parenthesization, which the gate's DuckDB oracle
+    repeats verbatim. ``total`` accumulates through DECIMAL(25,6)
+    (the repo money-sum convention). One scan for the bounds, one for
+    the binning; callers with known domain bounds pass lo/hi and pay
+    one."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in the frame")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    c = F.col(col)
+    vals = df.filter(c.isNotNull())
+    if lo is None:
+        mm = vals.agg(
+            F.min(c).cast("double").alias("__lo"),
+            F.max(c).cast("double").alias("__hi"),
+        )
+        binned = vals.crossJoin(F.broadcast(mm))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        if not lo < hi:
+            raise ValueError(f"need lo < hi, got {lo} >= {hi}")
+        binned = vals
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = hi_c - lo_c
+    idx = F.when(
+        width == 0, F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor(
+                (c.cast("double") - lo_c) * F.lit(bins) / width
+            ).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        binned.filter((c >= lo_c) & (c <= hi_c))
+        .groupBy(idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c.cast("decimal(25,6)")).cast("double").alias("total"),
+        )
+        .orderBy("bin")
+    )
+
+
 def profile_oracle_sql(
     table: str, columns: list[str], types: dict[str, str]
 ) -> str:

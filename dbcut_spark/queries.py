@@ -896,6 +896,8 @@ _GATE_ROTATION = [
     "orders_profile",
     "part_cooccur_triangles",
     "nation_trade_pagerank",
+    "orders_expectations",
+    "orders_price_histogram",
 ]
 
 GATE_WINDOW = 50

@@ -2102,3 +2102,158 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, verts, n_iter=5).orderBy(
         F.desc("pr"), F.asc("node")
     )
+
+
+@register(
+    "orders_expectations",
+    sql="""
+    SELECT 'not_null(o_custkey)' AS rule, 'not_null' AS kind,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS violations,
+           coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1
+                             ELSE 0 END), 0) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', 'unique',
+           CAST(count(o_orderkey) AS BIGINT),
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                AS BIGINT),
+           count(o_orderkey) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_custkey)', 'unique',
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT),
+           count(o_custkey) = count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', 'in_range',
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_totalprice < 1000.0
+                                    OR o_totalprice > 300000.0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_totalprice < 1000.0
+                               OR o_totalprice > 300000.0
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)', 'accepted_values',
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN
+                                       ('O', 'F', 'P')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderpriority)', 'accepted_values',
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderpriority NOT IN
+                                       ('1-URGENT', '2-HIGH')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', 'matches',
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN NOT regexp_matches(
+                                       o_orderpriority, '^[0-9]-')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                     '^[0-9]-')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey -> customer.c_custkey)',
+           'foreign_key',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    ORDER BY rule
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (round 11,
+    operators/expect.py): eight rules over orders — not-null,
+    uniqueness (one passing, one deliberately failing on o_custkey),
+    range and accepted-value checks (one failing on priority), a
+    regex rule, and referential integrity against customer. Every
+    scalar + uniqueness rule folds into ONE aggregate pass (rule count
+    does not multiply scans); the foreign key is one anti-join count.
+    The DuckDB oracle recomputes each rule independently, so the hash
+    pins checked/violations/passed per rule — including the failing
+    ones, which is the half a validation gate usually leaves untested.
+
+    Scale: the deequ-style pre-flight a pipeline runs before trusting
+    a 100 TB source; map-side partial counters, one shuffle."""
+    from dbcut_spark.operators.expect import check_constraints
+
+    orders = t(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            {"rule": "not_null", "col": "o_custkey"},
+            {"rule": "unique", "cols": ["o_orderkey"]},
+            {"rule": "unique", "cols": ["o_custkey"]},
+            {"rule": "in_range", "col": "o_totalprice",
+             "lo": 1000.0, "hi": 300000.0},
+            {"rule": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"rule": "accepted_values", "col": "o_orderpriority",
+             "values": ["1-URGENT", "2-HIGH"]},
+            {"rule": "matches", "col": "o_orderpriority",
+             "pattern": "^[0-9]-"},
+            {"rule": "foreign_key", "cols": ["o_custkey"],
+             "ref": "customer", "ref_cols": ["c_custkey"]},
+        ],
+        refs={"customer": t(spark, sf_dir, "customer")},
+    )
+
+
+@register(
+    "orders_price_histogram",
+    sql="""
+    WITH v AS (SELECT o_totalprice AS x FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    mm AS (SELECT CAST(min(x) AS DOUBLE) AS lo,
+                  CAST(max(x) AS DOUBLE) AS hi FROM v)
+    SELECT CASE WHEN hi - lo = 0 THEN 0
+                ELSE LEAST(CAST(floor((CAST(x AS DOUBLE) - lo) * 16
+                                      / (hi - lo)) AS INT), 15)
+           END AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM v, mm
+    WHERE x >= lo AND x <= hi
+    GROUP BY 1 ORDER BY bin
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (round 11, operators/profile.py:
+    column_histogram): 16 bins over o_totalprice with exact min/max
+    bounds joined back by BROADCAST (1-row scalar grid — no driver
+    collect, the plan stays lazy). The oracle repeats the bin
+    expression with identical parenthesization, so the hash pins the
+    IEEE arithmetic of the bin function itself, the top-bound clamp
+    (x == max lands in the last bin), and the DECIMAL-bridged per-bin
+    sums.
+
+    Scale: two scans (bounds + binning) with map-side partials; pass
+    known domain bounds to pay one."""
+    from dbcut_spark.operators.profile import column_histogram
+
+    return column_histogram(
+        t(spark, sf_dir, "orders"), "o_totalprice", bins=16
+    )
