@@ -174,6 +174,7 @@ HEADLINE = [
     "nation_trade_pagerank",
     "orders_expectations",
     "orders_price_histogram",
+    "orders_corr_matrix",
 ]
 
 

@@ -205,6 +205,129 @@ def column_histogram(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    columns: list[str],
+    exact: bool = True,
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns, one
+    aggregate pass for ALL pairs (6·C(k,2) counters, partial-
+    aggregated map-side). Rows are ``(col_x, col_y, n, corr)`` for
+    x < y in the given order; ``n`` counts pairwise-complete rows
+    (both values non-NULL — the standard pairwise-deletion contract).
+    ``corr`` rounds to 6 dp; a pair with zero variance on either side
+    yields NULL.
+
+    ``exact=True`` (the certifiable mode) accumulates each moment as
+    round(·, 10) → DECIMAL(38,10) so sums are order-independent and a
+    SQL oracle hash-matches; magnitudes up to ~1e13 per term and ~1e9
+    rows fit the 28 integer digits. ``exact=False`` uses the built-in
+    ``corr`` aggregate (single-pass co-moment, no rounding) — the
+    at-scale default when no cross-engine certification is needed."""
+    if len(columns) < 2:
+        raise ValueError("corr_matrix needs at least 2 columns")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"corr_matrix: columns {missing} not in frame")
+    pairs = [
+        (columns[i], columns[j])
+        for i in range(len(columns))
+        for j in range(i + 1, len(columns))
+    ]
+    aggs = []
+    for k, (cx, cy) in enumerate(pairs):
+        x = F.col(cx).cast("double")
+        y = F.col(cy).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        if exact:
+            def dsum(e):
+                return F.sum(
+                    F.round(e, 10).cast("decimal(38,10)")
+                ).cast("double")
+
+            xv = F.when(both, x)
+            yv = F.when(both, y)
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{k}"),
+                dsum(xv).alias(f"__sx_{k}"),
+                dsum(yv).alias(f"__sy_{k}"),
+                dsum(xv * xv).alias(f"__sxx_{k}"),
+                dsum(yv * yv).alias(f"__syy_{k}"),
+                dsum(xv * yv).alias(f"__sxy_{k}"),
+            ]
+        else:
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{k}"),
+                F.corr(x, y).alias(f"__r_{k}"),
+            ]
+    one = df.agg(*aggs)
+    if exact:
+        exprs = []
+        for k, (cx, cy) in enumerate(pairs):
+            n = f"CAST(__n_{k} AS DOUBLE)"
+            num = f"({n} * __sxy_{k} - __sx_{k} * __sy_{k})"
+            vx = f"({n} * __sxx_{k} - __sx_{k} * __sx_{k})"
+            vy = f"({n} * __syy_{k} - __sy_{k} * __sy_{k})"
+            exprs.append(
+                f"'{cx}', '{cy}', __n_{k}, "
+                f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+                f"round({num} / (sqrt({vx}) * sqrt({vy})), 6) "
+                "ELSE CAST(NULL AS DOUBLE) END"
+            )
+    else:
+        exprs = [
+            f"'{cx}', '{cy}', __n_{k}, round(__r_{k}, 6)"
+            for k, (cx, cy) in enumerate(pairs)
+        ]
+    stacked = one.select(
+        F.expr(
+            f"stack({len(pairs)}, {', '.join(exprs)}) AS "
+            "(col_x, col_y, n, corr)"
+        )
+    )
+    return stacked.orderBy("col_x", "col_y")
+
+
+def corr_oracle_sql(table: str, columns: list[str]) -> str:
+    """The DuckDB twin of :func:`corr_matrix` (exact mode): one UNION
+    ALL block per pair computing the identical decimal-bridged moments
+    and the identical final arithmetic — one spec, two engines."""
+    blocks = []
+    for i in range(len(columns)):
+        for j in range(i + 1, len(columns)):
+            cx, cy = columns[i], columns[j]
+            x = f"CAST({cx} AS DOUBLE)"
+            y = f"CAST({cy} AS DOUBLE)"
+            both = f"{cx} IS NOT NULL AND {cy} IS NOT NULL"
+
+            def dsum(e):
+                return (
+                    f"CAST(sum(CAST(round({e}, 10) AS DECIMAL(38,10)))"
+                    " AS DOUBLE)"
+                )
+
+            blocks.append(
+                f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
+                f"CAST(count(*) AS BIGINT) AS n, "
+                "CASE WHEN "
+                f"(CAST(count(*) AS DOUBLE) * {dsum(x + ' * ' + x)} - "
+                f"{dsum(x)} * {dsum(x)}) > 0 AND "
+                f"(CAST(count(*) AS DOUBLE) * {dsum(y + ' * ' + y)} - "
+                f"{dsum(y)} * {dsum(y)}) > 0 THEN "
+                f"round((CAST(count(*) AS DOUBLE) * {dsum(x + ' * ' + y)}"
+                f" - {dsum(x)} * {dsum(y)}) / "
+                f"(sqrt(CAST(count(*) AS DOUBLE) * {dsum(x + ' * ' + x)}"
+                f" - {dsum(x)} * {dsum(x)}) * "
+                f"sqrt(CAST(count(*) AS DOUBLE) * {dsum(y + ' * ' + y)}"
+                f" - {dsum(y)} * {dsum(y)})), 6) "
+                "ELSE CAST(NULL AS DOUBLE) END AS corr "
+                f"FROM {table} WHERE {both}"
+            )
+    return (
+        "\n    UNION ALL\n    ".join(blocks) + "\n    ORDER BY col_x, col_y"
+    )
+
+
 def profile_oracle_sql(
     table: str, columns: list[str], types: dict[str, str]
 ) -> str:

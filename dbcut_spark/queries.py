@@ -898,6 +898,7 @@ _GATE_ROTATION = [
     "nation_trade_pagerank",
     "orders_expectations",
     "orders_price_histogram",
+    "orders_corr_matrix",
 ]
 
 GATE_WINDOW = 50

@@ -2257,3 +2257,32 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_histogram(
         t(spark, sf_dir, "orders"), "o_totalprice", bins=16
     )
+
+
+from dbcut_spark.operators.profile import corr_oracle_sql as _corr_sql
+
+_CORR_COLS = ["o_custkey", "o_orderkey", "o_totalprice"]
+
+
+@register(
+    "orders_corr_matrix",
+    sql=_corr_sql("orders", _CORR_COLS),
+)
+def orders_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (round 11,
+    operators/profile.py:corr_matrix): all three column pairs in ONE
+    aggregate pass (6 decimal-bridged moments per pair, partial-
+    aggregated map-side). The DuckDB oracle is GENERATED from the same
+    column spec (corr_oracle_sql) and computes the identical
+    round(10)->DECIMAL(38,10) moments and identical final arithmetic,
+    so the hash pins the whole numeric pipeline — sums, co-moments,
+    sqrt/divide, round(6).
+
+    Scale: exact mode is the certification harness; production at
+    100 TB flips exact=False for the built-in single-pass co-moment
+    `corr` (no rounding, no decimal) — same plan shape."""
+    from dbcut_spark.operators.profile import corr_matrix
+
+    return corr_matrix(
+        t(spark, sf_dir, "orders"), _CORR_COLS, exact=True
+    )

@@ -211,3 +211,58 @@ def test_cli_check(spark, sf_dir, tmp_path):
          "--fail-on-violation", "orders"],
     )
     assert res2.exit_code == 1
+
+
+def test_corr_matrix_exact_known_values(spark):
+    from dbcut_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 1.0), (3.0, 6.0, 4.0),
+         (4.0, 8.0, 2.0)],
+        "x double, y double, z double",
+    )
+    got = {(r.col_x, r.col_y): r for r in
+           corr_matrix(df, ["x", "y", "z"]).collect()}
+    # y = 2x exactly
+    assert got[("x", "y")].corr == 1.0
+    assert got[("x", "y")].n == 4
+    # z is weakly anti-correlated with x; hand computation for
+    # (1,5),(2,1),(3,4),(4,2): -6/(sqrt(20)*sqrt(10)) = -0.424264...
+    assert got[("x", "z")].corr == pytest.approx(-0.4242641, abs=1e-6)
+
+
+def test_corr_matrix_pairwise_nulls_and_zero_variance(spark):
+    from dbcut_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 7.0), (2.0, None, 7.0), (3.0, 3.0, 7.0)],
+        "x double, y double, k double",
+    )
+    got = {(r.col_x, r.col_y): r for r in
+           corr_matrix(df, ["x", "y", "k"]).collect()}
+    # pairwise deletion: (x,y) checks only the 2 complete rows
+    assert got[("x", "y")].n == 2 and got[("x", "y")].corr == 1.0
+    # constant column: zero variance -> NULL, never a div-by-zero
+    assert got[("x", "k")].corr is None
+    assert got[("y", "k")].corr is None
+
+
+def test_corr_matrix_exact_matches_builtin(spark, sf_dir):
+    from dbcut_spark.operators.profile import corr_matrix
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_totalprice"]
+    e = corr_matrix(orders, cols, exact=True).collect()[0]
+    a = corr_matrix(orders, cols, exact=False).collect()[0]
+    assert e.corr == pytest.approx(a.corr, abs=1e-5)
+    assert e.n == a.n
+
+
+def test_corr_matrix_validation(spark):
+    from dbcut_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="at least 2"):
+        corr_matrix(df, ["x"])
+    with pytest.raises(ValueError, match="not in frame"):
+        corr_matrix(df, ["x", "nope"])
