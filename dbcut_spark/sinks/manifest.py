@@ -1524,6 +1524,15 @@ def _guard_tombstone_keys(
                 f"{what}: key column {f.name!r} is not a table column "
                 f"(table has {sorted(by_name)})"
             )
+        if f"__dbcut_del_{f.name}" in by_name:
+            # the reader aliases tombstone keys with this prefix; a
+            # real table column of that name would make the anti join
+            # ambiguous at read time — refuse at write time instead
+            raise ValueError(
+                f"{what}: table column '__dbcut_del_{f.name}' collides "
+                "with the merge-on-read reader's tombstone alias for "
+                f"key {f.name!r}; rename it or key on other columns"
+            )
         if tf.dataType.simpleString() != f.dataType.simpleString():
             raise ValueError(
                 f"{what}: key column {f.name!r} is "

@@ -431,3 +431,13 @@ def test_engine_delete_and_merge_facade(spark, sf_dir, tmp_path):
     assert v2 == 3
     got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
     assert got == {(1, "u"), (2, "a"), (3, "a"), (4, "a"), (5, "a")}
+
+
+def test_tombstone_alias_collision_refused(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x")], "id long, __dbcut_del_id string"
+    )
+    mf.publish_snapshot(df, tbl)
+    with pytest.raises(ValueError, match="tombstone alias"):
+        mf.delete_keys_snapshot(spark, _keys(spark, [1]), tbl)
