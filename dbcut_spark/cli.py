@@ -1408,6 +1408,52 @@ def check(
         raise SystemExit(1)
 
 
+@cli.command()
+@click.argument("table_path")
+@click.argument("name", required=False)
+@click.option("--at", "at_version", type=int, default=None,
+              help="version to tag (default: current head)")
+@click.option("--replace", is_flag=True, help="move an existing tag")
+@click.option("--delete", "do_delete", is_flag=True,
+              help="delete the tag (its snapshot re-enters normal "
+              "retention at the next vacuum)")
+@click.option("--list", "do_list", is_flag=True, help="list tags")
+@click.pass_obj
+def tag(
+    ctx: Ctx,
+    table_path: str,
+    name: str | None,
+    at_version: int | None,
+    replace: bool,
+    do_delete: bool,
+    do_list: bool,
+):
+    """Named snapshot tags on a MANIFEST table (Iceberg-refs
+    contract, sinks.manifest.tag_snapshot): ``read_snapshot(version=
+    'name')`` resolves a tag, and vacuum keeps a tagged snapshot's
+    data files alive regardless of keep_last — a release or audit cut
+    survives retention until its tag is deleted."""
+    from dbcut_spark.sinks import manifest as mf
+
+    if do_list:
+        tags = mf.list_tags(table_path)
+        if not tags:
+            click.echo(f"no tags on {table_path}")
+            return
+        for n, v in sorted(tags.items()):
+            click.echo(f"  {n} -> v{v}")
+        return
+    if not name:
+        raise click.UsageError("pass a tag NAME (or --list)")
+    if do_delete:
+        mf.delete_tag(table_path, name)
+        click.echo(f"deleted tag {name!r} from {table_path}")
+        return
+    v = mf.tag_snapshot(table_path, name, version=at_version,
+                        replace=replace)
+    click.echo(f"tagged {table_path} v{v} as {name!r}")
+
+
 def main():
     cli(obj=None, auto_envvar_prefix="DBCUT_SPARK")
 

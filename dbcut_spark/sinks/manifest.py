@@ -70,6 +70,7 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_TAGS_DIR = "_tags"
 
 # Column name used to tag each data row with its file's commit sequence
 # while merge-on-read tombstones apply (dropped before the reader sees
@@ -1085,6 +1086,166 @@ def _bucket_prune(
     return [r for r in rels if r not in buckets or buckets[r] in allowed]
 
 
+import re as _re
+
+_TAG_NAME_RE = _re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+
+def _tag_path(table_path: str, name: str) -> str:
+    return os.path.join(table_path, _TAGS_DIR, f"{name}.json")
+
+
+def _check_tag_name(name: str) -> None:
+    if not _TAG_NAME_RE.match(name) or name.isdigit():
+        raise ValueError(
+            f"invalid tag name {name!r}: letters/digits/._- up to 64 "
+            "chars, and not all-digits (a numeric string would be "
+            "ambiguous with a version number in read_snapshot)"
+        )
+
+
+def tag_snapshot(
+    table_path: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Pin a named TAG to a snapshot version (head by default) — the
+    Iceberg-refs contract: ``read_snapshot(version='name')`` resolves
+    it, and :func:`vacuum` keeps a tagged snapshot's data files alive
+    REGARDLESS of ``keep_last``, so a tag is how a release/audit cut
+    survives retention. Returns the tagged version.
+
+    Tags are create-only unless ``replace=True``. On POSIX, create is
+    hard-link (create-if-absent — concurrent taggers race loudly) and
+    replace is ``os.replace`` (atomic swap). On an object-store
+    backend, create is a conditional PUT; replace is etag-conditional
+    delete + re-create, with a small documented window where the tag
+    is absent (a reader retries or reads head — never a torn tag)."""
+    _check_tag_name(name)
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_path} to tag"
+            )
+    if _load_manifest(table_path, version) is None:
+        raise FileNotFoundError(
+            f"cannot tag version {version} of {table_path}: no "
+            "readable manifest at that version"
+        )
+    payload = json.dumps({"name": name, "version": int(version)}).encode()
+    final = _tag_path(table_path, name)
+    if _MANIFEST_STORE is not None:
+        if replace:
+            got = _MANIFEST_STORE.read(final)
+            if got is not None:
+                _MANIFEST_STORE.delete_if_match(final, got[1])
+        try:
+            _MANIFEST_STORE.create_if_absent(final, payload)
+        except FileExistsError:
+            raise VersionConflictError(
+                f"tag {name!r} already exists on {table_path}; pass "
+                "replace=True to move it"
+            ) from None
+        return int(version)
+    tdir = os.path.join(table_path, _TAGS_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        if replace:
+            os.replace(tmp, final)  # atomic swap; tmp is consumed
+            return int(version)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise VersionConflictError(
+                f"tag {name!r} already exists on {table_path}; pass "
+                "replace=True to move it"
+            ) from None
+        return int(version)
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass  # consumed by os.replace
+
+
+def resolve_tag(table_path: str, name: str) -> int:
+    """The version a tag points at. Raises FileNotFoundError for an
+    unknown tag; a torn/unparseable tag file raises too (loud, never a
+    silent wrong snapshot)."""
+    _check_tag_name(name)
+    final = _tag_path(table_path, name)
+    if _MANIFEST_STORE is not None:
+        got = _MANIFEST_STORE.read(final)
+        data = got[0] if got is not None else None
+    else:
+        try:
+            with open(final, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+    if data is None:
+        raise FileNotFoundError(
+            f"no tag {name!r} on {table_path} "
+            f"(tags: {sorted(list_tags(table_path))})"
+        )
+    try:
+        payload = json.loads(data)
+        return int(payload["version"])
+    except (ValueError, KeyError, TypeError):
+        raise FileNotFoundError(
+            f"tag {name!r} on {table_path} is unreadable/torn; "
+            "re-create it with tag_snapshot(replace=True)"
+        ) from None
+
+
+def delete_tag(table_path: str, name: str) -> None:
+    """Remove a tag (its snapshot becomes subject to normal retention
+    at the next vacuum). Unknown tags raise."""
+    _check_tag_name(name)
+    final = _tag_path(table_path, name)
+    if _MANIFEST_STORE is not None:
+        got = _MANIFEST_STORE.read(final)
+        if got is None:
+            raise FileNotFoundError(f"no tag {name!r} on {table_path}")
+        _MANIFEST_STORE.delete_if_match(final, got[1])
+        return
+    try:
+        os.unlink(final)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no tag {name!r} on {table_path}"
+        ) from None
+
+
+def list_tags(table_path: str) -> dict:
+    """All readable tags as ``{name: version}`` (torn tag files are
+    skipped here — resolve_tag is the loud path)."""
+    tdir = os.path.join(table_path, _TAGS_DIR)
+    if _MANIFEST_STORE is not None:
+        names = _MANIFEST_STORE.list(tdir)
+    elif os.path.isdir(tdir):
+        names = os.listdir(tdir)
+    else:
+        return {}
+    out: dict = {}
+    for fname in names:
+        stem, dot, ext = fname.rpartition(".")
+        if ext != "json" or not stem or stem.startswith("."):
+            continue
+        try:
+            out[stem] = resolve_tag(table_path, stem)
+        except (FileNotFoundError, ValueError):
+            continue
+    return out
+
+
 def publish_pointer(
     table_path: str,
     properties: dict,
@@ -1139,7 +1300,7 @@ def publish_pointer(
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
-    version: int | None = None,
+    version: int | str | None = None,
     where: list | None = None,
 ) -> DataFrame:
     """Resolve a snapshot (newest parseable manifest by default; pass
@@ -1160,6 +1321,11 @@ def read_snapshot(
     between opening every file of every commit and opening the few
     whose [min,max] straddle the predicate — the same file-skipping
     contract as Iceberg/Delta data skipping."""
+    if isinstance(version, str):
+        # a TAG name (Iceberg-refs contract): resolve to its pinned
+        # version; all-digit strings are rejected at tag time, so the
+        # two namespaces cannot collide
+        version = resolve_tag(table_path, version)
     if version is None:
         version = current_version(table_path)
         if version is None:
@@ -1838,6 +2004,11 @@ def manifest_inspect(table_path: str) -> dict:
         if cur is not None
         else set()
     )
+    # tagged snapshots are retention-pinned: their files are not
+    # reclaimable until the tag is deleted (mirrors vacuum)
+    for tv in list_tags(table_path).values():
+        if tv in manifests:
+            live.update(_manifest_all_files(manifests[tv]))
     referenced: set[str] = set()
     for m in manifests.values():
         referenced.update(_manifest_all_files(m))
@@ -1901,6 +2072,8 @@ def manifest_inspect(table_path: str) -> dict:
             if cur is not None
             else 0
         ),
+        # named refs: retention-pinned snapshots (see tag_snapshot)
+        "tags": list_tags(table_path),
     }
 
 
@@ -2103,6 +2276,12 @@ def vacuum(
             manifests[v] = m
     versions = sorted(manifests)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    # tagged snapshots are retention-pinned (the Iceberg-refs
+    # contract): a release/audit tag keeps its data files alive no
+    # matter how far past keep_last it falls — until delete_tag
+    keep |= {
+        v for v in list_tags(table_path).values() if v in manifests
+    }
     live: set[str] = set()
     referenced: set[str] = set()
     for v, m in manifests.items():

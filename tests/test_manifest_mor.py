@@ -441,3 +441,113 @@ def test_tombstone_alias_collision_refused(spark, tmp_path):
     mf.publish_snapshot(df, tbl)
     with pytest.raises(ValueError, match="tombstone alias"):
         mf.delete_keys_snapshot(spark, _keys(spark, [1]), tbl)
+
+
+def test_tag_pins_retention_and_resolves(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, range(3), "rel"), tbl)
+    mf.tag_snapshot(tbl, "release-1")
+    mf.publish_snapshot(_mk(spark, range(5), "new"), tbl,
+                        mode="overwrite")
+    mf.publish_snapshot(_mk(spark, range(7), "newer"), tbl,
+                        mode="overwrite")
+    # vacuum keep_last=1 would normally expire v1 and v2; the tag
+    # pins v1's files while v2's expire
+    deleted = mf.vacuum(tbl, keep_last=1, grace_seconds=0.0)
+    assert deleted  # v2's files went
+    got = mf.read_snapshot(spark, tbl, version="release-1")
+    assert {r.tag for r in got.collect()} == {"rel"}
+    assert got.count() == 3
+    # v2 (untagged, expired) is a loud retention error
+    with pytest.raises(FileNotFoundError):
+        mf.read_snapshot(spark, tbl, version=2).collect()
+    st = mf.manifest_inspect(tbl)
+    assert st["tags"] == {"release-1": v1}
+    # delete the tag -> next vacuum reclaims v1 too
+    mf.delete_tag(tbl, "release-1")
+    mf.vacuum(tbl, keep_last=1, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        mf.read_snapshot(spark, tbl, version="release-1").collect()
+
+
+def test_tag_create_replace_semantics(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, [1]), tbl)
+    mf.publish_snapshot(_mk(spark, [2]), tbl, mode="append")
+    assert mf.tag_snapshot(tbl, "stable", version=1) == 1
+    with pytest.raises(mf.VersionConflictError, match="already exists"):
+        mf.tag_snapshot(tbl, "stable", version=2)
+    assert mf.tag_snapshot(tbl, "stable", version=2, replace=True) == 2
+    assert mf.resolve_tag(tbl, "stable") == 2
+    # default version: the head
+    assert mf.tag_snapshot(tbl, "head-now") == 2
+
+
+def test_tag_validation(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, [1]), tbl)
+    for bad in ("", "no/slash", "x" * 65, "123", "a b"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            mf.tag_snapshot(tbl, bad)
+    with pytest.raises(FileNotFoundError, match="no readable manifest"):
+        mf.tag_snapshot(tbl, "ghost", version=99)
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        mf.resolve_tag(tbl, "nope")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        mf.delete_tag(tbl, "nope")
+    # a torn tag file is loud on resolve, skipped by list_tags
+    import os
+
+    os.makedirs(os.path.join(tbl, "_tags"), exist_ok=True)
+    with open(os.path.join(tbl, "_tags", "torn.json"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(FileNotFoundError, match="unreadable/torn"):
+        mf.resolve_tag(tbl, "torn")
+    assert "torn" not in mf.list_tags(tbl)
+
+
+def test_tags_under_object_store_backend(spark, tmp_path):
+    from dbcut_spark.sinks.object_store import InMemoryObjectStore
+
+    tbl = str(tmp_path / "t")
+    mf.set_manifest_store(InMemoryObjectStore())
+    try:
+        mf.publish_snapshot(_mk(spark, [1]), tbl)
+        mf.publish_snapshot(_mk(spark, [2]), tbl, mode="append")
+        mf.tag_snapshot(tbl, "cut", version=1)
+        assert mf.resolve_tag(tbl, "cut") == 1
+        with pytest.raises(mf.VersionConflictError):
+            mf.tag_snapshot(tbl, "cut", version=2)
+        mf.tag_snapshot(tbl, "cut", version=2, replace=True)
+        assert mf.list_tags(tbl) == {"cut": 2}
+        assert mf.read_snapshot(spark, tbl, version="cut").count() == 2
+        mf.delete_tag(tbl, "cut")
+        assert mf.list_tags(tbl) == {}
+    finally:
+        mf.set_manifest_store(None)
+
+
+def test_cli_tag(spark, sf_dir, tmp_path):
+    from click.testing import CliRunner
+
+    from dbcut_spark.cli import cli
+
+    cfg_path = _cfg(tmp_path, sf_dir)
+    tbl = str(tmp_path / "tbl")
+    mf.publish_snapshot(_mk(spark, range(3)), tbl)
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["-c", cfg_path, "tag", tbl, "gold"], catch_exceptions=False
+    )
+    assert res.exit_code == 0 and "tagged" in res.output
+    res2 = runner.invoke(
+        cli, ["-c", cfg_path, "tag", "--list", tbl],
+        catch_exceptions=False,
+    )
+    assert "gold -> v1" in res2.output
+    res3 = runner.invoke(
+        cli, ["-c", cfg_path, "tag", "--delete", tbl, "gold"],
+        catch_exceptions=False,
+    )
+    assert res3.exit_code == 0 and "deleted" in res3.output
+    assert mf.list_tags(tbl) == {}
