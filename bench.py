@@ -175,6 +175,7 @@ HEADLINE = [
     "orders_expectations",
     "orders_price_histogram",
     "orders_corr_matrix",
+    "orders_manifest_cdf",
 ]
 
 

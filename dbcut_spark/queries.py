@@ -899,6 +899,7 @@ _GATE_ROTATION = [
     "orders_expectations",
     "orders_price_histogram",
     "orders_corr_matrix",
+    "orders_manifest_cdf",
 ]
 
 GATE_WINDOW = 50

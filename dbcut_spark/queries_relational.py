@@ -2286,3 +2286,101 @@ def orders_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(
         t(spark, sf_dir, "orders"), _CORR_COLS, exact=True
     )
+
+
+@register(
+    "orders_manifest_cdf",
+    sql="""
+    WITH b AS (
+      SELECT o.*,
+             substr(md5('cdf:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h
+      FROM orders o
+    ), feed AS (
+      SELECT CAST(2 AS BIGINT) AS _commit_version,
+             'insert' AS _change_type, o_custkey, o_totalprice
+      FROM b WHERE year(o_orderdate) >= 1996
+      UNION ALL
+      SELECT 3, 'delete', o_custkey, o_totalprice
+      FROM b WHERE h < '19999999'
+      UNION ALL
+      SELECT 4, 'insert', o_custkey, o_totalprice + 1000
+      FROM b WHERE h < '23d70a3d'
+      UNION ALL
+      SELECT 4, 'delete', o_custkey, o_totalprice
+      FROM b WHERE h >= '19999999' AND h < '33333333'
+    )
+    SELECT _commit_version, _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM feed GROUP BY 1, 2 ORDER BY _commit_version, _change_type
+    """,
+)
+def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change-data feed over a merge-on-read window (round 11,
+    sinks/manifest.py:read_change_feed): the window holds an append
+    (v2), an equality-delete commit (v3, ~10% of keys), and a MERGE
+    (v4: ~14% updates + ~6% op-deletes, with the update range
+    deliberately OVERLAPPING the v3-deleted keys). The feed must emit
+    v2's rows as inserts, v3's tombstoned PRE-IMAGES as deletes, and
+    v4 as the standard delete-pre-image + insert pair for updates plus
+    delete-only rows for op='D' — and a v3-deleted key merged again at
+    v4 must re-appear as an insert WITHOUT a delete emission (the
+    pre-image read applies the prior snapshot's own tombstones first).
+    The DuckDB oracle reconstructs the exact feed
+    from the base table, and the hash pins per-(commit, change_type)
+    row counts, value sums, and key cardinalities.
+
+    Scale: insert rows are O(added files); delete pre-images read the
+    prior snapshot filtered by the tombstone join — the documented
+    trade vs Delta's commit-time CDC files (read_change_feed
+    docstring). Consumers that only need keys use read_changes +
+    tombstones instead."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.sinks import manifest as mf
+
+    target = _rf_scratch() + "/orders_cdf"
+    base = t(spark, sf_dir, "orders")
+    h = hash_bucket(F.col("o_orderkey"), "cdf:")
+    mf.publish_snapshot(
+        base.filter(F.year("o_orderdate") < 1996), target, mode="overwrite"
+    )
+    mf.publish_snapshot(
+        base.filter(F.year("o_orderdate") >= 1996), target, mode="append"
+    )
+    mf.delete_keys_snapshot(
+        spark,
+        base.filter(h < hash_threshold(0.10)).select("o_orderkey"),
+        target,
+    )
+    t_u1, t_d1 = hash_threshold(0.14), hash_threshold(0.20)
+    # the update range deliberately OVERLAPS the v3-deleted keys
+    # (h < 0.10): their v4 tombstone matches nothing in the pre-state
+    # (already deleted), so they must re-appear as inserts WITHOUT a
+    # delete emission — the pre-image-applies-prior-tombstones half of
+    # the contract the oracle pins
+    upd = base.filter(h < t_u1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit("U").alias("op"),
+    )
+    dels = base.filter((h >= t_u1) & (h < t_d1)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", F.lit("D").alias("op"),
+    )
+    mf.merge_snapshot(
+        spark, upd.unionByName(dels), target, ["o_orderkey"], op_col="op"
+    )
+    feed = mf.read_change_feed(spark, target, since_version=1)
+    return (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )

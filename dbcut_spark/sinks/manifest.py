@@ -1507,6 +1507,147 @@ def read_changes(
     )
 
 
+def read_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Typed change-data feed over a window that may contain
+    merge-on-read DELETE and MERGE commits — the Delta-CDF-shaped
+    contract :func:`read_changes` (pure row additions) cannot give.
+    Each window commit contributes rows tagged ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``:
+
+    - **insert**: the rows of the files that commit ADDED (appends and
+      a merge's staged upserts);
+    - **delete**: the PRE-IMAGE rows the commit's equality tombstones
+      removed — the previous snapshot's state semi-joined to the new
+      tombstone keys (a tombstone at seq v applies to every file of
+      snapshot v-1 unconditionally, and the pre-image read applies
+      v-1's OWN tombstones first, so a row deleted twice in a window
+      emits once). An update through merge_snapshot therefore appears
+      as the standard delete-pre-image + insert pair.
+
+    Overwrites and compactions still refuse (their changes are not
+    row-expressible) — same ValueError contract as read_changes.
+
+    Cost, stated: insert rows are O(added files), but each delete
+    pre-image reads the PRIOR snapshot filtered by the tombstone join
+    — O(window commits × table scan) worst case, exactly the cost
+    Delta avoids by writing CDC files at commit time. Poll frequently
+    (small windows) or consume :func:`read_changes` plus tombstone
+    keys when pre-images are not needed. Vacuum-expired pre-images
+    surface as loud retention errors."""
+    if since_version < 1:
+        raise ValueError(
+            f"since_version must be >= 1, got {since_version}; to read "
+            "the whole table use read_snapshot"
+        )
+    head = version if version is not None else current_version(table_path)
+    if head is None or since_version > head:
+        raise ValueError(
+            f"window ({since_version}, {head}] of {table_path} is empty "
+            "or the table has no snapshot"
+        )
+    manifests: dict[int, dict] = {}
+    for v in range(since_version, head + 1):
+        m = _load_manifest(table_path, v)
+        if m is None:
+            raise ValueError(
+                f"manifest {v} of {table_path} is unreadable; the "
+                "change window cannot be reconstructed"
+            )
+        manifests[v] = m
+    hm = manifests[head]
+    head_schema = StructType.fromJson(hm["schema"])
+    meta_cols = ("_change_type", "_commit_version")
+    for mc in meta_cols:
+        if mc in {f.name for f in head_schema.fields}:
+            raise ValueError(
+                f"table column {mc!r} collides with the change-feed "
+                "metadata column"
+            )
+    pieces: list[DataFrame] = []
+    for v in range(since_version + 1, head + 1):
+        m, pm = manifests[v], manifests[v - 1]
+        if m.get("mode") not in ("append", "delete", "merge"):
+            raise ValueError(
+                f"commit {v} of {table_path} is mode={m.get('mode')!r}: "
+                "its changes are not row-expressible — read the "
+                "snapshot and rebuild, or narrow the window"
+            )
+        prev_files = set(pm["files"])
+        if not prev_files <= set(m["files"]):
+            raise ValueError(
+                f"commit {v} of {table_path} removed data files; the "
+                "change window cannot be reconstructed"
+            )
+        new_rels = [f for f in m["files"] if f not in prev_files]
+        if new_rels:
+            ins = _read_files(
+                spark, table_path, new_rels,
+                StructType.fromJson(m["schema"]), v,
+            ).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+            pieces.append(ins)
+        new_tombs = [
+            d for d in (m.get("deletes") or []) if int(d["seq"]) == v
+        ]
+        if new_tombs:
+            pre = read_snapshot(spark, table_path, v - 1)
+            groups: dict[tuple, list] = {}
+            for d in new_tombs:
+                groups.setdefault(tuple(d["cols"]), []).append(d)
+            for cols, entries in sorted(groups.items()):
+                keys = None
+                for e in entries:
+                    piece = spark.read.parquet(
+                        os.path.join(table_path, e["file"])
+                    ).select(
+                        *[
+                            F.col(c).alias(f"__dbcut_del_{c}")
+                            for c in cols
+                        ]
+                    )
+                    keys = (
+                        piece if keys is None else keys.unionByName(piece)
+                    )
+                cond = None
+                for c in cols:
+                    e_ = F.col(c) == F.col(f"__dbcut_del_{c}")
+                    cond = e_ if cond is None else (cond & e_)
+                dels = pre.join(
+                    keys.distinct(), cond, "left_semi"
+                ).select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+                pieces.append(dels)
+    names = [f.name for f in head_schema.fields] + list(meta_cols)
+    if not pieces:
+        empty = spark.createDataFrame([], head_schema)
+        return empty.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("long").alias("_commit_version"),
+        ).select(*names)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # schema-evolution windows: older commits lack added columns —
+    # materialize them as typed NULLs, then project the head order
+    have = set(out.columns)
+    for f in head_schema.fields:
+        if f.name not in have:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.select(*names)
+
+
 def prune_report(
     table_path: str,
     where: list,

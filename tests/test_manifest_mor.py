@@ -551,3 +551,63 @@ def test_cli_tag(spark, sf_dir, tmp_path):
     )
     assert res3.exit_code == 0 and "deleted" in res3.output
     assert mf.list_tags(tbl) == {}
+
+
+def _feed(spark, tbl, since, **kw):
+    return sorted(
+        (r._commit_version, r._change_type, r.id, r.tag)
+        for r in mf.read_change_feed(spark, tbl, since, **kw).collect()
+    )
+
+
+def test_change_feed_insert_delete_merge_window(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, [1, 2, 3], "v1"), tbl)       # v1
+    mf.publish_snapshot(_mk(spark, [4], "v2"), tbl, "append")   # v2
+    mf.delete_keys_snapshot(spark, _keys(spark, [2]), tbl)      # v3
+    delta = spark.createDataFrame(
+        [(3, "upd", 99, "U"), (4, "x", 0, "D"), (2, "back", 7, "U")],
+        "id long, tag string, val long, op string",
+    )
+    mf.merge_snapshot(spark, delta, tbl, ["id"], op_col="op")   # v4
+    got = _feed(spark, tbl, 1)
+    assert got == sorted([
+        (2, "insert", 4, "v2"),
+        (3, "delete", 2, "v1"),       # pre-image of the v3 delete
+        (4, "insert", 3, "upd"),
+        (4, "insert", 2, "back"),     # re-insert of a v3-deleted key:
+                                      # NO v4 delete row for id=2
+        (4, "delete", 3, "v1"),       # update pre-image
+        (4, "delete", 4, "v2"),       # op='D' pre-image
+    ])
+    # feed sums to the snapshot diff: replaying inserts minus deletes
+    # over v1 state reproduces the head
+    head = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
+    assert head == {(1, "v1"), (3, "upd"), (2, "back")}
+
+
+def test_change_feed_empty_and_refusals(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, [1]), tbl)
+    # since == head: empty frame, metadata columns present
+    f = mf.read_change_feed(spark, tbl, v1)
+    assert f.count() == 0
+    assert f.columns == ["id", "tag", "val", "_change_type",
+                         "_commit_version"]
+    with pytest.raises(ValueError, match="since_version must be >= 1"):
+        mf.read_change_feed(spark, tbl, 0)
+    # an overwrite in the window refuses
+    mf.publish_snapshot(_mk(spark, [9]), tbl, mode="overwrite")
+    with pytest.raises(ValueError, match="not row-expressible"):
+        mf.read_change_feed(spark, tbl, v1).collect()
+
+
+def test_change_feed_plain_appends_match_read_changes(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v1 = mf.publish_snapshot(_mk(spark, [1]), tbl)
+    mf.publish_snapshot(_mk(spark, [2]), tbl, mode="append")
+    mf.publish_snapshot(_mk(spark, [3, 4]), tbl, mode="append")
+    feed = mf.read_change_feed(spark, tbl, v1)
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+    plain = {r.id for r in mf.read_changes(spark, tbl, v1).collect()}
+    assert {r.id for r in feed.collect()} == plain == {2, 3, 4}
