@@ -301,17 +301,18 @@ class Engine:
 
         return replicate_manifest(self.spark, src_path, dst_path, **opts)
 
-    def delete_keys(
+    def manifest_delete(
         self, keys: DataFrame, table_path: str, **opts
     ) -> int:
-        """Merge-on-read delete from a manifest table: an O(keys)
-        equality-delete tombstone commit, no data file rewritten; see
+        """Merge-on-read delete from a MANIFEST table: an O(keys)
+        equality-delete tombstone commit, no data file rewritten (the
+        per-catalog-table parquet twin is :meth:`delete_keys`); see
         :func:`dbcut_spark.sinks.manifest.delete_keys_snapshot`."""
         from dbcut_spark.sinks.manifest import delete_keys_snapshot
 
         return delete_keys_snapshot(self.spark, keys, table_path, **opts)
 
-    def merge(
+    def manifest_merge(
         self,
         delta: DataFrame,
         table_path: str,
@@ -319,9 +320,10 @@ class Engine:
         op_col: str | None = None,
         **opts,
     ) -> int:
-        """Merge-on-read MERGE of a CDC delta into a manifest table:
+        """Merge-on-read MERGE of a CDC delta into a MANIFEST table:
         one O(delta) commit (staged rows + one tombstone); the
-        copy-on-write twin is upsert_snapshot. See
+        copy-on-write manifest twin is upsert_snapshot, the
+        per-catalog-table parquet twin is :meth:`upsert`. See
         :func:`dbcut_spark.sinks.manifest.merge_snapshot`."""
         from dbcut_spark.sinks.manifest import merge_snapshot
 

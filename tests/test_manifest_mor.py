@@ -422,12 +422,12 @@ def test_engine_delete_and_merge_facade(spark, sf_dir, tmp_path):
     eng = Engine(sf_dir, spark=spark)
     tbl = str(tmp_path / "tbl")
     mf.publish_snapshot(_mk(spark, range(6)), tbl)
-    v = eng.delete_keys(_keys(spark, [0]), tbl)
+    v = eng.manifest_delete(_keys(spark, [0]), tbl)
     assert v == 2
     delta = spark.createDataFrame(
         [(1, "u", 11, "U")], "id long, tag string, val long, op string"
     )
-    v2 = eng.merge(delta, tbl, ["id"], op_col="op")
+    v2 = eng.manifest_merge(delta, tbl, ["id"], op_col="op")
     assert v2 == 3
     got = {(r.id, r.tag) for r in mf.read_snapshot(spark, tbl).collect()}
     assert got == {(1, "u"), (2, "a"), (3, "a"), (4, "a"), (5, "a")}
