@@ -2218,6 +2218,88 @@ def manifest_inspect(table_path: str) -> dict:
     }
 
 
+def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The table's commit history as a queryable DataFrame — the
+    Iceberg ``history`` metadata-table counterpart: one row per
+    readable snapshot with version, parent, mode, file/tombstone
+    counts, and which property keys the commit carried. Driver-side
+    manifest reads only (manifests are KB-sized); no data files open."""
+    rows = []
+    for v in _list_versions(table_path):
+        m = _load_manifest(table_path, v)
+        if m is None:
+            continue
+        deletes = m.get("deletes") or []
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                m.get("mode"),
+                len(m.get("files") or []),
+                len(deletes),
+                sum(int(d.get("rows") or 0) for d in deletes),
+                sorted((m.get("properties") or {}).keys()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, parent long, mode string, n_files long, "
+        "delete_files long, tombstone_rows long, "
+        "property_keys array<string>",
+    ).orderBy("version")
+
+
+def snapshot_files(
+    spark: SparkSession,
+    table_path: str,
+    version: int | str | None = None,
+) -> DataFrame:
+    """A snapshot's file inventory as a queryable DataFrame — the
+    ``files`` metadata-table counterpart: one row per data file with
+    its commit sequence (0 = pre-MOR history), bucket id, on-disk
+    bytes, and which columns carry skip stats. Tag names resolve like
+    :func:`read_snapshot`. Driver-side only; expired files report
+    size -1 instead of raising (an inventory is a diagnostic, not a
+    read)."""
+    if isinstance(version, str):
+        version = resolve_tag(table_path, version)
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_path}"
+            )
+    m = _load_manifest(table_path, version)
+    if m is None:
+        raise FileNotFoundError(
+            f"snapshot version {version} missing or torn under "
+            f"{table_path}"
+        )
+    seqs = m.get("seqs") or {}
+    buckets = m.get("buckets") or {}
+    stats = m.get("stats") or {}
+    rows = []
+    for rel in m["files"]:
+        try:
+            size = os.stat(os.path.join(table_path, rel)).st_size
+        except OSError:
+            size = -1
+        rows.append(
+            (
+                rel,
+                int(seqs.get(rel, 0)),
+                buckets.get(rel),
+                size,
+                sorted((stats.get(rel) or {}).keys()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, seq long, bucket int, size_bytes long, "
+        "stats_cols array<string>",
+    ).orderBy("file")
+
+
 def compact_snapshot(
     spark: SparkSession,
     table_path: str,

@@ -611,3 +611,31 @@ def test_change_feed_plain_appends_match_read_changes(spark, tmp_path):
     assert {r._change_type for r in feed.collect()} == {"insert"}
     plain = {r.id for r in mf.read_changes(spark, tbl, v1).collect()}
     assert {r.id for r in feed.collect()} == plain == {2, 3, 4}
+
+
+def test_metadata_tables(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    mf.publish_snapshot(_mk(spark, range(4)), tbl, stats_cols=["id"])
+    mf.publish_snapshot(_mk(spark, [9]), tbl, mode="append",
+                        stats_cols=["id"])
+    mf.delete_keys_snapshot(spark, _keys(spark, [0]), tbl)
+    hist = mf.snapshot_history(spark, tbl).collect()
+    assert [(r.version, r.mode) for r in hist] == [
+        (1, "overwrite"), (2, "append"), (3, "delete"),
+    ]
+    assert hist[2].delete_files == 1 and hist[2].tombstone_rows == 1
+    assert hist[2].parent == 2
+    files = mf.snapshot_files(spark, tbl).collect()
+    assert all(r.size_bytes > 0 for r in files)
+    assert all(r.stats_cols == ["id"] for r in files)
+    # pre-MOR files read back seq 0 (every tombstone applies)
+    assert {r.seq for r in files} == {0}
+    # a tag name resolves the files view too
+    mf.tag_snapshot(tbl, "v-one", version=1)
+    f1 = mf.snapshot_files(spark, tbl, version="v-one").collect()
+    m1 = mf._load_manifest(tbl, 1)
+    assert sorted(r.file for r in f1) == sorted(m1["files"])
+    assert len(f1) < len(files)  # v2's append added files
+    assert mf.snapshot_history(spark, tbl).filter(
+        F.col("mode") == "delete"
+    ).count() == 1
