@@ -273,6 +273,8 @@ def replicate_manifest(
         append_delta,
         _read_files,
         current_version,
+        mor_window_delta,
+        publish_mor_commit,
         publish_snapshot,
         read_snapshot,
     )
@@ -312,6 +314,40 @@ def replicate_manifest(
             df = read_snapshot(spark, src_path, src_v)
             mode, write_mode = "bootstrap", "append"
         elif delta is None:
+            # merge-on-read windows (delete/merge commits) collapse to
+            # ONE replica commit: the window's net surviving rows plus
+            # its tombstone keys — O(delta) instead of a full rebuild.
+            # Fan-in replicas are excluded: a source's tombstones would
+            # also kill OTHER sources' replica rows with equal keys.
+            mor = (
+                mor_window_delta(spark, src_path, seen, src_v)
+                if len(seen_map) == 1
+                else None
+            )
+            if mor is not None and (mor[0] is not None or mor[1]):
+                rows, tombs = mor
+                seen_map[source_id] = src_v
+                n = rows.count() if rows is not None else 0
+                try:
+                    v = publish_mor_commit(
+                        spark,
+                        dst_path,
+                        rows,
+                        tombs,
+                        retries=0,
+                        expected_parent=dst_head,
+                        properties={REPLICA_KEY: seen_map},
+                        what="replicate_manifest",
+                    )
+                except VersionConflictError as e:
+                    last_err = e
+                    continue
+                return {
+                    "mode": "mor-delta",
+                    "rows": n,
+                    "src_version": src_v,
+                    "version": v,
+                }
             if len(seen_map) > 1:
                 raise RuntimeError(
                     f"source {src_path} had a non-append commit in "

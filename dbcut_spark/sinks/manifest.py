@@ -1648,6 +1648,115 @@ def read_change_feed(
     return out.select(*names)
 
 
+def mor_window_delta(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    version: int | None = None,
+):
+    """The NET effect of a window of append/delete/merge commits,
+    collapsed for single-commit application elsewhere (the manifest
+    replicator): returns ``(rows, tombstones)`` where ``rows`` is a
+    DataFrame of the window's added rows that SURVIVE the window's own
+    later tombstones (or None when no files were added) and
+    ``tombstones`` is ``[(cols, keys_df), ...]`` of every equality
+    delete the window published — or returns None when the window is
+    not expressible this way (an overwrite/compaction/pointer commit,
+    a torn manifest, a removed file, or a schema change).
+
+    Why the net collapse is exact: a window tombstone at seq v kills
+    exactly the rows in files with seq < v — applying that same
+    predicate (via the per-file seq tags) to the window's OWN added
+    rows reproduces the in-window insert-then-delete cancellations,
+    while the tombstone set applied at a single LATER seq kills the
+    same pre-window rows the source killed (all pre-window files have
+    seq <= since < any window tombstone's seq). Pre-window tombstones
+    never apply to window files (their seq is <= since < file seq),
+    so only the window's tombstones participate."""
+    head = version if version is not None else current_version(table_path)
+    if head is None or since_version < 1 or since_version > head:
+        return None
+    manifests: dict[int, dict] = {}
+    for v in range(since_version, head + 1):
+        m = _load_manifest(table_path, v)
+        if m is None:
+            return None
+        manifests[v] = m
+    sm, hm = manifests[since_version], manifests[head]
+    for v in range(since_version + 1, head + 1):
+        if manifests[v].get("mode") not in ("append", "delete", "merge"):
+            return None
+        if not set(manifests[v - 1]["files"]) <= set(manifests[v]["files"]):
+            return None
+    # identical column sets only: evolution windows rebuild instead
+    if {
+        (f["name"], f["type"]) if isinstance(f["type"], str) else f["name"]
+        for f in sm["schema"]["fields"]
+    } != {
+        (f["name"], f["type"]) if isinstance(f["type"], str) else f["name"]
+        for f in hm["schema"]["fields"]
+    }:
+        return None
+    old = set(sm["files"])
+    added = [r for r in hm["files"] if r not in old]
+    window_tombs = [
+        d
+        for d in (hm.get("deletes") or [])
+        if since_version < int(d["seq"]) <= head
+    ]
+    tombstones = []
+    groups: dict[tuple, list] = {}
+    for d in window_tombs:
+        groups.setdefault(tuple(d["cols"]), []).append(d)
+    for cols, entries in sorted(groups.items()):
+        keys = None
+        for e in entries:
+            piece = spark.read.parquet(
+                os.path.join(table_path, e["file"])
+            ).select(*cols)
+            keys = piece if keys is None else keys.unionByName(piece)
+        tombstones.append((list(cols), keys.distinct()))
+    rows = None
+    if added:
+        seqs = hm.get("seqs") or {}
+        rows = _read_files(
+            spark,
+            table_path,
+            added,
+            StructType.fromJson(hm["schema"]),
+            head,
+            seq_by_rel=seqs,
+        )
+        # in-window cancellation: a window tombstone kills the window's
+        # own earlier rows exactly when its seq is newer than the
+        # row's file seq — the same predicate the reader applies
+        for cols, entries in sorted(groups.items()):
+            tomb = None
+            for e in entries:
+                piece = (
+                    spark.read.parquet(
+                        os.path.join(table_path, e["file"])
+                    )
+                    .select(
+                        *[
+                            F.col(c).alias(f"__dbcut_del_{c}")
+                            for c in cols
+                        ]
+                    )
+                    .withColumn(
+                        "__dbcut_del_seq",
+                        F.lit(int(e["seq"])).cast("long"),
+                    )
+                )
+                tomb = piece if tomb is None else tomb.unionByName(piece)
+            cond = F.col("__dbcut_del_seq") > F.col(_SEQ_COL)
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"__dbcut_del_{c}"))
+            rows = rows.join(tomb, cond, "left_anti")
+        rows = rows.drop(_SEQ_COL)
+    return rows, tombstones
+
+
 def prune_report(
     table_path: str,
     where: list,
@@ -2027,63 +2136,120 @@ def merge_snapshot(
     if head is None:
         return publish_snapshot(upserts, table_path, mode="overwrite",
                                 retries=retries)
-    hm = _load_manifest(table_path, head)
+    return publish_mor_commit(
+        spark,
+        table_path,
+        upserts,
+        [(list(pk), delta.select(*pk))],
+        retries=retries,
+        n_files=n_files,
+        what="merge_snapshot",
+    )
+
+
+def publish_mor_commit(
+    spark: SparkSession,
+    table_path: str,
+    rows: DataFrame | None,
+    tombstones: list,
+    retries: int = 2,
+    n_files: int = 1,
+    expected_parent: int | None = ...,
+    properties: dict | None = ...,
+    what: str = "publish_mor_commit",
+) -> int:
+    """The general merge-on-read commit primitive: stage ``rows`` as
+    new data files (parent layout preserved) and each ``(cols,
+    keys_df)`` in ``tombstones`` as an equality-delete file, publish
+    ONE manifest — data at the new seq, tombstones applying strictly
+    to older rows. :func:`merge_snapshot` derives its tombstones from
+    the delta's pk and delegates here; the manifest replicator applies
+    a whole source MOR window as one such commit (net surviving rows +
+    the window's tombstone keys), so replication of delete/merge
+    history stays O(delta) with rows and consumed-version pointer in
+    the same atomic publish.
+
+    ``properties``: the default (ellipsis sentinel) carries the
+    parent's properties forward (maintenance must not erase consumer
+    pointers); an explicit dict/None replaces them (the replicator's
+    pointer update). ``expected_parent`` pins optimistic concurrency
+    exactly like publish_snapshot (requires retries=0)."""
+    pin_parent = expected_parent is not ...
+    if pin_parent and retries:
+        raise ValueError(
+            f"{what}: expected_parent pins the commit to one version; "
+            "retry by re-deriving the inputs"
+        )
+    head = expected_parent if pin_parent else current_version(table_path)
+    hm = _load_manifest(table_path, head) if head is not None else None
     if hm is None:
         raise FileNotFoundError(
-            f"head snapshot {head} of {table_path} is unreadable"
+            f"{what}: no readable head snapshot under {table_path}"
         )
-    # loud schema drift before the expensive stage, same as append
-    _check_append_schema(upserts, hm, head)
-    keys = _guard_tombstone_keys(
-        delta.select(*pk),
-        StructType.fromJson(hm["schema"]),
-        "merge_snapshot",
-    )
+    if rows is None and not tombstones:
+        raise ValueError(f"{what}: nothing to commit")
+    schema = StructType.fromJson(hm["schema"])
     partition_by = list(hm.get("partition_by") or [])
     bspec = hm.get("bucket_by")
-    staged_df = upserts
-    if bspec:
-        staged_df = upserts.repartition(bspec["n"], F.col(bspec["col"]))
-    staged = _stage(
-        staged_df, table_path, partition_by or None,
-        repartition=not bspec,
-    )
-    staged_buckets = _file_bucket_ids(staged) if bspec else {}
-    # inherit the head's skip-stat coverage for the staged files, the
-    # same must-not-blind-pruning rule as compact_snapshot
-    stat_cols: list[str] = []
-    for st in (hm.get("stats") or {}).values():
-        for c in st:
-            if c not in stat_cols and c not in partition_by:
-                stat_cols.append(c)
-    staged_stats = (
-        _collect_stats(spark, table_path, staged, stat_cols)
-        if stat_cols
-        else {}
-    )
-    tomb = _stage(
-        keys.distinct().coalesce(max(1, n_files)),
-        table_path,
-        None,
-        repartition=False,
-    )
-    tomb_rows = _staged_rows(table_path, tomb)
-    tomb = [r for r in tomb if tomb_rows[r] > 0]
+    staged: list[str] = []
+    staged_buckets: dict = {}
+    staged_stats: dict = {}
+    if rows is not None:
+        # loud schema drift before the expensive stage, same as append
+        _check_append_schema(rows, hm, head)
+        staged_df = rows
+        if bspec:
+            staged_df = rows.repartition(bspec["n"], F.col(bspec["col"]))
+        staged = _stage(
+            staged_df, table_path, partition_by or None,
+            repartition=not bspec,
+        )
+        staged_buckets = _file_bucket_ids(staged) if bspec else {}
+        # inherit the head's skip-stat coverage for the staged files,
+        # the same must-not-blind-pruning rule as compact_snapshot
+        stat_cols: list[str] = []
+        for st in (hm.get("stats") or {}).values():
+            for c in st:
+                if c not in stat_cols and c not in partition_by:
+                    stat_cols.append(c)
+        staged_stats = (
+            _collect_stats(spark, table_path, staged, stat_cols)
+            if stat_cols
+            else {}
+        )
+    tomb_entries: list[tuple[list[str], str, int]] = []  # cols, rel, rows
+    for cols, keys_df in tombstones:
+        guarded = _guard_tombstone_keys(
+            keys_df.select(*cols), schema, what
+        )
+        rels = _stage(
+            guarded.distinct().coalesce(max(1, n_files)),
+            table_path,
+            None,
+            repartition=False,
+        )
+        nrows = _staged_rows(table_path, rels)
+        tomb_entries += [
+            (list(cols), r, nrows[r]) for r in rels if nrows[r] > 0
+        ]
     for attempt in range(retries + 1):
-        parent = current_version(table_path)
+        parent = (
+            expected_parent if pin_parent else current_version(table_path)
+        )
         pm = _load_manifest(table_path, parent) if parent is not None else None
         if pm is None:
             raise VersionConflictError(
-                f"head snapshot of {table_path} vanished mid-merge; "
-                "re-resolve and retry"
+                f"{what}: head snapshot of {table_path} vanished "
+                "mid-commit; re-resolve and retry"
             )
         # a racing commit may have evolved the schema or changed the
         # bucket spec — both make the staged files wrong, not retryable
-        _check_append_schema(upserts, pm, parent)
+        if rows is not None:
+            _check_append_schema(rows, pm, parent)
         if pm.get("bucket_by") != bspec:
             raise ValueError(
-                f"merge_snapshot: a racing commit changed the bucket "
-                f"layout of {table_path}; re-run the merge"
+                f"{what}: a racing commit changed the bucket layout of "
+                f"{table_path}; re-run the commit"
             )
         version = (parent or 0) + 1
         seqs = dict(pm.get("seqs") or {})
@@ -2096,16 +2262,15 @@ def merge_snapshot(
         manifest = {
             "version": version,
             "parent": parent,
-            "mode": "merge",
+            "mode": "merge" if staged else "delete",
             "files": list(pm["files"]) + staged,
             "n_files": len(pm["files"]) + len(staged),
             "partition_by": partition_by,
             "schema": pm["schema"],
             "deletes": list(pm.get("deletes") or [])
             + [
-                {"file": r, "cols": list(pk), "seq": version,
-                 "rows": tomb_rows[r]}
-                for r in tomb
+                {"file": r, "cols": cols, "seq": version, "rows": n}
+                for cols, r, n in tomb_entries
             ],
             "seqs": seqs,
         }
@@ -2114,8 +2279,11 @@ def merge_snapshot(
         if bspec:
             manifest["bucket_by"] = bspec
             manifest["buckets"] = buckets
-        if pm.get("properties") is not None:
-            manifest["properties"] = pm["properties"]
+        if properties is ...:
+            if pm.get("properties") is not None:
+                manifest["properties"] = pm["properties"]
+        elif properties is not None:
+            manifest["properties"] = properties
         try:
             _publish(table_path, manifest)
             return version

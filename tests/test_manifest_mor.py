@@ -639,3 +639,94 @@ def test_metadata_tables(spark, tmp_path):
     assert mf.snapshot_history(spark, tbl).filter(
         F.col("mode") == "delete"
     ).count() == 1
+
+
+def test_replicate_mor_window_single_commit(spark, tmp_path):
+    """A source window holding delete + merge commits replicates as
+    ONE O(delta) replica commit (mode mor-delta), reproducing the
+    source state exactly — including an in-window insert-then-delete
+    cancellation — with the consumed-version pointer in the same
+    atomic publish (replay is a noop)."""
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mf.publish_snapshot(_mk(spark, range(6), "v1"), src)
+    r1 = replicate_manifest(spark, src, dst)
+    assert r1["mode"] == "bootstrap"
+
+    # window: append -> delete (incl. an in-window id=50) -> merge
+    mf.publish_snapshot(_mk(spark, [50, 51], "v2"), src, mode="append")
+    mf.delete_keys_snapshot(spark, _keys(spark, [1, 50]), src)
+    delta = spark.createDataFrame(
+        [(2, "upd", 22, "U"), (3, "x", 0, "D"), (60, "ins", 66, "U")],
+        "id long, tag string, val long, op string",
+    )
+    mf.merge_snapshot(spark, delta, src, ["id"], op_col="op")
+    dst_head_before = mf.current_version(dst)
+    r2 = replicate_manifest(spark, src, dst)
+    assert r2["mode"] == "mor-delta"
+    # one commit, not one per source commit
+    assert r2["version"] == dst_head_before + 1
+    assert _rows(mf.read_snapshot(spark, dst)) == _rows(
+        mf.read_snapshot(spark, src)
+    )
+    # replica data files were NOT rewritten: the bootstrap commit's
+    # files are all inherited
+    bm = mf._load_manifest(dst, dst_head_before)
+    hm = mf._load_manifest(dst, r2["version"])
+    assert set(bm["files"]) <= set(hm["files"])
+    assert hm["mode"] in ("merge", "delete")
+    # replay: noop
+    r3 = replicate_manifest(spark, src, dst)
+    assert r3["mode"] == "noop"
+    # next pull after more commits keeps working incrementally
+    mf.publish_snapshot(_mk(spark, [70], "v5"), src, mode="append")
+    r4 = replicate_manifest(spark, src, dst)
+    assert r4["mode"] == "append"
+    assert _rows(mf.read_snapshot(spark, dst)) == _rows(
+        mf.read_snapshot(spark, src)
+    )
+
+
+def test_replicate_mor_delete_only_window(spark, tmp_path):
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mf.publish_snapshot(_mk(spark, range(5)), src)
+    replicate_manifest(spark, src, dst)
+    mf.delete_keys_snapshot(spark, _keys(spark, [0, 4]), src)
+    r = replicate_manifest(spark, src, dst)
+    assert r["mode"] == "mor-delta" and r["rows"] == 0
+    assert sorted(
+        x.id for x in mf.read_snapshot(spark, dst).collect()
+    ) == [1, 2, 3]
+
+
+def test_replicate_overwrite_window_still_rebuilds(spark, tmp_path):
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mf.publish_snapshot(_mk(spark, range(3)), src)
+    replicate_manifest(spark, src, dst)
+    mf.publish_snapshot(_mk(spark, [9]), src, mode="overwrite")
+    r = replicate_manifest(spark, src, dst)
+    assert r["mode"] == "rebuild"
+    assert sorted(
+        x.id for x in mf.read_snapshot(spark, dst).collect()
+    ) == [9]
+
+
+def test_replicate_fan_in_refuses_mor_window(spark, tmp_path):
+    """A source tombstone must never delete another source's replica
+    rows: fan-in replicas refuse MOR windows loudly (same contract as
+    the rebuild refusal)."""
+    from dbcut_spark.operators.sync import replicate_manifest
+
+    a, b, dst = (str(tmp_path / x) for x in ("a", "b", "dst"))
+    mf.publish_snapshot(_mk(spark, [1, 2], "a"), a)
+    mf.publish_snapshot(_mk(spark, [1, 2], "b"), b)
+    replicate_manifest(spark, a, dst, source_id="a")
+    replicate_manifest(spark, b, dst, source_id="b")
+    mf.delete_keys_snapshot(spark, _keys(spark, [1]), a)
+    with pytest.raises(RuntimeError, match="fan-in"):
+        replicate_manifest(spark, a, dst, source_id="a")
