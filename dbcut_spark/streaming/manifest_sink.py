@@ -134,6 +134,109 @@ def append_batch_exactly_once(
     raise AssertionError("unreachable")
 
 
+def merge_batch_exactly_once(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    query_id: str,
+    pk: list[str],
+    op_col: str | None = None,
+    retries: int = 4,
+) -> int | None:
+    """MERGE one CDC micro-batch into a manifest table exactly once
+    per (query_id, batch_id) — the merge-on-read twin of
+    :func:`append_batch_exactly_once`: replaced/deleted keys die via
+    one equality tombstone, the batch's rows land as new files, and
+    the txn map rides the SAME atomic commit (O(batch) per trigger,
+    no existing file read or rewritten — the streaming-CDC write path
+    into the lakehouse). Same replay contract: a re-delivered last
+    batch no-ops BEFORE staging; a batch id behind the committed txn
+    refuses loudly. A CAS-losing retry re-stages the batch (unlike the
+    append sink's staged-file reuse — a merge's staged set depends on
+    nothing else, and CAS losses are rare; stated trade). The empty
+    table bootstraps with the first batch's upserts pinned to
+    'table must be empty'."""
+    from dbcut_spark.sinks.manifest import (
+        VersionConflictError,
+        current_version,
+        publish_mor_commit,
+        publish_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    upserts = (
+        batch.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
+        if op_col
+        else batch
+    )
+    for attempt in range(retries + 1):
+        head = current_version(table_path)
+        txn = _resolve_txn(table_path, head)
+        last = txn.get(query_id)
+        if last is not None and last == batch_id:
+            return None  # crash-replay of the last committed batch
+        if last is not None and last > batch_id:
+            raise RuntimeError(
+                f"batch_id {batch_id} is behind {table_path}'s committed "
+                f"txn {last} for query_id {query_id!r}: the checkpoint "
+                "was reset or the query_id was reused. Use a NEW "
+                "query_id for a new stream, or resume from the "
+                "original checkpoint."
+            )
+        txn[query_id] = batch_id
+        try:
+            if head is None:
+                return publish_snapshot(
+                    upserts,
+                    table_path,
+                    mode="overwrite",
+                    expected_parent=None,  # the table must still be empty
+                    properties={TXN_KEY: txn},
+                )
+            return publish_mor_commit(
+                batch.sparkSession,
+                table_path,
+                upserts,
+                [(list(pk), batch.select(*pk))],
+                retries=0,
+                expected_parent=head,
+                properties={TXN_KEY: txn},
+                what="merge_batch_exactly_once",
+            )
+        except VersionConflictError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def stream_manifest_merge(
+    stream: DataFrame,
+    table_path: str,
+    query_id: str,
+    checkpoint: str,
+    pk: list[str],
+    op_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Start a streaming CDC MERGE into a manifest table (foreachBatch
+    over :func:`merge_batch_exactly_once`). Returns the
+    StreamingQuery. Default trigger drains available input and stops.
+    Run :func:`dbcut_spark.sinks.manifest.compact_snapshot`
+    periodically to fold the accumulating tombstone debt in."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        merge_batch_exactly_once(
+            batch, batch_id, table_path, query_id, pk, op_col=op_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_manifest_append(
     stream: DataFrame,
     table_path: str,

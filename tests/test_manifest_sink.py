@@ -283,3 +283,100 @@ def test_read_changes_rejects_invalid_since(spark, tmp_path):
     mf.publish_snapshot(spark.range(2), tbl)
     with pytest.raises(ValueError, match="since_version must be >= 1"):
         mf.read_changes(spark, tbl, 0)
+
+
+def test_merge_batch_exactly_once_loop_and_replay(spark, tmp_path):
+    """Sequential CDC batches through merge_batch_exactly_once: MERGE
+    semantics per batch, replay no-ops before staging, a behind-txn
+    batch refuses."""
+    from dbcut_spark.streaming.manifest_sink import (
+        merge_batch_exactly_once,
+    )
+
+    tbl = str(tmp_path / "t")
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "id long, v string, op string"
+        )
+
+    # batch 0 bootstraps
+    v0 = merge_batch_exactly_once(
+        b([(1, "a", "U"), (2, "b", "U")]), 0, tbl, "q", ["id"], "op"
+    )
+    assert v0 == 1
+    # batch 1: update 1, delete 2, insert 3
+    v1 = merge_batch_exactly_once(
+        b([(1, "a2", "U"), (2, "x", "D"), (3, "c", "U")]),
+        1, tbl, "q", ["id"], "op",
+    )
+    assert v1 == 2
+    got = {(r.id, r.v) for r in mf.read_snapshot(spark, tbl).collect()}
+    assert got == {(1, "a2"), (3, "c")}
+    # replay of batch 1: noop, state unchanged, no new version
+    assert merge_batch_exactly_once(
+        b([(1, "a2", "U"), (2, "x", "D"), (3, "c", "U")]),
+        1, tbl, "q", ["id"], "op",
+    ) is None
+    assert mf.current_version(tbl) == 2
+    # behind-txn batch refuses
+    with pytest.raises(RuntimeError, match="behind"):
+        merge_batch_exactly_once(
+            b([(9, "z", "U")]), 0, tbl, "q", ["id"], "op"
+        )
+    # state identical to sequential merge_snapshot over the same deltas
+    twin = str(tmp_path / "twin")
+    mf.publish_snapshot(
+        b([(1, "a", "U"), (2, "b", "U")]).drop("op"), twin
+    )
+    mf.merge_snapshot(
+        spark,
+        b([(1, "a2", "U"), (2, "x", "D"), (3, "c", "U")]),
+        twin, ["id"], op_col="op",
+    )
+    assert _mrows(mf.read_snapshot(spark, tbl)) == _mrows(
+        mf.read_snapshot(spark, twin)
+    )
+
+
+def test_stream_manifest_merge_e2e(spark, tmp_path):
+    """Real-stream CDC merge: per-file batches apply as MOR merges;
+    a resumed checkpoint drains to a no-op."""
+    from dbcut_spark.streaming.manifest_sink import stream_manifest_merge
+
+    stage = tmp_path / "cdc"
+    stage.mkdir()
+    batches = [
+        [(1, "a", "U"), (2, "b", "U")],
+        [(1, "a2", "U"), (3, "c", "U")],
+        [(2, "x", "D"), (4, "d", "U")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "id long, v string, op string"
+        ).coalesce(1).write.mode("append").parquet(str(stage))
+    tbl = str(tmp_path / "t")
+
+    def run(ckpt):
+        q = stream_manifest_merge(
+            spark.readStream.schema("id long, v string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage)),
+            tbl, "cdcq", ckpt, ["id"], op_col="op",
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    got = {(r.id, r.v) for r in mf.read_snapshot(spark, tbl).collect()}
+    # batches may arrive in any file order, but each id's final state
+    # is order-independent here except (1); accept both orders of the
+    # two batches touching id=1 by asserting the set of ids and that
+    # deleted id=2 is gone
+    assert {r[0] for r in got} == {1, 3, 4}
+    head = mf.current_version(tbl)
+    # resume: nothing new, no new version
+    run(str(tmp_path / "ckpt1"))
+    assert mf.current_version(tbl) == head
+    assert {
+        (r.id, r.v) for r in mf.read_snapshot(spark, tbl).collect()
+    } == got
