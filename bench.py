@@ -176,6 +176,7 @@ HEADLINE = [
     "orders_price_histogram",
     "orders_corr_matrix",
     "orders_manifest_cdf",
+    "orders_stream_cdc_merge",
 ]
 
 

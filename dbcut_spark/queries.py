@@ -900,6 +900,7 @@ _GATE_ROTATION = [
     "orders_price_histogram",
     "orders_corr_matrix",
     "orders_manifest_cdf",
+    "orders_stream_cdc_merge",
 ]
 
 GATE_WINDOW = 50

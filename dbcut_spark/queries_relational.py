@@ -2384,3 +2384,122 @@ def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_version", "_change_type")
     )
+
+
+@register(
+    "orders_stream_cdc_merge",
+    sql="""
+    WITH b AS (
+      SELECT o.*,
+             substr(md5('scm:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h
+      FROM orders o
+    ), final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN year(o_orderdate) < 1997
+                    AND h >= '147ae147' AND h < '1eb851eb'
+                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN year(o_orderdate) < 1997
+                    AND h >= '147ae147' AND h < '1eb851eb'
+                  THEN o_totalprice + 500 ELSE o_totalprice
+             END AS o_totalprice
+      FROM b
+      WHERE NOT (year(o_orderdate) < 1995 AND h < '147ae147')
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM final GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def orders_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming CDC MERGE loop (round 11,
+    streaming/manifest_sink.py:merge_batch_exactly_once): three CDC
+    micro-batches — bootstrap (pre-1995), then upserts+deletes (~8% of
+    the bootstrap keys die), then upserts+updates (~4% of pre-1997
+    keys get price+500/status 'U') — each landing as ONE merge-on-read
+    commit carrying rows, tombstone, and the stream txn map
+    atomically. The gate RAISES unless (a) a REPLAY of the final batch
+    is a no-op that publishes no version (the exactly-once half) and
+    (b) no batch rewrote an earlier commit's data files (the O(batch)
+    half). The DuckDB oracle reconstructs the chained final state, so
+    the hash pins merge semantics ACROSS the batch sequence, not just
+    one commit.
+
+    Scale: this is the streaming-CDC-to-lakehouse write path — per
+    trigger cost O(batch); compact_snapshot folds the tombstone debt
+    as maintenance."""
+    from dbcut_spark.operators.sampling import hash_bucket, hash_threshold
+    from dbcut_spark.sinks import manifest as mf
+    from dbcut_spark.streaming.manifest_sink import (
+        merge_batch_exactly_once,
+    )
+
+    target = _rf_scratch() + "/orders_scm"
+    base = t(spark, sf_dir, "orders")
+    h = hash_bucket(F.col("o_orderkey"), "scm:")
+    t_del, t_upd = hash_threshold(0.08), hash_threshold(0.12)
+    yr = F.year("o_orderdate")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    b0 = base.filter(yr < 1995).select(*cols, F.lit("U").alias("op"))
+    b1 = (
+        base.filter((yr >= 1995) & (yr < 1997))
+        .select(*cols, F.lit("U").alias("op"))
+        .unionByName(
+            base.filter((yr < 1995) & (h < t_del)).select(
+                *cols, F.lit("D").alias("op")
+            )
+        )
+    )
+    b2 = (
+        base.filter(yr >= 1997)
+        .select(*cols, F.lit("U").alias("op"))
+        .unionByName(
+            base.filter((yr < 1997) & (h >= t_del) & (h < t_upd)).select(
+                "o_orderkey", "o_custkey",
+                F.lit("U").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 500).alias("o_totalprice"),
+                "o_orderdate", "o_orderpriority",
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        merge_batch_exactly_once(
+            b, i, target, "scmq", ["o_orderkey"], op_col="op"
+        )
+    head = mf.current_version(target)
+    if merge_batch_exactly_once(
+        b2, 2, target, "scmq", ["o_orderkey"], op_col="op"
+    ) is not None or mf.current_version(target) != head:
+        raise RuntimeError(
+            "replayed CDC batch published a new version — the gate "
+            "exists to certify exactly-once, not just merge output"
+        )
+    hist = {
+        m["version"]: m
+        for v in range(1, head + 1)
+        if (m := mf._load_manifest(target, v)) is not None
+    }
+    for v in range(2, head + 1):
+        if not set(hist[v - 1]["files"]) <= set(hist[v]["files"]):
+            raise RuntimeError(
+                "a CDC batch rewrote earlier data files — the commits "
+                "must be O(batch)"
+            )
+    return (
+        mf.read_snapshot(spark, target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
