@@ -250,6 +250,7 @@ def incremental_dedup_indexed(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` with the reference side read from a
     PERSISTED :func:`dbcut_spark.operators.dedup.build_lsh_index`
@@ -309,7 +310,7 @@ def incremental_dedup_indexed(
     )
     pairs = probe_lsh_index(
         spark, index_path, batch, text_col, id_col,
-        set_versions=pinned_set,
+        set_versions=pinned_set, bands=bands,
     ).filter(F.col("est_sim") >= threshold)
     near_ids = (
         pairs.select(F.col("doc_a").alias(id_col))

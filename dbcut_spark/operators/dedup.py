@@ -753,8 +753,42 @@ def build_lsh_index(
     :func:`minhash_signatures`, so ``est_sim`` from a probe is
     bit-identical to the in-memory ``lsh_candidate_pairs_across``
     form (hash-equality pinned by the ``dedup_incremental_indexed``
-    gate query vs the ``dedup_incremental`` oracle)."""
-    import json
+    gate query vs the ``dedup_incremental`` oracle).
+
+    Two-phase form (round-11 optimization): :func:`build_lsh_stage`
+    writes the data files without publishing, :func:`build_lsh_commit`
+    publishes snapshots + set pointer + meta — callers with ordered
+    side effects (the ingest loop's corpus-before-index contract)
+    overlap the staging with other work and keep only the cheap
+    driver-side commit in the ordered tail."""
+    build_lsh_commit(
+        path,
+        build_lsh_stage(
+            ref, path, text_col, id_col,
+            num_hashes=num_hashes, band_rows=band_rows,
+            n_buckets=n_buckets, shingle_n=shingle_n,
+        ),
+    )
+
+
+def build_lsh_stage(
+    ref: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    n_buckets: int = 64,
+    shingle_n: int = 5,
+) -> dict:
+    """Staging half of :func:`build_lsh_index`: computes signatures,
+    validates hashability, writes band and exact data files (two
+    concurrent jobs — independent tables, guide §2.6) WITHOUT
+    publishing anything. Returns the opaque handle
+    :func:`build_lsh_commit` consumes. Staged files are invisible
+    until committed; a crash in between leaves only vacuum-able
+    orphans and no ``_lsh_meta.json``, so the next builder re-stages
+    cleanly."""
     import os
 
     if num_hashes % band_rows != 0:
@@ -763,8 +797,14 @@ def build_lsh_index(
             f"({band_rows}) - trailing hashes would silently never band"
         )
     sigs = minhash_signatures(ref, text_col, id_col, num_hashes, shingle_n)
-    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
-        "bucket", _lsh_bucket(n_buckets)
+    # pinned: the emptiness probe below and the staged write both
+    # consume the banded frame — unpinned, the probe's shuffle map side
+    # would re-run the whole shingle+minhash pass a second time for the
+    # write (round-11 optimization)
+    bands = pin(
+        _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
+            "bucket", _lsh_bucket(n_buckets)
+        )
     )
     if bands.isEmpty():
         # a zero-row PARTITIONED write creates no partition dirs and
@@ -783,32 +823,71 @@ def build_lsh_index(
             "documents (empty, or every text NULL) — build the index "
             "from the first batch that has content instead"
         )
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbcut_spark.sinks.manifest import stage_files
+
+    bands_w = _bands_for_write(bands, num_hashes // band_rows, n_buckets)
+    exact = ref.select(
+        F.md5(norm_text(text_col)).alias("text_hash")
+    ).distinct()
+    # the bands and exact sides are INDEPENDENT tables (distinct paths,
+    # distinct data): stage them as two concurrent driver jobs so the
+    # small exact write back-fills executors idled by the bands write's
+    # tail (guide §2.6); nothing becomes visible until the commit
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            stage_files,
+            bands_w,
+            os.path.join(path, "bands"),
+            ["band_idx", "bucket"],
+            False,  # _bands_for_write's salted spread layout
+        )
+        fe = pool.submit(stage_files, exact, os.path.join(path, "exact"))
+        bands_files, exact_files = fb.result(), fe.result()
+    return {
+        "bands_df": bands_w,
+        "exact_df": exact,
+        "bands_files": bands_files,
+        "exact_files": exact_files,
+        "meta": {
+            "num_hashes": num_hashes,
+            "band_rows": band_rows,
+            "n_buckets": n_buckets,
+            "shingle_n": shingle_n,
+            "id_col": id_col,
+        },
+    }
+
+
+def build_lsh_commit(path: str, staged: dict) -> None:
+    """Commit half of :func:`build_lsh_index`: publish the staged band
+    and exact files as OVERWRITE snapshots, point the set pointer at
+    the pair, and write ``_lsh_meta.json`` last (the bootstrap gate —
+    same crash contract as the monolithic build). Driver-side only;
+    no Spark jobs run here."""
+    import json
+    import os
+
     from dbcut_spark.sinks.manifest import publish_snapshot
 
     vb = publish_snapshot(
-        _bands_for_write(bands, num_hashes // band_rows, n_buckets),
+        staged["bands_df"],
         os.path.join(path, "bands"),
         mode="overwrite",
         partition_by=["band_idx", "bucket"],
-        repartition=False,  # _bands_for_write's salted spread layout
+        repartition=False,
+        staged_files=staged["bands_files"],
     )
     ve = publish_snapshot(
-        ref.select(F.md5(norm_text(text_col)).alias("text_hash")).distinct(),
+        staged["exact_df"],
         os.path.join(path, "exact"),
         mode="overwrite",
+        staged_files=staged["exact_files"],
     )
     _publish_set(path, {"bands": vb, "exact": ve})
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
-        json.dump(
-            {
-                "num_hashes": num_hashes,
-                "band_rows": band_rows,
-                "n_buckets": n_buckets,
-                "shingle_n": shingle_n,
-                "id_col": id_col,
-            },
-            f,
-        )
+        json.dump(staged["meta"], f)
 
 
 def lsh_index_append(
@@ -843,41 +922,131 @@ def lsh_index_append(
     collapses them), but callers should append each accepted batch
     once. Concurrent appends serialize through the manifest version
     race (losers re-publish against the winner, inheriting its files —
-    the staged data is written once)."""
+    the staged data is written once).
+
+    Two-phase form (round-11 optimization): :func:`lsh_index_stage`
+    writes the batch's band/exact data files without publishing,
+    :func:`lsh_index_commit` makes them visible — the ingest loop
+    stages concurrently with its corpus append and commits after it,
+    keeping the corpus-before-index replay contract while overlapping
+    the two expensive writes."""
+    lsh_index_commit(
+        spark,
+        index_path,
+        lsh_index_stage(index_path, new_ref, text_col, id_col),
+    )
+
+
+def lsh_index_meta(index_path: str) -> dict:
+    """The hashing parameters a persisted LSH index was built with."""
     import json
     import os
 
-    from dbcut_spark.sinks.manifest import publish_snapshot
-
     with open(os.path.join(index_path, "_lsh_meta.json")) as f:
-        meta = json.load(f)
+        return json.load(f)
+
+
+def batch_bands_for_index(
+    index_path: str, batch: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Band a batch with a persisted index's OWN hashing parameters —
+    the shared input of :func:`probe_lsh_index` and
+    :func:`lsh_index_stage`. The ingest loop computes this once per
+    batch (pinned) and feeds both, halving the minhash passes a
+    probe-then-append round used to pay (round-11 optimization)."""
+    meta = lsh_index_meta(index_path)
     sigs = minhash_signatures(
-        new_ref, text_col, id_col, meta["num_hashes"], meta["shingle_n"]
+        batch, text_col, id_col, meta["num_hashes"], meta["shingle_n"]
     )
-    bands = _sig_bands(
+    return _sig_bands(
         sigs, id_col, meta["num_hashes"], meta["band_rows"]
     ).withColumn("bucket", _lsh_bucket(meta["n_buckets"]))
+
+
+def lsh_index_stage(
+    index_path: str,
+    new_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: DataFrame | None = None,
+) -> dict:
+    """Staging half of :func:`lsh_index_append`: minhash the batch and
+    write its band + exact data files (two concurrent jobs —
+    independent tables, guide §2.6) WITHOUT publishing. Nothing is
+    visible to probes until :func:`lsh_index_commit`; a crash in
+    between leaves only vacuum-able orphans. ``bands`` short-circuits
+    the minhash pass with a precomputed
+    :func:`batch_bands_for_index` frame already restricted to
+    ``new_ref``'s ids (the ingest loop's reuse path)."""
+    import os
+
+    from dbcut_spark.sinks.manifest import stage_files
+
+    meta = lsh_index_meta(index_path)
+    if bands is None:
+        sigs = minhash_signatures(
+            new_ref, text_col, id_col, meta["num_hashes"], meta["shingle_n"]
+        )
+        bands = _sig_bands(
+            sigs, id_col, meta["num_hashes"], meta["band_rows"]
+        ).withColumn("bucket", _lsh_bucket(meta["n_buckets"]))
     if meta["id_col"] != id_col:
         bands = bands.withColumnRenamed(id_col, meta["id_col"])
     # same small-files/parallel-write guard as the initial build
-    vb = publish_snapshot(
-        _bands_for_write(
-            bands,
-            meta["num_hashes"] // meta["band_rows"],
-            meta["n_buckets"],
-        ),
-        os.path.join(index_path, "bands"),
-        mode="append",
-        partition_by=["band_idx", "bucket"],
-        repartition=False,
-        retries=2,
+    bands_w = _bands_for_write(
+        bands, meta["num_hashes"] // meta["band_rows"], meta["n_buckets"]
     )
     newh = (
         new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))
         .distinct()  # within-batch dedup only: never scans the corpus
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            stage_files,
+            bands_w,
+            os.path.join(index_path, "bands"),
+            ["band_idx", "bucket"],
+            False,  # _bands_for_write's salted spread layout
+        )
+        fe = pool.submit(
+            stage_files, newh, os.path.join(index_path, "exact")
+        )
+        bands_files, exact_files = fb.result(), fe.result()
+    return {
+        "bands_df": bands_w,
+        "exact_df": newh,
+        "bands_files": bands_files,
+        "exact_files": exact_files,
+    }
+
+
+def lsh_index_commit(spark, index_path: str, staged: dict) -> None:
+    """Commit half of :func:`lsh_index_append`: publish the staged
+    files as APPEND snapshots of their tables, then move the set
+    pointer. Driver-side only (manifest loads + fsync'd publishes);
+    no Spark jobs run here — which is what lets the ingest loop keep
+    this in its ordered tail at negligible cost."""
+    import os
+
+    from dbcut_spark.sinks.manifest import publish_snapshot
+
+    vb = publish_snapshot(
+        staged["bands_df"],
+        os.path.join(index_path, "bands"),
+        mode="append",
+        partition_by=["band_idx", "bucket"],
+        repartition=False,
+        retries=2,
+        staged_files=staged["bands_files"],
+    )
     ve = publish_snapshot(
-        newh, os.path.join(index_path, "exact"), mode="append", retries=2
+        staged["exact_df"],
+        os.path.join(index_path, "exact"),
+        mode="append",
+        retries=2,
+        staged_files=staged["exact_files"],
     )
     # the pointer lands LAST: a crash between the side publishes and
     # here leaves set-pinned probes on the previous consistent pair,
@@ -894,6 +1063,7 @@ def probe_lsh_index(
     text_col: str,
     id_col: str,
     set_versions: dict | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs of a NEW batch against a persisted reference
     index: (doc_a = batch id, doc_b = reference id, est_sim) — the
@@ -927,12 +1097,19 @@ def probe_lsh_index(
     # only `bands` is pinned: sigs has exactly one consumer (bands
     # itself), so pinning it too would just double the cached footprint
     # per probe batch without saving any recompute — unlike
-    # lsh_candidate_pairs, where the sig pin is load-bearing
-    sigs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
-    bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
-        "bucket", _lsh_bucket(n_buckets)
-    )
-    bands = pin(bands)
+    # lsh_candidate_pairs, where the sig pin is load-bearing.
+    # A caller that already banded the batch with THIS index's meta
+    # (the ingest loop, which also feeds the bands to the post-accept
+    # index append) passes it in pre-pinned — one minhash pass per
+    # batch instead of two (round-11 optimization)
+    if bands is None:
+        sigs = minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_n
+        )
+        bands = _sig_bands(sigs, id_col, num_hashes, band_rows).withColumn(
+            "bucket", _lsh_bucket(n_buckets)
+        )
+        bands = pin(bands)
     # pin the SET pointer's bands version (round 11): the sides commit
     # independently, and per-side head resolution could pair a bands
     # batch with an exact table from a different logical state. A

@@ -131,15 +131,24 @@ def _recover_staging(spark: SparkSession, path: str) -> None:
 
 
 def insert_ignore_parquet(
-    spark: SparkSession, df: DataFrame, path: str, pk: list[str]
-) -> int:
+    spark: SparkSession, df: DataFrame, path: str, pk: list[str],
+    count_rows: bool = True,
+) -> int | None:
     """Append ``df`` rows to the parquet table at ``path``, skipping rows
     whose PK already exists. Returns the number of rows written.
 
     A hive-partitioned target keeps its layout: appending flat
     part-files next to ``col=value/`` dirs would put leaf files at two
     directory depths and brick partition discovery for every later
-    reader — so the append re-uses the detected partition columns."""
+    reader — so the append re-uses the detected partition columns.
+
+    ``count_rows=False`` skips the cache+count pre-pass and writes the
+    anti-joined frame directly (ONE job instead of two), returning
+    None — for callers that don't consume the count (the ingest loop,
+    round-11 optimization, guide §1.2 'don't compute things you throw
+    away'). A batch whose rows all already exist then appends one
+    empty part-file instead of skipping the write — harmless to
+    readers (schema-only footer) and to idempotency (no rows)."""
     _require_local_path(path, "insert_ignore_parquet")
     _recover_staging(spark, path)
     df = df.dropDuplicates(pk)
@@ -176,6 +185,12 @@ def insert_ignore_parquet(
                 "the frame upstream"
             )
         df = anti_new_rows(df, existing, pk)
+    if not count_rows:
+        writer = df.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
+        return None
     df = df.cache()
     try:
         n = df.count()

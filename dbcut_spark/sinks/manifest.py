@@ -215,6 +215,25 @@ def _stage(
     return sorted(rels)
 
 
+def stage_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    repartition: bool = True,
+) -> list[str]:
+    """Public staging half of the two-phase publish: write ``df``'s
+    data files under the table's staging area and return their
+    table-relative paths for a later ``publish_snapshot(...,
+    staged_files=...)``. Staged files are INVISIBLE until a manifest
+    references them, so a caller may stage expensive data early (even
+    concurrently with other work) and commit in ordered, cheap,
+    driver-only publishes — the ingest loop stages its index batch
+    while the corpus append runs, then commits corpus-before-index
+    (round-11 optimization). A crash before the publish leaves only
+    unreferenced orphans (vacuum sweeps them)."""
+    return _stage(df, table_path, partition_by, repartition)
+
+
 def _stat_encode(v):
     """(tag, json-form) for a footer min/max or predicate value, or None
     for types whose ordering the pruner does not reason about (binary,

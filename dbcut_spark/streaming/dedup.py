@@ -60,37 +60,65 @@ def dedup_ingest_batch(
     corpus and the index. Returns the number of accepted docs. Batch
     core shared by the streaming wrapper and batch callers (the same
     batch-first design as streaming/merge.apply_cdc_batch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     from dbcut_spark.operators.curation import incremental_dedup_indexed
-    from dbcut_spark.operators.dedup import build_lsh_index, lsh_index_append
+    from dbcut_spark.operators.dedup import (
+        batch_bands_for_index,
+        build_lsh_commit,
+        build_lsh_stage,
+        lsh_index_commit,
+        lsh_index_stage,
+    )
     from dbcut_spark.sinks.insert_ignore import insert_ignore_parquet
 
     spark = batch.sparkSession
+    # stabilize FIRST: the batch feeds the emptiness probe, the dedup
+    # probe, the corpus append and the index append — checkpointing
+    # before isEmpty makes the emptiness probe a cached-block read
+    # instead of a second pull of the (possibly non-replayable) source
+    # (round-11 optimization: one source evaluation per batch, not two)
+    batch = batch.localCheckpoint()
     if batch.isEmpty():
         return 0
-    # stabilize: the batch feeds the probe, the corpus append and the
-    # index append — without a checkpoint, each consumer would re-pull
-    # the (possibly non-replayable) source
-    batch = batch.localCheckpoint()
     bootstrapped = not os.path.exists(
         os.path.join(index_path, "_lsh_meta.json")
     )
+    bands = None
     if bootstrapped:
         # batch is already checkpointed above — a second eager
         # checkpoint of the SAME frame would materialize the whole
         # bootstrap corpus slice twice (review finding, round 11)
         accepted = batch
     else:
+        # band the batch ONCE with the index's own parameters and feed
+        # both the probe and the post-accept index staging — previously
+        # each re-ran the full shingle+minhash pass (round-11
+        # optimization); persisted for the two consumers, released in
+        # the finally below
+        bands = batch_bands_for_index(
+            index_path, batch, text_col, id_col
+        ).persist()
         decisions = incremental_dedup_indexed(
-            spark, index_path, batch, text_col, id_col, threshold
+            spark, index_path, batch, text_col, id_col, threshold,
+            bands=bands,
         )
         keep = decisions.filter(
             ~F.col("is_exact_dup") & ~F.col("is_near_dup")
         ).select(id_col)
         accepted = batch.join(keep, id_col, "left_semi").localCheckpoint()
-    n = accepted.count()
+    # ONE agg job yields both the row count and the hashability probe
+    # (non-NULL text count) — previously a count() plus a separate
+    # limit(1).count() job (round-11 optimization, guide §1.2)
+    stats = accepted.agg(
+        F.count(F.lit(1)).alias("__n"), F.count(text_col).alias("__nh")
+    ).first()
+    n = stats["__n"]
     if n == 0:
+        if bands is not None:
+            bands.unpersist()
         return 0
     if bootstrapped:
         # validate hashability BEFORE the corpus append: a first batch
@@ -101,32 +129,73 @@ def dedup_ingest_batch(
         # With nothing hashable, DEFER the bootstrap: accept the docs
         # (insert_ignore makes the replay converge) and let the first
         # batch with content build the index.
-        hashable = (
-            accepted.filter(F.col(text_col).isNotNull()).limit(1).count()
-            > 0
-        )
-        insert_ignore_parquet(spark, accepted, corpus_path, [id_col])
-        if hashable:
-            try:
-                build_lsh_index(
+        hashable = stats["__nh"] > 0
+        # corpus append and index STAGING overlap (guide §2.6): staged
+        # index files are invisible until the commit below, and the
+        # commit — which writes _lsh_meta.json, the bootstrap gate —
+        # only runs after the corpus append returned, so the
+        # corpus-before-index crash contract is intact while the two
+        # expensive writes share the cluster (round-11 optimization)
+        staged = None
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(
+                insert_ignore_parquet, spark, accepted, corpus_path,
+                [id_col], count_rows=False,
+            )
+            fs = (
+                pool.submit(
+                    build_lsh_stage,
                     accepted.filter(F.col(text_col).isNotNull()),
                     index_path, text_col, id_col,
                     num_hashes=num_hashes, band_rows=band_rows,
                     n_buckets=n_buckets,
                 )
-            except ValueError as exc:
-                # build's own emptiness test is BANDS-based (whitespace-
-                # only texts shingle to nothing and pass the NULL
-                # pre-check above): same deferral, not a crash loop
-                if "no hashable documents" not in str(exc):
-                    raise
+                if hashable
+                else None
+            )
+            fc.result()  # corpus visibility gates the index commit
+            if fs is not None:
+                try:
+                    staged = fs.result()
+                except ValueError as exc:
+                    # build's own emptiness test is BANDS-based
+                    # (whitespace-only texts shingle to nothing and
+                    # pass the NULL pre-check above): same deferral,
+                    # not a crash loop
+                    if "no hashable documents" not in str(exc):
+                        raise
+        if staged is not None:
+            build_lsh_commit(index_path, staged)
         return n
     # corpus BEFORE index: a crash between the two replays as
     # accepted-again (insert_ignore dedups the corpus, the index
     # append then completes); the reverse order would replay as
-    # all-dups and leave the corpus missing the batch forever
-    insert_ignore_parquet(spark, accepted, corpus_path, [id_col])
-    lsh_index_append(spark, index_path, accepted, text_col, id_col)
+    # all-dups and leave the corpus missing the batch forever.
+    # Overlap (round-11 optimization): the index STAGING runs
+    # concurrently with the corpus append — staged files are invisible
+    # until lsh_index_commit, which runs strictly after the corpus
+    # append returned, so 'corpus before index' still holds for every
+    # crash point while the two writes share the cluster (guide §2.6)
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(
+                insert_ignore_parquet, spark, accepted, corpus_path,
+                [id_col], count_rows=False,
+            )
+            fs = pool.submit(
+                lsh_index_stage, index_path, accepted, text_col, id_col,
+                # the probe's banded batch, restricted to the accepted
+                # ids — the append's second minhash pass becomes a
+                # cached-frame semi-join
+                bands=bands.join(
+                    accepted.select(id_col), id_col, "left_semi"
+                ),
+            )
+            fc.result()  # corpus visibility gates the index commit
+            staged = fs.result()
+        lsh_index_commit(spark, index_path, staged)
+    finally:
+        bands.unpersist()
     return n
 
 

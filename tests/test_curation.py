@@ -558,7 +558,9 @@ def test_stream_dedup_ingest_matches_batch_loop(spark, sf_dir, tmp_path):
         stream, idx_s, corpus_s, "text", "doc_id",
         checkpoint=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(180)
+    # availableNow terminates on drain; a timeout return with the query
+    # still active would race the assertions below against live batches
+    assert q.awaitTermination(600), "stream did not drain in 600s"
 
     got = sorted(
         r["doc_id"] for r in spark.read.parquet(corpus_s).collect()
@@ -638,7 +640,11 @@ def test_stream_dedup_ingest_compact_cadence(spark, sf_dir, tmp_path):
         stream, idx_s, corpus_s, "text", "doc_id",
         checkpoint=str(tmp_path / "ck"), compact_every=1,
     )
-    q.awaitTermination(180)
+    # availableNow terminates on drain; a timeout return with the query
+    # still active leaves compactions running — the probes below would
+    # then race a live vacuum (observed as files deleted mid-read under
+    # host load)
+    assert q.awaitTermination(600), "stream did not drain in 600s"
 
     st = lsh_index_inspect(idx_s)
     assert st["max_files_per_bucket"] == 1  # cadence kept it compact
