@@ -2213,9 +2213,9 @@ def publish_mor_commit(
     staged: list[str] = []
     staged_buckets: dict = {}
     staged_stats: dict = {}
-    if rows is not None:
-        # loud schema drift before the expensive stage, same as append
-        _check_append_schema(rows, hm, head)
+
+    def _stage_rows():
+        nonlocal staged, staged_buckets, staged_stats
         staged_df = rows
         if bspec:
             staged_df = rows.repartition(bspec["n"], F.col(bspec["col"]))
@@ -2236,21 +2236,47 @@ def publish_mor_commit(
             if stat_cols
             else {}
         )
+
     tomb_entries: list[tuple[list[str], str, int]] = []  # cols, rel, rows
-    for cols, keys_df in tombstones:
-        guarded = _guard_tombstone_keys(
-            keys_df.select(*cols), schema, what
-        )
-        rels = _stage(
-            guarded.distinct().coalesce(max(1, n_files)),
-            table_path,
-            None,
-            repartition=False,
-        )
-        nrows = _staged_rows(table_path, rels)
-        tomb_entries += [
-            (list(cols), r, nrows[r]) for r in rels if nrows[r] > 0
-        ]
+
+    def _stage_tombstones():
+        for cols, keys_df in tombstones:
+            guarded = _guard_tombstone_keys(
+                keys_df.select(*cols), schema, what
+            )
+            rels = _stage(
+                guarded.distinct().coalesce(max(1, n_files)),
+                table_path,
+                None,
+                repartition=False,
+            )
+            nrows = _staged_rows(table_path, rels)
+            tomb_entries.extend(
+                (list(cols), r, nrows[r]) for r in rels if nrows[r] > 0
+            )
+
+    if rows is not None:
+        # loud schema drift before the expensive stage, same as append
+        _check_append_schema(rows, hm, head)
+    if rows is not None and tombstones:
+        # the row files and the tombstone files are INDEPENDENT staged
+        # writes into the same invisible-until-published staging area:
+        # run them as two concurrent driver jobs so the small tombstone
+        # write back-fills executors idled by the row write's tail
+        # (guide §2.6; same overlap as the LSH index stage). Crash
+        # anywhere leaves only unreferenced orphans — the single
+        # manifest publish below is still the atomic commit point.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fr = pool.submit(_stage_rows)
+            ft = pool.submit(_stage_tombstones)
+            fr.result()
+            ft.result()
+    else:
+        if rows is not None:
+            _stage_rows()
+        _stage_tombstones()
     for attempt in range(retries + 1):
         parent = (
             expected_parent if pin_parent else current_version(table_path)
