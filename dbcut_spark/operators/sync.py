@@ -179,8 +179,11 @@ def incremental_sync(
             delta = delta.dropDuplicates(pk)
         # one materialization feeds the NULL guard, the max-cursor agg,
         # the row count and the staged write; a CAS retry re-filters
-        # these rows instead of re-reading the source
-        delta = delta.localCheckpoint()
+        # these rows instead of re-reading the source. Lazy: the agg
+        # below scans EVERY partition, so the checkpoint materializes
+        # inside that job — one job per run instead of two (round-11
+        # optimization)
+        delta = delta.localCheckpoint(eager=False)
         agg = delta.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(cursor_col).alias("high"),

@@ -1191,12 +1191,17 @@ def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
-    upsert_parquet(spark, upd.unionByName(ins), target, ["o_orderkey"])
+    # counts=False: the gate certifies the post-refresh STATE (read back
+    # below); the updated/inserted/deleted counts would cost three extra
+    # count jobs only to be discarded (round-11 optimization)
+    upsert_parquet(
+        spark, upd.unionByName(ins), target, ["o_orderkey"], counts=False
+    )
 
     dels = base.filter(
         hash_bucket(F.col("o_orderkey"), "rfd:") < hash_threshold(0.08)
     ).select("o_orderkey")
-    delete_keys_parquet(spark, dels, target, ["o_orderkey"])
+    delete_keys_parquet(spark, dels, target, ["o_orderkey"], counts=False)
 
     return (
         spark.read.parquet(target)
@@ -1323,12 +1328,15 @@ def tpch_rf_refresh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_year",
     )
-    upsert_parquet(spark, upd.unionByName(ins), target, ["o_orderkey"])
+    # counts=False: same discarded-counts trim as tpch_rf_refresh
+    upsert_parquet(
+        spark, upd.unionByName(ins), target, ["o_orderkey"], counts=False
+    )
 
     dels = base.filter(
         hash_bucket(F.col("o_orderkey"), "rfpd:") < hash_threshold(0.08)
     ).select("o_orderkey")
-    delete_keys_parquet(spark, dels, target, ["o_orderkey"])
+    delete_keys_parquet(spark, dels, target, ["o_orderkey"], counts=False)
 
     return (
         spark.read.parquet(target)

@@ -617,13 +617,21 @@ def upsert_parquet(
     path: str,
     pk: list[str],
     schema_evolution: str = "strict",
-) -> tuple[int, int]:
+    counts: bool = True,
+) -> tuple[int | None, int | None]:
     """MERGE semantics for a parquet target: incoming rows replace
     existing rows with the same PK (update) or append (insert).
     Implemented as existing-minus-incoming (left-anti on the PK) union
     incoming, written to a staging directory then swapped — the
     standard rewrite shape for formats without row-level updates.
     Returns (updated, inserted) counts.
+
+    ``counts=False`` skips the updated/inserted split — whose only
+    purpose is the return value and which costs one extra anti-join
+    job over the existing table — and returns (None, None); for
+    callers that discard the counts (the refresh-function gates,
+    round-11 optimization, guide §1.2). The merge itself is
+    unchanged.
 
     Scale: on a hive-partitioned target (layout auto-detected) the
     rewrite is restricted to TOUCHED partitions — the partitions the
@@ -660,6 +668,9 @@ def upsert_parquet(
     _recover_staging(spark, path)
     df = df.dropDuplicates(pk)
     if not os.path.exists(path):
+        if not counts:
+            df.write.parquet(path)
+            return None, None
         n = df.count()
         df.write.parquet(path)
         return 0, n
@@ -705,7 +716,10 @@ def upsert_parquet(
             # Spark's encoding (the emptied-partition cleanup would
             # miss, leaving stale duplicate-PK rows)
             keep = anti_new_rows(existing, df, pk)
-            updated = incoming - anti_new_rows(df, existing, pk).count()
+            updated = (
+                incoming - anti_new_rows(df, existing, pk).count()
+                if counts else None
+            )
             staged = path + ".__staging__"
             (
                 _merged(keep)
@@ -725,7 +739,10 @@ def upsert_parquet(
             touched = inc_parts.unionByName(old_parts).distinct().collect()
             scoped = existing.filter(_partition_filter(part_cols, touched))
             keep = anti_new_rows(scoped, df, pk)
-            updated = incoming - anti_new_rows(df, scoped, pk).count()
+            updated = (
+                incoming - anti_new_rows(df, scoped, pk).count()
+                if counts else None
+            )
             staged = path + _PRUNED_SUFFIX
             (
                 _merged(keep)
@@ -738,24 +755,35 @@ def upsert_parquet(
             )
         else:
             keep = anti_new_rows(existing, df, pk)
-            updated = incoming - anti_new_rows(df, existing, pk).count()
+            updated = (
+                incoming - anti_new_rows(df, existing, pk).count()
+                if counts else None
+            )
             staged = path + ".__staging__"
             _merged(keep).write.mode("overwrite").parquet(staged)
             shutil.rmtree(path)
             os.rename(staged, path)
         # the session caches file listings per path; the swap invalidated them
         spark.catalog.refreshByPath(path)
+        if not counts:
+            return None, None
         return updated, incoming - updated
     finally:
         df.unpersist()
 
 
 def delete_keys_parquet(
-    spark: SparkSession, df_keys: DataFrame, path: str, pk: list[str]
-) -> int:
+    spark: SparkSession, df_keys: DataFrame, path: str, pk: list[str],
+    counts: bool = True,
+) -> int | None:
     """Row-level delete for a parquet target: rewrite the table minus
     the rows whose PK appears in ``df_keys`` (left-anti join). Returns
     the number of rows deleted.
+
+    ``counts=False`` returns None and skips the before/after count
+    jobs whose only purpose is that return value (two extra scans per
+    delete); the rewrite, the emptied-partition normalization, and the
+    swap are unchanged (round-11 optimization, guide §1.2).
 
     Scale: on a hive-partitioned target, the partitions containing the
     doomed keys are found with a key-semi-join over a column-pruned
@@ -777,13 +805,15 @@ def delete_keys_parquet(
         # (Python path rendering can drift from Spark's encoding) and
         # for detected lossy round-trips (below)
         remaining = anti_new_rows(existing, keys, pk)
-        n_before = existing.count()
+        n_before = existing.count() if counts else 0
         staged = path + ".__staging__"
         remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(
             staged
         )
         has_rows = bool(_staged_partition_dirs(staged, len(part_cols)))
-        n_after = spark.read.parquet(staged).count() if has_rows else 0
+        n_after = (
+            spark.read.parquet(staged).count() if has_rows and counts else 0
+        )
         if not has_rows:
             # all rows deleted: a dir of only _SUCCESS is unreadable —
             # leave a readable empty table carrying the full schema
@@ -792,7 +822,7 @@ def delete_keys_parquet(
         shutil.rmtree(path)
         os.rename(staged, path)
         spark.catalog.refreshByPath(path)
-        return n_before - n_after
+        return n_before - n_after if counts else None
 
     if part_cols and not _pruned_swap_safe(existing.schema, part_cols):
         return _full_partitioned_delete()
@@ -821,14 +851,14 @@ def delete_keys_parquet(
             return _full_partitioned_delete()
         scoped = existing.filter(_partition_filter(part_cols, touched))
         remaining = anti_new_rows(scoped, keys, pk)
-        n_before = scoped.count()
+        n_before = scoped.count() if counts else 0
         staged = path + _PRUNED_SUFFIX
         remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(staged)
         # every touched partition emptied ⇒ staged holds only _SUCCESS,
         # which parquet cannot infer a schema from
         n_after = (
             spark.read.parquet(staged).count()
-            if _staged_partition_dirs(staged, len(part_cols))
+            if counts and _staged_partition_dirs(staged, len(part_cols))
             else 0
         )
         # cleanup deferred: the staging dir's marker must outlive the
@@ -852,17 +882,17 @@ def delete_keys_parquet(
             os.rename(empty_staged, path)
         shutil.rmtree(staged)
         spark.catalog.refreshByPath(path)
-        return n_before - n_after
+        return n_before - n_after if counts else None
     remaining = anti_new_rows(existing, keys, pk)
-    n_before = existing.count()
+    n_before = existing.count() if counts else 0
     staged = path + ".__staging__"
     remaining.write.mode("overwrite").parquet(staged)
-    remaining2 = spark.read.parquet(staged)
-    n_after = remaining2.count()
+    if counts:
+        n_after = spark.read.parquet(staged).count()
     shutil.rmtree(path)
     os.rename(staged, path)
     spark.catalog.refreshByPath(path)
-    return n_before - n_after
+    return n_before - n_after if counts else None
 
 
 

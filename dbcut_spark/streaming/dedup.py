@@ -108,7 +108,12 @@ def dedup_ingest_batch(
         keep = decisions.filter(
             ~F.col("is_exact_dup") & ~F.col("is_near_dup")
         ).select(id_col)
-        accepted = batch.join(keep, id_col, "left_semi").localCheckpoint()
+        # lazy: the stats agg below scans every partition, so the
+        # checkpoint materializes inside that job (one job per batch
+        # saved; the probe side is already decided by `keep`)
+        accepted = batch.join(keep, id_col, "left_semi").localCheckpoint(
+            eager=False
+        )
     # ONE agg job yields both the row count and the hashability probe
     # (non-NULL text count) — previously a count() plus a separate
     # limit(1).count() job (round-11 optimization, guide §1.2)
