@@ -97,11 +97,13 @@ def triangle_counts(
 
     The wedge set is the quadratic intermediate (m^1.5 rows): when the
     edge list fits a broadcast (< ``broadcast_max_edges`` rows — three
-    longs each, so 4M rows ≈ 100 MB hash relation), the closing probe
-    broadcasts and wedges stream map-side from the src-partitioned
-    self-join straight into a partial count — the m^1.5 rows are never
-    shuffled. Larger graphs fall back to the sort-merge closing join
-    (the only plan that scales unboundedly); pass 0 to force it."""
+    longs each, so 4M rows ≈ 100 MB hash relation), the oriented
+    out-neighbor lists are broadcast instead and each edge closes its
+    triangles with one in-expression ``array_intersect`` — the m^1.5
+    rows are never materialized at all (round 11; the operator carries
+    m edge rows and emits 2m + T credit rows). Larger graphs fall back
+    to the wedge enumeration with a sort-merge closing join (the only
+    plan that scales unboundedly); pass 0 to force it."""
     from dbcut_spark.operators.pinning import pin
 
     # the edge list feeds FOUR consumers (two degree scans, the wedge
@@ -132,6 +134,75 @@ def triangle_counts(
             F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
         )
     )
+    # ori is pinned, so this count is a cache scan, not a recompute
+    if broadcast_max_edges and ori.count() <= broadcast_max_edges:
+        # Adjacency-intersection path (round 11): when the oriented
+        # edge list fits a broadcast, its grouped out-neighbor lists do
+        # too (same longs, one array per source). Each oriented edge
+        # (u, v) then closes its triangles IN-EXPRESSION —
+        # array_intersect(N+(u), N+(v)) — so the m^1.5 wedge set is
+        # never materialized as rows: the operator pipeline carries m
+        # edge rows and emits 2m + T credit rows (T = triangles), vs
+        # the wedge plan's m^1.5-row Generate+probe. Every triangle is
+        # found exactly once, at its orientation-minimal edge (the
+        # corner ordering x->y, x->z, y->z puts z in N+(x) ∩ N+(y) and
+        # in no other edge's intersection); the edge endpoints are
+        # credited once per closing corner and each corner once.
+        adj = ori.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        nb_dst = adj.select(
+            F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_dst")
+        )
+        # left join: an orientation sink has no out-edges; slice(nbrs,
+        # 1, 0) is a typed-empty array, keeping the node type generic
+        e = (
+            ori.select("src", "dst")
+            .join(F.broadcast(adj), "src")
+            .join(F.broadcast(nb_dst), "dst", "left_outer")
+        )
+        # project the intersection ONCE below the Generate — referencing
+        # the raw expression three times inside the explode would rely
+        # on codegen subexpression elimination across a Generate input
+        e = e.select(
+            "src",
+            "dst",
+            F.array_intersect(
+                F.col("nbrs"),
+                F.coalesce(F.col("nbrs_dst"), F.slice(F.col("nbrs"), 1, 0)),
+            ).alias("common"),
+        )
+        common = F.col("common")
+        ncom = F.size(common)
+        credits = (
+            e.select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            common,
+                            lambda c: F.struct(
+                                c.alias("node"), F.lit(1).alias("cnt")
+                            ),
+                        ),
+                        F.array(
+                            F.struct(
+                                F.col("src").alias("node"),
+                                ncom.alias("cnt"),
+                            ),
+                            F.struct(
+                                F.col("dst").alias("node"),
+                                ncom.alias("cnt"),
+                            ),
+                        ),
+                    )
+                ).alias("cr")
+            )
+            .select("cr.node", "cr.cnt")
+            .filter(F.col("cnt") > 0)
+        )
+        return credits.groupBy("node").agg(
+            F.sum("cnt").cast("long").alias("n_triangles")
+        )
+    # Large graphs: the shuffled wedge plan — the only shape that
+    # scales unboundedly (pass broadcast_max_edges=0 to force it).
     e1 = ori.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     e2 = ori.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     wedges = e1.join(e2, "src").filter(
@@ -141,13 +212,7 @@ def triangle_counts(
     closing = ori.select(
         F.col("src").alias("x"), F.col("dst").alias("y")
     )
-    # ori is pinned, so this count is a cache scan, not a recompute
-    if broadcast_max_edges and ori.count() <= broadcast_max_edges:
-        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["x", "y"])
-    # explode the three corners BEFORE the aggregation: the partial
-    # count happens map-side in the same pipeline as the broadcast
-    # probe, so only (node, partial_count) rows ever shuffle
     return (
         tri.select(
             F.explode(

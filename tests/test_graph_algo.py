@@ -131,3 +131,30 @@ def test_triangle_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangles_broadcast_and_wedge_paths_agree(spark):
+    # the adjacency-intersection (broadcast) path and the shuffled
+    # wedge fallback must count identically — deterministic pseudo-
+    # random graph with shared boilerplate-style cliques and bridges
+    import hashlib
+
+    pairs = set()
+    for g in range(40):  # overlapping cliques of size 3-6
+        size = 3 + g % 4
+        base = int(hashlib.md5(f"g{g}".encode()).hexdigest()[:4], 16) % 60
+        members = [base + k * (1 + g % 3) for k in range(size)]
+        for i in range(size):
+            for j in range(i + 1, size):
+                a, b = members[i], members[j]
+                if a != b:
+                    pairs.add((min(a, b), max(a, b)))
+    edges = _edges(spark, sorted(pairs))
+    fast = {
+        r.node: r.n_triangles for r in triangle_counts(edges).collect()
+    }
+    slow = {
+        r.node: r.n_triangles
+        for r in triangle_counts(edges, broadcast_max_edges=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
