@@ -281,8 +281,27 @@ def lsh_ann_topk(
         )
     n_bands = n_planes // band_bits
 
-    def banded_ids(df: DataFrame, role: str) -> DataFrame:
-        sig = signatures_vectorized(df, vec_col, n_planes, dim)
+    # ONE signature pass over a role-tagged union (round 11): queries
+    # and candidates used to run signatures_vectorized separately — two
+    # ArrowEvalPython stages for per-row-independent work. The union
+    # signs every vector in a single Python stage; only (role, id,
+    # sig_bits) is pinned for the two banding consumers — vectors never
+    # enter the cache (they join back later, the module's discipline)
+    tagged = queries.select(
+        F.lit(True).alias("__is_q"), F.col(id_col), F.col(vec_col)
+    ).unionByName(
+        candidates.select(
+            F.lit(False).alias("__is_q"), F.col(id_col), F.col(vec_col)
+        )
+    )
+    sig_all = pin(
+        signatures_vectorized(tagged, vec_col, n_planes, dim).select(
+            "__is_q", id_col, "sig_bits"
+        )
+    )
+
+    def banded_ids(is_query: bool, role: str) -> DataFrame:
+        sig = sig_all.filter(F.col("__is_q") == is_query)
         bands = F.array(
             *[
                 F.struct(
@@ -300,8 +319,8 @@ def lsh_ann_topk(
         ).select(f"{role}_id", "band.band_idx", "band.band_val")
 
     pairs = (
-        banded_ids(candidates, "cand")
-        .join(F.broadcast(banded_ids(queries, "query")), ["band_idx", "band_val"])
+        banded_ids(False, "cand")
+        .join(F.broadcast(banded_ids(True, "query")), ["band_idx", "band_val"])
         .select("query_id", "cand_id")
         .distinct()
     )
