@@ -66,14 +66,30 @@ def cooccurrence_edges(
         .filter(F.col("count") <= max_group_size)
         .select("__g")
     )
-    pairs = pairs.join(wide, "__g")
-    right = pairs.select(
-        F.col("__g"), F.col("__i").alias("__j")
+    kept = pairs.join(wide, "__g")
+    # In-array pairing (round 11): the guard above bounds every
+    # surviving group at max_group_size, so collecting a group's items
+    # into one sorted array is memory-bounded by construction — and the
+    # ordered pairs then explode from the array instead of a self-join
+    # on __g (which shuffled + sorted the pair table twice). One
+    # aggregation exchange replaces the join's exchange + sort; the
+    # pair count itself is unchanged (sorted array => a < b for free).
+    items = kept.groupBy("__g").agg(
+        F.sort_array(F.collect_list("__i")).alias("__items")
+    )
+    n = F.size("__items")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     edges = (
-        pairs.join(right, "__g")
-        .filter(F.col("__i") < F.col("__j"))
-        .groupBy(F.col("__i").alias("a"), F.col("__j").alias("b"))
+        items.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     if min_support > 1:
