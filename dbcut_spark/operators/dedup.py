@@ -609,7 +609,17 @@ def connected_components(
     )
 
 
-def _bands_for_write(bands: DataFrame, n_bands: int, n_buckets: int):
+# File-sizing target for the salted band-write spread: a band row is
+# ~200 B (id + k-long signature + band key), so 500k rows/file lands in
+# the guide-§6 100 MB-1 GB output range. The spread only widens past
+# one file per directory when a directory would otherwise exceed this —
+# parameterised on DATA volume, never on the local core count.
+ROWS_PER_BAND_FILE = 500_000
+
+
+def _bands_for_write(
+    bands: DataFrame, n_bands: int, n_buckets: int, rows_hint: int | None = None
+):
     """Shape the band frame for the partitioned index write: an
     EXPLICIT-count repartition on the partition columns, so (a) each
     (band_idx, bucket) directory is written by a BOUNDED number of
@@ -623,21 +633,35 @@ def _bands_for_write(bands: DataFrame, n_bands: int, n_buckets: int):
     n_bands × n_buckets would funnel a corpus-sized frame through a
     handful of tasks, each writing one giant file (the 100 TB
     straggler pathology) — so the repartition adds a per-doc salt
-    with ceil(parallelism / combos) values: full cluster width, at
-    most `spread` files per directory, and the salt rides only the
-    SHUFFLE key (partitionBy still routes rows by combo)."""
+    with up to ceil(parallelism / combos) values: full cluster width,
+    at most `spread` files per directory, and the salt rides only the
+    SHUFFLE key (partitionBy still routes rows by combo).
+
+    ``rows_hint`` (the band-row count, when the caller already knows
+    it — the build counts the pinned frame anyway, the ingest loop
+    knows its accepted-doc count) sizes the spread to the DATA instead
+    of the cluster: a small batch stays at one file per directory
+    (round 11 — the unhinted spread wrote 2x ~10 KB files per
+    directory per ingest round at gate scale, pure commit overhead),
+    while a corpus-sized build still fans out to the full width."""
     sc = bands.sparkSession.sparkContext
     combos = max(1, n_bands * n_buckets)
     par = max(1, sc.defaultParallelism)
-    spread = -(-par // combos)  # ceil: files-per-directory bound
+    spread_cap = -(-par // combos)  # ceil: files-per-directory bound
+    spread = spread_cap
+    if rows_hint is not None:
+        # one extra file per directory per ROWS_PER_BAND_FILE rows in it
+        spread = min(
+            spread_cap, max(1, -(-rows_hint // (combos * ROWS_PER_BAND_FILE)))
+        )
     if spread == 1:
-        # narrow cluster / wide index: one task per combo (or fewer)
+        # narrow cluster / wide index / small batch: one task per combo
         return bands.repartition(min(par, combos), "band_idx", "bucket")
     salt = F.pmod(
         F.xxhash64(F.col(bands.columns[0]), F.col("band_hash")),
         F.lit(spread),
     )
-    return bands.repartition(par, "band_idx", "bucket", salt)
+    return bands.repartition(min(par, combos * spread), "band_idx", "bucket", salt)
 
 
 def _lsh_bucket(n_buckets: int):
@@ -806,7 +830,11 @@ def build_lsh_stage(
             "bucket", _lsh_bucket(n_buckets)
         )
     )
-    if bands.isEmpty():
+    # count, not isEmpty: the pin is materialized either way (the
+    # staged write consumes every partition), and the exact row count
+    # sizes the write's file spread below (round 11)
+    n_band_rows = bands.count()
+    if n_band_rows == 0:
         # a zero-row PARTITIONED write creates no partition dirs and
         # loses the partition columns from the on-disk schema — the
         # index would be permanently unreadable (every probe fails on
@@ -827,7 +855,9 @@ def build_lsh_stage(
 
     from dbcut_spark.sinks.manifest import stage_files
 
-    bands_w = _bands_for_write(bands, num_hashes // band_rows, n_buckets)
+    bands_w = _bands_for_write(
+        bands, num_hashes // band_rows, n_buckets, rows_hint=n_band_rows
+    )
     exact = ref.select(
         F.md5(norm_text(text_col)).alias("text_hash")
     ).distinct()
@@ -969,6 +999,7 @@ def lsh_index_stage(
     text_col: str,
     id_col: str,
     bands: DataFrame | None = None,
+    rows_hint: int | None = None,
 ) -> dict:
     """Staging half of :func:`lsh_index_append`: minhash the batch and
     write its band + exact data files (two concurrent jobs —
@@ -977,7 +1008,10 @@ def lsh_index_stage(
     between leaves only vacuum-able orphans. ``bands`` short-circuits
     the minhash pass with a precomputed
     :func:`batch_bands_for_index` frame already restricted to
-    ``new_ref``'s ids (the ingest loop's reuse path)."""
+    ``new_ref``'s ids (the ingest loop's reuse path). ``rows_hint``
+    (the batch's DOC count, when the caller already has it — the
+    ingest loop's stats agg) sizes the band write's file spread to the
+    data instead of the cluster width (see :func:`_bands_for_write`)."""
     import os
 
     from dbcut_spark.sinks.manifest import stage_files
@@ -993,8 +1027,13 @@ def lsh_index_stage(
     if meta["id_col"] != id_col:
         bands = bands.withColumnRenamed(id_col, meta["id_col"])
     # same small-files/parallel-write guard as the initial build
+    n_bands = meta["num_hashes"] // meta["band_rows"]
     bands_w = _bands_for_write(
-        bands, meta["num_hashes"] // meta["band_rows"], meta["n_buckets"]
+        bands,
+        n_bands,
+        meta["n_buckets"],
+        # a doc yields one band row per band
+        rows_hint=rows_hint * n_bands if rows_hint is not None else None,
     )
     newh = (
         new_ref.select(F.md5(norm_text(text_col)).alias("text_hash"))

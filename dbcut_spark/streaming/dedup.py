@@ -191,10 +191,12 @@ def dedup_ingest_batch(
                 lsh_index_stage, index_path, accepted, text_col, id_col,
                 # the probe's banded batch, restricted to the accepted
                 # ids — the append's second minhash pass becomes a
-                # cached-frame semi-join
+                # cached-frame semi-join; the stats agg's row count
+                # sizes the staged write's file spread (round 11)
                 bands=bands.join(
                     accepted.select(id_col), id_col, "left_semi"
                 ),
+                rows_hint=n,
             )
             fc.result()  # corpus visibility gates the index commit
             staged = fs.result()
