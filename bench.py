@@ -218,10 +218,17 @@ def canary_normalize(total: float, timings: dict[str, float], sf: float):
     return round(total * CANARY_REF_SEC / c, 3)
 
 
-def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
+def summary_line(total: float, timings: dict[str, float], sf: float,
+                 parallelism: int | None = None,
+                 master: str | None = None) -> str:
     """ONE JSON line, guaranteed ≤ TAIL_BUDGET chars: the total over ALL
     measured queries plus the TOP_K slowest per-query entries (full
-    detail in BENCH_DETAIL.json)."""
+    detail in BENCH_DETAIL.json). ``parallelism``/``master`` echo the
+    session's EFFECTIVE sc.defaultParallelism and master string so the
+    driver can verify the local[$SPARK_GRAFT_CPUS] contract directly
+    instead of inferring it from per-query low/high-core ratios (which
+    protocol-bound queries always fail) — round-11 verdict item 2;
+    additions-only, totals stay comparable."""
     norm = canary_normalize(total, timings, sf)
 
     def render(q: dict[str, float]) -> str:
@@ -236,6 +243,8 @@ def summary_line(total: float, timings: dict[str, float], sf: float) -> str:
                 "queries": q,
                 "sf": sf,
                 "n_queries": len(timings),
+                "parallelism": parallelism,
+                "master": master,
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
@@ -425,6 +434,8 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
+    par = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
@@ -433,6 +444,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "parallelism": par,
+        "master": master,
     }
     # subset runs must not clobber the full-suite artifact the driver
     # and round-over-round comparisons read
@@ -440,7 +453,7 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=2)
-    print(summary_line(total, timings, sf))
+    print(summary_line(total, timings, sf, parallelism=par, master=master))
 
 
 if __name__ == "__main__":

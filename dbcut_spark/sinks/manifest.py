@@ -62,7 +62,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -183,6 +185,42 @@ def current_version(table_path: str) -> int | None:
     return None
 
 
+# Parquet footer min/max statistics on timestamp columns exist only for
+# the INT64 encodings: Spark's default INT96 timestamps carry NO footer
+# stats, which silently blinds footer-stats file skipping
+# (prune_report/_file_may_match keep every file) on any session that did
+# not opt into TIMESTAMP_MICROS. The engine's own session factory sets
+# it (session.py), but staged writes must produce stats-bearing files
+# under ANY caller session — the driver contract runs declared queries
+# on a vanilla SparkSession — so every _stage write pins the conf for
+# its duration. Refcounted per-session under a lock because _stage runs
+# concurrently from the staging thread pools (MOR commit, ingest loop)
+# and the SQL conf is session-global, not thread-local.
+_TS_CONF_KEY = "spark.sql.parquet.outputTimestampType"
+_TS_CONF_LOCK = threading.Lock()
+_TS_CONF_STATE: dict[int, list] = {}  # id(session) -> [depth, saved]
+
+
+@contextmanager
+def _stats_bearing_timestamps(spark: SparkSession):
+    sid = id(spark)
+    with _TS_CONF_LOCK:
+        st = _TS_CONF_STATE.get(sid)
+        if st is None:
+            saved = spark.conf.get(_TS_CONF_KEY)
+            spark.conf.set(_TS_CONF_KEY, "TIMESTAMP_MICROS")
+            st = _TS_CONF_STATE[sid] = [0, saved]
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _TS_CONF_LOCK:
+            st[0] -= 1
+            if st[0] == 0:
+                del _TS_CONF_STATE[sid]
+                spark.conf.set(_TS_CONF_KEY, st[1])
+
+
 def _stage(
     df: DataFrame,
     table_path: str,
@@ -204,7 +242,8 @@ def _stage(
         if repartition:
             df = df.repartition(*[F.col(c) for c in partition_by])
         writer = df.write.partitionBy(*partition_by)
-    writer.parquet(dst)
+    with _stats_bearing_timestamps(df.sparkSession):
+        writer.parquet(dst)
     rels: list[str] = []
     for root, _dirs, files in os.walk(dst):
         for name in files:

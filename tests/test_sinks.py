@@ -2615,6 +2615,55 @@ def test_manifest_stats_prune_exact_rows(spark, tmp_path, manifest_backend):
     assert rep_and["kept_files"] == 2
 
 
+def test_manifest_stats_timestamp_prunes_under_vanilla_session(spark, tmp_path):
+    """Regression (round-12 verdict #1): a vanilla SparkSession writes
+    parquet timestamps as INT96, which carries NO footer min/max — on
+    the driver's harness session that silently blinded timestamp
+    skipping and orders_manifest_skipping's gate raised. _stage must
+    pin outputTimestampType=TIMESTAMP_MICROS around its own writes, so
+    stats-bearing files come out of ANY session, and must restore the
+    caller's conf afterwards."""
+    import datetime
+
+    from dbcut_spark.sinks.manifest import (
+        prune_report,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    key = "spark.sql.parquet.outputTimestampType"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "INT96")  # Spark's vanilla default
+    try:
+        tbl = str(tmp_path / "tbl")
+        dfs = [
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"),
+                F.timestamp_seconds(F.col("id") * 86400 + 1500000000)
+                .alias("ts"),
+            )
+            for lo in (0, 50, 100)
+        ]
+        publish_snapshot(dfs[0].coalesce(1), tbl, mode="overwrite",
+                         stats_cols=["ts"], repartition=False)
+        for d in dfs[1:]:
+            publish_snapshot(d.coalesce(1), tbl, mode="append",
+                             stats_cols=["ts"], repartition=False)
+        cut = datetime.datetime(2017, 7, 14) + datetime.timedelta(days=100)
+        rep = prune_report(tbl, [("ts", ">=", cut)])
+        assert rep["stats_files"] == rep["total_files"] == 3
+        assert rep["skipped_files"] >= 1, rep
+        # pruning never changes semantics
+        n = read_snapshot(spark, tbl, where=[("ts", ">=", cut)]).count()
+        assert n == dfs[0].unionAll(dfs[1]).unionAll(dfs[2]).filter(
+            F.col("ts") >= F.lit(cut)
+        ).count()
+        # the caller's conf came back untouched
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, saved)
+
+
 def test_manifest_stats_conservative_without_stats(spark, tmp_path):
     """Files published WITHOUT stats_cols are never skipped, and the
     residual filter still makes the result exact."""
