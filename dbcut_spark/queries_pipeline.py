@@ -4576,20 +4576,50 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds only a broadcast-join + tiny agg on top of plans that already
     hold at 100 TB. In production the exact answers come from a
     committed labeled query set, which this models."""
-    exact = ann_cosine_topk(spark, sf_dir).select(
-        "query_id", "cand_id", F.lit(1).alias("hit")
-    )
-    methods = [
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbcut_spark.operators.pinning import pin
+
+    # The five branch pipelines (exact + 4 approximate) are independent
+    # plans; a single action over their union only partially overlaps
+    # their stages (round-11 measurement: sum-of-parts 5.4s vs wall
+    # 4.6s — AQE schedules the union's stages largely in sequence), and
+    # even BUILDING the branch frames runs sequential driver work
+    # (artifact loads, plane fits — measured ~4s summed at sf0.1).
+    # Build AND materialize each branch from its own driver thread
+    # instead (guide §2.6 — overlap independent jobs), pinned so the
+    # final hit-join + agg reads the tiny cached top-k frames. Same
+    # rows, same values: the union/join/agg below is unchanged, only
+    # WHEN each branch computes moved.
+    branches = [
+        ("exact", ann_cosine_topk),
         ("lsh", ann_lsh_topk),
         ("ivf", ann_ivf_topk),
         ("pq", embedding_pq_topk),
         ("binary", embedding_binary_topk),
     ]
-    approx = None
-    for m, fn in methods:
-        part = fn(spark, sf_dir).select(
-            F.lit(m).alias("method"), "query_id", "cand_id"
+
+    def _materialize(item):
+        name, fn = item
+        # thread-local: labels each branch's jobs without clobbering
+        # the other threads' descriptions
+        spark.sparkContext.setJobDescription(f"ann_recall_eval: {name}")
+        df = fn(spark, sf_dir)
+        df = (
+            df.select("query_id", "cand_id", F.lit(1).alias("hit"))
+            if name == "exact"
+            else df.select(
+                F.lit(name).alias("method"), "query_id", "cand_id"
+            )
         )
+        pin(df).count()
+        return df
+
+    with ThreadPoolExecutor(max_workers=len(branches)) as pool:
+        mats = list(pool.map(_materialize, branches))
+    exact = mats[0]
+    approx = None
+    for part in mats[1:]:
         approx = part if approx is None else approx.unionByName(part)
     joined = approx.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
     return (
