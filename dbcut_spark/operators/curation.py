@@ -272,6 +272,41 @@ def incremental_dedup_indexed(
     the safe answer: the content IS already in the reference). Pipelines
     needing exactly-once ingestion should key the append on a batch id
     and skip re-appending, not re-interpret exact flags."""
+    exact_ids, near_ids = indexed_probe_ids(
+        spark, index_path, batch, text_col, id_col, threshold, bands=bands
+    )
+    newh = batch.select(F.col(id_col))
+    exact = newh.join(
+        exact_ids.withColumn("__exact", F.lit(True)), id_col, "left_outer"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
+    )
+    return exact.join(
+        near_ids.withColumn("__near", F.lit(True)), id_col, "left_outer"
+    ).select(
+        F.col(id_col),
+        "is_exact_dup",
+        F.coalesce(F.col("__near"), F.lit(False)).alias("is_near_dup"),
+    )
+
+
+def indexed_probe_ids(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    bands: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The probe core of :func:`incremental_dedup_indexed`: the batch's
+    (exact_ids, near_ids) id-frames against the persisted index. Shared
+    so the ingest loop can build its accepted set with ONE anti-join
+    against the union of the two (it never reads the per-doc flags —
+    the flag-bearing decisions frame cost two extra outer joins per
+    batch, round-12 optimization); the public decisions form above
+    composes the same frames, so both paths probe identically."""
     import os
 
     from dbcut_spark.operators.dedup import _set_versions, probe_lsh_index
@@ -299,29 +334,13 @@ def incremental_dedup_indexed(
     # a text_hash appearing twice in the exact table (append retries,
     # overlapping appends; lsh_index_append is a blind O(batch) write
     # by design) can never fan a batch doc into duplicate output rows
-    exact_ids = (
-        newh.join(refh, "text_hash", "left_semi")
-        .select(id_col)
-        .withColumn("__exact", F.lit(True))
-    )
-    exact = newh.select(id_col).join(exact_ids, id_col, "left_outer").select(
-        F.col(id_col),
-        F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
-    )
+    exact_ids = newh.join(refh, "text_hash", "left_semi").select(id_col)
     pairs = probe_lsh_index(
         spark, index_path, batch, text_col, id_col,
         set_versions=pinned_set, bands=bands,
     ).filter(F.col("est_sim") >= threshold)
-    near_ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .distinct()
-        .withColumn("__near", F.lit(True))
-    )
-    return exact.join(near_ids, id_col, "left_outer").select(
-        F.col(id_col),
-        "is_exact_dup",
-        F.coalesce(F.col("__near"), F.lit(False)).alias("is_near_dup"),
-    )
+    near_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+    return exact_ids, near_ids
 
 
 def pii_stats(df: DataFrame, text_col: str | Column, id_col: str) -> DataFrame:

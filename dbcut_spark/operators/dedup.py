@@ -135,17 +135,28 @@ def minhash_signatures(
     signatures shuffle/compare as longs, not 32-char hex strings.
     Every intermediate is < 3*2^56, so nothing overflows a BIGINT on
     either engine (ANSI Spark and DuckDB both error on overflow).
-    Single explode + single grouped agg."""
-    base = shingle_rows(df, text_col, id_col, n).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long").alias("ghi"),
-        F.conv(F.substring(F.md5("sh"), 8, 7), 16, 10).cast("long").alias("glo"),
+    Single explode + single grouped agg.
+
+    The expressions are built as SQL strings (one JVM parse each), not
+    per-operator Column calls: this plan is rebuilt on EVERY probe
+    batch of the ingest loop, and the k×(mul+mul+add+and+min) Column
+    construction alone cost ~0.3s of driver py4j round-trips per batch
+    (round-12 measurement; the parsed tree is operator-identical, so
+    the oracle-pinned values cannot move)."""
+    base = shingle_rows(df, text_col, id_col, n).selectExpr(
+        f"`{id_col}`",
+        "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint) as ghi",
+        "cast(conv(substring(md5(sh), 8, 7), 16, 10) as bigint) as glo",
     )
     aggs = []
     for j in range(num_hashes):
         a, b, c = minhash_coeffs(j)
-        g = F.lit(a) * F.col("ghi") + F.lit(b) * F.col("glo") + F.lit(c)
-        aggs.append(F.min(g.bitwiseAND(F.lit(MINHASH_MASK))).alias(f"h{j}"))
+        aggs.append(
+            F.expr(
+                f"min(({a}L * ghi + {b}L * glo + {c}L) & "
+                f"{MINHASH_MASK}L) as h{j}"
+            )
+        )
     return base.groupBy(id_col).agg(*aggs)
 
 
@@ -156,18 +167,23 @@ def _sig_bands(
     the shared banding step of the self-join and cross-corpus LSH
     candidate generators."""
     n_bands = num_hashes // band_rows
+    # SQL-string construction for the same reason as minhash_signatures:
+    # this plan is rebuilt per probe batch and the per-band
+    # struct/md5/concat_ws Column calls were measurable driver latency;
+    # the parsed tree is operator-identical (values pinned by the gates)
     band_cols = []
     for b in range(n_bands):
-        parts = [
-            F.col(f"h{b * band_rows + r}").cast("string") for r in range(band_rows)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
-            )
+        parts = ", ".join(
+            f"cast(h{b * band_rows + r} as string)"
+            for r in range(band_rows)
         )
-    sig_array = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+        band_cols.append(
+            f"struct({b} as band_idx, "
+            f"md5(concat_ws(':', {parts})) as band_hash)"
+        )
+    sig_array = "array({})".format(
+        ", ".join(f"h{j}" for j in range(num_hashes))
+    )
     # drop NULL signatures (h0 NULL ⟺ every h_j NULL ⟺ the doc's text
     # was NULL, the one way shingles can be all-NULL): concat_ws skips
     # NULLs, so every NULL-text doc would otherwise band to the single
@@ -179,10 +195,10 @@ def _sig_bands(
     # that never pairs); this is the shared banding step, so the
     # self-join, cross-corpus, index-build and probe paths all inherit
     # the guard
-    return signatures.filter(F.col("h0").isNotNull()).select(
-        F.col(id_col),
-        sig_array.alias("sig"),
-        F.explode(F.array(*band_cols)).alias("band"),
+    return signatures.filter("h0 is not null").selectExpr(
+        f"`{id_col}`",
+        f"{sig_array} as sig",
+        f"explode(array({', '.join(band_cols)})) as band",
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
 

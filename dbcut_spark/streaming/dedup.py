@@ -64,7 +64,7 @@ def dedup_ingest_batch(
 
     from pyspark.sql import functions as F
 
-    from dbcut_spark.operators.curation import incremental_dedup_indexed
+    from dbcut_spark.operators.curation import indexed_probe_ids
     from dbcut_spark.operators.dedup import (
         batch_bands_for_index,
         build_lsh_commit,
@@ -101,17 +101,21 @@ def dedup_ingest_batch(
         bands = batch_bands_for_index(
             index_path, batch, text_col, id_col
         ).persist()
-        decisions = incremental_dedup_indexed(
+        # accepted = batch minus (exact ∪ near) rejects: ONE anti-join
+        # against the union of the probe's id-frames — the loop never
+        # reads the per-doc flags, and the flag-bearing decisions frame
+        # cost two extra outer joins plus a semi-join per batch
+        # (round-12 optimization; set-equivalent by construction:
+        # keep = ids with both flags false = batch ids ∖ rejected)
+        exact_ids, near_ids = indexed_probe_ids(
             spark, index_path, batch, text_col, id_col, threshold,
             bands=bands,
         )
-        keep = decisions.filter(
-            ~F.col("is_exact_dup") & ~F.col("is_near_dup")
-        ).select(id_col)
+        rejected = exact_ids.unionByName(near_ids)
         # lazy: the stats agg below scans every partition, so the
         # checkpoint materializes inside that job (one job per batch
-        # saved; the probe side is already decided by `keep`)
-        accepted = batch.join(keep, id_col, "left_semi").localCheckpoint(
+        # saved; the probe side is already decided by the anti-join)
+        accepted = batch.join(rejected, id_col, "left_anti").localCheckpoint(
             eager=False
         )
     # ONE agg job yields both the row count and the hashability probe
