@@ -455,9 +455,16 @@ def _components_driver_side(canon: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
+    # Arrow-path collect (round-12 verdict item 7): toPandas moves the
+    # ≤1M-edge list as columnar batches instead of pickled Rows —
+    # measurably faster for every clusters-family query — and tolist()
+    # hands back plain Python ints/strs, so the union-find and the
+    # createDataFrame below see exactly what Row collection gave them.
+    # On a session without Arrow enabled toPandas falls back to the
+    # row path: same values, only slower — never a correctness fork.
+    pdf = canon.toPandas()
     nodes = set()
-    for row in canon.collect():
-        hi, lo = row[0], row[1]
+    for hi, lo in zip(pdf["hi"].tolist(), pdf["lo"].tolist()):
         nodes.add(hi)
         nodes.add(lo)
         ra, rb = find(hi), find(lo)

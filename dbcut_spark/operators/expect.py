@@ -152,6 +152,11 @@ def check_constraints(
         aggs.append(F.coalesce(viol.cast("long"), F.lit(0)).alias(f"__vl_{i}"))
         fold.append((r, f"__ck_{i}", f"__vl_{i}"))
 
+    # NOT respread before the fold (profile._spread_for_agg was A/B'd
+    # here in round 12 and REJECTED: counts/sum(when)/count_distinct
+    # over the 1-split sf0.1 orders ran 0.77s serial vs 1.13s spread —
+    # unlike the profiler's decimal-moment aggregates, this fold is too
+    # cheap per row to pay a full-row shuffle for map-side parallelism)
     one = df.agg(*aggs)
     parts = [
         f"'{_rule_id(r)}', '{r['rule']}', {ck}, {vl}"
