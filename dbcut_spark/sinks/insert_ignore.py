@@ -130,6 +130,34 @@ def _recover_staging(spark: SparkSession, path: str) -> None:
             )
 
 
+def _sweep_empty_stubs(path: str) -> None:
+    """Delete zero-ROW top-level part-files — the schema-only stubs an
+    all-duplicate ``count_rows=False`` append leaves behind. Zero-row
+    files are invisible to readers (no rows to lose), so deleting any
+    of them — this batch's or an earlier one's — never changes a read;
+    runs ONLY on the rare all-dup batch, so the directory listing is
+    not a steady-state cost. Footer check via pyarrow (driver-side,
+    bytes-bounded: stubs are a few hundred bytes; anything over 16 KB
+    is skipped without opening)."""
+    import pyarrow.parquet as pq
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for name in names:
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(path, name)
+        try:
+            if os.path.getsize(f) > 16384:
+                continue
+            if pq.ParquetFile(f).metadata.num_rows == 0:
+                os.remove(f)
+        except OSError:
+            continue  # concurrent sweep/compaction: already gone
+
+
 def insert_ignore_parquet(
     spark: SparkSession, df: DataFrame, path: str, pk: list[str],
     count_rows: bool = True,
@@ -146,9 +174,13 @@ def insert_ignore_parquet(
     anti-joined frame directly (ONE job instead of two), returning
     None — for callers that don't consume the count (the ingest loop,
     round-11 optimization, guide §1.2 'don't compute things you throw
-    away'). A batch whose rows all already exist then appends one
-    empty part-file instead of skipping the write — harmless to
-    readers (schema-only footer) and to idempotency (no rows)."""
+    away'). The written row count still rides the write job as an
+    ``observe`` metric (no extra job), and when it is ZERO — a batch
+    whose rows all already exist, e.g. a foreachBatch replay — the
+    schema-only stub part-file the append just created is swept
+    (round-12: a long-lived all-dup stream otherwise accrues one stub
+    per batch forever, pure file-listing load). The sweep deletes
+    zero-row files, which are invisible to readers by definition."""
     _require_local_path(path, "insert_ignore_parquet")
     _recover_staging(spark, path)
     df = df.dropDuplicates(pk)
@@ -186,10 +218,16 @@ def insert_ignore_parquet(
             )
         df = anti_new_rows(df, existing, pk)
     if not count_rows:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(path)
+        if obs.get["n"] == 0:
+            _sweep_empty_stubs(path)
         return None
     df = df.cache()
     try:
