@@ -98,7 +98,7 @@ def cooccurrence_edges(
 
 
 def triangle_counts(
-    edges: DataFrame, broadcast_max_edges: int = 4_000_000
+    edges: DataFrame, broadcast_max_edges: int = 12_000_000
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list ``(a, b)`` (weights ignored; duplicate/self edges must
@@ -112,14 +112,23 @@ def triangle_counts(
     equi-join against the edge set, no cartesian, no OR-join.
 
     The wedge set is the quadratic intermediate (m^1.5 rows): when the
-    edge list fits a broadcast (< ``broadcast_max_edges`` rows — three
-    longs each, so 4M rows ≈ 100 MB hash relation), the oriented
-    out-neighbor lists are broadcast instead and each edge closes its
-    triangles with one in-expression ``array_intersect`` — the m^1.5
-    rows are never materialized at all (round 11; the operator carries
-    m edge rows and emits 2m + T credit rows). Larger graphs fall back
-    to the wedge enumeration with a sort-merge closing join (the only
-    plan that scales unboundedly); pass 0 to force it."""
+    edge list fits a broadcast (< ``broadcast_max_edges`` rows), the
+    oriented out-neighbor lists are broadcast instead and each edge
+    closes its triangles with one in-expression ``array_intersect`` —
+    the m^1.5 rows are never materialized at all (round 11; the
+    operator carries m edge rows and emits 2m + T credit rows). Larger
+    graphs fall back to the wedge enumeration with a sort-merge closing
+    join (the only plan that scales unboundedly); pass 0 to force it.
+
+    Threshold: the m^1.5 wedge cost grows 31x per 10x edges while the
+    broadcast path grows ~linearly, so the crossover is far above the
+    old 4M default — measured on a 12M-edge co-occurrence graph
+    (round 12, 10x scale check): wedge 43.7s vs broadcast 8.0s,
+    identical counts. 12M oriented edges broadcast as grouped
+    out-neighbor arrays ≈ ~100 MB of longs (~2-300 MB framed, twice:
+    src- and dst-keyed) — the guide's "few hundred MB is fine" band;
+    per-EXECUTOR memory at cluster scale, so deployments with small
+    executors should lower it rather than raise it."""
     from dbcut_spark.operators.pinning import pin
 
     # the edge list feeds FOUR consumers (two degree scans, the wedge
